@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the operator catalog.
+  *
+  * == The integer bridge (deterministic float aggregation) ==
+  * Summing doubles is order-dependent; Spark's partial/final hash
+  * aggregation and DuckDB's single-threaded sum visit rows in different
+  * orders, so `SUM(double)` hash-mismatches the oracle in the last bits.
+  * (A decimal-typed sum is exact, but the final DECIMAL→DOUBLE conversion
+  * is correctly rounded in the JVM and 1-ulp-off in DuckDB's int128
+  * path, so decimals don't bridge either — measured, not speculation.)
+  * Bridge: round each addend to a fixed decimal scale and cast to BIGINT
+  * (deterministic per row — IEEE multiply + half-away-from-zero round in
+  * both engines), sum exactly in int64 (order-independent), then one
+  * deterministic int64→double conversion and a final divide. Both engines
+  * produce bit-identical doubles. Per-row *double* arithmetic before the
+  * bridge (e.g. `price * (1 - disc)`) is IEEE-deterministic and safe.
+  * Capacity: scaled sum must fit int64 — scale 4 holds ~9e14 in unit
+  * terms, far past sf100 sums.
+  */
+package object ops {
+
+  /** Deterministic SUM over a double column: integer bridge, see above. */
+  def dsum(c: Column, scale: Int = 4): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * lit(f)).cast("long")).cast("double") / lit(f)
+  }
+
+  /** Deterministic AVG: exact int64 sum divided by count, in double. */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+
+  /** SQL-side twin of [[dsum]] for the DuckDB oracle strings.
+    * DuckDB sums BIGINT into HUGEINT, hence the inner re-cast. */
+  def dsumSql(expr: String, scale: Int = 4): String = {
+    val f = s"1e$scale"
+    s"(CAST(CAST(SUM(CAST(round(($expr) * $f) AS BIGINT)) AS BIGINT) AS DOUBLE) / $f)"
+  }
+
+  /** SQL-side twin of [[davg]]. */
+  def davgSql(expr: String, scale: Int = 4): String =
+    s"(${dsumSql(expr, scale)} / COUNT($expr))"
+}
