@@ -15,9 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one fixture table. */
+  /** Read one fixture table.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos via the legacy conf
+    * and convert with exact integer division (`div`, not `/` — double
+    * division loses precision above 2^53 and epoch-nanos are ~1.7e18).
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every fixture table as a temp view (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =
