@@ -1,7 +1,235 @@
 package graft.ops
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Aggregation operators (SURVEY.md §2.B "Aggregation"). All run as
+  * Catalyst HashAggregate with automatic partial (map-side) + final
+  * phases — at 100 TB the shuffle carries only per-group partials.
+  * Float measures go through the integer bridge (ops package doc);
+  * min/max/count are order-independent and used raw.
+  */
 object Aggregates {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  /** Multi-key group-by with the full basic aggregate set. */
+  def multiAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        min($"l_shipdate").as("first_ship"),
+        max($"l_shipdate").as("last_ship"),
+        davg($"l_extendedprice").as("avg_price"),
+        countDistinct($"l_partkey").as("n_parts"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val multiAggSql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+       |  ${davgSql("l_extendedprice")} AS avg_price,
+       |  COUNT(DISTINCT l_partkey) AS n_parts
+       |FROM lineitem GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** COUNT(DISTINCT) + SUM(DISTINCT) (bridge: distinct over scaled
+    * longs so the distinct set and the sum are both exact).
+    */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey", $"l_suppkey").as("n_part_supp"),
+        (sum_distinct(round($"l_quantity" * 10000.0).cast("long")).cast("double") / 10000.0)
+          .as("sum_distinct_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val distinctAggSql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+      |  CAST(CAST(SUM(DISTINCT CAST(round(l_quantity * 10000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0
+      |    AS sum_distinct_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** approx_count_distinct (HLL++) — sketch internals differ from
+    * DuckDB's, so no SQL oracle (rows-only check). The scale story:
+    * constant memory per group vs exact distinct's shuffle of all keys.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** CUBE with grouping() flags. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast("int").as("g_flag"),
+        grouping($"l_linestatus").cast("int").as("g_status"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  private val cubeAggSql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** ROLLUP over a two-level hierarchy. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val rollupAggSql =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS (SQL path — the DataFrame API has no direct form;
+    * exercises the spark.sql entry the reference's SQL-transform step
+    * maps to, SURVEY.md §2.A A10).
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** HAVING ≅ post-aggregation filter. */
+  def havingAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .filter($"n_orders" >= 15 && $"total" > 2500000.0)
+      .orderBy($"o_custkey")
+  }
+
+  private val havingAggSql =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY o_custkey
+       |HAVING COUNT(*) >= 15 AND ${dsumSql("o_totalprice")} > 2500000.0
+       |ORDER BY o_custkey""".stripMargin
+
+  /** Statistical aggregates — computed from exact bridged moments so
+    * Spark and DuckDB agree bit-for-bit (built-in stddev/corr are
+    * summation-order-dependent).
+    */
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = count(lit(1)).cast("double")
+    val sx = dsum($"l_quantity", 4)
+    val sxx = dsum($"l_quantity" * $"l_quantity", 4)
+    val sy = dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+    val syy = dsum(($"l_extendedprice" * (lit(1.0) - $"l_discount")) *
+      ($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+    val sxy = dsum($"l_quantity" * ($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
+        sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_qty"),
+        ((sxy - sx * sy / n) /
+          sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_rev"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val statsAggSql = {
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    val sx = dsumSql("l_quantity", 4)
+    val sxx = dsumSql("l_quantity * l_quantity", 4)
+    val sy = dsumSql("l_extendedprice * (1.0 - l_discount)", 4)
+    val syy = dsumSql("(l_extendedprice * (1.0 - l_discount)) * (l_extendedprice * (1.0 - l_discount))", 2)
+    val sxy = dsumSql("l_quantity * (l_extendedprice * (1.0 - l_discount))", 2)
+    s"""SELECT l_returnflag,
+       |  (($sxx - $sx * $sx / $n) / ($n - 1.0)) AS var_qty,
+       |  sqrt(($sxx - $sx * $sx / $n) / ($n - 1.0)) AS stddev_qty,
+       |  (($sxy - $sx * $sy / $n) /
+       |    sqrt(($sxx - $sx * $sx / $n) * ($syy - $sy * $sy / $n))) AS corr_qty_rev
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Exact percentiles (Spark `percentile` ≙ DuckDB `quantile_cont`;
+    * both linear-interpolate at rank p*(n-1)).
+    */
+  def percentileAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val percentileAggSql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** collect_set into a deterministic (sorted) array. */
+  def collectAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .filter($"l_orderkey" < 100)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_linenumber")).as("linenumbers"),
+        sort_array(collect_list($"l_returnflag")).as("flags"))
+      .orderBy($"l_orderkey")
+  }
+
+  private val collectAggSql =
+    """SELECT l_orderkey,
+      |  list_sort(list(DISTINCT l_linenumber)) AS linenumbers,
+      |  list_sort(list(l_returnflag)) AS flags
+      |FROM lineitem WHERE l_orderkey < 100
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_agg_multi", multiAgg, Some(multiAggSql)),
+    CatalogEntry("q_agg_distinct", distinctAgg, Some(distinctAggSql)),
+    CatalogEntry("q_agg_approx_distinct", approxDistinct, None),
+    CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),
+    CatalogEntry("q_agg_rollup", rollupAgg, Some(rollupAggSql)),
+    CatalogEntry("q_agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    CatalogEntry("q_agg_having", havingAgg, Some(havingAggSql)),
+    CatalogEntry("q_agg_stats", statsAgg, Some(statsAggSql)),
+    CatalogEntry("q_agg_percentile", percentileAgg, Some(percentileAggSql)),
+    CatalogEntry("q_agg_collect", collectAgg, Some(collectAggSql)))
 }

@@ -14,7 +14,11 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(df):
-    df = df[sorted(df.columns)]
+    import numpy as np
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
