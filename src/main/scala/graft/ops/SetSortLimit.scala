@@ -1,7 +1,134 @@
 package graft.ops
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Sort / limit / top-k / set operations / sampling (SURVEY.md §2.B).
+  * The reference's own metadata SQL uses multi-key ORDER BY
+  * (reference: core/extractors/sqlserver.py:100,129,181).
+  */
 object SetSortLimit {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  /** Global multi-key ORDER BY with explicit null placement and
+    * mixed directions — Spark range-partitions the sort at scale.
+    */
+  def orderByMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_nationkey", $"c_acctbal",
+        nullif($"c_mktsegment", lit("MACHINERY")).as("seg_nullable"))
+      .orderBy($"seg_nullable".desc_nulls_last, $"c_nationkey".asc,
+        $"c_acctbal".desc, $"c_custkey".asc)
+  }
+
+  private val orderByMultiSql =
+    """SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,
+      |  nullif(c_mktsegment, 'MACHINERY') AS seg_nullable
+      |FROM customer
+      |ORDER BY seg_nullable DESC NULLS LAST, c_nationkey ASC,
+      |  c_acctbal DESC, c_custkey ASC""".stripMargin
+
+  /** Global top-k: ORDER BY + LIMIT → Catalyst TakeOrderedAndProject
+    * (per-partition heaps, no full sort — the at-scale shape).
+    */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(25)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  private val topKSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin
+
+  /** UNION ALL + UNION (distinct) over aligned projections. */
+  def unionOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+      .select($"c_nationkey".as("nationkey"), lit("customer").as("side"))
+    val sup = Tables.t(s, dir, "supplier")
+      .select($"s_nationkey".as("nationkey"), lit("supplier").as("side"))
+    c.unionByName(sup).distinct()
+      .unionByName(
+        Tables.t(s, dir, "nation")
+          .select($"n_nationkey".as("nationkey"), lit("nation").as("side")))
+      .orderBy($"nationkey", $"side")
+  }
+
+  private val unionOpsSql =
+    """SELECT * FROM (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+      |    UNION ALL
+      |    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier) u
+      |  UNION ALL
+      |  SELECT n_nationkey AS nationkey, 'nation' AS side FROM nation) v
+      |ORDER BY nationkey, side""".stripMargin
+
+  /** INTERSECT: nations present among both big-balance customers and
+    * suppliers.
+    */
+  def intersectOp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer").filter($"c_acctbal" > 5000.0)
+      .select($"c_nationkey".as("nationkey"))
+    val sup = Tables.t(s, dir, "supplier").filter($"s_acctbal" > 5000.0)
+      .select($"s_nationkey".as("nationkey"))
+    c.intersect(sup).orderBy($"nationkey")
+  }
+
+  private val intersectOpSql =
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
+      |ORDER BY nationkey""".stripMargin
+
+  /** EXCEPT and EXCEPT ALL (multiset difference keeps multiplicity). */
+  def exceptOp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+    val sup = Tables.t(s, dir, "supplier").select($"s_nationkey".as("nationkey"))
+    val distinctDiff = all.except(sup)
+      .withColumn("kind", lit("except_distinct"))
+    val multisetDiff = Tables.t(s, dir, "nation")
+      .select($"n_nationkey".as("nationkey"))
+      .exceptAll(sup)
+      .withColumn("kind", lit("except_all"))
+    distinctDiff.unionByName(multisetDiff).orderBy($"kind", $"nationkey")
+  }
+
+  private val exceptOpSql =
+    """SELECT * FROM (
+      |  SELECT c_nationkey AS nationkey, 'except_distinct' AS kind FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey, 'except_distinct' FROM supplier)
+      |UNION ALL
+      |SELECT * FROM (
+      |  SELECT n_nationkey AS nationkey, 'except_all' AS kind FROM nation
+      |  EXCEPT ALL
+      |  SELECT s_nationkey, 'except_all' FROM supplier)
+      |ORDER BY kind, nationkey""".stripMargin
+
+  /** TABLESAMPLE — seeded Bernoulli sample. Sampling RNGs differ across
+    * engines, so no SQL oracle (rows-only); the invariant checked here
+    * is that the sampled count is stable for a fixed seed.
+    */
+  def sampleOp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sampled = Tables.t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42L)
+    sampled.agg(
+      count(lit(1)).as("n_sampled"),
+      countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_orderby_multi", orderByMulti, Some(orderByMultiSql)),
+    CatalogEntry("q_topk", topK, Some(topKSql)),
+    CatalogEntry("q_union", unionOps, Some(unionOpsSql)),
+    CatalogEntry("q_intersect", intersectOp, Some(intersectOpSql)),
+    CatalogEntry("q_except", exceptOp, Some(exceptOpSql)),
+    CatalogEntry("q_sample", sampleOp, None))
 }

@@ -1,7 +1,163 @@
 package graft.ops
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Window-function operators (SURVEY.md §2.B "Window functions").
+  * Each window partitions by a key (one shuffle) and sorts within the
+  * partition — at 100 TB the partition key must be high-cardinality
+  * (customer, order), never a constant, or one executor sorts the world.
+  * All orderings carry explicit tiebreakers so ranks are deterministic.
+  */
 object Windows {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  /** Ranking family: row_number / rank / dense_rank / ntile /
+    * percent_rank per market segment.
+    */
+  def ranking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.t(s, dir, "customer")
+      .select(
+        $"c_mktsegment", $"c_custkey", $"c_acctbal",
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prk"))
+      .filter($"rn" <= 50)
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  private val rankingSql =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER w AS rn, rank() OVER w AS rk,
+      |    dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile,
+      |    percent_rank() OVER w AS prk
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+      |) t WHERE rn <= 50 ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Analytic family: lag / lead / first_value / last_value over each
+    * customer's order history.
+    */
+  def analytic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.t(s, dir, "orders")
+      .filter($"o_custkey" < 100)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        first($"o_totalprice").over(wf).as("first_price"),
+        last($"o_totalprice").over(wf).as("last_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val analyticSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  last_value(o_totalprice) OVER wf AS last_price
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Aggregates over frames: running total (ROWS UNBOUNDED..CURRENT) and
+    * centered moving average (ROWS 2 PRECEDING..2 FOLLOWING). Frame sums
+    * over doubles go through the integer bridge — window frame summation
+    * order differs between engines (segment trees vs running state).
+    */
+  def frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-2, 2)
+    val scaled = round($"o_totalprice" * 10000.0).cast("long")
+    Tables.t(s, dir, "orders")
+      .filter($"o_custkey" < 100)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_orderdate",
+        (sum(scaled).over(run).cast("double") / 10000.0).as("running_total"),
+        (sum(scaled).over(mov).cast("double") / 10000.0 /
+          count(lit(1)).over(mov)).as("moving_avg5"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val framesSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(CAST(SUM(CAST(round(o_totalprice * 10000.0) AS BIGINT)) OVER run AS BIGINT) AS DOUBLE) / 10000.0
+      |    AS running_total,
+      |  CAST(CAST(SUM(CAST(round(o_totalprice * 10000.0) AS BIGINT)) OVER mov AS BIGINT) AS DOUBLE) / 10000.0
+      |    / COUNT(*) OVER mov AS moving_avg5
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  mov AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** RANGE frame: per returnflag, count of lineitems shipped within the
+    * trailing 30 days of each row's shipdate (range frame over an
+    * interval). Restricted to one order's items to keep output small.
+    */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy(unix_timestamp($"l_shipdate"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.t(s, dir, "lineitem")
+      .filter($"l_orderkey" < 500)
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_shipdate",
+        count(lit(1)).over(w).as("n_trailing_30d"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val rangeFrameSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate,
+      |  COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY epoch(l_shipdate)
+      |                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_trailing_30d
+      |FROM lineitem WHERE l_orderkey < 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Top-N per group: 3 most expensive orders per customer segment. */
+  def topNPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    val o = Tables.t(s, dir, "orders")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  private val topNPerGroupSql =
+    """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_win_rank", ranking, Some(rankingSql)),
+    CatalogEntry("q_win_analytic", analytic, Some(analyticSql)),
+    CatalogEntry("q_win_frames", frames, Some(framesSql)),
+    CatalogEntry("q_win_range_frame", rangeFrame, Some(rangeFrameSql)),
+    CatalogEntry("q_win_topn", topNPerGroup, Some(topNPerGroupSql)))
 }
