@@ -1,7 +1,135 @@
 package graft.ops
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Event-table operators: the batch twins of the streaming surface
+  * (SURVEY.md §2.B "Streaming"). The same transformations run under
+  * Structured Streaming in graft.streaming (readStream + watermark);
+  * here they execute on the static events table so the DuckDB oracle
+  * can check the semantics. The reference has no streaming at all — its
+  * "stream" is a 30 s polling scheduler (reference:
+  * scheduler/scheduler.py:49-56).
+  */
 object EventOps {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  /** Tumbling 10-minute window aggregation (epoch-aligned, exactly what
+    * `groupBy(window($"ts","10 minutes"))` produces in a stream).
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  private val tumblingSql =
+    s"""SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS TIMESTAMP) AS win_start,
+       |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, event_type ORDER BY win_start, event_type""".stripMargin
+
+  /** Sliding window (10 min length, 5 min slide): each event lands in 2
+    * windows — Spark expands via the window generator; the oracle unions
+    * the two phase-shifted assignments.
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("win_start"), $"n")
+      .orderBy($"win_start")
+  }
+
+  private val slidingSql =
+    """SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - o.off AS BIGINT)) AS TIMESTAMP) AS win_start,
+      |  COUNT(*) AS n
+      |FROM events, (VALUES (0), (300)) AS o(off)
+      |WHERE floor(epoch(ts) / 300) * 300 - o.off >= 0
+      |GROUP BY 1 ORDER BY win_start""".stripMargin
+
+  /** Session windows (5-minute gap) per user — batch twin of
+    * `session_window($"ts", "5 minutes")`. Oracle replays the merge with
+    * gaps-and-islands (lag + cumulative flag sum).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("sess_start"), $"w.end".as("sess_end"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"sess_start")
+  }
+
+  private val sessionizeSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 300000000
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       |SELECT user_id,
+       |  CAST(min(ts) AS TIMESTAMP) AS sess_start,
+       |  CAST(max(ts) + INTERVAL 5 MINUTE AS TIMESTAMP) AS sess_end,
+       |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM sess GROUP BY user_id, sid
+       |ORDER BY user_id, sess_start""".stripMargin
+
+  /** Deduplication by business key keeping the earliest event — the
+    * batch twin of streaming `dropDuplicates` with watermark.
+    */
+  def eventDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  private val eventDedupSql =
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** Stream-static join shape: events (stream side) joined to the
+    * customer dimension (static side, broadcast).
+    */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val c = Tables.t(s, dir, "customer")
+    e.join(broadcast(c), e("user_id") === c("c_custkey"))
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"c_mktsegment", $"event_type")
+  }
+
+  private val streamStaticJoinSql =
+    s"""SELECT c_mktsegment, event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type""".stripMargin
+
+  def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_tumbling", tumbling, Some(tumblingSql)),
+    CatalogEntry("q_evt_sliding", sliding, Some(slidingSql)),
+    CatalogEntry("q_evt_session", sessionize, Some(sessionizeSql)),
+    CatalogEntry("q_evt_dedup", eventDedup, Some(eventDedupSql)),
+    CatalogEntry("q_evt_stream_static", streamStaticJoin, Some(streamStaticJoinSql)))
 }

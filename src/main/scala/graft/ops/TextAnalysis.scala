@@ -1,7 +1,189 @@
 package graft.ops
 
-import graft.CatalogEntry
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators for training-data pipelines (builder-prompt
+  * north star): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting. Pure per-row map work — built-in string /
+  * array higher-order functions, fully codegen'd, no shuffle at all
+  * (embarrassingly parallel at 100 TB).
+  */
 object TextAnalysis {
-  def entries: Seq[CatalogEntry] = Seq()
+
+  /** Per-document statistics: lengths, word counts, type-token ratio,
+    * average word length (exact int arithmetic → deterministic double).
+    */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    val sumLen = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id", $"lang", $"source", $"n_chars",
+        length($"text").cast("long").as("n_chars_calc"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        (size(array_distinct(words)).cast("double") / size(words)).as("ttr"),
+        (sumLen.cast("double") / size(words)).as("avg_word_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val statsSql =
+    """SELECT doc_id, lang, source, n_chars,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS ttr,
+      |  CAST(CAST(list_sum(list_transform(string_split(text, ' '),
+      |      w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS avg_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val enStop = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** N-gram-heuristic language ID: stopword-hit ratio over the word
+    * multiset → 'en' above threshold. (The fixture's lang labels are
+    * random w.r.t. tokens, so `predicted` vs `lang` also demonstrates
+    * an accuracy-audit join.)
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    val hits = aggregate(
+      transform(words, w => when(w.isin(enStop: _*), 1L).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id", $"lang",
+        (hits.cast("double") / size(words)).as("en_ratio"),
+        when(hits.cast("double") / size(words) >= 0.08, "en")
+          .otherwise("other").as("predicted"))
+      .orderBy($"doc_id")
+  }
+
+  private val langIdSql = {
+    val set = enStop.map(w => s"'$w'").mkString("(", ",", ")")
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |  CAST(CAST(list_sum(list_transform(words,
+       |    w -> CASE WHEN w IN $set THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE)
+       |    / len(words) AS en_ratio
+       |FROM d)
+       |SELECT doc_id, lang, en_ratio,
+       |  CASE WHEN en_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality score: weighted blend of length saturation, stopword ratio
+    * and long-word ratio — the filter-threshold shape used to gate
+    * training corpora. Fixed expression order → deterministic double.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    val nw = size(words).cast("double")
+    val stopHits = aggregate(
+      transform(words, w => when(w.isin(enStop: _*), 1L).otherwise(0L)),
+      lit(0L), (a, x) => a + x).cast("double")
+    val longWords = aggregate(
+      transform(words, w => when(length(w) >= 6, 1L).otherwise(0L)),
+      lit(0L), (a, x) => a + x).cast("double")
+    val lenSat = least($"n_chars".cast("double") / 500.0, lit(1.0))
+    val score = lenSat * 0.4 + (stopHits / nw) * 0.3 + (longWords / nw) * 0.3
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", lenSat.as("len_sat"),
+        (stopHits / nw).as("stop_ratio"),
+        (longWords / nw).as("long_ratio"),
+        score.as("quality"),
+        (score >= 0.2).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private val qualitySql = {
+    val set = enStop.map(w => s"'$w'").mkString("(", ",", ")")
+    s"""WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents),
+       |m AS (SELECT doc_id,
+       |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_sat,
+       |  CAST(CAST(list_sum(list_transform(words,
+       |    w -> CASE WHEN w IN $set THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE)
+       |    / CAST(len(words) AS DOUBLE) AS stop_ratio,
+       |  CAST(CAST(list_sum(list_transform(words,
+       |    w -> CASE WHEN length(w) >= 6 THEN 1 ELSE 0 END)) AS BIGINT) AS DOUBLE)
+       |    / CAST(len(words) AS DOUBLE) AS long_ratio
+       |FROM d)
+       |SELECT doc_id, len_sat, stop_ratio, long_ratio,
+       |  len_sat * 0.4 + stop_ratio * 0.3 + long_ratio * 0.3 AS quality,
+       |  len_sat * 0.4 + stop_ratio * 0.3 + long_ratio * 0.3 >= 0.2 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (words | single punctuation) + chars-per-token.
+    */
+  def tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "\\w+|[^\\w\\s]"
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit(pat)).cast("long").as("re_tokens"),
+        ($"n_chars".cast("double") / regexp_count($"text", lit(pat)))
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  private val tokensSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS re_tokens,
+      |  CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '\w+|[^\w\s]'))
+      |    AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: whole-doc md5 + min-hash of 3-word
+    * shingles (winnowing-style sketch) + duplicate-fingerprint count.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split(lower(trim($"text")), " ")
+    val shingles = transform(
+      sequence(lit(1), size(words) - 2),
+      i => md5(concat_ws(" ",
+        element_at(words, i.cast("int")),
+        element_at(words, (i + 1).cast("int")),
+        element_at(words, (i + 2).cast("int")))))
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        md5(lower(trim($"text"))).as("fp"),
+        array_min(shingles).as("min_shingle"),
+        (size(words) - 2).cast("long").as("n_shingles"))
+      .withColumn("n_same_fp",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .orderBy($"doc_id")
+  }
+
+  private val fingerprintSql =
+    """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp,
+      |  string_split(lower(trim(text)), ' ') AS words FROM documents),
+      |s AS (SELECT doc_id, fp,
+      |  list_min([md5(array_to_string(words[i:i+2], ' '))
+      |            FOR i IN generate_series(1, len(words) - 2)]) AS min_shingle,
+      |  CAST(len(words) - 2 AS BIGINT) AS n_shingles
+      |FROM d)
+      |SELECT doc_id, fp, min_shingle, n_shingles,
+      |  COUNT(*) OVER (PARTITION BY fp) AS n_same_fp
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_stats", stats, Some(statsSql)),
+    CatalogEntry("q_text_lang_id", langId, Some(langIdSql)),
+    CatalogEntry("q_text_quality", quality, Some(qualitySql)),
+    CatalogEntry("q_text_tokens", tokens, Some(tokensSql)),
+    CatalogEntry("q_text_fingerprint", fingerprint, Some(fingerprintSql)))
 }
