@@ -1,0 +1,56 @@
+package graft
+
+import graft.exec.{PipelineRunner, TransformRegistry}
+import graft.model._
+import graft.sched.PipelineScheduler
+import graft.store.Repository
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end library demo: register a connection, define an
+  * extract → SQL-transform → load pipeline over the fixture parquet,
+  * run it, show history, and take one scheduler tick.
+  *
+  * Run: sbt "runMain graft.Demo [sfDir]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("graft-demo")
+    val repo = new Repository(work.resolve("meta"))
+    repo.saveConnection(ConnectionSpec("fixtures", "fixture parquet", "parquet",
+      Map("basePath" -> sfDir)))
+    repo.saveConnection(ConnectionSpec("out", "demo output", "parquet",
+      Map("basePath" -> work.resolve("out").toString)))
+
+    val spec = PipelineJson.parsePipeline(
+      """{"id":"demo","name":"revenue by priority","recurrence":"*/5","steps":[
+        |{"stepType":"extract","name":"lineitem","order":1,"connectionId":"fixtures","path":"lineitem.parquet"},
+        |{"stepType":"transform","name":"revenue","order":2,"kind":"sql",
+        | "sql":"SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n FROM input GROUP BY l_returnflag ORDER BY l_returnflag"},
+        |{"stepType":"load","name":"sink","order":3,"connectionId":"out","path":"revenue","mode":"replace"}
+        |]}""".stripMargin)
+    repo.savePipeline(spec)
+
+    val registry = new TransformRegistry
+    val runner = new PipelineRunner(spark, repo, registry)
+    val result = runner.runById("demo")
+    println(s"[demo] run result: $result")
+    spark.read.parquet(s"${work.resolve("out")}/revenue").show()
+    repo.history("demo").foreach(h => println(s"[demo] history: $h"))
+
+    val sched = new PipelineScheduler(runner, repo)
+    sched.tick() // first sight: schedules only
+    println(s"[demo] next scheduled run: ${sched.scheduledFor("demo")}")
+    sched.stop()
+    spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.connect
+
+import graft.model.{ConnectionSpec, ExtractStep, LoadStep}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink registry (SURVEY.md §7 module 2). One generic JDBC impl
+  * covers the reference's declared sqlserver/postgres/mysql/oracle
+  * matrix (reference: core/engine.py:110-135 dispatch, only sqlserver
+  * implemented); file formats cover its declared csv stubs.
+  *
+  * Scale: JDBC extracts accept partitionColumn/lowerBound/upperBound/
+  * numPartitions options so reads parallelize across executors instead
+  * of the reference's single-cursor full materialization
+  * (core/extractors/sqlserver.py:53); JDBC loads batch via batchsize
+  * instead of its row-per-round-trip loop (core/loaders/sqlserver.py:282-286).
+  */
+object Sources {
+  val fileFormats: Set[String] = Set("parquet", "csv", "json", "orc")
+
+  def read(spark: SparkSession, conn: ConnectionSpec, step: ExtractStep): DataFrame =
+    conn.format match {
+      case f if fileFormats(f) =>
+        val path = step.path.orElse(step.table).getOrElse(
+          throw new IllegalArgumentException(s"extract '${step.name}': path required"))
+        val r = spark.read.options(conn.options ++ step.options)
+        val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
+        val full = base.map(b => s"$b/$path").getOrElse(path)
+        f match {
+          case "csv" => r.option("header", "true").option("inferSchema", "true").csv(full)
+          case "json" => r.json(full)
+          case "orc" => r.orc(full)
+          case _ => r.parquet(full)
+        }
+      case "jdbc" =>
+        // ≅ A1: the reference requires a non-empty query
+        // (core/extractors/sqlserver.py:49-50); we also allow dbtable.
+        val r = spark.read.format("jdbc").options(conn.options ++ step.options)
+        (step.query, step.table) match {
+          case (Some(q), _) => r.option("query", q).load()
+          case (None, Some(t)) => r.option("dbtable", t).load()
+          case _ => throw new IllegalArgumentException(
+            s"extract '${step.name}': jdbc needs query or table")
+        }
+      case other =>
+        // Mongo etc. declared by the reference but jar-less here — error
+        // clearly (SURVEY.md §2.A declared-but-empty connectors).
+        throw new IllegalArgumentException(s"unsupported source format '$other'")
+    }
+
+  private def saveMode(mode: String): SaveMode = mode match {
+    case "append" => SaveMode.Append // ≅ A7
+    case "replace" | "overwrite" => SaveMode.Overwrite // ≅ A8
+    case "errorIfExists" => SaveMode.ErrorIfExists
+    case other => throw new IllegalArgumentException(s"unknown load mode '$other'")
+  }
+
+  def write(df: DataFrame, conn: ConnectionSpec, step: LoadStep): Unit =
+    conn.format match {
+      case f if fileFormats(f) =>
+        val path = step.path.orElse(step.table).getOrElse(
+          throw new IllegalArgumentException(s"load '${step.name}': path required"))
+        val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
+        val full = base.map(b => s"$b/$path").getOrElse(path)
+        val w = df.write.mode(saveMode(step.mode)).options(step.options)
+        f match {
+          case "csv" => w.option("header", "true").csv(full)
+          case "json" => w.json(full)
+          case "orc" => w.orc(full)
+          case _ => w.parquet(full)
+        }
+      case "jdbc" =>
+        val table = step.table.getOrElse(throw new IllegalArgumentException(
+          s"load '${step.name}': jdbc needs table"))
+        val w = df.write.format("jdbc")
+          .options(conn.options ++ step.options)
+          .option("dbtable", table)
+          .mode(saveMode(step.mode))
+        // replace keeps DDL like the reference's DELETE-then-insert (A8)
+        val w2 = if (step.mode == "replace") w.option("truncate", "true") else w
+        w2.save()
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sink format '$other'")
+    }
+}

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (builder-prompt north star): media as
+  * opaque `binary` columns with typed metadata, processed per-partition
+  * in batches. The actual codecs (image/audio libs) are NOT in this
+  * environment, so the decode kernel is a clearly-marked deterministic
+  * STUB — everything around it (schema, batch shape, partitioning,
+  * feature layout) is real and tested.
+  *
+  * Scale notes: rows carry payloads of MBs — `maxPartitionBytes` and
+  * explicit repartition on id keep partitions bounded; decode runs once
+  * per row inside mapPartitions (batch-amortized setup per partition,
+  * the same shape a Pandas-UDF/mapInPandas pipeline has in PySpark).
+  */
+object Multimodal {
+
+  /** media table schema: opaque payload + typed metadata struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+
+  /** STUB decode kernel: a real implementation would hand `bytes` to an
+    * image/audio codec here. Deterministic fake: 8 features derived from
+    * byte statistics so specs can assert exact values. Swap this single
+    * function for the real codec; nothing else changes.
+    */
+  def decodeStub(kind: String, bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null || bytes.isEmpty) return Array.fill(8)(0.0f)
+    val n = bytes.length
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val mean = sum.toFloat / n
+    Array(
+      n.toFloat, mean, (bytes.head & 0xff).toFloat, (bytes.last & 0xff).toFloat,
+      (sum % 251).toFloat, (kind.hashCode & 0xff).toFloat,
+      (n % 17).toFloat, ((bytes(n / 2) & 0xff)).toFloat)
+  }
+
+  /** Feature extraction over a media frame: binary payload → fixed-width
+    * float features, per-partition batched (mapPartitions so per-batch
+    * setup — codec init, model load — is amortized).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"),
+        coalesce(col("meta.width"), lit(0)).as("width"),
+        coalesce(col("meta.height"), lit(0)).as("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition (≙ per-batch) setup would init the codec here
+        rows.map { r =>
+          val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+          MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
+            decodeStub(r.kind, bytes))
+        }
+      }
+  }
+
+  /** Deterministic frame sampling for video-ish payloads: every k-th
+    * chunk of `chunk` bytes becomes a "frame" (STUB for a real frame
+    * decoder; the plumbing — one row per sampled frame with ordinals —
+    * is the real contract).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, every: Int, chunk: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+        bytes.grouped(chunk).zipWithIndex
+          .filter { case (_, i) => i % every == 0 }
+          .map { case (frame, i) => (id, i.toLong, frame.length.toLong,
+            Multimodal.decodeStub("frame", frame)) }
+      }
+      .toDF("media_id", "frame_no", "n_bytes", "features")
+  }
+
+  /** Resize metadata transform (pure column math — the payload stays
+    * opaque; a real resize would be a decodeStub-style kernel).
+    */
+  def withScaledMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxSide).cast("double") / greatest(w, h, lit(1)))
+    media
+      .withColumn("scaled_width", round(w * scale).cast("int"))
+      .withColumn("scaled_height", round(h * scale).cast("int"))
+  }
+}

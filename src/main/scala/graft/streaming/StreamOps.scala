@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY.md §2.B "Streaming"). The
+  * reference has no streaming — its closest analog is the 30 s polling
+  * scheduler (scheduler/scheduler.py:49-56). These transformations are
+  * the streaming twins of ops.EventOps (same logic, verified against
+  * the DuckDB oracle there in batch); specs drive them with
+  * MemoryStream. At scale: state is keyed by (window/user) — watermarks
+  * bound state size, which is what makes the 100 TB/day version viable.
+  */
+object StreamOps {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class UserSession(
+      user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** flatMapGroupsWithState accumulator for [[statefulSessions]]. */
+  final case class Agg(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Tumbling 10-minute counts with a 10-minute watermark: late rows
+    * beyond the watermark are dropped, per-window state is evicted once
+    * the watermark passes the window end.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows (5-minute gap) per user — streaming twin of
+    * ops.EventOps.sessionize.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** Stream-static join: enrich the stream with a static dimension. */
+  def enrich(events: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+
+  /** Custom stateful sessionization via flatMapGroupsWithState with
+    * event-time timeout — the escape hatch when session_window's
+    * semantics aren't enough (emits a session only when it closes).
+    */
+  def statefulSessions(spark: SparkSession, events: DataFrame, gapMs: Long): DataFrame = {
+    import spark.implicits._
+    events.as[Event]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Agg, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Agg]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator.single(UserSession(userId,
+              new java.sql.Timestamp(a.start), new java.sql.Timestamp(a.end + gapMs),
+              a.n, a.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var acc = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              acc match {
+                case Some(a) if t - a.end < gapMs =>
+                  acc = Some(Agg(a.start, t max a.end, a.n + 1, a.sum + e.value))
+                case Some(a) =>
+                  closed += UserSession(userId, new java.sql.Timestamp(a.start),
+                    new java.sql.Timestamp(a.end + gapMs), a.n, a.sum)
+                  acc = Some(Agg(t, t, 1, e.value))
+                case None =>
+                  acc = Some(Agg(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** foreachBatch sink that reuses the batch load path (SURVEY.md §2.B
+    * "Output modes/sinks": reuse batch loaders A7-A9 inside).
+    */
+  def toForeachBatch(df: DataFrame, outputMode: String)(
+      loadBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(outputMode)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        loadBatch(batch.toDF(), id))
+}

@@ -1,0 +1,129 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.model._
+import graft.store.Repository
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline tests ≅ SURVEY.md §5.4: JSON spec → run → sink
+  * contents + execution_history transitions (running→success /
+  * running→error, core/engine.py:40-76); replace-mode idempotence.
+  */
+class PipelineRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setup() = {
+    val root = tmpDir("graft-runner")
+    val repo = new Repository(root)
+    val dataDir = tmpDir("graft-data")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, null.asInstanceOf[String], 40.0))
+      .toDF("id", "tag", "amount")
+      .write.mode("overwrite").parquet(s"$dataDir/src")
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir.toString)))
+    (repo, dataDir)
+  }
+
+  private def pipeline(json: String): PipelineSpec = PipelineJson.parsePipeline(json)
+
+  test("extract -> sql transform -> load, history running->success") {
+    val (repo, dataDir) = setup()
+    val spec = pipeline(
+      s"""{"id":"p1","name":"demo","recurrence":"*/5","enabled":true,"steps":[
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"out1","mode":"replace"},
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"agg","order":2,"kind":"sql",
+         | "sql":"SELECT tag, sum(amount) AS total FROM input GROUP BY tag"}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    val runner = new PipelineRunner(spark, repo)
+    val res = runner.runById("p1") // also exercises steps sorted by order
+    assert(res.status == "success")
+    val out = spark.read.parquet(s"$dataDir/out1")
+    assert(out.count() == 3) // a, b, null tag
+    assert(out.filter($"tag" === "a").select($"total").as[Double].head() == 40.0)
+    val h = repo.history("p1")
+    assert(h.map(_.status) == Seq("running", "success"))
+    assert(h.last.finishedAt.isDefined)
+  }
+
+  test("named transform via registry") {
+    val (repo, dataDir) = setup()
+    val registry = new TransformRegistry
+    registry.register("double_amount", df => df.withColumn("amount", col("amount") * 2))
+    val spec = pipeline(
+      s"""{"id":"p2","name":"named","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"x2","order":2,"kind":"named","transformName":"double_amount"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"out2","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    new PipelineRunner(spark, repo, registry).run(spec)
+    val out = spark.read.parquet(s"$dataDir/out2")
+    assert(out.agg(sum($"amount")).as[Double].head() == 200.0)
+  }
+
+  test("append mode accumulates; replace mode is idempotent") {
+    val (repo, dataDir) = setup()
+    val append = pipeline(
+      s"""{"id":"p3","name":"ap","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"load","name":"sink","order":2,"connectionId":"local","path":"out3","mode":"append"}
+         |]}""".stripMargin)
+    val runner = new PipelineRunner(spark, repo)
+    runner.run(append); runner.run(append)
+    assert(spark.read.parquet(s"$dataDir/out3").count() == 8)
+    val replace = pipeline(
+      s"""{"id":"p4","name":"rp","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"load","name":"sink","order":2,"connectionId":"local","path":"out4","mode":"replace"}
+         |]}""".stripMargin)
+    runner.run(replace); runner.run(replace)
+    assert(spark.read.parquet(s"$dataDir/out4").count() == 4)
+  }
+
+  test("error path: history running->error and reraise") {
+    val (repo, _) = setup()
+    val bad = pipeline(
+      s"""{"id":"p5","name":"bad","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"nope","path":"src"}
+         |]}""".stripMargin)
+    repo.savePipeline(bad)
+    intercept[IllegalArgumentException](new PipelineRunner(spark, repo).run(bad))
+    assert(repo.history("p5").map(_.status) == Seq("running", "error"))
+  }
+
+  test("unknown step/transform kinds rejected (engine.py guards)") {
+    intercept[IllegalArgumentException](
+      PipelineJson.parseStep(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree("""{"stepType":"mystery","name":"x","order":1}""")))
+    val (repo, _) = setup()
+    val spec = pipeline(
+      s"""{"id":"p6","name":"badkind","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"t","order":2,"kind":"python"}
+         |]}""".stripMargin)
+    intercept[IllegalArgumentException](new PipelineRunner(spark, repo).run(spec))
+  }
+
+  test("sanitize load applies reference null semantics (SURVEY §1.3)") {
+    val (repo, dataDir) = setup()
+    Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-05-05 10:11:12.345")), Some("x")),
+      (2L, None, None))
+      .toDF("id", "ts", "s")
+      .write.mode("overwrite").parquet(s"$dataDir/src2")
+    val spec = pipeline(
+      s"""{"id":"p7","name":"san","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src2"},
+         |{"stepType":"load","name":"sink","order":2,"connectionId":"local","path":"out7","mode":"replace","sanitize":true}
+         |]}""".stripMargin)
+    new PipelineRunner(spark, repo).run(spec)
+    val out = spark.read.parquet(s"$dataDir/out7").orderBy("id").collect()
+    // ts truncated to seconds; NaT -> 1900-01-01; null string -> ""
+    assert(out(0).getTimestamp(1) == java.sql.Timestamp.valueOf("2024-05-05 10:11:12"))
+    assert(out(1).getTimestamp(1) == java.sql.Timestamp.valueOf("1900-01-01 00:00:00"))
+    assert(out(0).getString(2) == "x")
+    assert(out(1).getString(2) == "")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Streaming tests (SURVEY.md §5.5): MemoryStream with events-schema
+  * rows, watermark/late-data behavior, streaming dedup, foreachBatch
+  * reuse, stateful sessions.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamOps.Event
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, Timestamp.valueOf(t), user, typ, v, "{}")
+
+  private def runBatches[A](stream: MemoryStream[Event], query: org.apache.spark.sql.DataFrame,
+      mode: OutputMode, batches: Seq[Seq[Event]]): Seq[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = query.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling window counts with watermark drops too-late rows") {
+    val mem = MemoryStream[Event](spark)
+    val out = runBatches(mem, StreamOps.tumblingCounts(mem.toDF()), OutputMode.Append, Seq(
+      Seq(ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:05:00", 1, "click", 1.0)),
+      // advance watermark far past the first window → it closes+emits
+      Seq(ev(3, "2024-01-01 01:00:00", 1, "click", 1.0)),
+      // this event is >10min behind the watermark → dropped
+      Seq(ev(4, "2024-01-01 00:02:00", 1, "click", 99.0)),
+      Seq(ev(5, "2024-01-01 02:00:00", 1, "click", 1.0))))
+    val firstWindow = out.filter(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(firstWindow.map(_.getLong(2)).sum == 2) // late event 4 NOT counted
+  }
+
+  test("streaming dedup on event_id") {
+    val mem = MemoryStream[Event](spark)
+    val out = runBatches(mem, StreamOps.dedup(mem.toDF()), OutputMode.Append, Seq(
+      Seq(ev(1, "2024-01-01 00:01:00", 1, "click", 1.0)),
+      Seq(ev(1, "2024-01-01 00:01:00", 1, "click", 1.0), // duplicate id
+        ev(2, "2024-01-01 00:02:00", 1, "view", 2.0))))
+    assert(out.map(_.getLong(0)).sorted == Seq(1L, 2L))
+  }
+
+  test("stateful sessions emit on gap timeout with correct bounds") {
+    val mem = MemoryStream[Event](spark)
+    val out = runBatches(mem,
+      StreamOps.statefulSessions(spark, mem.toDF(), gapMs = 5 * 60 * 1000),
+      OutputMode.Append, Seq(
+        Seq(ev(1, "2024-01-01 00:00:00", 7, "a", 1.0),
+          ev(2, "2024-01-01 00:02:00", 7, "a", 2.0)),
+        // a second burst >gap later closes session 1 within-batch
+        Seq(ev(3, "2024-01-01 00:30:00", 7, "a", 3.0)),
+        // push watermark forward so the timeout fires for session 2
+        Seq(ev(4, "2024-01-01 03:00:00", 8, "b", 0.0))))
+    val sessions = out.filter(_.getLong(0) == 7L)
+    assert(sessions.nonEmpty)
+    val s1 = sessions.minBy(_.getTimestamp(1).getTime)
+    assert(s1.getTimestamp(1) == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(s1.getTimestamp(2) == Timestamp.valueOf("2024-01-01 00:07:00")) // last + gap
+    assert(s1.getLong(3) == 2)
+  }
+
+  test("foreachBatch reuses the batch load path") {
+    val mem = MemoryStream[Event](spark)
+    val outDir = tmpDir("graft-stream-sink")
+    val q = StreamOps.toForeachBatch(mem.toDF(), "append") { (batch, _) =>
+      batch.write.mode("append").parquet(s"$outDir/events")
+    }.start()
+    try {
+      mem.addData(Seq(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        ev(2, "2024-01-01 00:01:00", 2, "b", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(3, "2024-01-01 00:02:00", 3, "c", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$outDir/events").count() == 3)
+  }
+
+  test("stream-static broadcast enrich") {
+    val mem = MemoryStream[Event](spark)
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "tier")
+    val out = runBatches(mem, StreamOps.enrich(mem.toDF(), dim, "user_id", "cust_id"),
+      OutputMode.Append, Seq(Seq(
+        ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        ev(2, "2024-01-01 00:00:30", 9, "a", 1.0)))) // user 9: no dim row → dropped
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("tier") == "GOLD")
+  }
+}
