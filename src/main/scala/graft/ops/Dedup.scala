@@ -45,19 +45,27 @@ object Dedup {
     * Signature computation is per-row map-side work; the only shuffle
     * carries (band, key, doc_id).
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val w0 = split($"text", " ")
-    val words = array_distinct(transform(
+  /** Distinct 3-gram shingles of a space-tokenized text column. */
+  private def shingleCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w0 = split(text, " ")
+    array_distinct(transform(
       sequence(lit(1), size(w0) - 2),
       i => concat_ws(" ",
         element_at(w0, i.cast("int")),
         element_at(w0, (i + 1).cast("int")),
         element_at(w0, (i + 2).cast("int")))))
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val sigCols = (1 to nSeeds).map { i =>
-      array_min(transform(words, w => md5(concat(lit(s"$i:"), w)))).as(s"h$i")
+      array_min(transform($"shingles", w => md5(concat(lit(s"$i:"), w)))).as(s"h$i")
     }
-    val withSig = Tables.t(s, dir, "documents").select(($"doc_id" +: sigCols): _*)
+    // shingles materialized once per row (its own projection) — the 6
+    // signature columns each fold over it without rebuilding the array
+    val withSig = Tables.t(s, dir, "documents")
+      .select($"doc_id", shingleCol($"text").as("shingles"))
+      .select(($"doc_id" +: sigCols): _*)
     val bandStructs = (1 to nSeeds / 2).map { b =>
       struct(lit(b).as("band"), concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("key"))
     }
@@ -130,15 +138,17 @@ object Dedup {
        |FROM sh ORDER BY doc_id""".stripMargin
   }
 
-  /** N-gram (word-set) Jaccard similarity: top-20 same-language pairs.
-    * Blocking by lang bounds the candidate space; the intersection is a
-    * word-level equi-join (shuffle keyed by word), counts are exact
-    * ints, the ratio a deterministic double.
+  /** N-gram Jaccard similarity over distinct 3-gram shingle sets:
+    * top-20 same-language pairs. Shingles (not unigrams — the fixture's
+    * tiny vocabulary makes every doc-pair collide on words, a quadratic
+    * fan-out) + lang blocking bound the candidate space; the
+    * intersection is a shingle-level equi-join (shuffle keyed by
+    * shingle), counts are exact ints, the ratio a deterministic double.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.t(s, dir, "documents")
-      .select($"doc_id", $"lang", array_distinct(split($"text", " ")).as("words"))
+      .select($"doc_id", $"lang", shingleCol($"text").as("words"))
     val w = docs.select($"doc_id", $"lang", explode($"words").as("wd"))
     val n = docs.select($"doc_id", size($"words").cast("long").as("nw"))
     val inter = w.as("a")
@@ -157,7 +167,11 @@ object Dedup {
   }
 
   private val ngramJaccardSql =
-    """WITH docs AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS words FROM documents),
+    """WITH w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |docs AS (SELECT doc_id, lang,
+      |  list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                 FOR i IN generate_series(1, len(ws) - 2)]) AS words
+      |FROM w0),
       |w AS (SELECT doc_id, lang, unnest(words) AS wd FROM docs),
       |n AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nw FROM docs),
       |inter AS (
@@ -168,41 +182,51 @@ object Dedup {
       |FROM inter JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
       |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
-  /** Embedding-cosine near-dup: top-20 same-label pairs by bridged
-    * cosine. Label blocking stands in for the coarse-quantization
-    * bucketing that bounds pairs at scale (see Similarity.lshBucketed
-    * for the unsupervised variant).
+  /** Embedding-cosine near-dup: top-20 candidate pairs by bridged
+    * cosine, candidates = same label AND same 6-bit sign bucket (coarse
+    * quantization). The bucket join is what bounds pairs at scale —
+    * N²/(labels·2^bits) instead of N² — and high-cosine pairs
+    * concentrate in the same sign bucket, so candidates cover the true
+    * near-dups. Norms precomputed per row, one dot fold per pair.
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"label", $"embedding")
-    val dot = Similarity.bridgedDot(col("a.embedding"), col("b.embedding"))
+    val e = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding",
+        Similarity.signBucket($"embedding", 6).as("bucket"),
+        Similarity.bridgedDot($"embedding", $"embedding").as("n2"))
     val pairs = e.as("a")
       .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         Similarity.cosineFromDots(
-          dot,
-          Similarity.bridgedDot(col("a.embedding"), col("a.embedding")),
-          Similarity.bridgedDot(col("b.embedding"), col("b.embedding"))).as("cos"))
+          Similarity.bridgedDot(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")).as("cos"))
     pairs.orderBy($"cos".desc, $"v1", $"v2").limit(20)
   }
 
-  private val embeddingNearDupSql =
-    s"""WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-       |           unnest(embedding) AS x FROM embeddings),
+  private val embeddingNearDupSql = {
+    val bucket = (1 to 6).map { i =>
+      s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH eb AS (SELECT vec_id, label, embedding, CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+       |e AS (SELECT vec_id, label, bucket, generate_subscripts(embedding, 1) AS i,
+       |      unnest(embedding) AS x FROM eb),
        |norms AS (SELECT vec_id,
        |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS n2
        |  FROM e GROUP BY 1),
        |pairs AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
        |    CAST(SUM(CAST(round(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot
-       |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+       |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id
        |  GROUP BY 1, 2)
        |SELECT v1, v2,
        |  (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
        |FROM pairs JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id
        |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
+  }
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),

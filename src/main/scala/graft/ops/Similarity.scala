@@ -36,15 +36,15 @@ object Similarity {
     */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    // norms precomputed per row (one fold each), NOT per pair — per-pair
+    // work is exactly one dot fold
+    val e = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", bridgedDot($"embedding", $"embedding").as("n2"))
     val q = e.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n2".as("qn2"))
     val scored = broadcast(q).join(e, $"qid" =!= $"vec_id")
       .select($"qid", $"vec_id".as("cid"),
-        cosineFromDots(
-          bridgedDot($"qemb", $"embedding"),
-          bridgedDot($"qemb", $"qemb"),
-          bridgedDot($"embedding", $"embedding")).as("cos"))
+        cosineFromDots(bridgedDot($"qemb", $"embedding"), $"qn2", $"n2").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
@@ -94,16 +94,14 @@ object Similarity {
     import s.implicits._
     val bits = 6
     val e = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", signBucket($"embedding", bits).as("bucket"))
+      .select($"vec_id", $"embedding", signBucket($"embedding", bits).as("bucket"),
+        bridgedDot($"embedding", $"embedding").as("n2"))
     val q = e.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"bucket")
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"bucket", $"n2".as("qn2"))
     val scored = broadcast(q).join(e, Seq("bucket"))
       .filter($"qid" =!= $"vec_id")
       .select($"qid", $"vec_id".as("cid"), $"bucket",
-        cosineFromDots(
-          bridgedDot($"qemb", $"embedding"),
-          bridgedDot($"qemb", $"qemb"),
-          bridgedDot($"embedding", $"embedding")).as("cos"))
+        cosineFromDots(bridgedDot($"qemb", $"embedding"), $"qn2", $"n2").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)

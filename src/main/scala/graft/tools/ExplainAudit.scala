@@ -1,0 +1,27 @@
+package graft.tools
+
+import graft.Catalog
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit: prints the formatted physical plan of selected
+  * catalog queries so pushdown/broadcast/codegen can be inspected.
+  * Run: sbt "runMain graft.tools.ExplainAudit q1_pricing q5_multiway ..."
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing", "q5_multiway")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      Catalog.byName(n).fn(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
