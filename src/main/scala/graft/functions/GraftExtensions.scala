@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Nvl}
+
+/** SparkSessionExtensions entry point (SURVEY.md §4: the only custom
+  * registration the rebuild needs — T-SQL scalar compatibility aliases
+  * so queries written for the reference's SQL Server passthrough run
+  * unchanged). Injected via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `GraftExtensions.register(spark)` on a live session.
+  *
+  * No custom optimizer rules or strategies: every operator in the
+  * catalog is expressible with Catalyst built-ins, and the "one lazy
+  * plan per pipeline" design means cross-step pushdown already happens
+  * (SURVEY.md §4 "likely zero custom rules needed" — held true).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // T-SQL ISNULL(a, b) ≡ NVL/COALESCE-2: the reference's users write
+    // this constantly against SQL Server (core/extractors/sqlserver.py
+    // passthrough); Spark's own `isnull` is the 1-arg null predicate,
+    // so expose the 2-arg form under a distinct name.
+    ext.injectFunction((
+      new FunctionIdentifier("tsql_isnull"),
+      new ExpressionInfo(classOf[Nvl].getCanonicalName, "tsql_isnull"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "tsql_isnull(expr, replacement)")
+        new Nvl(children.head, children(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Register on an already-built session (tests, notebooks) via the
+    * session's own function registry.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("tsql_isnull"),
+      new ExpressionInfo(classOf[Nvl].getCanonicalName, "tsql_isnull"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "tsql_isnull(expr, replacement)")
+        new Nvl(children.head, children(1))
+      })
+}

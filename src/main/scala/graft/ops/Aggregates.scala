@@ -221,8 +221,30 @@ object Aggregates {
       |FROM lineitem WHERE l_orderkey < 100
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** Custom typed Aggregator (UDAF surface): discount-weighted mean
+    * price per returnflag via functions.udaf(WeightedMean). The
+    * aggregator buffers scaled longs (integer bridge) so the oracle
+    * reproduces it exactly in SQL.
+    */
+  def udafWeightedMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wmean = udaf(graft.functions.Udafs.WeightedMean)
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(wmean($"l_extendedprice", $"l_discount").as("disc_weighted_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val udafWeightedMeanSql =
+    """SELECT l_returnflag,
+      |  CAST(CAST(SUM(CAST(round(l_discount * l_extendedprice * 1e4) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(SUM(CAST(round(l_discount * 1e4) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    AS disc_weighted_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_agg_multi", multiAgg, Some(multiAggSql)),
+    CatalogEntry("q_udaf_weighted_mean", udafWeightedMean, Some(udafWeightedMeanSql)),
     CatalogEntry("q_agg_distinct", distinctAgg, Some(distinctAggSql)),
     CatalogEntry("q_agg_approx_distinct", approxDistinct, None),
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),

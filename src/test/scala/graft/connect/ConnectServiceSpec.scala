@@ -1,0 +1,43 @@
+package graft.connect
+
+import graft.SparkSpec
+import graft.functions.GraftExtensions
+import graft.model.{ConnectionSpec, ExtractStep, LoadStep}
+
+/** Connection probe (A14), CSV source/sink round-trip (the reference's
+  * declared csv stubs), and the T-SQL compat function registration.
+  */
+class ConnectServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connection test: ok for readable parquet, error message for bad path") {
+    val dir = tmpDir("graft-conn")
+    Seq((1, "a")).toDF("id", "s").write.parquet(s"$dir/t")
+    val good = ConnectionSpec("g", "g", "parquet", Map("basePath" -> dir.toString))
+    assert(ConnectionService.test(spark, good, Some("t"))._1)
+    val (ok, msg) = ConnectionService.test(spark, good, Some("missing"))
+    assert(!ok && msg.nonEmpty)
+    assert(!ConnectionService.test(spark,
+      ConnectionSpec("m", "m", "mongo", Map()))._1) // declared-but-unsupported
+  }
+
+  test("csv source/sink round-trip with header") {
+    val dir = tmpDir("graft-csv")
+    val conn = ConnectionSpec("c", "c", "csv", Map("basePath" -> dir.toString))
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "tag", "v")
+    Sources.write(df, conn, LoadStep("w", 1, "c", path = Some("out"), mode = "replace"))
+    val back = Sources.read(spark, conn, ExtractStep("r", 1, "c", path = Some("out")))
+    assert(back.count() == 2)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "v"))
+    assert(back.filter($"tag" === "y").select($"v").as[Double].head() == 2.5)
+  }
+
+  test("tsql_isnull registered via extensions behaves as 2-arg ISNULL") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT tsql_isnull(NULL, 'fallback') AS a, tsql_isnull('x', 'fallback') AS b")
+      .collect().head
+    assert(out.getString(0) == "fallback")
+    assert(out.getString(1) == "x")
+  }
+}
