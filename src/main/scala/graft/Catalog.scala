@@ -22,6 +22,7 @@ final case class CatalogEntry(
 object Catalog {
   def entries: Seq[CatalogEntry] =
     ops.Relational.entries ++
+      ops.SqlSurface.entries ++
       ops.Joins.entries ++
       ops.Aggregates.entries ++
       ops.Windows.entries ++

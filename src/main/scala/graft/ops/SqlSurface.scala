@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.{CatalogEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface operators the reference reaches only through its raw
+  * passthrough query box (SURVEY.md §2.B): CTEs, correlated subqueries
+  * (decorrelated by Catalyst to semi-joins / scalar aggregates), and
+  * PIVOT. These run via spark.sql over registered views — the same
+  * entry point the rebuilt "sql" transform step uses.
+  */
+object SqlSurface {
+
+  private def view(s: SparkSession, dir: String, name: String): Unit =
+    Tables.t(s, dir, name).createOrReplaceTempView(name)
+
+  /** WITH / CTE chain. */
+  def cte(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "orders"); view(s, dir, "customer")
+    s.sql(
+      s"""WITH big AS (
+         |  SELECT o_custkey, COUNT(*) AS n_big, ${dsumSql("o_totalprice")} AS total
+         |  FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey),
+         |ranked AS (
+         |  SELECT b.*, c_mktsegment FROM big b JOIN customer ON o_custkey = c_custkey)
+         |SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  ${dsumSql("total")} AS seg_total
+         |FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val cteSql =
+    s"""WITH big AS (
+       |  SELECT o_custkey, COUNT(*) AS n_big, ${dsumSql("o_totalprice")} AS total
+       |  FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey),
+       |ranked AS (
+       |  SELECT b.*, c_mktsegment FROM big b JOIN customer ON o_custkey = c_custkey)
+       |SELECT c_mktsegment, COUNT(*) AS n_cust,
+       |  ${dsumSql("total")} AS seg_total
+       |FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Correlated EXISTS + uncorrelated IN subqueries (Catalyst
+    * decorrelates to semi-joins).
+    */
+  def subqueryIn(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "orders"); view(s, dir, "customer"); view(s, dir, "nation")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0)
+        |  AND EXISTS (SELECT 1 FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |              WHERE c.c_custkey = o.o_custkey AND n.n_name = 'NATION_7')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val subqueryInSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0)
+      |  AND EXISTS (SELECT 1 FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+      |              WHERE c.c_custkey = o.o_custkey AND n.n_name = 'NATION_7')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Scalar subquery: each order against the global bridged average. */
+  def subqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "orders")
+    s.sql(
+      s"""SELECT o_orderkey, o_totalprice,
+         |  o_totalprice / (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders)
+         |    AS vs_avg
+         |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val subqueryScalarSql =
+    s"""SELECT o_orderkey, o_totalprice,
+       |  o_totalprice / (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders)
+       |    AS vs_avg
+       |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** PIVOT with an explicit value list (deterministic column set —
+    * never let pivot infer values from data at scale: that's an extra
+    * distinct-scan and a nondeterministic schema).
+    */
+  def pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .pivot("c_mktsegment", segments)
+      .agg(count(lit(1)))
+      .na.fill(0L, segments)
+      .orderBy($"c_nationkey")
+  }
+
+  private val pivotSql = {
+    val cols = segments.map(seg =>
+      s"""COUNT(CASE WHEN c_mktsegment = '$seg' THEN 1 END) AS "$seg"""").mkString(",\n  ")
+    s"""SELECT c_nationkey,
+       |  $cols
+       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  }
+
+  /** The reference's sanitize semantics (A6, SURVEY.md §1.3) as an
+    * oracle-checked operator: nulls manufactured with nullif, then
+    * NaT→1900-01-01, timestamp→second-truncation, null-string→"".
+    */
+  def sanitizeOp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withNulls = Tables.t(s, dir, "orders")
+      .filter($"o_orderkey" < 2000)
+      .select(
+        $"o_orderkey",
+        nullif($"o_orderstatus", lit("O")).as("status_n"),
+        when($"o_custkey" % 7 === 0, lit(null).cast("timestamp"))
+          .otherwise($"o_orderdate").as("date_n"))
+    graft.exec.Sanitize(withNulls).orderBy($"o_orderkey")
+  }
+
+  private val sanitizeOpSql =
+    """SELECT o_orderkey,
+      |  coalesce(nullif(o_orderstatus, 'O'), '') AS status_n,
+      |  date_trunc('second', coalesce(
+      |    CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_orderdate END,
+      |    TIMESTAMP '1900-01-01 00:00:00')) AS date_n
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
+
+  def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_cte", cte, Some(cteSql)),
+    CatalogEntry("q_sql_subquery_in", subqueryIn, Some(subqueryInSql)),
+    CatalogEntry("q_sql_subquery_scalar", subqueryScalar, Some(subqueryScalarSql)),
+    CatalogEntry("q_sql_pivot", pivot, Some(pivotSql)),
+    CatalogEntry("q_sanitize", sanitizeOp, Some(sanitizeOpSql)))
+}
