@@ -24,6 +24,7 @@ object Catalog {
     ops.Relational.entries ++
       ops.SqlSurface.entries ++
       ops.Joins.entries ++
+      ops.SaltedJoin.entries ++
       ops.Aggregates.entries ++
       ops.Windows.entries ++
       ops.SetSortLimit.entries ++
