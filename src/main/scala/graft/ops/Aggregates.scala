@@ -242,8 +242,32 @@ object Aggregates {
       |    AS disc_weighted_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** max_by / min_by ≙ DuckDB arg_max / arg_min. Ordering by the raw
+    * double measure — deterministic because o_totalprice is continuous
+    * (no exact ties in the fixture; a production variant would order by
+    * a (measure, key) struct, which DuckDB 1.0's arg_max can't compare).
+    */
+  def argMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        max_by($"o_orderkey", $"o_totalprice").as("biggest_order"),
+        min_by($"o_orderkey", $"o_totalprice").as("smallest_order"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val argMaxSql =
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, o_totalprice) AS biggest_order,
+      |  arg_min(o_orderkey, o_totalprice) AS smallest_order,
+      |  max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_agg_multi", multiAgg, Some(multiAggSql)),
+    CatalogEntry("q_agg_argmax", argMax, Some(argMaxSql)),
     CatalogEntry("q_udaf_weighted_mean", udafWeightedMean, Some(udafWeightedMeanSql)),
     CatalogEntry("q_agg_distinct", distinctAgg, Some(distinctAggSql)),
     CatalogEntry("q_agg_approx_distinct", approxDistinct, None),

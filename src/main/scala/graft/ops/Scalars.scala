@@ -34,7 +34,11 @@ object Scalars {
         lpad($"p_brand", 12, "*").as("brand_pad"),
         instr($"p_name", "e").cast("long").as("e_pos"),
         format_string("%s/%d", $"p_brand", $"p_size").as("fmt"),
-        trim(lit("  x  ")).as("trimmed"))
+        trim(lit("  x  ")).as("trimmed"),
+        split_part($"p_type", lit(" "), lit(1)).as("type_head"),
+        translate($"p_brand", "#", "-").as("brand_tr"),
+        repeat($"p_brand", 2).as("brand_x2"),
+        reverse($"p_name").as("name_rev"))
       .orderBy($"p_partkey")
   }
 
@@ -50,7 +54,11 @@ object Scalars {
       |  lpad(p_brand, 12, '*') AS brand_pad,
       |  CAST(strpos(p_name, 'e') AS BIGINT) AS e_pos,
       |  printf('%s/%d', p_brand, p_size) AS fmt,
-      |  trim('  x  ') AS trimmed
+      |  trim('  x  ') AS trimmed,
+      |  split_part(p_type, ' ', 1) AS type_head,
+      |  translate(p_brand, '#', '-') AS brand_tr,
+      |  repeat(p_brand, 2) AS brand_x2,
+      |  reverse(p_name) AS name_rev
       |FROM part ORDER BY p_partkey""".stripMargin
 
   def dateFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -69,7 +77,8 @@ object Scalars {
         datediff(lit("2002-01-01").cast("date"), $"o_orderdate").cast("long").as("days_to_2002"),
         last_day($"o_orderdate").as("eom"),
         unix_timestamp($"o_orderdate").as("epoch_s"),
-        date_format($"o_orderdate", "yyyy-MM-dd").as("iso_day"))
+        date_format($"o_orderdate", "yyyy-MM-dd").as("iso_day"),
+        add_months($"o_orderdate", 3).as("plus3mo"))
       .orderBy($"o_orderkey")
   }
 
@@ -85,7 +94,8 @@ object Scalars {
       |  CAST(date_diff('day', o_orderdate, DATE '2002-01-01') AS BIGINT) AS days_to_2002,
       |  last_day(o_orderdate) AS eom,
       |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-      |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+      |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo
       |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
 
   def mathFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -172,7 +182,10 @@ object Scalars {
         slice($"embedding", 1, 4).as("head4"),
         transform($"embedding", x => x * lit(2.0f)).as("scaled2"),
         sqrt(normSq.cast("double") / 1e8).as("l2_norm"),
-        sequence(lit(1L), lit(5L)).as("seq15"))
+        sequence(lit(1L), lit(5L)).as("seq15"),
+        size(filter($"embedding", x => x.cast("double") > 0.0)).cast("long").as("n_pos"),
+        exists($"embedding", x => x.cast("double") < -1.0).as("has_big_neg"),
+        forall($"embedding", x => abs(x.cast("double")) < 10.0).as("all_small"))
       .orderBy($"vec_id")
   }
 
@@ -185,7 +198,10 @@ object Scalars {
       |  sqrt(CAST(CAST(list_sum(list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e8)
       |    AS l2_norm,
-      |  generate_series(1, 5) AS seq15
+      |  generate_series(1, 5) AS seq15,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  len(list_filter(embedding, x -> x < -1.0)) > 0 AS has_big_neg,
+      |  len(list_filter(embedding, x -> NOT (abs(x) < 10.0))) = 0 AS all_small
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** posexplode (UDTF/generator surface). */
