@@ -84,6 +84,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/events").count() == 3)
   }
 
+  test("session windows via session_window merge within the gap") {
+    val mem = MemoryStream[Event](spark)
+    val out = runBatches(mem, StreamOps.sessionCounts(mem.toDF()), OutputMode.Append, Seq(
+      Seq(ev(1, "2024-01-01 00:00:00", 7, "a", 1.0),
+        ev(2, "2024-01-01 00:03:00", 7, "a", 1.0), // within 5-min gap: merges
+        ev(3, "2024-01-01 00:20:00", 7, "a", 1.0)), // new session
+      Seq(ev(4, "2024-01-01 03:00:00", 9, "b", 1.0)))) // watermark push
+    val u7 = out.filter(_.getLong(0) == 7L).sortBy(_.getTimestamp(1).getTime)
+    assert(u7.map(_.getLong(3)).toSeq == Seq(2L, 1L))
+    assert(u7.head.getTimestamp(2) == Timestamp.valueOf("2024-01-01 00:08:00")) // last+gap
+  }
+
   test("stream-static broadcast enrich") {
     val mem = MemoryStream[Event](spark)
     val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "tier")
