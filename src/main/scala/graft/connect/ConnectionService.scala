@@ -22,10 +22,18 @@ object ConnectionService {
           val df = Sources.read(spark, conn, step)
           (true, s"ok: ${df.schema.fields.length} columns")
         case "jdbc" =>
-          val step = ExtractStep("probe", 0, conn.id,
-            query = Some("SELECT 1 AS probe"))
-          Sources.read(spark, conn, step).limit(0).collect()
-          (true, "ok")
+          // ≅ the reference's probe: open a connection with a 5 s
+          // timeout, report (ok, message) (services/connection_service
+          // .py:20-40) — dialect-neutral, no query parsing involved.
+          conn.options.get("driver").foreach(Class.forName)
+          val url = conn.options.getOrElse("url",
+            return (false, "jdbc url missing"))
+          java.sql.DriverManager.setLoginTimeout(5)
+          val props = new java.util.Properties()
+          conn.options.get("user").foreach(props.setProperty("user", _))
+          conn.options.get("password").foreach(props.setProperty("password", _))
+          val c = java.sql.DriverManager.getConnection(url, props)
+          try (true, "ok") finally c.close()
         case other => (false, s"unsupported format '$other'")
       }
     } catch {
