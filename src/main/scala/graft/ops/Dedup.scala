@@ -69,9 +69,12 @@ object Dedup {
     val bandStructs = (1 to nSeeds / 2).map { b =>
       struct(lit(b).as("band"), concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("key"))
     }
+    // persist: bands is self-joined — without it the 6 md5 signature
+    // passes over every shingle run twice
     val bands = withSig
       .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+      .persist()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -147,8 +150,12 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persist: the shingle arrays feed the self-joined intersection AND
+    // the per-doc counts — without it the (expensive) shingle build runs
+    // once per plan reference
     val docs = Tables.t(s, dir, "documents")
       .select($"doc_id", $"lang", shingleCol($"text").as("words"))
+      .persist()
     val w = docs.select($"doc_id", $"lang", explode($"words").as("wd"))
     val n = docs.select($"doc_id", size($"words").cast("long").as("nw"))
     val inter = w.as("a")
