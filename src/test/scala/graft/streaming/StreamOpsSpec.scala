@@ -68,6 +68,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(s1.getLong(3) == 2)
   }
 
+  test("file-source readStream processes a parquet directory (AvailableNow)") {
+    val srcDir = tmpDir("graft-stream-src")
+    val sinkDir = tmpDir("graft-stream-out")
+    Seq(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+      ev(2, "2024-01-01 00:01:00", 2, "b", 2.0),
+      ev(3, "2024-01-01 00:11:00", 1, "a", 3.0))
+      .toDF().write.mode("overwrite").parquet(s"$srcDir/events")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$srcDir/events").schema)
+      .parquet(s"$srcDir/events")
+    val q = StreamOps.toForeachBatch(StreamOps.tumblingCounts(stream), "append") {
+      (batch, _) => batch.write.mode("append").parquet(s"$sinkDir/agg")
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode only emits closed windows; with AvailableNow the final
+    // watermark stays at the max seen ts, so assert on processed input
+    assert(spark.read.parquet(s"$sinkDir/agg").count() >= 0)
+    val progress = q.recentProgress.map(_.numInputRows).sum
+    assert(progress == 3)
+  }
+
+  test("complete output mode re-emits full aggregation state") {
+    val mem = MemoryStream[Event](spark)
+    val counts = mem.toDF().groupBy($"event_type").count()
+    val name = s"mem_${System.nanoTime()}"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(Seq(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(2, "2024-01-01 00:01:00", 1, "a", 1.0),
+        ev(3, "2024-01-01 00:02:00", 1, "b", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
+
   test("foreachBatch reuses the batch load path") {
     val mem = MemoryStream[Event](spark)
     val outDir = tmpDir("graft-stream-sink")
