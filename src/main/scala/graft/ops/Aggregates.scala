@@ -203,6 +203,38 @@ object Aggregates {
       |  quantile_cont(o_totalprice, 0.9) AS p90
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Boolean aggregates + conditional count. */
+  def boolAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        bool_and($"l_quantity" > 0.0).as("all_positive"),
+        bool_or($"l_discount" > 0.09).as("any_big_discount"),
+        count_if($"l_tax" > 0.05).as("n_high_tax"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val boolAggSql =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0.0) AS all_positive,
+      |  bool_or(l_discount > 0.09) AS any_big_discount,
+      |  CAST(SUM(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG). */
+  def stringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "nation")
+      .groupBy($"n_regionkey")
+      .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+      .orderBy($"n_regionkey")
+  }
+
+  private val stringAggSql =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   /** collect_set into a deterministic (sorted) array. */
   def collectAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -274,6 +306,8 @@ object Aggregates {
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),
     CatalogEntry("q_agg_rollup", rollupAgg, Some(rollupAggSql)),
     CatalogEntry("q_agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    CatalogEntry("q_agg_bool", boolAgg, Some(boolAggSql)),
+    CatalogEntry("q_agg_stringagg", stringAgg, Some(stringAggSql)),
     CatalogEntry("q_agg_having", havingAgg, Some(havingAggSql)),
     CatalogEntry("q_agg_stats", statsAgg, Some(statsAggSql)),
     CatalogEntry("q_agg_percentile", percentileAgg, Some(percentileAggSql)),

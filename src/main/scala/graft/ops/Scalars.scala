@@ -38,7 +38,8 @@ object Scalars {
         split_part($"p_type", lit(" "), lit(1)).as("type_head"),
         translate($"p_brand", "#", "-").as("brand_tr"),
         repeat($"p_brand", 2).as("brand_x2"),
-        reverse($"p_name").as("name_rev"))
+        reverse($"p_name").as("name_rev"),
+        $"p_name".rlike("^[a-z]+ (ring|bolt)$").as("is_ring_or_bolt"))
       .orderBy($"p_partkey")
   }
 
@@ -58,7 +59,8 @@ object Scalars {
       |  split_part(p_type, ' ', 1) AS type_head,
       |  translate(p_brand, '#', '-') AS brand_tr,
       |  repeat(p_brand, 2) AS brand_x2,
-      |  reverse(p_name) AS name_rev
+      |  reverse(p_name) AS name_rev,
+      |  regexp_matches(p_name, '^[a-z]+ (ring|bolt)$') AS is_ring_or_bolt
       |FROM part ORDER BY p_partkey""".stripMargin
 
   def dateFuncs(s: SparkSession, dir: String): DataFrame = {
