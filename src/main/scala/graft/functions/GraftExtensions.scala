@@ -17,31 +17,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Nv
   * (SURVEY.md §4 "likely zero custom rules needed" — held true).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    // T-SQL ISNULL(a, b) ≡ NVL/COALESCE-2: the reference's users write
-    // this constantly against SQL Server (core/extractors/sqlserver.py
-    // passthrough); Spark's own `isnull` is the 1-arg null predicate,
-    // so expose the 2-arg form under a distinct name.
-    ext.injectFunction((
-      new FunctionIdentifier("tsql_isnull"),
-      new ExpressionInfo(classOf[Nvl].getCanonicalName, "tsql_isnull"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "tsql_isnull(expr, replacement)")
-        new Nvl(children.head, children(1))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  /** Register on an already-built session (tests, notebooks) via the
-    * session's own function registry.
-    */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+  // T-SQL ISNULL(a, b) ≡ NVL/COALESCE-2: the reference's users write
+  // this constantly against SQL Server (core/extractors/sqlserver.py
+  // passthrough); Spark's own `isnull` is the 1-arg null predicate,
+  // so expose the 2-arg form under a distinct name.
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
       new FunctionIdentifier("tsql_isnull"),
       new ExpressionInfo(classOf[Nvl].getCanonicalName, "tsql_isnull"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "tsql_isnull(expr, replacement)")
         new Nvl(children.head, children(1))
-      })
+      }),
+    (
+      new FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[HammingDistance].getCanonicalName, "hamming64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hamming64(fingerprint, fingerprint)")
+        HammingDistance(children.head, children(1))
+      }))
+
+  /** Register on an already-built session (tests, notebooks) via the
+    * session's own function registry. Idempotent.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -111,9 +111,9 @@ object Dedup {
     * votes from the i-th hex digit of each word's md5. Docs sharing a
     * simhash are near-dup clusters (n_same window count).
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val words = split($"text", " ")
+  /** 16-bit SimHash expression over a space-tokenized text column. */
+  def simhashExpr(text: Column): Column = {
+    val words = split(text, " ")
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     def bit(i: Int): Column = {
       val votes = aggregate(
@@ -122,24 +122,59 @@ object Dedup {
         lit(0L), (acc, x) => acc + x)
       when(votes > 0, lit(1L << i)).otherwise(lit(0L))
     }
-    val sh = (0 until 16).map(bit).reduce(_ + _)
+    (0 until 16).map(bit).reduce(_ + _)
+  }
+
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.t(s, dir, "documents")
-      .select($"doc_id", sh.as("simhash"))
+      .select($"doc_id", simhashExpr($"text").as("simhash"))
       .withColumn("n_same",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"simhash")))
       .orderBy($"doc_id")
   }
 
-  private val simhashSql = {
+  /** DuckDB twin of [[simhashExpr]] (assumes a `words` list column). */
+  private val simhashBitsSql: String = {
     val hi = "('8','9','a','b','c','d','e','f')"
-    val bits = (0 until 16).map { i =>
+    (0 until 16).map { i =>
       s"(CASE WHEN list_sum(list_transform(words, w -> CASE WHEN substr(md5(w), ${i + 1}, 1) IN $hi THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" +\n    ")
+  }
+
+  private val simhashSql =
     s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM docs)
+       |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM docs)
        |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same
        |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup histogram via the custom codegen expression
+    * `hamming64` (graft.functions.HammingDistance): all doc pairs,
+    * Hamming distance of their 16-bit simhashes, count per distance
+    * ≤ 4. The pairwise inner loop is a branch-free
+    * `Long.bitCount(a ^ b)` inlined by whole-stage codegen — the shape
+    * (cheap fingerprint pre-filter before exact verification) is the
+    * 100 TB near-dup pipeline's first stage.
+    */
+  def simhashHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val sh = Tables.t(s, dir, "documents")
+      .select($"doc_id", simhashExpr($"text").as("simhash"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(expr("hamming64(a.simhash, b.simhash)").as("h"))
+    pairs.filter($"h" <= 4)
+      .groupBy($"h").agg(count(lit(1)).as("n"))
+      .orderBy($"h")
   }
+
+  private val simhashHammingSql =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM docs)
+       |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS h, COUNT(*) AS n
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+       |GROUP BY 1 ORDER BY h""".stripMargin
 
   /** N-gram Jaccard similarity over distinct 3-gram shingle sets:
     * top-20 same-language pairs. Shingles (not unigrams — the fixture's
@@ -239,6 +274,7 @@ object Dedup {
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),
     CatalogEntry("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     CatalogEntry("q_dedup_simhash", simhash, Some(simhashSql)),
+    CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
     CatalogEntry("q_dedup_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     CatalogEntry("q_dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)))
 }
