@@ -40,6 +40,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "hamming64(fingerprint, fingerprint)")
         HammingDistance(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getCanonicalName, "kmv_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "kmv_distinct(expr[, k]) — arbitrary input is hashed with xxhash64")
+        val k = if (children.size == 2)
+          children(1).eval(null).asInstanceOf[Number].intValue()
+        else 1024
+        KmvDistinct(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(children.head)), k).toAggregateExpression()
       }))
 
   /** Register on an already-built session (tests, notebooks) via the

@@ -74,6 +74,23 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** KMV distinct sketch (custom TypedImperativeAggregate,
+    * graft.functions.KmvDistinct): constant k-longs memory per group vs
+    * exact distinct's full key shuffle. Sketch hashing is
+    * engine-specific → rows-only check; the exact column alongside
+    * shows the error envelope.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("kmv_distinct(l_partkey, 512)").as("kmv_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** CUBE with grouping() flags. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -303,6 +320,7 @@ object Aggregates {
     CatalogEntry("q_udaf_weighted_mean", udafWeightedMean, Some(udafWeightedMeanSql)),
     CatalogEntry("q_agg_distinct", distinctAgg, Some(distinctAggSql)),
     CatalogEntry("q_agg_approx_distinct", approxDistinct, None),
+    CatalogEntry("q_agg_kmv_distinct", kmvDistinct, None),
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),
     CatalogEntry("q_agg_rollup", rollupAgg, Some(rollupAggSql)),
     CatalogEntry("q_agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
