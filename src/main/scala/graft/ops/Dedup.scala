@@ -159,8 +159,11 @@ object Dedup {
   def simhashHamming(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
+    // persist: both sides of the self-join reference the (16 md5 passes
+    // per doc) simhash projection
     val sh = Tables.t(s, dir, "documents")
       .select($"doc_id", simhashExpr($"text").as("simhash"))
+      .persist()
     val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(expr("hamming64(a.simhash, b.simhash)").as("h"))
     pairs.filter($"h" <= 4)
