@@ -133,7 +133,86 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** IVF-style ANN: a 16-entry codebook (deterministically the vectors
+    * with vec_id < 16 — standing in for a trained k-means codebook, the
+    * training being out of scope for an oracle-checked query), every
+    * vector assigned to its nearest centroid by exact bridged L2
+    * (argmin of n2_c − 2·dot, norm_v constant per vector), queries probe
+    * ONLY their own inverted list (nprobe=1) and rescore with exact
+    * cosine. At 100 TB the inverted list is the partition key: each
+    * probe touches corpus/centroids, and the coarse assignment is one
+    * broadcast join of the tiny codebook.
+    */
+  def ivf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", bridgedDot($"embedding", $"embedding").as("n2"))
+      .persist()
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid0"), $"embedding".as("cemb"),
+        $"n2".as("cn2"))
+    // score = ||c||² − 2·v·c (exact longs); smallest = nearest centroid
+    val scored = e.join(broadcast(cents))
+      .select($"vec_id", $"embedding", $"n2", $"cid0",
+        ($"cn2" - lit(2L) * bridgedDot($"embedding", $"cemb")).as("score"))
+    val w = Window.partitionBy($"vec_id").orderBy($"score".asc, $"cid0".asc)
+    val assigned = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"n2", $"cid0".as("centroid"))
+      .persist()
+    val q = assigned.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"),
+        $"n2".as("qn2"), $"centroid")
+    val cand = broadcast(q).join(assigned, Seq("centroid"))
+      .filter($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id".as("cid"), $"centroid",
+        cosineFromDots(bridgedDot($"qemb", $"embedding"), $"qn2", $"n2").as("cos"))
+    val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    cand.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= 3)
+      .orderBy($"qid", $"rank")
+  }
+
+  private val ivfSql =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |           unnest(embedding) AS x FROM embeddings),
+      |norms AS (SELECT vec_id,
+      |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS n2
+      |  FROM e GROUP BY 1),
+      |cdots AS (
+      |  SELECT v.vec_id, c.vec_id AS cid0,
+      |    CAST(SUM(CAST(round(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot
+      |  FROM e v JOIN e c ON v.i = c.i AND c.vec_id < 16
+      |  GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cid0 AS centroid FROM (
+      |    SELECT d.vec_id, d.cid0,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY nc.n2 - 2 * d.dot ASC, d.cid0 ASC) AS rn
+      |    FROM cdots d JOIN norms nc ON nc.vec_id = d.cid0) t
+      |  WHERE rn = 1),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+      |    CAST(SUM(CAST(round(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot,
+      |    a.centroid
+      |  FROM assigned a JOIN assigned b
+      |    ON a.centroid = b.centroid AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
+      |  GROUP BY 1, 2, 4),
+      |scored AS (
+      |  SELECT qid, cid, centroid,
+      |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+      |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, centroid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, cid, centroid, cos, rank FROM ranked WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),
-    CatalogEntry("q_sim_lsh_bucketed", lshBucketed, Some(lshBucketedSql)))
+    CatalogEntry("q_sim_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
+    CatalogEntry("q_sim_ivf", ivf, Some(ivfSql)))
 }
