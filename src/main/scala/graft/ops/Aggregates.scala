@@ -60,9 +60,13 @@ object Aggregates {
       |    AS sum_distinct_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** approx_count_distinct (HLL++) — sketch internals differ from
-    * DuckDB's, so no SQL oracle (rows-only check). The scale story:
-    * constant memory per group vs exact distinct's shuffle of all keys.
+  /** approx_count_distinct (HLL++). Sketch internals differ from
+    * DuckDB's, so the estimate itself can't be hash-compared — instead
+    * the query emits the exact count plus a deterministic
+    * `within_tol` bound (|approx − exact| ≤ 5%·exact, 2.5× the
+    * configured 2% rsd) that the oracle asserts as TRUE. The scale
+    * story: constant memory per group vs exact distinct's shuffle of
+    * all keys.
     */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -71,14 +75,23 @@ object Aggregates {
       .agg(
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts").cast("double") <=
+          $"exact_parts".cast("double") * 0.05).as("within_tol"))
       .orderBy($"l_returnflag")
   }
+
+  private val approxDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** KMV distinct sketch (custom TypedImperativeAggregate,
     * graft.functions.KmvDistinct): constant k-longs memory per group vs
     * exact distinct's full key shuffle. Sketch hashing is
-    * engine-specific → rows-only check; the exact column alongside
-    * shows the error envelope.
+    * engine-specific, so like [[approxDistinct]] the query emits the
+    * exact count plus a `within_tol` bound (15% ≈ 3.4σ for k=512,
+    * rsd ≈ 1/√k = 4.4%) the oracle asserts as TRUE.
     */
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -88,8 +101,16 @@ object Aggregates {
       .agg(
         expr("kmv_distinct(l_partkey, 512)").as("kmv_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"kmv_parts" - $"exact_parts").cast("double") <=
+          $"exact_parts".cast("double") * 0.15).as("within_tol"))
       .orderBy($"l_returnflag")
   }
+
+  private val kmvDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** CUBE with grouping() flags. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame = {
@@ -252,21 +273,27 @@ object Aggregates {
     """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
-  /** collect_set into a deterministic (sorted) array. */
+  /** collect_set / collect_list into deterministic (sorted) arrays,
+    * serialized to csv strings in the final projection — the driver's
+    * pandas-based oracle compare can't hash raw array cells, and a
+    * csv of the sorted elements carries the identical signal.
+    */
   def collectAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "lineitem")
       .filter($"l_orderkey" < 100)
       .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"l_linenumber")).as("linenumbers"),
-        sort_array(collect_list($"l_returnflag")).as("flags"))
+      .agg(
+        concat_ws(",", sort_array(collect_set($"l_linenumber")).cast("array<string>"))
+          .as("linenumbers"),
+        concat_ws(",", sort_array(collect_list($"l_returnflag"))).as("flags"))
       .orderBy($"l_orderkey")
   }
 
   private val collectAggSql =
     """SELECT l_orderkey,
-      |  list_sort(list(DISTINCT l_linenumber)) AS linenumbers,
-      |  list_sort(list(l_returnflag)) AS flags
+      |  array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS linenumbers,
+      |  array_to_string(list_sort(list(l_returnflag)), ',') AS flags
       |FROM lineitem WHERE l_orderkey < 100
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
@@ -319,8 +346,8 @@ object Aggregates {
     CatalogEntry("q_agg_argmax", argMax, Some(argMaxSql)),
     CatalogEntry("q_udaf_weighted_mean", udafWeightedMean, Some(udafWeightedMeanSql)),
     CatalogEntry("q_agg_distinct", distinctAgg, Some(distinctAggSql)),
-    CatalogEntry("q_agg_approx_distinct", approxDistinct, None),
-    CatalogEntry("q_agg_kmv_distinct", kmvDistinct, None),
+    CatalogEntry("q_agg_approx_distinct", approxDistinct, Some(approxDistinctSql)),
+    CatalogEntry("q_agg_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),
     CatalogEntry("q_agg_rollup", rollupAgg, Some(rollupAggSql)),
     CatalogEntry("q_agg_grouping_sets", groupingSets, Some(groupingSetsSql)),

@@ -45,16 +45,33 @@ object Dedup {
     * Signature computation is per-row map-side work; the only shuffle
     * carries (band, key, doc_id).
     */
-  /** Distinct 3-gram shingles of a space-tokenized text column. */
-  private def shingleCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val w0 = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), size(w0) - 2),
-      i => concat_ws(" ",
-        element_at(w0, i.cast("int")),
-        element_at(w0, (i + 1).cast("int")),
-        element_at(w0, (i + 2).cast("int")))))
+  /** Distinct 3-gram shingles from a words-array column, built with
+    * zip_with over the array and its 1- and 2-shifted slices. Shape
+    * matters: higher-order lambdas evaluate interpreted
+    * (CodegenFallback) and re-run CAPTURED outer expressions once per
+    * element — a sequence+element_at(ws, i) formulation re-tokenizes
+    * the document per shingle once the optimizer inlines `ws` (which
+    * CollapseProject does for any alias referenced once, e.g. under
+    * explode). zip_with lambdas only touch bound element arguments, so
+    * the array inputs are evaluated once per ROW no matter how the
+    * plan is rewritten. Trailing entries where the shifted slices run
+    * out concat to null and are filtered.
+    */
+  private[graft] def shinglesFromWords(ws: Column): Column = {
+    val b = slice(ws, lit(2), greatest(size(ws) - 1, lit(0)))
+    val c = slice(ws, lit(3), greatest(size(ws) - 2, lit(0)))
+    val t1 = zip_with(ws, b, (x, y) => concat(x, lit(" "), y))
+    val t2 = zip_with(t1, c, (x, y) => concat(x, lit(" "), y))
+    array_distinct(filter(t2, x => x.isNotNull))
   }
+
+  /** Appends a distinct-3-gram-shingles column (two-projection shape:
+    * tokenize once, then shingle from the bound array). Expects `text`.
+    */
+  private[graft] def withShingles(df: DataFrame, out: String): DataFrame =
+    df.withColumn("__ws", split(col("text"), " "))
+      .withColumn(out, shinglesFromWords(col("__ws")))
+      .drop("__ws")
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -63,8 +80,8 @@ object Dedup {
     }
     // shingles materialized once per row (its own projection) — the 6
     // signature columns each fold over it without rebuilding the array
-    val withSig = Tables.t(s, dir, "documents")
-      .select($"doc_id", shingleCol($"text").as("shingles"))
+    val withSig = withShingles(
+      Tables.t(s, dir, "documents").select($"doc_id", $"text"), "shingles")
       .select(($"doc_id" +: sigCols): _*)
     val bandStructs = (1 to nSeeds / 2).map { b =>
       struct(lit(b).as("band"), concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("key"))
@@ -111,24 +128,48 @@ object Dedup {
     * votes from the i-th hex digit of each word's md5. Docs sharing a
     * simhash are near-dup clusters (n_same window count).
     */
-  /** 16-bit SimHash expression over a space-tokenized text column. */
-  def simhashExpr(text: Column): Column = {
-    val words = split(text, " ")
-    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    def bit(i: Int): Column = {
-      val votes = aggregate(
-        transform(words, w =>
-          when(substring(md5(w), i + 1, 1).isin(highHex: _*), 1L).otherwise(-1L)),
-        lit(0L), (acc, x) => acc + x)
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    (0 until 16).map(bit).reduce(_ + _)
+  /** md5 hex digest of every word, computed ONCE per word. The 16
+    * bit-vote folds of [[simhashFromMd5s]] read these precomputed
+    * digests instead of re-hashing — the naive inline form runs 16 md5
+    * passes per word, the dominant CPU term of the simhash pipeline at
+    * scale. Kept as its own projection alias ([[withSimhash]]):
+    * CollapseProject refuses to inline a non-cheap alias referenced 16
+    * times, so the plan materializes the digests per row exactly once.
+    */
+  private def wordMd5s(text: Column): Column = transform(split(text, " "), w => md5(w))
+
+  /** 16-bit SimHash from precomputed word digests; bit i = sign of the
+    * summed ±1 votes from hex digit i of each digest (digit ≥ '8' ⇔
+    * its high bit is set — single lexicographic compare on lowercase
+    * hex). One fold over the digests with a 16-long accumulator array
+    * rather than 16 separate folds: higher-order lambdas run
+    * interpreted, so pass count is the cost driver. Captured lambda
+    * variables (`h` below) are slot reads, not re-evaluated
+    * expressions — safe to reference inside the inner lambda.
+    */
+  def simhashFromMd5s(hashes: Column): Column = {
+    val zeros = array((0 until 16).map(_ => lit(0L)): _*)
+    val powers = array((0 until 16).map(i => lit(1L << i)): _*)
+    val votes = aggregate(hashes, zeros,
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(16)),
+        (a, i) => a + when(h.substr(i.cast("int"), lit(1)) >= "8", 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
+
+  /** Appends a `simhash` column (two-projection shape: digests once,
+    * then the 16 vote folds). Expects a `text` column.
+    */
+  private[graft] def withSimhash(df: DataFrame): DataFrame =
+    df.withColumn("__md5s", wordMd5s(col("text")))
+      .withColumn("simhash", simhashFromMd5s(col("__md5s")))
+      .drop("__md5s")
 
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.t(s, dir, "documents")
-      .select($"doc_id", simhashExpr($"text").as("simhash"))
+    withSimhash(Tables.t(s, dir, "documents").select($"doc_id", $"text"))
+      .select($"doc_id", $"simhash")
       .withColumn("n_same",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"simhash")))
       .orderBy($"doc_id")
@@ -148,54 +189,142 @@ object Dedup {
        |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same
        |FROM sh ORDER BY doc_id""".stripMargin
 
-  /** SimHash near-dup histogram via the custom codegen expression
-    * `hamming64` (graft.functions.HammingDistance): all doc pairs,
-    * Hamming distance of their 16-bit simhashes, count per distance
-    * ≤ 4. The pairwise inner loop is a branch-free
-    * `Long.bitCount(a ^ b)` inlined by whole-stage codegen — the shape
-    * (cheap fingerprint pre-filter before exact verification) is the
-    * 100 TB near-dup pipeline's first stage.
+  /** SimHash near-dup histogram: pairs at Hamming distance ≤ 4, counted
+    * per distance, WITHOUT an all-pairs product. Two scale levers:
+    *
+    * 1. Aggregate docs to distinct simhash values first (the 16-bit
+    *    value space is bounded), so pair counting runs over
+    *    (value, multiplicity) — same-value pairs contribute C(c,2) at
+    *    h=0, cross-value pairs c1·c2 at h(v1,v2).
+    * 2. Pigeonhole band blocking for cross-value candidates: split the
+    *    16 bits into 5 disjoint blocks (4+3+3+3+3). Hamming ≤ 4 touches
+    *    at most 4 blocks, so every qualifying pair agrees exactly on
+    *    ≥ 1 block — an equi-join on (block_id, block_bits) finds all of
+    *    them, and the custom codegen `hamming64`
+    *    (graft.functions.HammingDistance, branch-free
+    *    `Long.bitCount(a ^ b)`) rescores candidates only.
+    *
+    * At 100 TB both levers hold: the value rollup is one hash shuffle of
+    * narrow (long, count) rows, and the block equi-join shuffles only
+    * the distinct-value table — never the corpus, never N². No
+    * BroadcastNestedLoopJoin in the plan.
     */
   def simhashHamming(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
-    // persist: both sides of the self-join reference the (16 md5 passes
-    // per doc) simhash projection
-    val sh = Tables.t(s, dir, "documents")
-      .select($"doc_id", simhashExpr($"text").as("simhash"))
-      .persist()
-    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(expr("hamming64(a.simhash, b.simhash)").as("h"))
-    pairs.filter($"h" <= 4)
-      .groupBy($"h").agg(count(lit(1)).as("n"))
+    val sh = withSimhash(Tables.t(s, dir, "documents").select($"doc_id", $"text"))
+      .select($"doc_id", $"simhash")
+    // distinct fingerprint values + multiplicity. NOT persisted despite
+    // three plan references: the rollup is a sub-second scan and the
+    // columnar cache build costs more than two recomputes (measured)
+    val vals = sh.groupBy($"simhash").agg(count(lit(1)).as("c"))
+    val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3)) // (shift, width)
+    val blocks = vals.select($"simhash", $"c",
+      explode(array(blockDefs.zipWithIndex.map { case ((off, w), i) =>
+        struct(lit(i).as("blk"),
+          shiftright($"simhash", off).bitwiseAND(lit((1L << w) - 1)).as("bits"))
+      }: _*)).as("bk"))
+      .select($"simhash", $"c", $"bk.blk".as("blk"), $"bk.bits".as("bits"))
+    // candidate value pairs: equal on ≥1 block. A pair collides on one
+    // row per matching block, so dedupe by keeping only the FIRST
+    // matching block — "no earlier block matches" is pure bit math on
+    // (v1, v2), a codegen'd filter instead of a shuffling DISTINCT
+    def blockBits(v: Column, off: Int, w: Int): Column =
+      shiftright(v, off).bitwiseAND(lit((1L << w) - 1))
+    val firstMatch = blockDefs.zipWithIndex.map { case ((off, w), i) =>
+      when(col("a.blk") > i,
+        blockBits(col("a.simhash"), off, w) =!= blockBits(col("b.simhash"), off, w))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bits") === col("b.bits") &&
+          col("a.simhash") < col("b.simhash"))
+      .filter(firstMatch)
+      .select(col("a.simhash").as("v1"), col("b.simhash").as("v2"),
+        col("a.c").as("c1"), col("b.c").as("c2"))
+    val cross = cand
+      .select(expr("hamming64(v1, v2)").as("h"), ($"c1" * $"c2").as("n_pairs"))
+      .filter($"h" <= 4)
+    val same = vals.filter($"c" > 1)
+      .select(lit(0).cast("int").as("h"),
+        (($"c" * ($"c" - 1)) / 2).cast("long").as("n_pairs"))
+    cross.unionByName(same)
+      .groupBy($"h").agg(sum($"n_pairs").as("n"))
       .orderBy($"h")
   }
 
   private val simhashHammingSql =
     s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM docs)
-       |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS h, COUNT(*) AS n
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+       |sh AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash FROM docs),
+       |vals AS (SELECT simhash, COUNT(*) AS c FROM sh GROUP BY 1),
+       |blocks AS (
+       |  SELECT simhash, c, blk,
+       |    CASE blk WHEN 0 THEN simhash & 15
+       |             WHEN 1 THEN (simhash >> 4) & 7
+       |             WHEN 2 THEN (simhash >> 7) & 7
+       |             WHEN 3 THEN (simhash >> 10) & 7
+       |             ELSE (simhash >> 13) & 7 END AS bits
+       |  FROM vals CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS blk) b),
+       |cand AS (
+       |  SELECT a.simhash AS v1, b.simhash AS v2, a.c AS c1, b.c AS c2
+       |  FROM blocks a JOIN blocks b
+       |    ON a.blk = b.blk AND a.bits = b.bits AND a.simhash < b.simhash
+       |  WHERE (a.blk <= 0 OR (a.simhash & 15) <> (b.simhash & 15))
+       |    AND (a.blk <= 1 OR ((a.simhash >> 4) & 7) <> ((b.simhash >> 4) & 7))
+       |    AND (a.blk <= 2 OR ((a.simhash >> 7) & 7) <> ((b.simhash >> 7) & 7))
+       |    AND (a.blk <= 3 OR ((a.simhash >> 10) & 7) <> ((b.simhash >> 10) & 7))),
+       |pairs AS (
+       |  SELECT CAST(bit_count(xor(v1, v2)) AS INT) AS h, c1 * c2 AS n_pairs
+       |  FROM cand WHERE bit_count(xor(v1, v2)) <= 4
+       |  UNION ALL
+       |  SELECT 0 AS h, CAST(c * (c - 1) / 2 AS BIGINT) AS n_pairs
+       |  FROM vals WHERE c > 1)
+       |SELECT h, CAST(SUM(n_pairs) AS BIGINT) AS n FROM pairs
        |GROUP BY 1 ORDER BY h""".stripMargin
+
+  /** Document-frequency cap for [[ngramJaccard]]'s shingle join: a
+    * shingle present in more than this many same-language documents is
+    * excluded from the similarity universe. The pair join's fan-out per
+    * shingle is O(df²), so without a cap one hot shingle ("the of and")
+    * appearing in 1M docs would emit 10¹² pairs at 100 TB; with it the
+    * per-key work is ≤ cap². Common-gram removal is also the standard
+    * quality move — ubiquitous shingles carry no similarity signal.
+    * (At the test fixtures' scale max df is 5 (sf0.01) / 14 (sf0.1), so
+    * the cap keeps the oracle result identical while bounding scale;
+    * DedupSpec exercises a case where it actually binds.)
+    */
+  val jaccardDfCap = 50
 
   /** N-gram Jaccard similarity over distinct 3-gram shingle sets:
     * top-20 same-language pairs. Shingles (not unigrams — the fixture's
     * tiny vocabulary makes every doc-pair collide on words, a quadratic
-    * fan-out) + lang blocking bound the candidate space; the
-    * intersection is a shingle-level equi-join (shuffle keyed by
-    * shingle), counts are exact ints, the ratio a deterministic double.
+    * fan-out) + lang blocking + the [[jaccardDfCap]] df cap bound the
+    * candidate space; the intersection is a shingle-level equi-join
+    * (shuffle keyed by shingle), counts are exact ints, the ratio a
+    * deterministic double. Both |A∩B| and |A|,|B| are computed over the
+    * capped shingle universe so the ratio stays a true Jaccard there.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardCapped(s, dir, jaccardDfCap)
+
+  private[ops] def ngramJaccardCapped(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
     import s.implicits._
-    // persist: the shingle arrays feed the self-joined intersection AND
-    // the per-doc counts — without it the (expensive) shingle build runs
-    // once per plan reference
-    val docs = Tables.t(s, dir, "documents")
-      .select($"doc_id", $"lang", shingleCol($"text").as("words"))
-      .persist()
-    val w = docs.select($"doc_id", $"lang", explode($"words").as("wd"))
-    val n = docs.select($"doc_id", size($"words").cast("long").as("nw"))
+    val docs = withShingles(
+      Tables.t(s, dir, "documents").select($"doc_id", $"lang", $"text"), "words")
+      .select($"doc_id", $"lang", $"words")
+    // df per (lang, shingle) via one window pass (shingles are distinct
+    // per doc, so count(*) = document frequency). NOT persisted despite
+    // three plan references: the window's shuffle is identical across
+    // all three, so AQE's ReuseExchange computes it once and the
+    // columnar-cache build it replaces costs more than it saves
+    val w = docs
+      .select($"doc_id", $"lang", explode($"words").as("wd"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"wd")))
+      .filter($"df" <= dfCap)
+      .select($"doc_id", $"lang", $"wd")
+    val n = w.groupBy($"doc_id").agg(count(lit(1)).as("nw"))
     val inter = w.as("a")
       .join(w.as("b"),
         col("a.wd") === col("b.wd") && col("a.lang") === col("b.lang") &&
@@ -212,13 +341,16 @@ object Dedup {
   }
 
   private val ngramJaccardSql =
-    """WITH w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
       |docs AS (SELECT doc_id, lang,
       |  list_distinct([array_to_string(ws[i:i+2], ' ')
       |                 FOR i IN generate_series(1, len(ws) - 2)]) AS words
       |FROM w0),
-      |w AS (SELECT doc_id, lang, unnest(words) AS wd FROM docs),
-      |n AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nw FROM docs),
+      |w_all AS (SELECT doc_id, lang, unnest(words) AS wd FROM docs),
+      |w AS (SELECT doc_id, lang, wd FROM (
+      |  SELECT doc_id, lang, wd, COUNT(*) OVER (PARTITION BY lang, wd) AS df
+      |  FROM w_all) t WHERE df <= $jaccardDfCap),
+      |n AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
       |  FROM w a JOIN w b ON a.wd = b.wd AND a.lang = b.lang AND a.doc_id < b.doc_id

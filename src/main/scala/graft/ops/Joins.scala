@@ -171,8 +171,12 @@ object Joins {
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q5-style 6-way join: revenue per nation for one region.
-    * region/nation/supplier broadcast; customer⋈orders⋈lineitem shuffle
-    * on their keys.
+    * region/nation broadcast (fixed-size dims: 5 / 25 rows at every
+    * scale factor); supplier deliberately NOT hinted — it grows with
+    * the scale factor (~1M rows at sf100, past any safe broadcast), so
+    * AQE decides at runtime: broadcast while it's small, shuffle on
+    * l_suppkey once it isn't. customer⋈orders⋈lineitem shuffle on
+    * their keys.
     */
   def multiwayJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -183,8 +187,7 @@ object Joins {
     val li = Tables.t(s, dir, "lineitem")
     val sup = Tables.t(s, dir, "supplier")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(sup),
-        li("l_suppkey") === sup("s_suppkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(c, o("o_custkey") === c("c_custkey") &&
         c("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))

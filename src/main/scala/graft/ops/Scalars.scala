@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{CatalogEntry, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar function families (SURVEY.md §2.B "Scalar functions"): string,
@@ -169,6 +169,10 @@ object Scalars {
   /** Array functions incl. higher-order transform/aggregate over the
     * embedding column. The L2 norm folds through the integer bridge
     * (exact long accumulation) so both engines agree bit-for-bit.
+    * Array-typed results (slice/transform/sequence) are serialized to
+    * csv strings in the final projection — the driver's pandas compare
+    * can't hash raw array cells — with float elements bridged to scaled
+    * longs first so the rendered text is engine-independent.
     */
   def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -176,15 +180,18 @@ object Scalars {
       transform($"embedding",
         x => round(x.cast("double") * x.cast("double") * lit(1e8)).cast("long")),
       lit(0L), (acc, x) => acc + x)
+    def csvBridged(arr: Column): Column =
+      concat_ws(",", transform(arr,
+        x => round(x.cast("double") * lit(1e6)).cast("long").cast("string")))
     Tables.t(s, dir, "embeddings")
       .select(
         $"vec_id",
         size($"embedding").cast("long").as("dim"),
         element_at($"embedding", 1).as("first_el"),
-        slice($"embedding", 1, 4).as("head4"),
-        transform($"embedding", x => x * lit(2.0f)).as("scaled2"),
+        csvBridged(slice($"embedding", 1, 4)).as("head4"),
+        csvBridged(transform($"embedding", x => x * lit(2.0f))).as("scaled2"),
         sqrt(normSq.cast("double") / 1e8).as("l2_norm"),
-        sequence(lit(1L), lit(5L)).as("seq15"),
+        concat_ws(",", sequence(lit(1L), lit(5L)).cast("array<string>")).as("seq15"),
         size(filter($"embedding", x => x.cast("double") > 0.0)).cast("long").as("n_pos"),
         exists($"embedding", x => x.cast("double") < -1.0).as("has_big_neg"),
         forall($"embedding", x => abs(x.cast("double")) < 10.0).as("all_small"))
@@ -195,12 +202,15 @@ object Scalars {
     """SELECT vec_id,
       |  CAST(len(embedding) AS BIGINT) AS dim,
       |  embedding[1] AS first_el,
-      |  embedding[1:4] AS head4,
-      |  list_transform(embedding, x -> x * 2) AS scaled2,
+      |  array_to_string(list_transform(embedding[1:4],
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), ',') AS head4,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(round(CAST(CAST(x AS FLOAT) * CAST(2.0 AS FLOAT) AS DOUBLE) * 1e6) AS BIGINT)), ',')
+      |    AS scaled2,
       |  sqrt(CAST(CAST(list_sum(list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e8)
       |    AS l2_norm,
-      |  generate_series(1, 5) AS seq15,
+      |  array_to_string(generate_series(1, 5), ',') AS seq15,
       |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
       |  len(list_filter(embedding, x -> x < -1.0)) > 0 AS has_big_neg,
       |  len(list_filter(embedding, x -> NOT (abs(x) < 10.0))) = 0 AS all_small

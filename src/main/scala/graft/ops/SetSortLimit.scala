@@ -113,16 +113,29 @@ object SetSortLimit {
       |ORDER BY kind, nationkey""".stripMargin
 
   /** TABLESAMPLE — seeded Bernoulli sample. Sampling RNGs differ across
-    * engines, so no SQL oracle (rows-only); the invariant checked here
-    * is that the sampled count is stable for a fixed seed.
+    * engines, so the raw sampled rows can't be hash-compared; instead
+    * the query emits deterministic invariant booleans the oracle
+    * asserts as TRUE: the 10% sample's size lands inside a ±20%
+    * relative band (≳5σ of Binomial(N, 0.1) at sf0.01), and re-sampling
+    * with the same seed reproduces the identical count.
     */
   def sampleOp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sampled = Tables.t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42L)
-    sampled.agg(
-      count(lit(1)).as("n_sampled"),
-      countDistinct($"l_orderkey").as("n_orders"))
+    val li = Tables.t(s, dir, "lineitem")
+    val s1 = li.sample(withReplacement = false, 0.1, seed = 42L)
+      .agg(count(lit(1)).as("n1"))
+    val s2 = li.sample(withReplacement = false, 0.1, seed = 42L)
+      .agg(count(lit(1)).as("n2"))
+    val total = li.agg(count(lit(1)).as("n_total"))
+    s1.crossJoin(s2).crossJoin(total)
+      .select(
+        ($"n1".cast("double") >= $"n_total".cast("double") * 0.08 &&
+          $"n1".cast("double") <= $"n_total".cast("double") * 0.12).as("n_in_bounds"),
+        ($"n1" === $"n2").as("seed_stable"))
   }
+
+  private val sampleOpSql =
+    "SELECT TRUE AS n_in_bounds, TRUE AS seed_stable"
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_orderby_multi", orderByMulti, Some(orderByMultiSql)),
@@ -130,5 +143,5 @@ object SetSortLimit {
     CatalogEntry("q_union", unionOps, Some(unionOpsSql)),
     CatalogEntry("q_intersect", intersectOp, Some(intersectOpSql)),
     CatalogEntry("q_except", exceptOp, Some(exceptOpSql)),
-    CatalogEntry("q_sample", sampleOp, None))
+    CatalogEntry("q_sample", sampleOp, Some(sampleOpSql)))
 }

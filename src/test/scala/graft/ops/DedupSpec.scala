@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup internals: shingle construction, the Jaccard df cap actually
+  * binding, and the pigeonhole-block completeness property behind
+  * q_dedup_simhash_hamming's candidate join.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("shinglesFromWords emits ordered distinct 3-grams; short docs empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "x y"),
+      (3L, "p"),
+      (4L, "r r r r r")).toDF("doc_id", "text")
+    val got = Dedup.withShingles(df, "sh")
+      .select($"doc_id", $"sh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty)
+    assert(got(4L) == Seq("r r r")) // distinct collapses repeats
+  }
+
+  test("jaccard df cap excludes hot shingles from the pair universe") {
+    import spark.implicits._
+    val dir = tmpDir("dedup-cap").toString
+    // docs 1/2 share only the hot shingle "h h h" (present in all 4
+    // docs); docs 3/4 additionally share the rare "r r r"
+    val docs = Seq(
+      (1L, "h h h", "en"),
+      (2L, "h h h z", "en"),
+      (3L, "h h h r r r", "en"),
+      (4L, "h h h q r r r", "en"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // cap 3 < 4 docs ⇒ every shingle containing only h's (df=4) is out
+    val rows = Dedup.ngramJaccardCapped(spark, dir, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (d1, d2) => Set(d1, d2).subsetOf(Set(3L, 4L)) },
+      s"hot-shingle-only pairs must be excluded, got ${rows.toSeq}")
+    // uncapped: the hot shingle fans out into every doc pair
+    val uncapped = Dedup.ngramJaccardCapped(spark, dir, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.length > rows.length)
+  }
+
+  test("pigeonhole blocks: every 16-bit pair at hamming <= 4 shares a block") {
+    val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
+    def blocks(v: Long): Seq[Long] =
+      blockDefs.map { case (off, w) => (v >> off) & ((1L << w) - 1) }
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextInt(1 << 16).toLong
+      // flip up to 4 random bit positions
+      val nFlips = rnd.nextInt(5)
+      val b = (1 to nFlips).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(16)))
+      val h = java.lang.Long.bitCount(a ^ b)
+      if (h <= 4)
+        assert(blocks(a).zip(blocks(b)).exists { case (x, y) => x == y },
+          f"pair $a%x/$b%x at hamming $h shares no block")
+    }
+  }
+}
