@@ -133,83 +133,141 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
-  /** IVF-style ANN: a 16-entry codebook (deterministically the vectors
-    * with vec_id < 16 — standing in for a trained k-means codebook, the
-    * training being out of scope for an oracle-checked query), every
-    * vector assigned to its nearest centroid by exact bridged L2
-    * (argmin of n2_c − 2·dot, norm_v constant per vector), queries probe
-    * ONLY their own inverted list (nprobe=1) and rescore with exact
-    * cosine. At 100 TB the inverted list is the partition key: each
-    * probe touches corpus/centroids, and the coarse assignment is one
-    * broadcast join of the tiny codebook.
+  /** IVF codebook size, k-means refinement rounds, and probe width. */
+  val ivfK = 16
+  val ivfIters = 2
+  val ivfNprobe = 2
+
+  /** IVF ANN with a TRAINED codebook: k-means (k=16, 2 refinement
+    * rounds, seeded by the vectors with vec_id < 16) run entirely in
+    * DataFrame ops, then inverted-list search probing the nprobe=2
+    * nearest lists per query with exact bridged-cosine rescoring.
+    *
+    * Cross-engine determinism of the training loop: vectors are
+    * quantized to 1e4-scaled longs; L2 distances are exact integer
+    * sums of squared deltas (≤ 64·(1.2e5)² ≈ 9e11, no overflow);
+    * updated centroid components are re-quantized to the same grid
+    * with a single round(sum/count) — one IEEE double division of
+    * exact integers, bit-identical in Spark and DuckDB. Ties in the
+    * argmin break by centroid id. A cluster that loses all members
+    * drops out (k shrinks) — same rule on both sides.
+    *
+    * At 100 TB: each assignment pass is one broadcast of the ≤16-row
+    * codebook and a map-side argmin; the update is one shuffle keyed
+    * by (centroid, dim); probing broadcasts the query set and touches
+    * nprobe/k of the corpus via the inverted-list equi-join.
     */
   def ivf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", bridgedDot($"embedding", $"embedding").as("n2"))
-      .persist()
-    val cents = e.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid0"), $"embedding".as("cemb"),
-        $"n2".as("cn2"))
-    // score = ||c||² − 2·v·c (exact longs); smallest = nearest centroid
-    val scored = e.join(broadcast(cents))
-      .select($"vec_id", $"embedding", $"n2", $"cid0",
-        ($"cn2" - lit(2L) * bridgedDot($"embedding", $"cemb")).as("score"))
-    val w = Window.partitionBy($"vec_id").orderBy($"score".asc, $"cid0".asc)
-    val assigned = scored.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"n2", $"cid0".as("centroid"))
-      .persist()
-    val q = assigned.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qemb"),
-        $"n2".as("qn2"), $"centroid")
-    val cand = broadcast(q).join(assigned, Seq("centroid"))
-      .filter($"qid" =!= $"vec_id")
+    val base = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        transform($"embedding", x => round(x.cast("double") * lit(1e4)).cast("long")).as("xq"),
+        bridgedDot($"embedding", $"embedding").as("n2"))
+      .persist() // read by every k-means pass, the probes, and the rescore
+    def sqDist(xq: Column, cq: Column): Column =
+      aggregate(zip_with(xq, cq, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    // nearest centroid per vector (exact integer L2, ties by cid)
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = base.select($"vec_id", $"xq").crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", sqDist($"xq", $"cq").as("d"))
+      val w = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cid".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"cid".as("centroid"))
+    }
+    // per-dimension member means, re-quantized to the 1e4 grid
+    def update(assigned: DataFrame): DataFrame = {
+      val dims = assigned.join(
+        base.select($"vec_id", posexplode($"xq").as(Seq("pos", "v"))), Seq("vec_id"))
+      dims.groupBy($"centroid", $"pos")
+        .agg(round(sum($"v").cast("double") / count(lit(1))).cast("long").as("cq1"))
+        .groupBy($"centroid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq1"))), p => p("cq1")).as("cq"))
+        .select($"centroid".as("cid"), $"cq")
+    }
+    var cents = base.filter($"vec_id" < ivfK).select($"vec_id".as("cid"), $"xq".as("cq"))
+    for (_ <- 1 to ivfIters) cents = update(assign(cents))
+    val assigned = assign(cents)
+    // probe the nprobe nearest inverted lists per query
+    val qScored = base.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
+      .crossJoin(broadcast(cents))
+      .select($"qid", $"cid", sqDist($"xq", $"cq").as("d"))
+    val wp = Window.partitionBy($"qid").orderBy($"d".asc, $"cid".asc)
+    val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= ivfNprobe)
+      .select($"qid", $"cid".as("centroid"))
+    val cand = broadcast(probes).join(assigned, Seq("centroid"))
+      .filter($"vec_id" =!= $"qid")
+    val scored = cand
+      .join(base.select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n2".as("qn2")), Seq("qid"))
+      .join(base.select($"vec_id", $"embedding", $"n2"), Seq("vec_id"))
       .select($"qid", $"vec_id".as("cid"), $"centroid",
         cosineFromDots(bridgedDot($"qemb", $"embedding"), $"qn2", $"n2").as("cos"))
     val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
-    cand.withColumn("rank", row_number().over(wr).cast("long"))
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
       .filter($"rank" <= 3)
       .orderBy($"qid", $"rank")
   }
 
-  private val ivfSql =
-    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-      |           unnest(embedding) AS x FROM embeddings),
-      |norms AS (SELECT vec_id,
-      |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS n2
-      |  FROM e GROUP BY 1),
-      |cdots AS (
-      |  SELECT v.vec_id, c.vec_id AS cid0,
-      |    CAST(SUM(CAST(round(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot
-      |  FROM e v JOIN e c ON v.i = c.i AND c.vec_id < 16
-      |  GROUP BY 1, 2),
-      |assigned AS (
-      |  SELECT vec_id, cid0 AS centroid FROM (
-      |    SELECT d.vec_id, d.cid0,
-      |      row_number() OVER (PARTITION BY d.vec_id
-      |        ORDER BY nc.n2 - 2 * d.dot ASC, d.cid0 ASC) AS rn
-      |    FROM cdots d JOIN norms nc ON nc.vec_id = d.cid0) t
-      |  WHERE rn = 1),
-      |dots AS (
-      |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-      |    CAST(SUM(CAST(round(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot,
-      |    a.centroid
-      |  FROM assigned a JOIN assigned b
-      |    ON a.centroid = b.centroid AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
-      |  JOIN e ea ON ea.vec_id = a.vec_id
-      |  JOIN e eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
-      |  GROUP BY 1, 2, 4),
-      |scored AS (
-      |  SELECT qid, cid, centroid,
-      |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
-      |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
-      |ranked AS (
-      |  SELECT qid, cid, centroid, cos,
-      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
-      |  FROM scored)
-      |SELECT qid, cid, centroid, cos, rank FROM ranked WHERE rank <= 3
-      |ORDER BY qid, rank""".stripMargin
+  private val ivfSql = {
+    // one (distance, argmin-assign, centroid-update) round per iteration,
+    // mirroring the DataFrame loop CTE-for-CTE
+    val iters = (1 to ivfIters).map { it =>
+      val prevC = if (it == 1) "c0" else s"c${it - 1}"
+      s"""d$it AS (
+         |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+         |  FROM q v JOIN $prevC c ON v.i = c.i GROUP BY 1, 2),
+         |a$it AS (
+         |  SELECT vec_id, cid AS centroid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d$it) t WHERE rn = 1),
+         |c$it AS (
+         |  SELECT a.centroid AS cid, v.i,
+         |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+         |  FROM a$it a JOIN q v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin = ivfIters + 1
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |           unnest(embedding) AS x FROM embeddings),
+       |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM e),
+       |norms AS (SELECT vec_id,
+       |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS n2
+       |  FROM e GROUP BY 1),
+       |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $ivfK),
+       |$iters,
+       |d$fin AS (
+       |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM q v JOIN c$ivfIters c ON v.i = c.i GROUP BY 1, 2),
+       |a$fin AS (
+       |  SELECT vec_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin WHERE vec_id % 50 = 0) t WHERE rn <= $ivfNprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid, p.centroid
+       |  FROM probes p JOIN a$fin a ON p.centroid = a.centroid AND a.vec_id <> p.qid),
+       |dots AS (
+       |  SELECT c.qid, c.cid, c.centroid,
+       |    CAST(SUM(CAST(round(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.qid
+       |  JOIN e eb ON eb.vec_id = c.cid AND ea.i = eb.i
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT qid, cid, centroid,
+       |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, centroid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, centroid, cos, rank FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),

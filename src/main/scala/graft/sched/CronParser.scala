@@ -5,9 +5,11 @@ import java.time.{Instant, ZoneOffset, ZonedDateTime}
 /** Cron next-run computation. The reference parses 5 fields but honors
   * only the minute field with exactly three cases — star, step ("star
   * slash N"), fixed M (scheduler/cron_parser.py:4-42; hour/day/month/
-  * weekday parsed and ignored). We keep those semantics for the minute
-  * field and honor the hour field too (same 3 cases) — a strict
-  * superset, pure function, property-tested.
+  * weekday parsed and ignored). We keep those three per-field cases and
+  * honor ALL FIVE fields — a strict superset, pure function,
+  * property-tested. All fields are conjunctive (no POSIX dom/dow OR
+  * quirk); weekday 0 = Sunday. Step semantics are `value % N == 0` for
+  * every field, matching the reference's minute-step behavior.
   */
 object CronParser {
 
@@ -18,7 +20,7 @@ object CronParser {
   final case class EveryN(n: Int) extends FieldSpec { def matches(v: Int) = v % n == 0 }
   final case class Fixed(m: Int) extends FieldSpec { def matches(v: Int) = v == m }
 
-  def parseField(s: String, max: Int): FieldSpec = s match {
+  def parseField(s: String, max: Int, min: Int = 0): FieldSpec = s match {
     case "*" => Any
     case step if step.startsWith("*/") =>
       val n = step.drop(2).toInt
@@ -26,37 +28,60 @@ object CronParser {
       EveryN(n)
     case fixed =>
       val m = fixed.toInt
-      require(m >= 0 && m <= max, s"value out of range: $s")
+      require(m >= min && m <= max, s"value out of range: $s")
       Fixed(m)
   }
 
-  final case class Spec(minute: FieldSpec, hour: FieldSpec)
+  final case class Spec(
+      minute: FieldSpec, hour: FieldSpec,
+      dayOfMonth: FieldSpec = Any, month: FieldSpec = Any, dayOfWeek: FieldSpec = Any) {
+    def dateMatches(t: ZonedDateTime): Boolean =
+      dayOfMonth.matches(t.getDayOfMonth) && month.matches(t.getMonthValue) &&
+        dayOfWeek.matches(t.getDayOfWeek.getValue % 7) // java Mon=1..Sun=7 → cron Sun=0
+    def timeMatches(t: ZonedDateTime): Boolean =
+      minute.matches(t.getMinute) && hour.matches(t.getHour)
+  }
 
-  /** Parse "m h dom mon dow" (1, 2 or 5 fields; beyond hour ignored,
-    * like the reference ignores everything beyond minute).
+  /** Parse "m h dom mon dow" (1, 2 or 5 fields — same arities the
+    * reference accepts; with fewer fields the rest default to `*`).
     */
   def parse(expr: String): Spec = {
     val parts = expr.trim.split("\\s+")
-    require(parts.nonEmpty && parts.length <= 5, s"bad cron '$expr'")
-    val minute = parseField(parts(0), 59)
-    val hour = if (parts.length > 1) parseField(parts(1), 23) else Any
-    Spec(minute, hour)
+    require(parts.length == 1 || parts.length == 2 || parts.length == 5,
+      s"bad cron '$expr'")
+    Spec(
+      minute = parseField(parts(0), 59),
+      hour = if (parts.length > 1) parseField(parts(1), 23) else Any,
+      dayOfMonth = if (parts.length > 2) parseField(parts(2), 31, min = 1) else Any,
+      month = if (parts.length > 3) parseField(parts(3), 12, min = 1) else Any,
+      dayOfWeek = if (parts.length > 4) parseField(parts(4), 6) else Any)
   }
 
-  /** Next instant strictly after `from` whose (minute, hour) match —
+  /** Next instant strictly after `from` matching all five fields —
     * minute granularity, seconds zeroed (≅ cron_parser.py:12-13 basing
-    * off now+1min with seconds stripped).
+    * off now+1min with seconds stripped). Non-matching days are skipped
+    * whole (jump to next midnight), so the scan is O(days + 1440);
+    * the day guard covers the 28-year worst case of a
+    * (Feb 29, fixed-weekday) conjunction before declaring the spec
+    * unsatisfiable (e.g. "0 0 30 2 *").
     */
   def nextRun(expr: String, from: Instant): Instant = {
     val spec = parse(expr)
     var t = ZonedDateTime.ofInstant(from, ZoneOffset.UTC)
       .withSecond(0).withNano(0).plusMinutes(1)
-    var guard = 0
-    while (!(spec.minute.matches(t.getMinute) && spec.hour.matches(t.getHour))) {
-      t = t.plusMinutes(1)
-      guard += 1
-      require(guard <= 24 * 60, s"cron '$expr' never matches")
+    var dayGuard = 0
+    while (true) {
+      if (!spec.dateMatches(t)) {
+        t = t.plusDays(1).withHour(0).withMinute(0)
+        dayGuard += 1
+        require(dayGuard <= 29 * 366, s"cron '$expr' never matches")
+      } else if (!spec.timeMatches(t)) {
+        t = t.plusMinutes(1)
+        // a new day reached by minute stepping must re-check dateMatches
+      } else {
+        return t.toInstant
+      }
     }
-    t.toInstant
+    throw new IllegalStateException("unreachable")
   }
 }

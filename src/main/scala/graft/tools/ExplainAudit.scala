@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing", "q5_multiway")
+    // default set = the headline plans PLUS every heavy dedup/similarity
+    // query, so PLANS.md documents the shapes that matter at scale —
+    // not just the flattering ones
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q1_pricing", "q5_multiway", "q_join_inner", "q_evt_tumbling",
+      "q_sim_lsh_bucketed", "q_sim_topk", "q_sim_ivf",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash_hamming",
+      "q_dedup_jaccard", "q_dedup_embedding")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

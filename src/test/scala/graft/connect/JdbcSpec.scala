@@ -45,6 +45,13 @@ class JdbcSpec extends SparkSpec {
       options = Map("partitionColumn" -> "id", "lowerBound" -> "1",
         "upperBound" -> "101", "numPartitions" -> "4")))
     assert(part.rdd.getNumPartitions == 4)
+    // not just the plan: execute and prove every partition issued its
+    // own bounded JDBC query and fetched its share of rows (25 each
+    // for a 1..101 range split 4 ways over ids 1..100)
+    val perPartition = part.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator(i -> it.size))
+      .collect().toMap
+    assert(perPartition.size == 4 && perPartition.values.forall(_ == 25), s"$perPartition")
     assert(part.agg(sum($"v")).as[Double].head() == 10100.0)
     // connection probe against a live JDBC source (A14)
     val (ok, msg) = ConnectionService.test(spark,

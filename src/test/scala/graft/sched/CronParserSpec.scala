@@ -39,6 +39,59 @@ class CronParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CronParser.nextRun("61", t0))
     intercept[IllegalArgumentException](CronParser.nextRun("*/0", t0))
     intercept[NumberFormatException](CronParser.nextRun("abc", t0))
+    intercept[IllegalArgumentException](CronParser.nextRun("0 0 0 * *", t0)) // dom min 1
+    intercept[IllegalArgumentException](CronParser.nextRun("0 0 1 13 *", t0)) // month max 12
+    intercept[IllegalArgumentException](CronParser.nextRun("0 0 1 1 7", t0)) // dow max 6
+    intercept[IllegalArgumentException](CronParser.nextRun("0 0 1", t0)) // 3 fields
+  }
+
+  test("day-of-month: monthly run rolls into next month") {
+    // t0 is Jan 15 → "0 0 1 * *" = midnight on the 1st → Feb 1
+    assert(CronParser.nextRun("0 0 1 * *", t0) == Instant.parse("2026-02-01T00:00:00Z"))
+  }
+
+  test("month: yearly run in a fixed month") {
+    // 10:00 on March 5th, from Jan 15 → Mar 5 this year; from Apr → next year
+    assert(CronParser.nextRun("0 10 5 3 *", t0) == Instant.parse("2026-03-05T10:00:00Z"))
+    val fromApril = Instant.parse("2026-04-01T00:00:00Z")
+    assert(CronParser.nextRun("0 10 5 3 *", fromApril) == Instant.parse("2027-03-05T10:00:00Z"))
+  }
+
+  test("day-of-week: weekly run on Sunday=0") {
+    // 2026-01-15 is a Thursday; next Sunday is Jan 18
+    assert(CronParser.nextRun("30 8 * * 0", t0) == Instant.parse("2026-01-18T08:30:00Z"))
+    // Thursday=4 later the same day
+    assert(CronParser.nextRun("0 23 * * 4", t0) == Instant.parse("2026-01-15T23:00:00Z"))
+  }
+
+  test("dom+dow conjunction (no POSIX OR quirk)") {
+    // Friday the 13th: first after 2026-01-15 is 2026-02-13
+    assert(CronParser.nextRun("0 0 13 * 5", t0) == Instant.parse("2026-02-13T00:00:00Z"))
+  }
+
+  test("leap day matches and unsatisfiable dates are rejected") {
+    assert(CronParser.nextRun("0 0 29 2 *", t0) == Instant.parse("2028-02-29T00:00:00Z"))
+    intercept[IllegalArgumentException](CronParser.nextRun("0 0 30 2 *", t0))
+  }
+
+  test("property: 5-field results match every field and are strictly future") {
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      def pick(max: Int, min: Int): String = rnd.nextInt(3) match {
+        case 0 => "*"
+        case 1 => s"*/${rnd.nextInt(max - 1) + 1}"
+        case _ => (min + rnd.nextInt(max - min + 1)).toString
+      }
+      // dom capped at 28 so the spec is always satisfiable
+      val expr = s"${pick(59, 0)} ${pick(23, 0)} ${pick(28, 1)} ${pick(12, 1)} ${pick(6, 0)}"
+      val from = Instant.ofEpochSecond(math.abs(rnd.nextLong() % 4102444800L))
+      val next = CronParser.nextRun(expr, from)
+      assert(next.isAfter(from), s"$expr from $from")
+      assert(next.getEpochSecond % 60 == 0, s"$expr from $from")
+      val z = java.time.ZonedDateTime.ofInstant(next, java.time.ZoneOffset.UTC)
+      val spec = CronParser.parse(expr)
+      assert(spec.timeMatches(z) && spec.dateMatches(z), s"$expr from $from → $next")
+    }
   }
 
   test("property: result is strictly future, second-aligned, matching") {
