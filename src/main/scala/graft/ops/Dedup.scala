@@ -73,25 +73,32 @@ object Dedup {
       .withColumn(out, shinglesFromWords(col("__ws")))
       .drop("__ws")
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, key) LSH band table shared by [[minhashLsh]] and
+    * [[dedupClusters]]. Shingles materialized once per row (their own
+    * projection) — the 6 signature columns each fold over the bound
+    * array without rebuilding it.
+    */
+  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigCols = (1 to nSeeds).map { i =>
       array_min(transform($"shingles", w => md5(concat(lit(s"$i:"), w)))).as(s"h$i")
     }
-    // shingles materialized once per row (its own projection) — the 6
-    // signature columns each fold over it without rebuilding the array
     val withSig = withShingles(
       Tables.t(s, dir, "documents").select($"doc_id", $"text"), "shingles")
       .select(($"doc_id" +: sigCols): _*)
     val bandStructs = (1 to nSeeds / 2).map { b =>
       struct(lit(b).as("band"), concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("key"))
     }
-    // persist: bands is self-joined — without it the 6 md5 signature
-    // passes over every shingle run twice
-    val bands = withSig
+    withSig
       .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
-      .persist()
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // persist: bands is self-joined — without it the 6 md5 signature
+    // passes over every shingle run twice
+    val bands = bandsDf(s, dir).persist()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -101,14 +108,17 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
-  private val minhashLshSql = {
+  /** Shared CTE chain producing the `bands` relation (DuckDB twin of
+    * [[bandsDf]]).
+    */
+  private val bandsCteSql = {
     val sigExprs = (1 to nSeeds).map { i =>
       s"list_min(list_transform(words, w -> md5(concat('$i:', w)))) AS h$i"
     }.mkString(",\n  ")
     val bandSelects = (1 to nSeeds / 2).map { b =>
       s"SELECT doc_id, $b AS band, concat(h${2 * b - 1}, h${2 * b}) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |docs AS (SELECT doc_id,
        |  list_distinct([array_to_string(ws[i:i+2], ' ')
        |                 FOR i IN generate_series(1, len(ws) - 2)]) AS words
@@ -117,12 +127,15 @@ object Dedup {
        |  $sigExprs
        |FROM docs),
        |bands AS (
-       |  $bandSelects)
+       |  $bandSelects)""".stripMargin
+  }
+
+  private val minhashLshSql =
+    s"""WITH $bandsCteSql
        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(DISTINCT a.band) AS n_bands
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
-  }
 
   /** 16-bit SimHash over word multiset; bit i = sign of the sum of ±1
     * votes from the i-th hex digit of each word's md5. Docs sharing a
@@ -405,9 +418,80 @@ object Dedup {
        |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
   }
 
+  /** Label-propagation rounds for [[dedupClusters]]. Fixed (not
+    * run-to-fixpoint) so the oracle SQL can mirror the exact plan;
+    * round r resolves components of diameter ≤ r, and near-dup
+    * clusters are near-cliques (diameter ≲ 2), so 3 rounds is already
+    * conservative. A general-graph 100 TB variant would alternate
+    * large-star/small-star until a convergence counter stops changing
+    * — same per-round shape (one shuffle keyed by doc), data-dependent
+    * round count.
+    */
+  val ccRounds = 3
+
+  /** Dedup cluster resolution — the stage AFTER candidate generation
+    * that every real dedup pipeline needs: connected components over
+    * the MinHash-LSH candidate-pair graph, so transitive near-dups
+    * ("A≈B, B≈C ⇒ {A,B,C}") collapse to one canonical id (the
+    * component's min doc_id). Min-label propagation: each round every
+    * doc takes the min of its own label and its neighbors' labels —
+    * one (edge ⋈ label) shuffle per round, labels never widen, fully
+    * deterministic.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = bandsDf(s, dir).persist()
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .persist()
+    val edges = pairs.unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+    var labels = Tables.t(s, dir, "documents").select($"doc_id", $"doc_id".as("label"))
+    for (_ <- 1 to ccRounds) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("nid"), $"label".as("nlabel")), $"d2" === $"nid")
+        .groupBy($"d1").agg(min($"nlabel").as("nmin"))
+      labels = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("d1"), "left")
+        .select(labels("doc_id"),
+          least($"label", coalesce($"nmin", $"label")).as("label"))
+    }
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"label")))
+      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  private val dedupClustersSql = {
+    val rounds = (1 to ccRounds).map { r =>
+      s"""l$r AS (
+         |  SELECT l.doc_id, least(l.label, coalesce(m.nmin, l.label)) AS label
+         |  FROM l${r - 1} l LEFT JOIN (
+         |    SELECT e.d1, min(x.label) AS nmin
+         |    FROM edges e JOIN l${r - 1} x ON e.d2 = x.doc_id GROUP BY 1) m
+         |  ON l.doc_id = m.d1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bandsCteSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |$rounds
+       |SELECT doc_id, label AS cluster_id,
+       |  COUNT(*) OVER (PARTITION BY label) AS cluster_size
+       |FROM l$ccRounds ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),
     CatalogEntry("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
+    CatalogEntry("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     CatalogEntry("q_dedup_simhash", simhash, Some(simhashSql)),
     CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
     CatalogEntry("q_dedup_jaccard", ngramJaccard, Some(ngramJaccardSql)),

@@ -122,18 +122,26 @@ object TextAnalysis {
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
-    * (words | single punctuation) + chars-per-token.
+    * (words | single punctuation) + chars-per-token. The token count is
+    * computed as word-run count plus non-word-non-space char count —
+    * the same number the `\w+|[^\w\s]` alternation produces (a maximal
+    * \w run is one alternation match; every other non-space char
+    * matches alone), but each part is a single linear regex pass where
+    * the alternation backtracked per character (it was the slowest
+    * projection in the whole bench). Counted once in its own
+    * projection, referenced twice.
     */
   def tokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pat = "\\w+|[^\\w\\s]"
     Tables.t(s, dir, "documents")
+      .withColumn("re0",
+        (regexp_count($"text", lit("\\w+")) +
+          length(regexp_replace($"text", "[\\w\\s]", ""))).cast("long"))
       .select(
         $"doc_id",
         size(split($"text", " ")).cast("long").as("ws_tokens"),
-        regexp_count($"text", lit(pat)).cast("long").as("re_tokens"),
-        ($"n_chars".cast("double") / regexp_count($"text", lit(pat)))
-          .as("chars_per_token"))
+        $"re0".as("re_tokens"),
+        ($"n_chars".cast("double") / $"re0").as("chars_per_token"))
       .orderBy($"doc_id")
   }
 
@@ -150,19 +158,20 @@ object TextAnalysis {
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = split(lower(trim($"text")), " ")
-    val shingles = transform(
-      sequence(lit(1), size(words) - 2),
-      i => md5(concat_ws(" ",
-        element_at(words, i.cast("int")),
-        element_at(words, (i + 1).cast("int")),
-        element_at(words, (i + 2).cast("int")))))
+    // normalized text and its words materialized once (multi-referenced
+    // aliases survive CollapseProject); shingles via the capture-safe
+    // zip_with construction (Dedup.shinglesFromWords doc) — min over
+    // the DISTINCT shingle set equals min over all shingles, with
+    // fewer md5 calls
     Tables.t(s, dir, "documents")
+      .withColumn("__norm", lower(trim($"text")))
+      .withColumn("__ws", split($"__norm", " "))
       .select(
         $"doc_id",
-        md5(lower(trim($"text"))).as("fp"),
-        array_min(shingles).as("min_shingle"),
-        (size(words) - 2).cast("long").as("n_shingles"))
+        md5($"__norm").as("fp"),
+        array_min(transform(Dedup.shinglesFromWords($"__ws"), sh => md5(sh)))
+          .as("min_shingle"),
+        (size($"__ws") - 2).cast("long").as("n_shingles"))
       .withColumn("n_same_fp",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
       .orderBy($"doc_id")
