@@ -74,18 +74,28 @@ object Dedup {
       .drop("__ws")
 
   /** (doc_id, band, key) LSH band table shared by [[minhashLsh]] and
-    * [[dedupClusters]]. Shingles materialized once per row (their own
-    * projection) — the 6 signature columns each fold over the bound
-    * array without rebuilding it.
+    * [[dedupClusters]]. The 6 minhash functions are the two 16-hex-char
+    * halves of 3 seeded md5s (the standard split-one-hash trick): md5
+    * is the dominant per-shingle cost, so 3 digests instead of 6 halves
+    * the signature work, and the two halves of one md5 are independent
+    * uniform values. Each seeded digest array is materialized once
+    * (multi-referenced alias survives CollapseProject); the half-minima
+    * fold over the bound arrays with cheap substrings.
     */
   private def bandsDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigCols = (1 to nSeeds).map { i =>
-      array_min(transform($"shingles", w => md5(concat(lit(s"$i:"), w)))).as(s"h$i")
-    }
-    val withSig = withShingles(
+    var withM = withShingles(
       Tables.t(s, dir, "documents").select($"doc_id", $"text"), "shingles")
-      .select(($"doc_id" +: sigCols): _*)
+    (1 to nSeeds / 2).foreach { i =>
+      withM = withM.withColumn(s"__m$i",
+        transform($"shingles", w => md5(concat(lit(s"$i:"), w))))
+    }
+    val sigCols = (1 to nSeeds).map { i =>
+      val m = col(s"__m${(i + 1) / 2}")
+      val off = if (i % 2 == 1) 1 else 17
+      array_min(transform(m, h => substring(h, off, 16))).as(s"h$i")
+    }
+    val withSig = withM.select(($"doc_id" +: sigCols): _*)
     val bandStructs = (1 to nSeeds / 2).map { b =>
       struct(lit(b).as("band"), concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("key"))
     }
@@ -112,8 +122,12 @@ object Dedup {
     * [[bandsDf]]).
     */
   private val bandsCteSql = {
+    val mExprs = (1 to nSeeds / 2).map { i =>
+      s"list_transform(words, w -> md5(concat('$i:', w))) AS m$i"
+    }.mkString(",\n  ")
     val sigExprs = (1 to nSeeds).map { i =>
-      s"list_min(list_transform(words, w -> md5(concat('$i:', w)))) AS h$i"
+      val off = if (i % 2 == 1) 1 else 17
+      s"list_min(list_transform(m${(i + 1) / 2}, h -> substr(h, $off, 16))) AS h$i"
     }.mkString(",\n  ")
     val bandSelects = (1 to nSeeds / 2).map { b =>
       s"SELECT doc_id, $b AS band, concat(h${2 * b - 1}, h${2 * b}) AS key FROM sig"
@@ -123,9 +137,12 @@ object Dedup {
        |  list_distinct([array_to_string(ws[i:i+2], ' ')
        |                 FOR i IN generate_series(1, len(ws) - 2)]) AS words
        |FROM w0),
+       |ms AS (SELECT doc_id,
+       |  $mExprs
+       |FROM docs),
        |sig AS (SELECT doc_id,
        |  $sigExprs
-       |FROM docs),
+       |FROM ms),
        |bands AS (
        |  $bandSelects)""".stripMargin
   }
