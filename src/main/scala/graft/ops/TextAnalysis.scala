@@ -17,16 +17,20 @@ object TextAnalysis {
     */
   def stats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = split($"text", " ")
+    // words and the distinct set tokenized/computed once per row (their
+    // own multi-referenced projection aliases), not once per reference
+    val words = $"__ws"
     val sumLen = aggregate(transform(words, w => length(w).cast("long")),
       lit(0L), (a, x) => a + x)
     Tables.t(s, dir, "documents")
+      .withColumn("__ws", split($"text", " "))
+      .withColumn("__wd", array_distinct($"__ws"))
       .select(
         $"doc_id", $"lang", $"source", $"n_chars",
         length($"text").cast("long").as("n_chars_calc"),
         size(words).cast("long").as("n_words"),
-        size(array_distinct(words)).cast("long").as("n_distinct"),
-        (size(array_distinct(words)).cast("double") / size(words)).as("ttr"),
+        size($"__wd").cast("long").as("n_distinct"),
+        (size($"__wd").cast("double") / size(words)).as("ttr"),
         (sumLen.cast("double") / size(words)).as("avg_word_len"))
       .orderBy($"doc_id")
   }
@@ -52,15 +56,19 @@ object TextAnalysis {
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = split($"text", " ")
+    val words = $"__ws"
     val hits = aggregate(
       transform(words, w => when(w.isin(enStop: _*), 1L).otherwise(0L)),
       lit(0L), (a, x) => a + x)
     Tables.t(s, dir, "documents")
+      .withColumn("__ws", split($"text", " "))
+      // the stopword fold itself is materialized once: en_ratio and the
+      // threshold both read it
+      .withColumn("__hits", hits)
       .select(
         $"doc_id", $"lang",
-        (hits.cast("double") / size(words)).as("en_ratio"),
-        when(hits.cast("double") / size(words) >= 0.08, "en")
+        ($"__hits".cast("double") / size(words)).as("en_ratio"),
+        when($"__hits".cast("double") / size(words) >= 0.08, "en")
           .otherwise("other").as("predicted"))
       .orderBy($"doc_id")
   }
@@ -84,7 +92,9 @@ object TextAnalysis {
     */
   def quality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = split($"text", " ")
+    // tokenization and both count folds materialized once per row;
+    // the two derived ratios and the blended score read the aliases
+    val words = $"__ws"
     val nw = size(words).cast("double")
     val stopHits = aggregate(
       transform(words, w => when(w.isin(enStop: _*), 1L).otherwise(0L)),
@@ -93,11 +103,13 @@ object TextAnalysis {
       transform(words, w => when(length(w) >= 6, 1L).otherwise(0L)),
       lit(0L), (a, x) => a + x).cast("double")
     val lenSat = least($"n_chars".cast("double") / 500.0, lit(1.0))
-    val score = lenSat * 0.4 + (stopHits / nw) * 0.3 + (longWords / nw) * 0.3
+    val score = $"len_sat" * 0.4 + $"stop_ratio" * 0.3 + $"long_ratio" * 0.3
     Tables.t(s, dir, "documents")
-      .select($"doc_id", lenSat.as("len_sat"),
-        (stopHits / nw).as("stop_ratio"),
-        (longWords / nw).as("long_ratio"),
+      .withColumn("__ws", split($"text", " "))
+      .withColumn("len_sat", lenSat)
+      .withColumn("stop_ratio", stopHits / nw)
+      .withColumn("long_ratio", longWords / nw)
+      .select($"doc_id", $"len_sat", $"stop_ratio", $"long_ratio",
         score.as("quality"),
         (score >= 0.2).as("keep"))
       .orderBy($"doc_id")

@@ -89,6 +89,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(progress == 3)
   }
 
+  test("streaming dedup runs on the RocksDB state store (state larger than memory)") {
+    // HDFS-backed (in-memory) state caps streaming state at executor
+    // heap; RocksDB spills to local disk, which is what makes
+    // 100 TB/day dedup state viable. Prove the pipeline runs on it and
+    // that the provider is really in effect via its metrics.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event](spark)
+      val name = s"mem_${System.nanoTime()}"
+      val q = StreamOps.dedup(mem.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(Seq(ev(1, "2024-01-01 00:01:00", 1, "click", 1.0)))
+        q.processAllAvailable()
+        mem.addData(Seq(ev(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+          ev(2, "2024-01-01 00:02:00", 1, "view", 2.0)))
+        q.processAllAvailable()
+        assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+        val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+        assert(metrics.toString.contains("rocksdb"),
+          s"expected rocksdb state metrics, got $metrics")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("checkpoint recovery: restart resumes from the committed offset, exactly-once") {
     val srcDir = tmpDir("graft-cp-src")
     val sinkDir = tmpDir("graft-cp-sink")
