@@ -42,6 +42,27 @@ object GraftExtensions {
         HammingDistance(children.head, children(1))
       }),
     (
+      new FunctionIdentifier("bridged_dot"),
+      new ExpressionInfo(classOf[BridgedDot].getCanonicalName, "bridged_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "bridged_dot(ARRAY<FLOAT>, ARRAY<FLOAT>)")
+        BridgedDot(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("dot64"),
+      new ExpressionInfo(classOf[Dot64].getCanonicalName, "dot64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot64(ARRAY<BIGINT>, ARRAY<BIGINT>)")
+        Dot64(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("sqdist64"),
+      new ExpressionInfo(classOf[SqDist64].getCanonicalName, "sqdist64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sqdist64(ARRAY<BIGINT>, ARRAY<BIGINT>)")
+        SqDist64(children.head, children(1))
+      }),
+    (
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getCanonicalName, "kmv_distinct"),
       (children: Seq[Expression]) => {

@@ -398,17 +398,19 @@ object Dedup {
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftExtensions.register(s)
     val e = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", $"label", $"embedding",
+      .select($"vec_id", $"label",
         Similarity.signBucket($"embedding", 6).as("bucket"),
-        Similarity.bridgedDot($"embedding", $"embedding").as("n2"))
+        Similarity.quantize1e4($"embedding").as("xq"))
+      .withColumn("n2", Similarity.dot64($"xq", $"xq"))
     val pairs = e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         Similarity.cosineFromDots(
-          Similarity.bridgedDot(col("a.embedding"), col("b.embedding")),
+          Similarity.dot64(col("a.xq"), col("b.xq")),
           col("a.n2"), col("b.n2")).as("cos"))
     pairs.orderBy($"cos".desc, $"v1", $"v2").limit(20)
   }
@@ -420,13 +422,12 @@ object Dedup {
     s"""WITH eb AS (SELECT vec_id, label, embedding, CAST($bucket AS BIGINT) AS bucket FROM embeddings),
        |e AS (SELECT vec_id, label, bucket, generate_subscripts(embedding, 1) AS i,
        |      unnest(embedding) AS x FROM eb),
-       |norms AS (SELECT vec_id,
-       |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS n2
-       |  FROM e GROUP BY 1),
+       |q AS (SELECT vec_id, label, bucket, i,
+       |      CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM e),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
        |pairs AS (
-       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-       |    CAST(SUM(CAST(round(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot
-       |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label AND a.bucket = b.bucket
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot
+       |  FROM q a JOIN q b ON a.i = b.i AND a.label = b.label AND a.bucket = b.bucket
        |    AND a.vec_id < b.vec_id
        |  GROUP BY 1, 2)
        |SELECT v1, v2,

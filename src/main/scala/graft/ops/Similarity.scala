@@ -14,14 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact scaled dot product of two float arrays: Σ round(a·b·1e8) as a
-    * long (zip_with + fold stays inside codegen; no explode, no shuffle).
+  /** Exact scaled dot product of two float arrays: Σ round(a·b·1e8) as
+    * a long, via the custom codegen expression
+    * [[graft.functions.BridgedDot]] (`bridged_dot`) — one fused
+    * primitive loop in whole-stage codegen instead of the interpreted
+    * zip_with+aggregate fold, with bit-identical values (same decimal
+    * HALF_UP rounding). Callers must have run
+    * `GraftExtensions.register`, which every catalog query using it
+    * does. No explode, no shuffle — pure map-side work.
     */
   def bridgedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * lit(1e8)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    call_function("bridged_dot", a, b)
+
+  /** Per-element 1e4 quantization of a float vector (round(x·1e4) as
+    * long). The similarity queries quantize each vector ONCE — N·dim
+    * decimal roundings — and then all N² pair work is [[dot64]]'s pure
+    * integer multiply-add: the product scale (1e4)² is the bridge's
+    * standard 1e8, so cosineFromDots is unchanged, and the oracle
+    * mirrors quantize-then-multiply exactly. (Rounding per PAIR instead
+    * — round(x·y·1e8) — costs N²·dim BigDecimal roundings, which
+    * dominated the whole scan.)
+    */
+  def quantize1e4(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * lit(1e4)).cast("long"))
+
+  /** Integer dot of two pre-quantized vectors (custom codegen
+    * expression [[graft.functions.Dot64]]).
+    */
+  def dot64(a: Column, b: Column): Column = call_function("dot64", a, b)
 
   /** cosine = (dot/1e8) / (√(na/1e8)·√(nb/1e8)) — all from exact longs,
     * expression shape mirrored exactly in the oracle SQL.
@@ -36,15 +56,16 @@ object Similarity {
     */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // norms precomputed per row (one fold each), NOT per pair — per-pair
-    // work is exactly one dot fold
+    graft.functions.GraftExtensions.register(s)
+    // quantize + norm once per row; per-pair work is one integer dot
     val e = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", bridgedDot($"embedding", $"embedding").as("n2"))
+      .select($"vec_id", quantize1e4($"embedding").as("xq"))
+      .withColumn("n2", dot64($"xq", $"xq"))
     val q = e.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n2".as("qn2"))
+      .select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2"))
     val scored = broadcast(q).join(e, $"qid" =!= $"vec_id")
       .select($"qid", $"vec_id".as("cid"),
-        cosineFromDots(bridgedDot($"qemb", $"embedding"), $"qn2", $"n2").as("cos"))
+        cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
@@ -54,13 +75,11 @@ object Similarity {
   private val bruteForceTopKSql =
     """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |           unnest(embedding) AS x FROM embeddings),
-      |norms AS (SELECT vec_id,
-      |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS n2
-      |  FROM e GROUP BY 1),
+      |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM e),
+      |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
       |dots AS (
-      |  SELECT a.vec_id AS qid, b.vec_id AS cid,
-      |    CAST(SUM(CAST(round(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot
-      |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+      |  SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot
+      |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
       |  GROUP BY 1, 2),
       |scored AS (
       |  SELECT qid, cid, (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
@@ -92,16 +111,18 @@ object Similarity {
     */
   def lshBucketed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftExtensions.register(s)
     val bits = 6
     val e = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", signBucket($"embedding", bits).as("bucket"),
-        bridgedDot($"embedding", $"embedding").as("n2"))
+      .select($"vec_id", signBucket($"embedding", bits).as("bucket"),
+        quantize1e4($"embedding").as("xq"))
+      .withColumn("n2", dot64($"xq", $"xq"))
     val q = e.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"bucket", $"n2".as("qn2"))
+      .select($"vec_id".as("qid"), $"xq".as("qxq"), $"bucket", $"n2".as("qn2"))
     val scored = broadcast(q).join(e, Seq("bucket"))
       .filter($"qid" =!= $"vec_id")
       .select($"qid", $"vec_id".as("cid"), $"bucket",
-        cosineFromDots(bridgedDot($"qemb", $"embedding"), $"qn2", $"n2").as("cos"))
+        cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
@@ -113,13 +134,12 @@ object Similarity {
     s"""WITH eb AS (SELECT vec_id, embedding, CAST($b AS BIGINT) AS bucket FROM embeddings),
        |e AS (SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
        |      unnest(embedding) AS x FROM eb),
-       |norms AS (SELECT vec_id,
-       |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS n2
-       |  FROM e GROUP BY 1),
+       |q AS (SELECT vec_id, bucket, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM e),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
        |dots AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS cid, a.bucket,
-       |    CAST(SUM(CAST(round(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot
-       |  FROM e a JOIN e b ON a.i = b.i AND a.bucket = b.bucket
+       |    CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot
+       |  FROM q a JOIN q b ON a.i = b.i AND a.bucket = b.bucket
        |    AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2, 3),
        |scored AS (
@@ -159,13 +179,15 @@ object Similarity {
     */
   def ivf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftExtensions.register(s)
     val base = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", $"embedding",
-        transform($"embedding", x => round(x.cast("double") * lit(1e4)).cast("long")).as("xq"),
-        bridgedDot($"embedding", $"embedding").as("n2"))
+      .select($"vec_id", quantize1e4($"embedding").as("xq"))
+      .withColumn("n2", dot64($"xq", $"xq"))
       .persist() // read by every k-means pass, the probes, and the rescore
-    def sqDist(xq: Column, cq: Column): Column =
-      aggregate(zip_with(xq, cq, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    // custom codegen expression: fused integer loop (see SqDist64)
+    def sqDist(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
+    // (rescore below is dot64 over the same quantized vectors — scale
+    // (1e4)^2 = 1e8, so cosineFromDots is unchanged)
     // nearest centroid per vector (exact integer L2, ties by cid)
     def assign(cents: DataFrame): DataFrame = {
       val scored = base.select($"vec_id", $"xq").crossJoin(broadcast(cents))
@@ -197,10 +219,10 @@ object Similarity {
     val cand = broadcast(probes).join(assigned, Seq("centroid"))
       .filter($"vec_id" =!= $"qid")
     val scored = cand
-      .join(base.select($"vec_id".as("qid"), $"embedding".as("qemb"), $"n2".as("qn2")), Seq("qid"))
-      .join(base.select($"vec_id", $"embedding", $"n2"), Seq("vec_id"))
+      .join(base.select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2")), Seq("qid"))
+      .join(base.select($"vec_id", $"xq", $"n2"), Seq("vec_id"))
       .select($"qid", $"vec_id".as("cid"), $"centroid",
-        cosineFromDots(bridgedDot($"qemb", $"embedding"), $"qn2", $"n2").as("cos"))
+        cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
     val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
     scored.withColumn("rank", row_number().over(wr).cast("long"))
       .filter($"rank" <= 3)
@@ -229,9 +251,7 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |           unnest(embedding) AS x FROM embeddings),
        |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM e),
-       |norms AS (SELECT vec_id,
-       |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS n2
-       |  FROM e GROUP BY 1),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
        |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $ivfK),
        |$iters,
        |d$fin AS (
@@ -251,11 +271,10 @@ object Similarity {
        |  SELECT p.qid, a.vec_id AS cid, p.centroid
        |  FROM probes p JOIN a$fin a ON p.centroid = a.centroid AND a.vec_id <> p.qid),
        |dots AS (
-       |  SELECT c.qid, c.cid, c.centroid,
-       |    CAST(SUM(CAST(round(CAST(ea.x AS DOUBLE) * CAST(eb.x AS DOUBLE) * 1e8) AS BIGINT)) AS BIGINT) AS dot
+       |  SELECT c.qid, c.cid, c.centroid, CAST(SUM(qa.xq * qb.xq) AS BIGINT) AS dot
        |  FROM cand c
-       |  JOIN e ea ON ea.vec_id = c.qid
-       |  JOIN e eb ON eb.vec_id = c.cid AND ea.i = eb.i
+       |  JOIN q qa ON qa.vec_id = c.qid
+       |  JOIN q qb ON qb.vec_id = c.cid AND qa.i = qb.i
        |  GROUP BY 1, 2, 3),
        |scored AS (
        |  SELECT qid, cid, centroid,
