@@ -38,13 +38,6 @@ object Dedup {
 
   private val nSeeds = 6 // 3 bands × 2 rows per band
 
-  /** MinHash + LSH banding: 6 seeded minhashes over the distinct 3-gram
-    * shingle set, 3 bands of 2; documents sharing any band key become
-    * candidate pairs. Shingles (not unigrams) so the feature space stays
-    * rich — the fixture's word pool is tiny and unigram sets saturate.
-    * Signature computation is per-row map-side work; the only shuffle
-    * carries (band, key, doc_id).
-    */
   /** Distinct 3-gram shingles from a words-array column, built with
     * zip_with over the array and its 1- and 2-shifted slices. Shape
     * matters: higher-order lambdas evaluate interpreted
@@ -104,9 +97,17 @@ object Dedup {
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
   }
 
+  /** MinHash + LSH banding: 6 minhashes over the distinct 3-gram
+    * shingle set (split digests, [[bandsDf]]), 3 bands of 2; documents
+    * sharing any band key become candidate pairs. Shingles (not
+    * unigrams) so the feature space stays rich — the fixture's word
+    * pool is tiny and unigram sets saturate. Signature computation is
+    * per-row map-side work; the only shuffle carries
+    * (band, key, doc_id).
+    */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // persist: bands is self-joined — without it the 6 md5 signature
+    // persist: bands is self-joined — without it the 3 md5 signature
     // passes over every shingle run twice
     val bands = bandsDf(s, dir).persist()
     bands.as("a")
@@ -154,10 +155,6 @@ object Dedup {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
 
-  /** 16-bit SimHash over word multiset; bit i = sign of the sum of ±1
-    * votes from the i-th hex digit of each word's md5. Docs sharing a
-    * simhash are near-dup clusters (n_same window count).
-    */
   /** md5 hex digest of every word, computed ONCE per word. The 16
     * bit-vote folds of [[simhashFromMd5s]] read these precomputed
     * digests instead of re-hashing — the naive inline form runs 16 md5
@@ -196,6 +193,10 @@ object Dedup {
       .withColumn("simhash", simhashFromMd5s(col("__md5s")))
       .drop("__md5s")
 
+  /** 16-bit SimHash over the word multiset; bit i = sign of the sum of
+    * ±1 votes from the i-th hex digit of each word's md5. Docs sharing
+    * a simhash are near-dup clusters (n_same window count).
+    */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     withSimhash(Tables.t(s, dir, "documents").select($"doc_id", $"text"))

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the embedding column (builder-prompt north
   * star). Baseline = brute-force cosine top-k; scale path = sign-LSH
   * bucketing (coarse quantization) so candidates shrink from N to
-  * N/2^bits per query. Dot products fold through the integer bridge —
-  * exact long accumulation, order-independent, bit-identical to the
-  * DuckDB oracle.
+  * N/2^bits per query, and an IVF index with a trained k-means
+  * codebook. All pair math goes through the quantize-once integer
+  * bridge: vectors become 1e4-scaled longs once, pair scores are the
+  * `dot64`/`sqdist64` codegen expressions — exact long accumulation,
+  * order-independent, bit-identical to the DuckDB oracle.
   */
 object Similarity {
 
