@@ -16,7 +16,7 @@ object ExplainAudit {
       "q1_pricing", "q5_multiway", "q_join_inner", "q_evt_tumbling",
       "q_sim_lsh_bucketed", "q_sim_topk", "q_sim_ivf",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash_hamming",
-      "q_dedup_jaccard", "q_dedup_embedding")
+      "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_clusters")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -49,6 +49,29 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.length > rows.length)
   }
 
+  test("dedupClusters collapses transitive near-dup chains to one canonical id") {
+    import spark.implicits._
+    val dir = tmpDir("dedup-cc").toString
+    // A≈B and B≈C share enough shingles to land in a common LSH band,
+    // but A and C need the TRANSITIVE step; doc 9 is unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$base one", "en"),
+      (2L, s"$base one two", "en"),
+      (3L, s"$base one two three", "en"),
+      (9L, "totally different words nothing shared here at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val clusterOf1 = out(1L)._1
+    // all three chained docs resolve to one component, canonical = min id
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(clusterOf1))
+    assert(clusterOf1 == 1L)
+    assert(out(1L)._2 >= 3) // cluster_size counts the whole component
+    assert(out(9L)._1 == 9L && out(9L)._2 == 1)
+  }
+
   test("pigeonhole blocks: every 16-bit pair at hamming <= 4 shares a block") {
     val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
     def blocks(v: Long): Seq[Long] =
