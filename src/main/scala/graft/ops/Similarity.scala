@@ -210,6 +210,10 @@ object Similarity {
     }
     var cents = base.filter($"vec_id" < ivfK).select($"vec_id".as("cid"), $"xq".as("cq"))
     for (_ <- 1 to ivfIters) cents = update(assign(cents))
+    // persist the trained codebook (≤16 tiny rows): the final list
+    // assignment AND the query probes both read it — without the cache
+    // each reference re-executes the whole training DAG
+    cents = cents.persist()
     val assigned = assign(cents)
     // probe the nprobe nearest inverted lists per query
     val qScored = base.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
