@@ -245,10 +245,12 @@ object Dedup {
     graft.functions.GraftExtensions.register(s)
     val sh = withSimhash(Tables.t(s, dir, "documents").select($"doc_id", $"text"))
       .select($"doc_id", $"simhash")
-    // distinct fingerprint values + multiplicity. NOT persisted despite
-    // three plan references: the rollup is a sub-second scan and the
-    // columnar cache build costs more than two recomputes (measured)
-    val vals = sh.groupBy($"simhash").agg(count(lit(1)).as("c"))
+    // distinct fingerprint values + multiplicity, persisted: three plan
+    // references (both block-join sides + the h=0 branch) would each
+    // re-run the full simhash projection whenever AQE fails to reuse
+    // the rollup exchange — measured as a 2-8s run-to-run swing; the
+    // ~1575-row cache makes the cost deterministic
+    val vals = sh.groupBy($"simhash").agg(count(lit(1)).as("c")).persist()
     val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3)) // (shift, width)
     val blocks = vals.select($"simhash", $"c",
       explode(array(blockDefs.zipWithIndex.map { case ((off, w), i) =>
