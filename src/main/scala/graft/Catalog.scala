@@ -32,7 +32,8 @@ object Catalog {
       ops.EventOps.entries ++
       ops.Dedup.entries ++
       ops.Similarity.entries ++
-      ops.TextAnalysis.entries
+      ops.TextAnalysis.entries ++
+      multimodal.Multimodal.entries
 
   lazy val byName: Map[String, CatalogEntry] =
     entries.map(e => e.name -> e).toMap

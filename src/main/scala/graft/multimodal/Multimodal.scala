@@ -101,4 +101,70 @@ object Multimodal {
       .withColumn("scaled_width", round(w * scale).cast("int"))
       .withColumn("scaled_height", round(h * scale).cast("int"))
   }
+
+  /** Media table derived from the documents fixture: the UTF-8 bytes of
+    * `text` become the opaque binary payload. The fixture text is pure
+    * ASCII (asserted by the oracle agreeing), so byte i of the payload
+    * equals `ascii(substr(text, i+1, 1))` — which lets the DuckDB gate
+    * verify the REAL binary pipeline (mapPartitions decode + frame
+    * sampling over actual payload bytes) value-for-value in SQL.
+    */
+  def mediaFromDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.t(s, dir, "documents").select(
+      $"doc_id".as("media_id"), lit("doc").as("kind"),
+      encode($"text", "UTF-8").as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"), lit(null).cast("long").as("duration_ms"))
+        .as("meta"))
+  }
+
+  /** Catalog query: run the real multimodal path — batch decode via
+    * [[extractFeatures]] (mapPartitions over binary payloads) and
+    * deterministic [[sampleFrames]] — and project the integral feature
+    * components as exact longs the oracle reproduces from the text.
+    * (The one non-integral feature, the byte mean, stays covered by
+    * MultimodalSpec — float32 division is not cross-engine exact.)
+    */
+  def featuresQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaFromDocs(s, dir)
+    val feats = extractFeatures(s, media).toDF()
+    val frames = sampleFrames(s, media, every = 2, chunk = 16)
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"), sum($"n_bytes").as("frames_bytes"))
+    feats
+      .select($"media_id", $"n_bytes",
+        element_at($"features", 3).cast("long").as("first_byte"),
+        element_at($"features", 4).cast("long").as("last_byte"),
+        element_at($"features", 5).cast("long").as("sum_mod"),
+        element_at($"features", 7).cast("long").as("n_mod"),
+        element_at($"features", 8).cast("long").as("mid_byte"))
+      .join(frames, Seq("media_id"))
+      .orderBy($"media_id")
+  }
+
+  private val featuresSql =
+    """WITH d AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+      |stats AS (SELECT media_id, n,
+      |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+      |  CAST(ascii(substr(text, n, 1)) AS BIGINT) AS last_byte,
+      |  CAST(list_sum([ascii(substr(text, i, 1)) FOR i IN generate_series(1, n)]) % 251 AS BIGINT) AS sum_mod,
+      |  CAST(n % 17 AS BIGINT) AS n_mod,
+      |  CAST(ascii(substr(text, n // 2 + 1, 1)) AS BIGINT) AS mid_byte
+      |FROM d),
+      |frames AS (SELECT media_id,
+      |  CAST(len(list_filter(generate_series(0, (n + 15) // 16 - 1), i -> i % 2 = 0)) AS BIGINT) AS n_frames,
+      |  CAST(list_sum(list_transform(
+      |        list_filter(generate_series(0, (n + 15) // 16 - 1), i -> i % 2 = 0),
+      |        i -> least(16, n - 16 * i))) AS BIGINT) AS frames_bytes
+      |FROM d)
+      |SELECT s.media_id, CAST(s.n AS BIGINT) AS n_bytes, first_byte, last_byte,
+      |  sum_mod, n_mod, mid_byte, n_frames, frames_bytes
+      |FROM stats s JOIN frames f ON s.media_id = f.media_id
+      |ORDER BY s.media_id""".stripMargin
+
+  def entries: Seq[graft.CatalogEntry] = Seq(
+    graft.CatalogEntry("q_multimodal_features", featuresQuery, Some(featuresSql)))
 }
