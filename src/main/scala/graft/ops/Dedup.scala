@@ -75,26 +75,36 @@ object Dedup {
     * (multi-referenced alias survives CollapseProject); the half-minima
     * fold over the bound arrays with cheap substrings.
     */
-  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    var withM = withShingles(
-      Tables.t(s, dir, "documents").select($"doc_id", $"text"), "shingles")
+  /** Band signatures for ANY (doc_id, text) DataFrame — map-side-only
+    * column work, so it runs unchanged on a STREAMING DataFrame: the
+    * stream-ingest dedup shape is bandsForDocs(stream) stream-static
+    * joined against the accumulated corpus band table (candidates),
+    * with exact verification downstream. StreamOpsSpec asserts
+    * batch/stream parity.
+    */
+  def bandsForDocs(docs: DataFrame): DataFrame = {
+    var withM = withShingles(docs.select(col("doc_id"), col("text")), "shingles")
     (1 to nSeeds / 2).foreach { i =>
       withM = withM.withColumn(s"__m$i",
-        transform($"shingles", w => md5(concat(lit(s"$i:"), w))))
+        transform(col("shingles"), w => md5(concat(lit(s"$i:"), w))))
     }
     val sigCols = (1 to nSeeds).map { i =>
       val m = col(s"__m${(i + 1) / 2}")
       val off = if (i % 2 == 1) 1 else 17
       array_min(transform(m, h => substring(h, off, 16))).as(s"h$i")
     }
-    val withSig = withM.select(($"doc_id" +: sigCols): _*)
+    val withSig = withM.select((col("doc_id") +: sigCols): _*)
     val bandStructs = (1 to nSeeds / 2).map { b =>
       struct(lit(b).as("band"), concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("key"))
     }
     withSig
-      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bandsForDocs(Tables.t(s, dir, "documents").select($"doc_id", $"text"))
   }
 
   /** MinHash + LSH banding: 6 minhashes over the distinct 3-gram

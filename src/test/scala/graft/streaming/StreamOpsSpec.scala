@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions.{broadcast, col}
 import java.sql.Timestamp
 
 /** Streaming tests (SURVEY.md §5.5): MemoryStream with events-schema
@@ -151,6 +152,51 @@ class StreamOpsSpec extends SparkSpec {
     run()
     val ids = spark.read.parquet(s"$sinkDir/out").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"expected exactly-once ids, got $ids")
+  }
+
+  test("stream-ingest dedup: band signatures match batch and find corpus candidates") {
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream => MS}
+    // the LSH band computation is map-side-only column work, so the SAME
+    // code runs on a stream; candidate pairs then come from a
+    // stream-static join against the accumulated corpus band table
+    val corpusRows = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "one two three four five six seven eight nine ten"))
+    val corpus = graft.ops.Dedup.bandsForDocs(corpusRows.toDF("doc_id", "text"))
+    val incoming = Seq(
+      (201L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 101
+      (202L, "completely novel content with no shared shingles wxyz abc"))
+    val mem = MS[(Long, String)](spark)
+    val streamBands = graft.ops.Dedup.bandsForDocs(
+      mem.toDF().toDF("doc_id", "text"))
+    val cand = streamBands.as("s")
+      .join(broadcast(corpus.as("c")),
+        col("s.band") === col("c.band") && col("s.key") === col("c.key"))
+      .select(col("s.doc_id").as("new_doc"), col("c.doc_id").as("dup_of"))
+    val name = s"mem_${System.nanoTime()}"
+    val q = cand.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(incoming)
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.sorted
+      assert(out.toSeq == Seq((201L, 101L)), s"got ${out.toSeq}")
+    } finally q.stop()
+    // parity: the streaming signatures are byte-identical to batch
+    val batchBands = graft.ops.Dedup.bandsForDocs(incoming.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val mem2 = MS[(Long, String)](spark)
+    val name2 = s"mem_${System.nanoTime()}"
+    val q2 = graft.ops.Dedup.bandsForDocs(mem2.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name2).outputMode(OutputMode.Append).start()
+    try {
+      mem2.addData(incoming)
+      q2.processAllAvailable()
+      val streamed = spark.table(name2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(streamed == batchBands)
+    } finally q2.stop()
   }
 
   test("complete output mode re-emits full aggregation state") {
