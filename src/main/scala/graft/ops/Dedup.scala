@@ -357,10 +357,11 @@ object Dedup {
       Tables.t(s, dir, "documents").select($"doc_id", $"lang", $"text"), "words")
       .select($"doc_id", $"lang", $"words")
     // df per (lang, shingle) via one window pass (shingles are distinct
-    // per doc, so count(*) = document frequency). NOT persisted despite
-    // three plan references: the window's shuffle is identical across
-    // all three, so AQE's ReuseExchange computes it once and the
-    // columnar-cache build it replaces costs more than it saves
+    // per doc, so count(*) = document frequency). Three plan references
+    // (both intersection sides + the per-doc sizes) share one exchange
+    // via ReuseExchange — measured reliably here (unlike the hamming
+    // union shape, which needed a persist); a columnar cache costs more
+    // than it saves at this row width
     val w = docs
       .select($"doc_id", $"lang", explode($"words").as("wd"))
       .withColumn("df", count(lit(1)).over(
@@ -489,6 +490,12 @@ object Dedup {
         .join(nbrMin, labels("doc_id") === nbrMin("d1"), "left")
         .select(labels("doc_id"),
           least($"label", coalesce($"nmin", $"label")).as("label"))
+      // each round references the previous labels twice (self +
+      // neighbor-min), so the uncut lineage re-executes 2^rounds times —
+      // cheap here (r=3, all inputs read from the cached pair table;
+      // measured faster than three per-round cache builds). A
+      // many-round 100 TB run would checkpoint each round to truncate
+      // both the recompute and the plan.
     }
     labels
       .withColumn("cluster_size", count(lit(1)).over(
