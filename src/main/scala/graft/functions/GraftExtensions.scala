@@ -63,6 +63,13 @@ object GraftExtensions {
         SqDist64(children.head, children(1))
       }),
     (
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64(ARRAY<STRING> words)")
+        SimHash64(children.head)
+      }),
+    (
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getCanonicalName, "kmv_distinct"),
       (children: Seq[Expression]) => {

@@ -165,26 +165,22 @@ object Dedup {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
 
-  /** md5 hex digest of every word, computed ONCE per word. The 16
-    * bit-vote folds of [[simhashFromMd5s]] read these precomputed
-    * digests instead of re-hashing — the naive inline form runs 16 md5
-    * passes per word, the dominant CPU term of the simhash pipeline at
-    * scale. Kept as its own projection alias ([[withSimhash]]):
-    * CollapseProject refuses to inline a non-cheap alias referenced 16
-    * times, so the plan materializes the digests per row exactly once.
+  /** md5 hex digest of every word, computed ONCE per word — the input
+    * of the HOF reference formulation [[simhashFromMd5s]], kept only
+    * for the bit-parity spec against the codegen `simhash64`.
     */
-  private def wordMd5s(text: Column): Column = transform(split(text, " "), w => md5(w))
+  private[graft] def wordMd5s(text: Column): Column = transform(split(text, " "), w => md5(w))
 
-  /** 16-bit SimHash from precomputed word digests; bit i = sign of the
+  /** HOF reference formulation of the 16-bit SimHash, superseded in
+    * the query path by the codegen `simhash64` expression
+    * ([[graft.functions.SimHash64]]) — kept (private to the repo) as
+    * the independently-derived formulation the parity spec checks the
+    * native expression against, bit for bit. Bit i = sign of the
     * summed ±1 votes from hex digit i of each digest (digit ≥ '8' ⇔
-    * its high bit is set — single lexicographic compare on lowercase
-    * hex). One fold over the digests with a 16-long accumulator array
-    * rather than 16 separate folds: higher-order lambdas run
-    * interpreted, so pass count is the cost driver. Captured lambda
-    * variables (`h` below) are slot reads, not re-evaluated
-    * expressions — safe to reference inside the inner lambda.
+    * its high bit is set). One fold with a 16-long accumulator; lambda
+    * variables are slot reads, safe to capture.
     */
-  def simhashFromMd5s(hashes: Column): Column = {
+  private[graft] def simhashFromMd5s(hashes: Column): Column = {
     val zeros = array((0 until 16).map(_ => lit(0L)): _*)
     val powers = array((0 until 16).map(i => lit(1L << i)): _*)
     val votes = aggregate(hashes, zeros,
@@ -195,13 +191,15 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Appends a `simhash` column (two-projection shape: digests once,
-    * then the 16 vote folds). Expects a `text` column.
+  /** Appends a `simhash` column via the native codegen `simhash64`
+    * expression — one fused md5+vote loop per row, no intermediate hex
+    * strings (the HOF shape ran 16 interpreted passes per row and was
+    * the #1 constant-factor cost of the dedup suite). Expects a `text`
+    * column; callers must have run `GraftExtensions.register` (both
+    * catalog queries do).
     */
   private[graft] def withSimhash(df: DataFrame): DataFrame =
-    df.withColumn("__md5s", wordMd5s(col("text")))
-      .withColumn("simhash", simhashFromMd5s(col("__md5s")))
-      .drop("__md5s")
+    df.withColumn("simhash", call_function("simhash64", split(col("text"), " ")))
 
   /** 16-bit SimHash over the word multiset; bit i = sign of the sum of
     * ±1 votes from the i-th hex digit of each word's md5. Docs sharing
@@ -209,6 +207,7 @@ object Dedup {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftExtensions.register(s)
     withSimhash(Tables.t(s, dir, "documents").select($"doc_id", $"text"))
       .select($"doc_id", $"simhash")
       .withColumn("n_same",
@@ -470,7 +469,15 @@ object Dedup {
     * one (edge ⋈ label) shuffle per round, labels never widen, fully
     * deterministic.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersRounds(s, dir, ccRounds)
+
+  /** [[dedupClusters]] with an explicit round count — the spec runs one
+    * EXTRA round and asserts the labels are already a fixpoint on the
+    * fixture, making the fixed-round truncation an audited property
+    * rather than a silent assumption.
+    */
+  private[graft] def dedupClustersRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     import s.implicits._
     val bands = bandsDf(s, dir).persist()
     val pairs = bands.as("a")
@@ -482,7 +489,7 @@ object Dedup {
       .persist()
     val edges = pairs.unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
     var labels = Tables.t(s, dir, "documents").select($"doc_id", $"doc_id".as("label"))
-    for (_ <- 1 to ccRounds) {
+    for (_ <- 1 to rounds) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("nid"), $"label".as("nlabel")), $"d2" === $"nid")
         .groupBy($"d1").agg(min($"nlabel").as("nmin"))
