@@ -13,7 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * — including Spark Round's decimal HALF_UP (the generated loop calls
   * the same `BigDecimal.valueOf(d).setScale(0, HALF_UP)` Spark's Round
   * uses for doubles, so values are bit-identical to the HOF form and to
-  * the DuckDB oracle's `round`) and including null semantics (length
+  * the DuckDB oracle's `round`; non-finite products take Round's
+  * pass-through path and then Java's double→long cast, exactly like the
+  * HOF's round().cast("long") on a NaN/±Inf) and including null
+  * semantics (length
   * mismatch or any null element → null, as null propagates through the
   * HOF fold). The win is mechanical: higher-order lambdas evaluate
   * interpreted (CodegenFallback) with per-element closure dispatch,
@@ -54,8 +57,14 @@ case class BridgedDot(left: Expression, right: Expression)
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e8
-      sum += java.math.BigDecimal.valueOf(p)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      // Spark's Round passes non-finite doubles through unchanged
+      // (BigDecimal.valueOf would throw on them); the cast-to-long then
+      // yields 0 for NaN and Long.Max/MinValue for ±Inf — mirror that so
+      // a NaN/Inf element behaves exactly like the HOF round().cast fold
+      sum +=
+        (if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) p.toLong
+         else java.math.BigDecimal.valueOf(p)
+           .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
       i += 1
     }
     sum
@@ -75,8 +84,10 @@ case class BridgedDot(left: Expression, right: Expression)
          |for (int $i = 0; !$bad && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1.0E8D;
-         |  $sum += java.math.BigDecimal.valueOf($p)
-         |    .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+         |  $sum += (Double.isNaN($p) || Double.isInfinite($p))
+         |    ? (long) $p
+         |    : java.math.BigDecimal.valueOf($p)
+         |        .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
          |}
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
        """.stripMargin

@@ -141,7 +141,14 @@ object Multimodal {
         element_at($"features", 5).cast("long").as("sum_mod"),
         element_at($"features", 7).cast("long").as("n_mod"),
         element_at($"features", 8).cast("long").as("mid_byte"))
-      .join(frames, Seq("media_id"))
+      // LEFT join: an empty payload produces no sampled frames at all,
+      // and an inner join would drop the media row entirely while the
+      // oracle still emits it with a zero frame count — coalesce both
+      // rollup columns to 0 so the empty-payload row is (0, 0) on both
+      // engines
+      .join(frames, Seq("media_id"), "left")
+      .withColumn("n_frames", coalesce($"n_frames", lit(0L)))
+      .withColumn("frames_bytes", coalesce($"frames_bytes", lit(0L)))
       .orderBy($"media_id")
   }
 
@@ -150,7 +157,7 @@ object Multimodal {
       |stats AS (SELECT media_id, n,
       |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
       |  CAST(ascii(substr(text, n, 1)) AS BIGINT) AS last_byte,
-      |  CAST(list_sum([ascii(substr(text, i, 1)) FOR i IN generate_series(1, n)]) % 251 AS BIGINT) AS sum_mod,
+      |  CAST(coalesce(list_sum([ascii(substr(text, i, 1)) FOR i IN generate_series(1, n)]) % 251, 0) AS BIGINT) AS sum_mod,
       |  CAST(n % 17 AS BIGINT) AS n_mod,
       |  CAST(ascii(substr(text, n // 2 + 1, 1)) AS BIGINT) AS mid_byte
       |FROM d),
@@ -161,8 +168,9 @@ object Multimodal {
       |        i -> least(16, n - 16 * i))) AS BIGINT) AS frames_bytes
       |FROM d)
       |SELECT s.media_id, CAST(s.n AS BIGINT) AS n_bytes, first_byte, last_byte,
-      |  sum_mod, n_mod, mid_byte, n_frames, frames_bytes
-      |FROM stats s JOIN frames f ON s.media_id = f.media_id
+      |  sum_mod, n_mod, mid_byte,
+      |  coalesce(n_frames, 0) AS n_frames, coalesce(frames_bytes, 0) AS frames_bytes
+      |FROM stats s LEFT JOIN frames f ON s.media_id = f.media_id
       |ORDER BY s.media_id""".stripMargin
 
   def entries: Seq[graft.CatalogEntry] = Seq(

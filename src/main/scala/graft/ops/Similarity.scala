@@ -179,7 +179,13 @@ object Similarity {
     * by (centroid, dim); probing broadcasts the query set and touches
     * nprobe/k of the corpus via the inverted-list equi-join.
     */
-  def ivf(s: SparkSession, dir: String): DataFrame = {
+  def ivf(s: SparkSession, dir: String): DataFrame = ivfWithNprobe(s, dir, ivfNprobe)
+
+  /** [[ivf]] with an explicit probe width — IvfSpec sweeps nprobe and
+    * asserts recall@3 vs brute force is monotonically non-decreasing,
+    * documenting the recall/cost curve instead of a single pinned point.
+    */
+  private[graft] def ivfWithNprobe(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
     val base = Tables.t(s, dir, "embeddings")
@@ -220,7 +226,7 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .select($"qid", $"cid", sqDist($"xq", $"cq").as("d"))
     val wp = Window.partitionBy($"qid").orderBy($"d".asc, $"cid".asc)
-    val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= ivfNprobe)
+    val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= nprobe)
       .select($"qid", $"cid".as("centroid"))
     val cand = broadcast(probes).join(assigned, Seq("centroid"))
       .filter($"vec_id" =!= $"qid")

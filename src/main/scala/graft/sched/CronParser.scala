@@ -5,11 +5,12 @@ import java.time.{Instant, ZoneOffset, ZonedDateTime}
 /** Cron next-run computation. The reference parses 5 fields but honors
   * only the minute field with exactly three cases — star, step ("star
   * slash N"), fixed M (scheduler/cron_parser.py:4-42; hour/day/month/
-  * weekday parsed and ignored). We keep those three per-field cases and
-  * honor ALL FIVE fields — a strict superset, pure function,
-  * property-tested. All fields are conjunctive (no POSIX dom/dow OR
-  * quirk); weekday 0 = Sunday. Step semantics are `value % N == 0` for
-  * every field, matching the reference's minute-step behavior.
+  * weekday parsed and ignored). We keep those per-field cases, add
+  * standard lists and ranges ("1,3,5", "1-5", "10-40/5"), and honor
+  * ALL FIVE fields — a strict superset, pure function, property-tested.
+  * All fields are conjunctive (no POSIX dom/dow OR quirk); weekday
+  * 0 = Sunday. Bare-step semantics are `value % N == 0` for every
+  * field, matching the reference's minute-step behavior.
   */
 object CronParser {
 
@@ -19,6 +20,18 @@ object CronParser {
   case object Any extends FieldSpec { def matches(v: Int) = true }
   final case class EveryN(n: Int) extends FieldSpec { def matches(v: Int) = v % n == 0 }
   final case class Fixed(m: Int) extends FieldSpec { def matches(v: Int) = v == m }
+  /** Lists and ranges ("1,3,5", "1-5", "10-40/5", or mixes) expand to an
+    * explicit value set at parse time — the value domains are tiny
+    * (≤ 60), so set membership is the whole match. Range-with-step uses
+    * standard cron offset-from-lo semantics (a, a+n, …, ≤ b); the bare
+    * "*&#47;n" form keeps the reference's `v % n == 0` semantics
+    * unchanged (scheduler/cron_parser.py:22-28).
+    */
+  final case class OneOf(values: Set[Int]) extends FieldSpec {
+    def matches(v: Int) = values.contains(v)
+  }
+
+  private val rangeStep = """(\d+)-(\d+)(?:/(\d+))?""".r
 
   def parseField(s: String, max: Int, min: Int = 0): FieldSpec = s match {
     case "*" => Any
@@ -26,6 +39,20 @@ object CronParser {
       val n = step.drop(2).toInt
       require(n > 0 && n <= max, s"step out of range: $s")
       EveryN(n)
+    case listOrRange if listOrRange.contains(",") || listOrRange.contains("-") =>
+      val values = listOrRange.split(",", -1).toIndexedSeq.flatMap {
+        case rangeStep(lo, hi, st) =>
+          val step = Option(st).map(_.toInt).getOrElse(1)
+          val (l, h) = (lo.toInt, hi.toInt)
+          require(step > 0, s"step out of range: $s")
+          require(l >= min && h <= max && l <= h, s"range out of bounds: $s")
+          l to h by step
+        case atom =>
+          val v = atom.toInt
+          require(v >= min && v <= max, s"value out of range: $s")
+          Seq(v)
+      }
+      OneOf(values.toSet)
     case fixed =>
       val m = fixed.toInt
       require(m >= min && m <= max, s"value out of range: $s")
@@ -60,10 +87,13 @@ object CronParser {
   /** Next instant strictly after `from` matching all five fields —
     * minute granularity, seconds zeroed (≅ cron_parser.py:12-13 basing
     * off now+1min with seconds stripped). Non-matching days are skipped
-    * whole (jump to next midnight), so the scan is O(days + 1440);
-    * the day guard covers the 28-year worst case of a
-    * (Feb 29, fixed-weekday) conjunction before declaring the spec
-    * unsatisfiable (e.g. "0 0 30 2 *").
+    * whole (jump to next midnight), so the scan is O(days + 1440). The
+    * day guard must cover the worst satisfiable gap before declaring a
+    * spec unsatisfiable (e.g. "0 0 30 2 *"): for a (Feb 29,
+    * fixed-weekday) conjunction the usual 28-year Gregorian cycle
+    * breaks across skipped century leap years — Feb 29 on a given
+    * weekday can be 40 years apart around 2100 (2096 → 2136 for a
+    * Wednesday) — so the guard is 41 years of days.
     */
   def nextRun(expr: String, from: Instant): Instant = {
     val spec = parse(expr)
@@ -74,7 +104,7 @@ object CronParser {
       if (!spec.dateMatches(t)) {
         t = t.plusDays(1).withHour(0).withMinute(0)
         dayGuard += 1
-        require(dayGuard <= 29 * 366, s"cron '$expr' never matches")
+        require(dayGuard <= 41 * 366, s"cron '$expr' never matches")
       } else if (!spec.timeMatches(t)) {
         t = t.plusMinutes(1)
         // a new day reached by minute stepping must re-check dateMatches

@@ -51,6 +51,24 @@ class BridgedVectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("bridged_dot non-finite elements: Round pass-through + double→long cast, no crash") {
+    register()
+    import spark.implicits._
+    // NaN product contributes (long) NaN = 0; ±Inf contribute
+    // Long.Max/MinValue — Spark Round's non-finite pass-through followed
+    // by Java's primitive double→long cast (BigDecimal.valueOf would
+    // throw NumberFormatException here)
+    val df = Seq(
+      (1L, Seq(Float.NaN, 1.0f), Seq(1.0f, 2.0f)),
+      (2L, Seq(Float.PositiveInfinity), Seq(1.0f)),
+      (3L, Seq(Float.NegativeInfinity), Seq(1.0f))).toDF("id", "a", "b")
+    val out = df.select($"id", call_function("bridged_dot", $"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 200000000L) // 0 + 2*1e8
+    assert(out(2L) == Long.MaxValue)
+    assert(out(3L) == Long.MinValue)
+  }
+
   test("null semantics: length mismatch or null element yields null") {
     register()
     import spark.implicits._

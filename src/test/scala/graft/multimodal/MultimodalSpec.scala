@@ -44,6 +44,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq == Seq((0L, 3L)))
   }
 
+  test("featuresQuery keeps empty-payload rows with a zero frame rollup") {
+    // an empty payload yields NO sampled frames; the catalog query must
+    // left-join + coalesce so the row survives with (0, 0) — matching
+    // the oracle, which always emits the row
+    val dir = tmpDir("mm-empty").toString
+    Seq((1L, ""), (2L, "hello world")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.featuresQuery(spark, dir)
+      .select("media_id", "n_bytes", "n_frames", "frames_bytes")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L, 2L), "empty-payload row dropped")
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L)._2 > 0)
+  }
+
   test("scaled metadata clamps the long side") {
     val out = Multimodal.withScaledMeta(mediaDf(), maxSide = 320)
       .select("media_id", "scaled_width", "scaled_height")

@@ -72,6 +72,19 @@ class DedupSpec extends SparkSpec {
     assert(out(9L)._1 == 9L && out(9L)._2 == 1)
   }
 
+  test("dedupClusters fixed rounds are a fixpoint on the fixture (round 4 changes nothing)") {
+    // ccRounds resolves components of diameter <= ccRounds; this audits
+    // the truncation on the real fixture graph instead of assuming it —
+    // if the LSH pair graph ever grows a longer chain, this goes red
+    val dir = "/root/testdata/sf0.001"
+    def labelMap(rounds: Int) =
+      Dedup.dedupClustersRounds(spark, dir, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val atN = labelMap(Dedup.ccRounds)
+    val atN1 = labelMap(Dedup.ccRounds + 1)
+    assert(atN == atN1, "an extra propagation round changed labels — chain longer than ccRounds")
+  }
+
   test("pigeonhole blocks: every 16-bit pair at hamming <= 4 shares a block") {
     val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
     def blocks(v: Long): Seq[Long] =

@@ -23,4 +23,25 @@ class IvfSpec extends SparkSpec {
     val recall = (ivf & bf).size.toDouble / bf.size
     assert(recall >= 0.3, f"recall@3 $recall%.2f below 0.3 — codebook not clustering")
   }
+
+  test("recall@3 is monotonically non-decreasing in nprobe (1, 2, 4)") {
+    // documents the recall/cost curve: widening the probe set can only
+    // add candidate lists, so recall must not drop — and by nprobe=4
+    // (a quarter of the k=16 codebook) it should be well clear of the
+    // nprobe=1 floor
+    val dir = "/root/testdata/sf0.01"
+    val bf = Similarity.bruteForceTopK(spark, dir)
+      .filter("rank <= 3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 4).map { np =>
+      val got = Similarity.ivfWithNprobe(spark, dir, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> (got & bf).size.toDouble / bf.size
+    }
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, f"recall dropped $r1%.2f@$np1 → $r2%.2f@$np2")
+    }
+    assert(recalls.last._2 > recalls.head._2,
+      s"recall flat across nprobe 1→4: $recalls — probes not adding lists")
+  }
 }
