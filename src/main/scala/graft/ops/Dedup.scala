@@ -449,6 +449,47 @@ object Dedup {
        |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
   }
 
+  /** Streaming-ingest LSH dedup, batch twin (gate-checkable form of the
+    * north-star "dedup documents as they arrive" shape): a micro-batch
+    * of arriving docs (doc_id % 20 == 0 stands in for the batch) is
+    * banded map-side and joined stream-static against the accumulated
+    * corpus band table; output = per new doc, every corpus near-dup
+    * candidate with the band-collision count (exact verification —
+    * jaccard/simhash rescore — composes downstream). The STREAMING
+    * variant runs the identical [[bandsForDocs]] on a readStream
+    * DataFrame (map-side-only column work, proven batch/stream
+    * equivalent in StreamOpsSpec) against the same static corpus table.
+    *
+    * At 100 TB: the corpus band table is the precomputed index
+    * (narrow (band, key, doc_id) rows, bucketable by key); each
+    * micro-batch shuffles only its own bands — the corpus never
+    * re-shuffles. Here the corpus bands are computed once and persisted,
+    * and the batch side is a FILTER of that cached table (banding is
+    * per-row, so filter-after-band ≡ band-after-filter), so the 3-md5
+    * signature pass runs once, not twice.
+    */
+  def streamLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = bandsDf(s, dir).persist()
+    val batch = corpus.filter($"doc_id" % 20 === 0)
+    batch.as("n")
+      .join(corpus.as("c"),
+        col("n.band") === col("c.band") && col("n.key") === col("c.key") &&
+          col("n.doc_id") =!= col("c.doc_id"))
+      .groupBy(col("n.doc_id").as("new_doc"), col("c.doc_id").as("dup_of"))
+      .agg(countDistinct(col("n.band")).as("n_bands"))
+      .orderBy($"new_doc", $"dup_of")
+  }
+
+  private val streamLshSql =
+    s"""WITH $bandsCteSql
+       |SELECT n.doc_id AS new_doc, c.doc_id AS dup_of,
+       |  COUNT(DISTINCT n.band) AS n_bands
+       |FROM bands n JOIN bands c
+       |  ON n.band = c.band AND n.key = c.key AND n.doc_id <> c.doc_id
+       |WHERE n.doc_id % 20 = 0
+       |GROUP BY 1, 2 ORDER BY new_doc, dup_of""".stripMargin
+
   /** Label-propagation rounds for [[dedupClusters]]. Fixed (not
     * run-to-fixpoint) so the oracle SQL can mirror the exact plan;
     * round r resolves components of diameter ≤ r, and near-dup
@@ -536,6 +577,7 @@ object Dedup {
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),
     CatalogEntry("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
+    CatalogEntry("q_dedup_stream_lsh", streamLsh, Some(streamLshSql)),
     CatalogEntry("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     CatalogEntry("q_dedup_simhash", simhash, Some(simhashSql)),
     CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.{Catalog, SparkSpec}
+
+/** Physical-plan audit for the heavy dedup/similarity/join queries —
+  * the scale properties PLANS.md documents in prose, asserted so a
+  * regression reintroducing an all-pairs join or un-pruning a scan
+  * goes red instead of rotting silently. Plans are compiled (not
+  * executed) at fixture scale; join-strategy choices for these shapes
+  * are static (the banded/blocked joins are equi-joins at every sf).
+  */
+class ExplainAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan must contain NO BroadcastNestedLoopJoin and no
+    * CartesianProduct: every dedup/similarity pipeline and the
+    * formerly-BNLJ banded range join.
+    */
+  private val noNestedLoop = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_stream_lsh",
+    "q_dedup_clusters", "q_dedup_simhash", "q_dedup_simhash_hamming",
+    "q_dedup_jaccard", "q_dedup_embedding", "q_sim_lsh_bucketed",
+    "q5_multiway", "q_join_range", "q_asof_join")
+
+  /** Allow-listed by design: the brute-force exact-rescore baseline
+    * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
+    * broadcast in k-means assignment is k·N map-side work by
+    * definition). Listed explicitly so adding a new BNLJ anywhere else
+    * is a conscious decision.
+    */
+  private val allowedNestedLoop = Seq("q_sim_topk", "q_sim_ivf")
+
+  private def planOf(name: String): String = {
+    val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
+    // queries persist intermediates while building; don't leak caches
+    // across audit cases
+    spark.sharedState.cacheManager.clearCache()
+    plan
+  }
+
+  noNestedLoop.foreach { name =>
+    test(s"$name: no BroadcastNestedLoopJoin, no CartesianProduct") {
+      val plan = planOf(name)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("allow-listed baselines still compile (BNLJ there is intentional)") {
+    allowedNestedLoop.foreach(name => planOf(name))
+  }
+
+  test("q_join_range joins hash-style on the band bucket") {
+    val plan = planOf("q_join_range")
+    assert(
+      Seq("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin")
+        .exists(plan.contains),
+      plan)
+  }
+
+  test("q1_pricing scan pushes its filter and prunes columns") {
+    val plan = planOf("q1_pricing")
+    // a FileSourceScan with a non-empty PushedFilters list
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+    // pruned read schema: the 16-column lineitem scan must not read all
+    // columns for the 7-column aggregate
+    assert(!plan.contains("l_comment"), "scan reads l_comment — pruning lost")
+  }
+}
