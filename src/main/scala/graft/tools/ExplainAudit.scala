@@ -13,9 +13,11 @@ object ExplainAudit {
     // query, so PLANS.md documents the shapes that matter at scale —
     // not just the flattering ones
     val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q1_pricing", "q5_multiway", "q_join_inner", "q_evt_tumbling",
+      "q1_pricing", "q5_multiway", "q_join_inner", "q_join_range",
+      "q_evt_tumbling",
       "q_sim_lsh_bucketed", "q_sim_topk", "q_sim_ivf",
-      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash_hamming",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_stream_lsh",
+      "q_dedup_simhash", "q_dedup_simhash_hamming",
       "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_clusters")
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-only fixture scale-up: replicates a driver-generated sf
+  * directory K× with per-replica transforms chosen so query WORK scales
+  * linearly instead of degenerating:
+  *
+  *  - every key column shifts by replica·stride, so joins and
+  *    grouping stay intra-replica (no cross-replica fan-out);
+  *  - document words get a per-replica suffix, so replica shingle
+  *    spaces are disjoint — the LSH/jaccard/simhash pair structure
+  *    becomes K independent copies of the source corpus rather than a
+  *    K²-quadratic pile of exact duplicates;
+  *  - embeddings apply a per-replica deterministic diagonal ±1 sign
+  *    flip (an orthogonal transform): intra-replica cosines/distances
+  *    are preserved EXACTLY, cross-replica vectors decorrelate, so ANN
+  *    work scales like real corpus growth;
+  *  - fixed-size dims (region, nation) copy unchanged.
+  *
+  * This measures CONSTANTS at 10× (the point of a larger-sf bench run);
+  * it is not a correctness fixture — the DuckDB gate stays on the
+  * driver-generated sf0.01.
+  *
+  * Usage: ScaleUp <srcSfDir> <outDir> <replicas>
+  */
+object ScaleUp {
+
+  private val stride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, repStr) = args
+    val reps = repStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS) (see Tables.t): read it as
+      // raw long nanos and write it back as plain INT64 — Tables.t's
+      // `ts div 1000` conversion handles both representations
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(table: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val all = (0 until reps).map(r => xform(base, r)).reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scaleup] $table x$reps")
+    }
+    def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * stride)))
+
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    replicate("customer")((df, r) => shift(df, r, "c_custkey"))
+    replicate("supplier")((df, r) => shift(df, r, "s_suppkey"))
+    replicate("part")((df, r) => shift(df, r, "p_partkey"))
+    replicate("orders")((df, r) => shift(df, r, "o_orderkey", "o_custkey"))
+    replicate("lineitem")((df, r) =>
+      shift(df, r, "l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events")((df, r) => shift(df, r, "event_id", "user_id"))
+    replicate("documents") { (df, r) =>
+      val tagged =
+        if (r == 0) df
+        else df.withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$r")))))
+      shift(tagged, r, "doc_id")
+    }
+    replicate("embeddings") { (df, r) =>
+      val flipped =
+        if (r == 0) df
+        else df.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(i, lit(r)), lit(2)) === 0, x).otherwise(negate(x))))
+      shift(flipped, r, "vec_id")
+    }
+    spark.stop()
+  }
+}
