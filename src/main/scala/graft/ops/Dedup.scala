@@ -125,7 +125,13 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(countDistinct(col("a.band")).as("n_bands"))
+      // count(*) ≡ COUNT(DISTINCT band) here: the band table has exactly
+      // one row per (doc, band), and the join matches on band equality,
+      // so each colliding band contributes exactly one row per pair — a
+      // plain count avoids the Expand + second shuffle a distinct
+      // aggregate plans. The oracle deliberately KEEPS count(DISTINCT):
+      // an independent formulation the gate checks the identity against.
+      .agg(count(lit(1)).as("n_bands"))
       .orderBy($"d1", $"d2")
   }
 
@@ -477,7 +483,10 @@ object Dedup {
         col("n.band") === col("c.band") && col("n.key") === col("c.key") &&
           col("n.doc_id") =!= col("c.doc_id"))
       .groupBy(col("n.doc_id").as("new_doc"), col("c.doc_id").as("dup_of"))
-      .agg(countDistinct(col("n.band")).as("n_bands"))
+      // count(*) ≡ COUNT(DISTINCT band): one band-table row per
+      // (doc, band) + band-equality join (see minhashLsh); oracle keeps
+      // the DISTINCT formulation as the independent check
+      .agg(count(lit(1)).as("n_bands"))
       .orderBy($"new_doc", $"dup_of")
   }
 
