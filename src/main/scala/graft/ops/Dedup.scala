@@ -366,7 +366,11 @@ object Dedup {
     // (both intersection sides + the per-doc sizes) share one exchange
     // via ReuseExchange — measured reliably here (unlike the hamming
     // union shape, which needed a persist); a columnar cache costs more
-    // than it saves at this row width
+    // than it saves at this row width. (Round 4 also MEASURED the
+    // aggregate + left-semi-join alternative, which avoids the window's
+    // per-partition sort: 7.8 s → 12.8 s at the 10× fixture — the semi
+    // join references the exploded table twice, so the shingle+explode
+    // projection runs twice, costing more than the sort saves.)
     val w = docs
       .select($"doc_id", $"lang", explode($"words").as("wd"))
       .withColumn("df", count(lit(1)).over(

@@ -51,6 +51,16 @@ class ExplainAuditSpec extends SparkSpec {
     allowedNestedLoop.foreach(name => planOf(name))
   }
 
+  test("LSH band joins plan no Expand (count, not distinct-count)") {
+    // (d1, d2, band) is structurally unique, so the band-collision count
+    // is a plain count — a distinct aggregate would reintroduce Expand
+    // plus a second shuffle over the pair table
+    Seq("q_dedup_minhash", "q_dedup_stream_lsh").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("Expand"), s"$name plans an Expand:\n$plan")
+    }
+  }
+
   test("q_join_range joins hash-style on the band bucket") {
     val plan = planOf("q_join_range")
     assert(
