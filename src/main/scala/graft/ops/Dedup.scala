@@ -565,7 +565,11 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  private val dedupClustersSql = {
+  /** Shared CTE chain ending in `l$ccRounds` = (doc_id, label) — the
+    * DuckDB twin of the label-propagation loop, used by both the
+    * cluster listing and the corpus-apply rollup.
+    */
+  private val clustersCteSql = {
     val rounds = (1 to ccRounds).map { r =>
       s"""l$r AS (
          |  SELECT l.doc_id, least(l.label, coalesce(m.nmin, l.label)) AS label
@@ -574,24 +578,67 @@ object Dedup {
          |    FROM edges e JOIN l${r - 1} x ON e.d2 = x.doc_id GROUP BY 1) m
          |  ON l.doc_id = m.d1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $bandsCteSql,
+    s"""$bandsCteSql,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
        |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val dedupClustersSql =
+    s"""WITH $clustersCteSql
        |SELECT doc_id, label AS cluster_id,
        |  COUNT(*) OVER (PARTITION BY label) AS cluster_size
        |FROM l$ccRounds ORDER BY doc_id""".stripMargin
+
+  /** End-to-end dedup APPLICATION — the stage that actually materializes
+    * the training corpus: resolve LSH clusters ([[dedupClusters]]),
+    * keep each cluster's canonical doc (min doc_id = its label), and
+    * roll up per language what survived: doc counts kept/dropped, bytes
+    * kept, kept fraction. The kept-fraction is one IEEE division of two
+    * exact longs — deterministic cross-engine. At 100 TB this is one
+    * (doc ⋈ label) join on the already-partitioned doc key plus a
+    * narrow per-lang rollup; the real pipeline would write `kept` rows
+    * back out as the deduped corpus (same plan minus the rollup).
+    */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cl = dedupClusters(s, dir).select($"doc_id", $"cluster_id")
+    val docs = Tables.t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+    docs.join(cl, Seq("doc_id"))
+      .withColumn("kept", ($"doc_id" === $"cluster_id").cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"kept").as("n_kept"),
+        (count(lit(1)) - sum($"kept")).as("n_dropped"),
+        sum($"kept" * $"n_chars").as("chars_kept"),
+        (sum($"kept").cast("double") / count(lit(1))).as("pct_kept"))
+      .orderBy($"lang")
   }
+
+  private val dedupApplySql =
+    s"""WITH $clustersCteSql,
+       |j AS (
+       |  SELECT d.lang, d.n_chars,
+       |    CASE WHEN l.doc_id = l.label THEN 1 ELSE 0 END AS kept
+       |  FROM documents d JOIN l$ccRounds l ON d.doc_id = l.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(kept * n_chars) AS BIGINT) AS chars_kept,
+       |  CAST(CAST(SUM(kept) AS BIGINT) AS DOUBLE) / COUNT(*) AS pct_kept
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),
     CatalogEntry("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     CatalogEntry("q_dedup_stream_lsh", streamLsh, Some(streamLshSql)),
     CatalogEntry("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    CatalogEntry("q_dedup_apply", dedupApply, Some(dedupApplySql)),
     CatalogEntry("q_dedup_simhash", simhash, Some(simhashSql)),
     CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
     CatalogEntry("q_dedup_jaccard", ngramJaccard, Some(ngramJaccardSql)),

@@ -201,7 +201,54 @@ object TextAnalysis {
       |  COUNT(*) OVER (PARTITION BY fp) AS n_same_fp
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF-style term ranking: top-3 terms per document by
+    * tf · N / df (inverse document frequency without the logarithm —
+    * log is monotone, so the RANKING is the classic TF-IDF ranking,
+    * while the score stays one exact integer product and ONE IEEE
+    * division, bit-identical across engines; ln() is libm-dependent
+    * and would not hash-match). Shuffle shape at 100 TB: one shuffle
+    * of exploded tokens to (doc, term) tf, one narrow shuffle of the
+    * tf table to per-term df (df counts tf ROWS — one row per
+    * (doc, term), so it IS the document frequency), a term-keyed join
+    * (df side is vocabulary-sized → broadcast/AQE), and a per-doc
+    * window for the top-k.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select($"doc_id", $"term", $"tf", $"df",
+        (($"tf" * $"n").cast("double") / $"df").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private val tfidfSql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term, tf, df, CAST(tf * n AS DOUBLE) / df AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_tfidf", tfidf, Some(tfidfSql)),
     CatalogEntry("q_text_stats", stats, Some(statsSql)),
     CatalogEntry("q_text_lang_id", langId, Some(langIdSql)),
     CatalogEntry("q_text_quality", quality, Some(qualitySql)),
