@@ -18,7 +18,8 @@ object ExplainAudit {
       "q_sim_lsh_bucketed", "q_sim_topk", "q_sim_ivf",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_stream_lsh",
       "q_dedup_simhash", "q_dedup_simhash_hamming",
-      "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_clusters")
+      "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_clusters",
+      "q_dedup_apply", "q_text_tfidf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
