@@ -66,16 +66,28 @@ object Dedup {
       .withColumn(out, shinglesFromWords(col("__ws")))
       .drop("__ws")
 
-  /** (doc_id, band, key) LSH band table shared by [[minhashLsh]] and
-    * [[dedupClusters]]. The 6 minhash functions are the two 16-hex-char
-    * halves of 3 seeded md5s (the standard split-one-hash trick): md5
-    * is the dominant per-shingle cost, so 3 digests instead of 6 halves
-    * the signature work, and the two halves of one md5 are independent
-    * uniform values. Each seeded digest array is materialized once
-    * (multi-referenced alias survives CollapseProject); the half-minima
-    * fold over the bound arrays with cheap substrings.
+  /** Number of seeded md5 digests the 6 minhash values are carved from:
+    * each 32-hex digest yields four 8-hex (32-bit) chunks (the standard
+    * split-one-hash trick, taken further than the earlier 2-half split
+    * after the 10× bench showed the seeded digest passes ARE the
+    * dominant cost of every band-based query) — 6 values need
+    * ⌈6/4⌉ = 2 digests instead of 3, cutting per-shingle md5 work by a
+    * third. Chunks of one md5 are independent uniform values; a 32-bit
+    * minhash is ample for banding (the band key concatenates two chunks
+    * → 64 bits).
     */
-  /** Band signatures for ANY (doc_id, text) DataFrame — map-side-only
+  private val nDigests = (nSeeds + 3) / 4
+
+  /** minhash i lives at (digest index, 1-based hex offset). */
+  private def sigPos(i: Int): (Int, Int) = ((i - 1) / 4 + 1, ((i - 1) % 4) * 8 + 1)
+
+  /** (doc_id, band, key) LSH band table shared by [[minhashLsh]],
+    * [[dedupClusters]] and [[streamLsh]]. Each seeded digest array is
+    * materialized once (multi-referenced alias survives
+    * CollapseProject); the chunk minima fold over the bound arrays with
+    * cheap substrings.
+    *
+    * Band signatures for ANY (doc_id, text) DataFrame — map-side-only
     * column work, so it runs unchanged on a STREAMING DataFrame: the
     * stream-ingest dedup shape is bandsForDocs(stream) stream-static
     * joined against the accumulated corpus band table (candidates),
@@ -84,14 +96,13 @@ object Dedup {
     */
   def bandsForDocs(docs: DataFrame): DataFrame = {
     var withM = withShingles(docs.select(col("doc_id"), col("text")), "shingles")
-    (1 to nSeeds / 2).foreach { i =>
+    (1 to nDigests).foreach { i =>
       withM = withM.withColumn(s"__m$i",
         transform(col("shingles"), w => md5(concat(lit(s"$i:"), w))))
     }
     val sigCols = (1 to nSeeds).map { i =>
-      val m = col(s"__m${(i + 1) / 2}")
-      val off = if (i % 2 == 1) 1 else 17
-      array_min(transform(m, h => substring(h, off, 16))).as(s"h$i")
+      val (d, off) = sigPos(i)
+      array_min(transform(col(s"__m$d"), h => substring(h, off, 8))).as(s"h$i")
     }
     val withSig = withM.select((col("doc_id") +: sigCols): _*)
     val bandStructs = (1 to nSeeds / 2).map { b =>
@@ -117,7 +128,7 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // persist: bands is self-joined — without it the 3 md5 signature
+    // persist: bands is self-joined — without it the seeded digest
     // passes over every shingle run twice
     val bands = bandsDf(s, dir).persist()
     bands.as("a")
@@ -139,12 +150,12 @@ object Dedup {
     * [[bandsDf]]).
     */
   private val bandsCteSql = {
-    val mExprs = (1 to nSeeds / 2).map { i =>
+    val mExprs = (1 to nDigests).map { i =>
       s"list_transform(words, w -> md5(concat('$i:', w))) AS m$i"
     }.mkString(",\n  ")
     val sigExprs = (1 to nSeeds).map { i =>
-      val off = if (i % 2 == 1) 1 else 17
-      s"list_min(list_transform(m${(i + 1) / 2}, h -> substr(h, $off, 16))) AS h$i"
+      val (d, off) = sigPos(i)
+      s"list_min(list_transform(m$d, h -> substr(h, $off, 8))) AS h$i"
     }.mkString(",\n  ")
     val bandSelects = (1 to nSeeds / 2).map { b =>
       s"SELECT doc_id, $b AS band, concat(h${2 * b - 1}, h${2 * b}) AS key FROM sig"
