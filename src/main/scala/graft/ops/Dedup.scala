@@ -377,11 +377,14 @@ object Dedup {
     // (both intersection sides + the per-doc sizes) share one exchange
     // via ReuseExchange — measured reliably here (unlike the hamming
     // union shape, which needed a persist); a columnar cache costs more
-    // than it saves at this row width. (Round 4 also MEASURED the
-    // aggregate + left-semi-join alternative, which avoids the window's
-    // per-partition sort: 7.8 s → 12.8 s at the 10× fixture — the semi
-    // join references the exploded table twice, so the shingle+explode
-    // projection runs twice, costing more than the sort saves.)
+    // than it saves at this row width. Two round-4 MEASURED negatives
+    // (steady-state, in-JVM repeats via graft.tools.QueryBench): (a) an
+    // aggregate + left-semi-join formulation avoiding the window's sort
+    // is 1.6× slower — the semi join references the exploded table
+    // twice, so the shingle projection runs twice; (b) hashing shingles
+    // to 8-hex tokens before the explode (narrower shuffle keys) is a
+    // wash — md5 cost offsets the width saving (2.2 vs 2.6 s min at the
+    // 10× fixture). Raw shingles + window stays.
     val w = docs
       .select($"doc_id", $"lang", explode($"words").as("wd"))
       .withColumn("df", count(lit(1)).over(
