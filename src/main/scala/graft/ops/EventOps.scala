@@ -126,7 +126,59 @@ object EventOps {
        |FROM events JOIN customer ON user_id = c_custkey
        |GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** Conversion funnel view → click → purchase per user: each stage's
+    * timestamp is the earliest qualifying event strictly AFTER the
+    * previous stage (the standard ordered-funnel semantics, not mere
+    * set membership). Three windowed conditional minima over the SAME
+    * user partitioning — Catalyst plans one exchange with stacked
+    * WindowExecs, so the whole funnel costs a single shuffle of the
+    * events table at any scale. The oracle replays the stages as three
+    * dependent aggregates, an independent formulation.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+      .withColumn("t_view",
+        min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t_click",
+        min(when($"event_type" === "click" && $"ts" > $"t_view", $"ts")).over(w))
+      .withColumn("t_purchase",
+        min(when($"event_type" === "purchase" && $"ts" > $"t_click", $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(min($"t_view").as("t_view"), min($"t_click").as("t_click"),
+        min($"t_purchase").as("t_purchase"))
+      .withColumn("funnel_stage",
+        when($"t_purchase".isNotNull, 3L).when($"t_click".isNotNull, 2L)
+          .when($"t_view".isNotNull, 1L).otherwise(0L))
+      .orderBy($"user_id")
+  }
+
+  private val funnelSql =
+    """WITH t1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      |  FROM events GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id,
+      |    min(CASE WHEN event_type = 'click' AND e.ts > t1.t_view THEN e.ts END) AS t_click
+      |  FROM events e JOIN t1 USING (user_id) GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id,
+      |    min(CASE WHEN event_type = 'purchase' AND e.ts > t2.t_click THEN e.ts END) AS t_purchase
+      |  FROM events e JOIN t2 USING (user_id) GROUP BY 1)
+      |SELECT t1.user_id,
+      |  CAST(t_view AS TIMESTAMP) AS t_view,
+      |  CAST(t_click AS TIMESTAMP) AS t_click,
+      |  CAST(t_purchase AS TIMESTAMP) AS t_purchase,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |            WHEN t_click IS NOT NULL THEN 2
+      |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
+      |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_funnel", funnel, Some(funnelSql)),
     CatalogEntry("q_evt_tumbling", tumbling, Some(tumblingSql)),
     CatalogEntry("q_evt_sliding", sliding, Some(slidingSql)),
     CatalogEntry("q_evt_session", sessionize, Some(sessionizeSql)),

@@ -137,7 +137,37 @@ object SetSortLimit {
   private val sampleOpSql =
     "SELECT TRUE AS n_in_bounds, TRUE AS seed_stable"
 
+  /** Stratified sampling with a fixed per-stratum quota — the
+    * domain-mixing primitive of a training-data pipeline ("k docs per
+    * language"), made fully deterministic and hence hash-comparable:
+    * the sample order is md5 of the doc id (a seeded-shuffle stand-in
+    * both engines compute identically), so the quota takes the same k
+    * pseudo-random docs everywhere. One shuffle on the stratum key +
+    * per-stratum top-k window; at 100 TB the rank-k cutoff pushes down
+    * as a WindowGroupLimit so each partition keeps k rows, not all.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source")
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter($"pick" <= k)
+      .orderBy($"lang", $"pick")
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT doc_id, lang, source, pick FROM (
+      |  SELECT doc_id, lang, source,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS pick
+      |  FROM documents) t
+      |WHERE pick <= 20 ORDER BY lang, pick""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sample_stratified", stratifiedSample, Some(stratifiedSampleSql)),
     CatalogEntry("q_orderby_multi", orderByMulti, Some(orderByMultiSql)),
     CatalogEntry("q_topk", topK, Some(topKSql)),
     CatalogEntry("q_union", unionOps, Some(unionOpsSql)),
