@@ -30,8 +30,11 @@ class SimHash64Spec extends SparkSpec {
   test("simhash64 edge shapes: empty text, single word, null array, null element") {
     register()
     import spark.implicits._
-    // split("", " ") yields [""], md5("") still votes — HOF and native must agree
-    val texts = Seq((1L, ""), (2L, "word"), (3L, "a a a b")).toDF("id", "text")
+    // split("", " ") yields [""], md5("") still votes — HOF and native must
+    // agree; row 4 forces multi-byte UTF-8 words (md5 hashes the UTF-8
+    // bytes on both paths)
+    val texts = Seq((1L, ""), (2L, "word"), (3L, "a a a b"),
+      (4L, "héllo wörld 你好 🙂")).toDF("id", "text")
     val t = texts.select($"id",
       call_function("simhash64", split($"text", " ")).as("fast"),
       Dedup.simhashFromMd5s(Dedup.wordMd5s($"text")).as("slow"))
