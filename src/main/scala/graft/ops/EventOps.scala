@@ -177,7 +177,35 @@ object EventOps {
       |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Click→purchase attribution: each purchase joined to the same
+    * user's clicks within the preceding 10 minutes — the batch twin of
+    * the watermarked stream-stream interval join
+    * (streaming.StreamOps.attributeClicks; StreamOpsSpec proves
+    * batch/stream parity). The plan is a hash/merge EQUI-join on
+    * user_id with the interval as a residual condition — state/fan-out
+    * bounded per user by the time range, never a nested loop.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    graft.streaming.StreamOps.attributeClicks(
+      e.filter($"event_type" === "click"),
+      e.filter($"event_type" === "purchase"), windowMinutes = 10)
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  private val attributionSql =
+    """SELECT p.user_id,
+      |  p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_attribution", attribution, Some(attributionSql)),
     CatalogEntry("q_evt_funnel", funnel, Some(funnelSql)),
     CatalogEntry("q_evt_tumbling", tumbling, Some(tumblingSql)),
     CatalogEntry("q_evt_sliding", sliding, Some(slidingSql)),

@@ -56,6 +56,32 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey))
 
+  /** Stream-stream inner join with watermarks on BOTH sides and an
+    * event-time interval condition — the attribution shape: each
+    * purchase joins the same user's clicks from the preceding
+    * `windowMinutes`. The interval bound + both watermarks are what let
+    * Spark evict buffered join state (without them a stream-stream join
+    * holds both streams forever); state is keyed by user and bounded by
+    * watermark + range, the 100 TB/day-viable shape. Batch twin with
+    * the DuckDB oracle: ops.EventOps.attribution (q_evt_attribution);
+    * StreamOpsSpec drives this one with MemoryStream and asserts parity
+    * with the batch twin.
+    */
+  def attributeClicks(clicks: DataFrame, purchases: DataFrame, windowMinutes: Int): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState with
     * event-time timeout — the escape hatch when session_window's
     * semantics aren't enough (emits a session only when it closes).

@@ -154,6 +154,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"expected exactly-once ids, got $ids")
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    // purchase at 00:15 attributes to clicks at 00:06..00:15 (within 10
+    // min, inclusive), NOT to the 00:01 click (too early) or 00:16
+    // (after the purchase); both sides are watermarked so join state is
+    // evictable — the only viable stream-stream shape at scale
+    val clicks = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    val joined = StreamOps.attributeClicks(clicks.toDF(), purchases.toDF(), 10)
+    val name = s"mem_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Seq(
+        ev(11, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(12, "2024-01-01 00:06:00", 1, "click", 1.0),
+        ev(13, "2024-01-01 00:15:00", 1, "click", 1.0),
+        ev(14, "2024-01-01 00:16:00", 1, "click", 1.0),
+        ev(15, "2024-01-01 00:10:00", 2, "click", 1.0))) // other user
+      purchases.addData(Seq(ev(21, "2024-01-01 00:15:00", 1, "purchase", 5.0)))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getLong(3))).sorted.toSeq
+      assert(got == Seq((21L, 12L), (21L, 13L)), s"got $got")
+
+      // batch parity: the same function on static frames (watermarks
+      // are no-ops in batch) yields the same pairs
+      val cb = Seq(
+        ev(11, "2024-01-01 00:01:00", 1, "click", 1.0),
+        ev(12, "2024-01-01 00:06:00", 1, "click", 1.0),
+        ev(13, "2024-01-01 00:15:00", 1, "click", 1.0),
+        ev(14, "2024-01-01 00:16:00", 1, "click", 1.0),
+        ev(15, "2024-01-01 00:10:00", 2, "click", 1.0)).toDF()
+      val pb = Seq(ev(21, "2024-01-01 00:15:00", 1, "purchase", 5.0)).toDF()
+      val batch = StreamOps.attributeClicks(cb, pb, 10)
+        .collect().map(r => (r.getLong(1), r.getLong(3))).sorted.toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("stream-ingest dedup: band signatures match batch and find corpus candidates") {
     import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream => MS}
     // the LSH band computation is map-side-only column work, so the SAME
