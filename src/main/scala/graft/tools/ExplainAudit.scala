@@ -19,7 +19,8 @@ object ExplainAudit {
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_stream_lsh",
       "q_dedup_simhash", "q_dedup_simhash_hamming",
       "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_clusters",
-      "q_dedup_apply", "q_text_tfidf")
+      "q_dedup_apply", "q_text_tfidf",
+      "q_evt_funnel", "q_evt_attribution", "q_sample_stratified")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
