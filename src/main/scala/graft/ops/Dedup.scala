@@ -426,6 +426,71 @@ object Dedup {
       |FROM inter JOIN n na ON d1 = na.doc_id JOIN n nb ON d2 = nb.doc_id
       |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
+  /** Benchmark decontamination — the eval-leakage check every training
+    * pipeline runs before a model ever sees the corpus: for a held-out
+    * benchmark set (doc_id % 100 == 0 stands in for it), rank corpus
+    * documents by how much of a benchmark document's df-capped 3-gram
+    * shingle set they cover. CONTAINMENT (|A∩B| / |A_bench|),
+    * not Jaccard — a small eval prompt embedded inside a long training
+    * document has low Jaccard but high containment, and containment is
+    * what leaks. Same bounded shapes as [[ngramJaccard]]: lang
+    * blocking, the [[jaccardDfCap]] df cap, shingle-keyed equi-join;
+    * the benchmark side is a filter of the same shingle table, so at
+    * 100 TB the corpus shuffles once on the shingle key and the
+    * benchmark side is comparatively tiny.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = withShingles(
+      Tables.t(s, dir, "documents").select($"doc_id", $"lang", $"text"), "words")
+      .select($"doc_id", $"lang", $"words")
+    val w = docs
+      .select($"doc_id", $"lang", explode($"words").as("wd"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"wd")))
+      .filter($"df" <= jaccardDfCap)
+      .select($"doc_id", $"lang", $"wd")
+    val bench = w.filter($"doc_id" % 100 === 0)
+    val nb = bench.groupBy($"doc_id".as("bench_doc")).agg(count(lit(1)).as("n_bench"))
+    val inter = bench.as("b")
+      .join(w.as("c"),
+        col("b.wd") === col("c.wd") && col("b.lang") === col("c.lang") &&
+          col("b.doc_id") =!= col("c.doc_id"))
+      .groupBy(col("b.doc_id").as("bench_doc"), col("c.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("ni"))
+    // top-20 by containment (a real run thresholds AND reports the top
+    // of the distribution; the fixture's random text makes any fixed
+    // threshold trivially empty, and an always-populated result is the
+    // stronger differential gate)
+    inter.join(nb, Seq("bench_doc"))
+      .select($"bench_doc", $"corpus_doc", $"ni",
+        ($"ni".cast("double") / $"n_bench").as("containment"))
+      .orderBy($"containment".desc, $"bench_doc", $"corpus_doc")
+      .limit(20)
+  }
+
+  private val contaminationSql =
+    s"""WITH w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |docs AS (SELECT doc_id, lang,
+       |  list_distinct([array_to_string(ws[i:i+2], ' ')
+       |                 FOR i IN generate_series(1, len(ws) - 2)]) AS words
+       |FROM w0),
+       |w_all AS (SELECT doc_id, lang, unnest(words) AS wd FROM docs),
+       |w AS (SELECT doc_id, lang, wd FROM (
+       |  SELECT doc_id, lang, wd, COUNT(*) OVER (PARTITION BY lang, wd) AS df
+       |  FROM w_all) t WHERE df <= $jaccardDfCap),
+       |bench AS (SELECT doc_id, lang, wd FROM w WHERE doc_id % 100 = 0),
+       |nb AS (SELECT doc_id AS bench_doc, COUNT(*) AS n_bench FROM bench GROUP BY 1),
+       |inter AS (
+       |  SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc, COUNT(*) AS ni
+       |  FROM bench b JOIN w c
+       |    ON b.wd = c.wd AND b.lang = c.lang AND b.doc_id <> c.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT bench_doc, corpus_doc, ni,
+       |  CAST(ni AS DOUBLE) / n_bench AS containment
+       |FROM inter JOIN nb USING (bench_doc)
+       |ORDER BY containment DESC, bench_doc, corpus_doc LIMIT 20""".stripMargin
+
   /** Embedding-cosine near-dup: top-20 candidate pairs by bridged
     * cosine, candidates = same label AND same 6-bit sign bucket (coarse
     * quantization). The bucket join is what bounds pairs at scale —
@@ -656,5 +721,6 @@ object Dedup {
     CatalogEntry("q_dedup_simhash", simhash, Some(simhashSql)),
     CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
     CatalogEntry("q_dedup_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    CatalogEntry("q_text_contamination", contamination, Some(contaminationSql)),
     CatalogEntry("q_dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)))
 }

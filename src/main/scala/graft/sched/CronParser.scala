@@ -92,8 +92,9 @@ object CronParser {
     * spec unsatisfiable (e.g. "0 0 30 2 *"): for a (Feb 29,
     * fixed-weekday) conjunction the usual 28-year Gregorian cycle
     * breaks across skipped century leap years — Feb 29 on a given
-    * weekday can be 40 years apart around 2100 (2096 → 2136 for a
-    * Wednesday) — so the guard is 41 years of days.
+    * weekday can be 40 years apart around 2100 (2076 → 2116 for a
+    * Saturday, the case CronParserSpec pins) — so the guard is 41
+    * years of days.
     */
   def nextRun(expr: String, from: Instant): Instant = {
     val spec = parse(expr)
