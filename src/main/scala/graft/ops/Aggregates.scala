@@ -341,7 +341,34 @@ object Aggregates {
       |  max(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Numeric histogram via width_bucket: order totals into 20 equal
+    * bins over [0, 600000) plus the under/overflow buckets — the
+    * standard distribution-profiling aggregate. Bucket ids are exact
+    * integers from one comparison ladder, identical cross-engine; one
+    * hash-aggregate shuffle on the bucket id.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select(width_bucket($"o_totalprice", lit(0.0), lit(600000.0), lit(20)).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
+  // DuckDB 1.0 has no width_bucket — the oracle spells out its
+  // definition (0 underflow, n+1 overflow, else floor((x-lo)/w)+1).
+  // Money values sit ≥ 3e-7 from any bucket boundary, far above double
+  // ulp, so the two formulations can't disagree on a bucket.
+  private val histogramSql =
+    """SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+      |                 WHEN o_totalprice >= 600000.0 THEN 21
+      |                 ELSE floor(o_totalprice / 30000.0) + 1 END AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_agg_histogram", histogram, Some(histogramSql)),
     CatalogEntry("q_agg_multi", multiAgg, Some(multiAggSql)),
     CatalogEntry("q_agg_argmax", argMax, Some(argMaxSql)),
     CatalogEntry("q_udaf_weighted_mean", udafWeightedMean, Some(udafWeightedMeanSql)),
