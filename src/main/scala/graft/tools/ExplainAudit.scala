@@ -18,7 +18,7 @@ object ExplainAudit {
       "q_sim_lsh_bucketed", "q_sim_topk", "q_sim_ivf",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_stream_lsh",
       "q_dedup_simhash", "q_dedup_simhash_hamming",
-      "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_clusters",
+      "q_dedup_jaccard", "q_text_contamination", "q_dedup_embedding", "q_dedup_clusters",
       "q_dedup_apply", "q_text_tfidf",
       "q_evt_funnel", "q_evt_attribution", "q_sample_stratified")
     val spark = SparkSession.builder()

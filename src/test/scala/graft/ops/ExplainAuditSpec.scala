@@ -20,7 +20,7 @@ class ExplainAuditSpec extends SparkSpec {
   private val noNestedLoop = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_stream_lsh",
     "q_dedup_clusters", "q_dedup_simhash", "q_dedup_simhash_hamming",
-    "q_dedup_jaccard", "q_dedup_embedding", "q_dedup_apply",
+    "q_dedup_jaccard", "q_text_contamination", "q_dedup_embedding", "q_dedup_apply",
     "q_sim_lsh_bucketed", "q5_multiway", "q_join_range", "q_asof_join",
     "q_evt_funnel", "q_evt_attribution", "q_sample_stratified")
 
