@@ -74,8 +74,9 @@ class ExplainAuditSpec extends SparkSpec {
     val plan = planOf("q1_pricing")
     // a FileSourceScan with a non-empty PushedFilters list
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
-    // pruned read schema: the 16-column lineitem scan must not read all
-    // columns for the 7-column aggregate
-    assert(!plan.contains("l_comment"), "scan reads l_comment — pruning lost")
+    // pruned read schema: the 11-column lineitem scan must not read the
+    // join keys the aggregate never touches
+    assert(!plan.contains("l_partkey"), "scan reads l_partkey — pruning lost")
+    assert(!plan.contains("l_orderkey"), "scan reads l_orderkey — pruning lost")
   }
 }
