@@ -86,6 +86,35 @@ object Aggregates {
       |  TRUE AS within_tol
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate quantiles (Spark's GK-style approx_percentile sketch)
+    * vs the exact median — completing the sketch family (HLL++
+    * distinct, KMV distinct, quantile). Mergeable constant-memory state
+    * per group vs exact percentile's full sort. Sketch internals are
+    * engine-specific, so like [[approxDistinct]] the emitted row is the
+    * exact value plus a `within_tol` boolean: accuracy 1000 bounds rank
+    * error at 0.1% of rows, so the approx median's VALUE lies between
+    * neighboring order statistics — a 2% relative band is generous for
+    * this price distribution and deterministic on both engines.
+    */
+  def approxPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_med"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+      .select($"l_returnflag",
+        round($"exact_med" * 100).cast("long").as("exact_med_cents"),
+        (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.02).as("within_tol"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val approxPercentileSql =
+    """SELECT l_returnflag,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS exact_med_cents,
+      |  TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** KMV distinct sketch (custom TypedImperativeAggregate,
     * graft.functions.KmvDistinct): constant k-longs memory per group vs
     * exact distinct's full key shuffle. Sketch hashing is
@@ -368,6 +397,7 @@ object Aggregates {
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_agg_approx_percentile", approxPercentile, Some(approxPercentileSql)),
     CatalogEntry("q_agg_histogram", histogram, Some(histogramSql)),
     CatalogEntry("q_agg_multi", multiAgg, Some(multiAggSql)),
     CatalogEntry("q_agg_argmax", argMax, Some(argMaxSql)),
