@@ -281,7 +281,39 @@ object Scalars {
       |    k := CAST(json_extract_string(props, '$.k') AS BIGINT)))::VARCHAR AS packed
       |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin
 
+  /** Bitwise scalar surface over integer keys: AND/OR/XOR, NOT, shifts,
+    * and popcount — exact integer ops, identical across engines. (The
+    * dedup pipeline leans on these — pigeonhole blocks, sign buckets,
+    * `hamming64` — so the raw SQL surface deserves its own gate row.)
+    */
+  def bitwiseFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        ($"o_orderkey".bitwiseAND(lit(255L))).as("and255"),
+        ($"o_orderkey".bitwiseOR(lit(4096L))).as("or4096"),
+        ($"o_orderkey".bitwiseXOR($"o_custkey")).as("xor_cust"),
+        bitwise_not($"o_orderkey").as("not_key"),
+        shiftleft($"o_orderkey", 3).as("shl3"),
+        shiftright($"o_orderkey", 2).as("shr2"),
+        bit_count($"o_orderkey").cast("long").as("pop"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val bitwiseFuncsSql =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS and255,
+      |  o_orderkey | 4096 AS or4096,
+      |  xor(o_orderkey, o_custkey) AS xor_cust,
+      |  ~o_orderkey AS not_key,
+      |  o_orderkey << 3 AS shl3,
+      |  o_orderkey >> 2 AS shr2,
+      |  CAST(bit_count(o_orderkey) AS BIGINT) AS pop
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_scalar_bitwise", bitwiseFuncs, Some(bitwiseFuncsSql)),
     CatalogEntry("q_scalar_string", stringFuncs, Some(stringFuncsSql)),
     CatalogEntry("q_scalar_date", dateFuncs, Some(dateFuncsSql)),
     CatalogEntry("q_scalar_math", mathFuncs, Some(mathFuncsSql)),

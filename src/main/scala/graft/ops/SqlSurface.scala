@@ -123,7 +123,27 @@ object SqlSurface {
       |    TIMESTAMP '1900-01-01 00:00:00')) AS date_n
       |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin
 
+  /** LATERAL correlated subquery — top-2 customers by balance per
+    * nation, the per-row dependent-subquery shape (Catalyst decorrelates
+    * the lateral LIMIT into a ranked window under the hood; DuckDB runs
+    * the same ANSI text verbatim). Distinct from q_sql_subquery_*: the
+    * lateral body returns ROWS per outer row, not one scalar.
+    */
+  def lateral(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "nation"); view(s, dir, "customer")
+    s.sql(lateralSql)
+  }
+
+  private val lateralSql =
+    """SELECT n_name, c.c_custkey, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) c
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_lateral", lateral, Some(lateralSql)),
     CatalogEntry("q_sql_cte", cte, Some(cteSql)),
     CatalogEntry("q_sql_subquery_in", subqueryIn, Some(subqueryInSql)),
     CatalogEntry("q_sql_subquery_scalar", subqueryScalar, Some(subqueryScalarSql)),
