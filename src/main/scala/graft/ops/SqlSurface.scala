@@ -142,7 +142,39 @@ object SqlSurface {
       |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) c
       |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
 
+  /** Date-spine gap filling — the time-series reporting pattern: a
+    * generated day spine (sequence + explode, a row GENERATOR not a
+    * table scan) left-joined to per-day order counts so days with no
+    * orders appear as explicit zeros. Deterministic ints; the oracle
+    * builds the same spine with generate_series.
+    */
+  def dateSpine(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "orders")
+    s.sql(
+      """WITH spine AS (
+        |  SELECT explode(sequence(DATE'1995-01-01', DATE'1995-03-31',
+        |                          INTERVAL 1 DAY)) AS day),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT s.day, coalesce(d.n, 0) AS n_orders
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY s.day""".stripMargin)
+  }
+
+  private val dateSpineSql =
+    """WITH spine AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT s.day, coalesce(d.n, 0) AS n_orders
+      |FROM spine s LEFT JOIN daily d ON s.day = d.day
+      |ORDER BY s.day""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_datespine", dateSpine, Some(dateSpineSql)),
     CatalogEntry("q_sql_lateral", lateral, Some(lateralSql)),
     CatalogEntry("q_sql_cte", cte, Some(cteSql)),
     CatalogEntry("q_sql_subquery_in", subqueryIn, Some(subqueryInSql)),

@@ -154,7 +154,33 @@ object Windows {
       |  FROM orders JOIN customer ON o_custkey = c_custkey) t
       |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
 
+  /** IGNORE NULLS analytics: per customer order sequence, carry forward
+    * the most recent BIG order total (nulls elsewhere) — the
+    * last-observation-carried-forward shape time-series fills use.
+    * Exact doubles (values pass through untouched), total ORDER BY.
+    */
+  def ignoreNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.t(s, dir, "orders")
+      .withColumn("big",
+        when($"o_totalprice" > 300000.0, $"o_totalprice"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        last($"big", ignoreNulls = true).over(w).as("prev_big"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val ignoreNullsSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  last_value(CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END IGNORE NULLS)
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_big
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_win_ignore_nulls", ignoreNulls, Some(ignoreNullsSql)),
     CatalogEntry("q_win_rank", ranking, Some(rankingSql)),
     CatalogEntry("q_win_analytic", analytic, Some(analyticSql)),
     CatalogEntry("q_win_frames", frames, Some(framesSql)),
