@@ -16,11 +16,15 @@ object Bench {
     // executions carry 2-10× of JIT + whole-stage-codegen compile cost,
     // which otherwise lands on whatever query iterates first. Warmup
     // data is sf0.001 so this costs a few seconds, untimed.
-    val warmupDir = "/root/testdata/sf0.001"
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir) // fall back to the bench fixture itself — warmup must never silently vanish
     Seq("q1_pricing", "q_win_rank", "q_dedup_minhash", "q_dedup_jaccard",
       "q_dedup_simhash_hamming", "q_sim_ivf", "q_evt_session").foreach { q =>
       try { SparkEntry.queries(q)(spark, warmupDir).count() }
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup query $q failed on $warmupDir: ${e.getMessage}")
+      }
     }
     spark.sharedState.cacheManager.clearCache()
     // two timed runs per query, report the min: repeat timing

@@ -104,14 +104,18 @@ object Aggregates {
         percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_med"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
       .select($"l_returnflag",
-        round($"exact_med" * 100).cast("long").as("exact_med_cents"),
+        // ×200, not ×100: an even-sized group's median is the midpoint of
+        // two 2-decimal prices, so ×100 can land exactly on a half-cent
+        // where a one-ulp lerp difference between engines flips round();
+        // ×200 is always within ulps of an INTEGER, making round() stable.
+        round($"exact_med" * 200).cast("long").as("exact_med_halfcents"),
         (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.02).as("within_tol"))
       .orderBy($"l_returnflag")
   }
 
   private val approxPercentileSql =
     """SELECT l_returnflag,
-      |  CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS exact_med_cents,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.5) * 200) AS BIGINT) AS exact_med_halfcents,
       |  TRUE AS within_tol
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -554,7 +554,7 @@ object Dedup {
     * micro-batch shuffles only its own bands — the corpus never
     * re-shuffles. Here the corpus bands are computed once and persisted,
     * and the batch side is a FILTER of that cached table (banding is
-    * per-row, so filter-after-band ≡ band-after-filter), so the 3-md5
+    * per-row, so filter-after-band ≡ band-after-filter), so the seeded-digest
     * signature pass runs once, not twice.
     */
   def streamLsh(s: SparkSession, dir: String): DataFrame = {
@@ -586,10 +586,10 @@ object Dedup {
     * run-to-fixpoint) so the oracle SQL can mirror the exact plan;
     * round r resolves components of diameter ≤ r, and near-dup
     * clusters are near-cliques (diameter ≲ 2), so 3 rounds is already
-    * conservative. A general-graph 100 TB variant would alternate
-    * large-star/small-star until a convergence counter stops changing
-    * — same per-round shape (one shuffle keyed by doc), data-dependent
-    * round count.
+    * conservative. For chain-shaped graphs (diameter ≫ 3) use
+    * [[connectedComponents]] — the iterate-until-stable variant with a
+    * convergence counter and per-round localCheckpoint; same per-round
+    * shape (one shuffle keyed by doc), data-dependent round count.
     */
   val ccRounds = 3
 
@@ -642,6 +642,55 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy($"label")))
       .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
       .orderBy($"doc_id")
+  }
+
+  /** General-graph connected components — the data-dependent-round
+    * variant the fixed-round [[dedupClusters]] docs promise: min-label
+    * propagation iterated UNTIL STABLE, with a per-round convergence
+    * counter instead of a hardcoded round count, so chain-shaped
+    * duplicate graphs (diameter ≫ 3) still resolve. Each round is the
+    * same single (edge ⋈ label) shuffle as [[dedupClustersRounds]];
+    * `localCheckpoint` after every round truncates the lineage that
+    * would otherwise re-execute 2^rounds times AND makes the
+    * changed-label count a cheap scan of materialized partitions.
+    * Converges in ≤ diameter rounds (min labels only ever shrink);
+    * `maxRounds` is a runaway guard, not a semantic bound.
+    *
+    * At 100 TB: per-round cost is one shuffle keyed by node id over the
+    * edge table; a production run would swap `localCheckpoint` for a
+    * reliable checkpoint dir and alternate large-star/small-star to cut
+    * the round count to O(log diameter) — same per-round plan shape.
+    *
+    * Input: `nodes` = (id: long), `edges` = (src: long, dst: long),
+    * undirected (symmetrized internally). Output: (id, label) with
+    * label = min node id of the component.
+    */
+  def connectedComponents(
+      s: SparkSession, nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    import s.implicits._
+    val sym = edges.select($"src", $"dst")
+      .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select($"id", $"id".as("label")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val nbrMin = sym
+        .join(labels.select($"id".as("nid"), $"label".as("nlabel")), $"dst" === $"nid")
+        .groupBy($"src").agg(min($"nlabel").as("nmin"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), labels("label").as("old_label"),
+          least(labels("label"), coalesce($"nmin", labels("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter($"label" < $"old_label").count()
+      labels = next.select($"id", $"label")
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    labels
   }
 
   /** Shared CTE chain ending in `l$ccRounds` = (doc_id, label) — the

@@ -33,10 +33,19 @@ object CronParser {
 
   private val rangeStep = """(\d+)-(\d+)(?:/(\d+))?""".r
 
+  /** One error contract for every malformed field: non-numeric atoms
+    * ("1,,3", "1,*", "a-b") fail via require with the field text, same
+    * as out-of-range values, never via NumberFormatException.
+    */
+  private def atomToInt(atom: String, field: String): Int = {
+    require(atom.nonEmpty && atom.forall(_.isDigit), s"bad cron atom in: $field")
+    atom.toInt
+  }
+
   def parseField(s: String, max: Int, min: Int = 0): FieldSpec = s match {
     case "*" => Any
     case step if step.startsWith("*/") =>
-      val n = step.drop(2).toInt
+      val n = atomToInt(step.drop(2), s)
       require(n > 0 && n <= max, s"step out of range: $s")
       EveryN(n)
     case listOrRange if listOrRange.contains(",") || listOrRange.contains("-") =>
@@ -48,13 +57,13 @@ object CronParser {
           require(l >= min && h <= max && l <= h, s"range out of bounds: $s")
           l to h by step
         case atom =>
-          val v = atom.toInt
+          val v = atomToInt(atom, s)
           require(v >= min && v <= max, s"value out of range: $s")
           Seq(v)
       }
       OneOf(values.toSet)
     case fixed =>
-      val m = fixed.toInt
+      val m = atomToInt(fixed, s)
       require(m >= min && m <= max, s"value out of range: $s")
       Fixed(m)
   }

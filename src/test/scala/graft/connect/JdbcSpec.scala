@@ -61,4 +61,23 @@ class JdbcSpec extends SparkSpec {
       conn.copy(options = conn.options + ("url" -> s"jdbc:derby:$dir/nonexistent")))
     assert(!bad && badMsg.nonEmpty)
   }
+
+  test("jdbc predicate and column pushdown reach the source scan") {
+    val dir = tmpDir("graft-derby3").toString
+    val conn = derbyConn(dir)
+    val df = (1L to 100L).map(i => (i, s"t$i", i * 2.0)).toDF("id", "tag", "v")
+    Sources.write(df, conn, LoadStep("w", 1, "db", table = Some("T3"), mode = "append",
+      options = Map("createTableColumnTypes" -> "tag VARCHAR(10)")))
+    val ext = Sources.read(spark, conn, ExtractStep("r", 1, "db", table = Some("T3")))
+    val q = ext.filter($"id" > 50L).select($"id")
+    val plan = q.queryExecution.executedPlan.toString
+    // the filter must be compiled into the source query (JDBCRelation
+    // PushedFilters), not evaluated Spark-side after a full fetch —
+    // at 100 TB-source scale this is the difference between shipping
+    // 50 rows and shipping the table
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(id,50)"), plan)
+    // and the scan must read only the projected column, not tag/v
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+    assert(q.count() == 50)
+  }
 }

@@ -85,6 +85,24 @@ class DedupSpec extends SparkSpec {
     assert(atN == atN1, "an extra propagation round changed labels — chain longer than ccRounds")
   }
 
+  test("connectedComponents resolves a 6-link chain (diameter > ccRounds) to one component") {
+    import spark.implicits._
+    // 1-2-3-4-5-6-7 chain: fixed 3-round propagation CANNOT fully
+    // resolve this (diameter 6), the convergence-counter variant must
+    val nodes = (1L to 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (8L, 9L)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(spark, nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(labels(_) == 1L), s"chain not fully resolved: $labels")
+    assert(labels(8L) == 8L && labels(9L) == 8L)
+    // and it agrees with the fixed-round variant's semantics on a clique
+    val cliqueEdges = Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val clique = Dedup.connectedComponents(spark, Seq(10L, 11L, 12L).toDF("id"), cliqueEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clique.values.toSet == Set(10L))
+  }
+
   test("pigeonhole blocks: every 16-bit pair at hamming <= 4 shares a block") {
     val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
     def blocks(v: Long): Seq[Long] =

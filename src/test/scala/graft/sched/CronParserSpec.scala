@@ -38,7 +38,7 @@ class CronParserSpec extends AnyFunSuite {
   test("invalid specs rejected") {
     intercept[IllegalArgumentException](CronParser.nextRun("61", t0))
     intercept[IllegalArgumentException](CronParser.nextRun("*/0", t0))
-    intercept[NumberFormatException](CronParser.nextRun("abc", t0))
+    intercept[IllegalArgumentException](CronParser.nextRun("abc", t0))
     intercept[IllegalArgumentException](CronParser.nextRun("0 0 0 * *", t0)) // dom min 1
     intercept[IllegalArgumentException](CronParser.nextRun("0 0 1 13 *", t0)) // month max 12
     intercept[IllegalArgumentException](CronParser.nextRun("0 0 1 1 7", t0)) // dow max 6
@@ -96,7 +96,8 @@ class CronParserSpec extends AnyFunSuite {
   test("list/range validation") {
     intercept[IllegalArgumentException](CronParser.nextRun("5-70 * * * *", t0)) // out of bounds
     intercept[IllegalArgumentException](CronParser.nextRun("40-20 * * * *", t0)) // inverted
-    intercept[NumberFormatException](CronParser.nextRun("1,,3 * * * *", t0)) // empty atom
+    intercept[IllegalArgumentException](CronParser.nextRun("1,,3 * * * *", t0)) // empty atom
+    intercept[IllegalArgumentException](CronParser.nextRun("1,* * * * *", t0)) // star in list
     intercept[IllegalArgumentException](CronParser.nextRun("0 0 1 1 0-7", t0)) // dow max 6
   }
 
