@@ -185,7 +185,18 @@ object Similarity {
     * asserts recall@3 vs brute force is monotonically non-decreasing,
     * documenting the recall/cost curve instead of a single pinned point.
     */
-  private[graft] def ivfWithNprobe(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private[graft] def ivfWithNprobe(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfWithParams(s, dir, ivfK, ivfIters, nprobe)
+
+  /** Fully parameterized IVF — codebook size and refinement rounds are
+    * deployment knobs (k=16 is fixture scale; a 100 TB corpus wants
+    * k ≈ √N lists so each probe touches ~nprobe·N/k vectors). The
+    * catalog query pins (k=16, iters=2) so the DuckDB oracle's unrolled
+    * k-means CTE stays its exact twin; IvfSpec and graft.tools.IvfSweep
+    * exercise larger k through this entry point.
+    */
+  private[graft] def ivfWithParams(
+      s: SparkSession, dir: String, k: Int, iters: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
     val base = Tables.t(s, dir, "embeddings")
@@ -214,8 +225,8 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct($"pos", $"cq1"))), p => p("cq1")).as("cq"))
         .select($"centroid".as("cid"), $"cq")
     }
-    var cents = base.filter($"vec_id" < ivfK).select($"vec_id".as("cid"), $"xq".as("cq"))
-    for (_ <- 1 to ivfIters) cents = update(assign(cents))
+    var cents = base.filter($"vec_id" < k).select($"vec_id".as("cid"), $"xq".as("cq"))
+    for (_ <- 1 to iters) cents = update(assign(cents))
     // persist the trained codebook (≤16 tiny rows): the final list
     // assignment AND the query probes both read it — without the cache
     // each reference re-executes the whole training DAG

@@ -23,14 +23,26 @@ import org.apache.spark.sql.functions._
   * it is not a correctness fixture — the DuckDB gate stays on the
   * driver-generated sf0.01.
   *
-  * Usage: ScaleUp <srcSfDir> <outDir> <replicas>
+  * Skew mode (optional 4th arg, percent): real event logs are zipfian,
+  * not uniform — `skewPct` routes that percentage of each replica's
+  * `events` rows to ONE hot user (`r·stride + 1`, a key that exists in
+  * customer so enrichment joins still match). Selection is
+  * `hash(event_id) % 100 < skewPct` — deterministic, and the hot rows
+  * keep their original timestamps/types so per-user work is real. Only
+  * `events` is skewed; every other table is identical to the benign
+  * fixture, isolating the skew variable for A/B benchmarks.
+  *
+  * Usage: ScaleUp <srcSfDir> <outDir> <replicas> [skewPct=0]
   */
 object ScaleUp {
 
   private val stride = 100000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, repStr) = args
+    val (src, out, repStr, skewPct) = args match {
+      case Array(a, b, c) => (a, b, c, 0)
+      case Array(a, b, c, d) => (a, b, c, d.toInt)
+    }
     val reps = repStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -64,7 +76,13 @@ object ScaleUp {
     replicate("orders")((df, r) => shift(df, r, "o_orderkey", "o_custkey"))
     replicate("lineitem")((df, r) =>
       shift(df, r, "l_orderkey", "l_partkey", "l_suppkey"))
-    replicate("events")((df, r) => shift(df, r, "event_id", "user_id"))
+    replicate("events") { (df, r) =>
+      val shifted = shift(df, r, "event_id", "user_id")
+      if (skewPct <= 0) shifted
+      else shifted.withColumn("user_id",
+        when(pmod(hash(col("event_id")), lit(100)) < lit(skewPct),
+          lit(r * stride + 1L)).otherwise(col("user_id")))
+    }
     replicate("documents") { (df, r) =>
       val tagged =
         if (r == 0) df

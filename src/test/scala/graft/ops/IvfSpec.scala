@@ -44,4 +44,25 @@ class IvfSpec extends SparkSpec {
     assert(recalls.last._2 > recalls.head._2,
       s"recall flat across nprobe 1→4: $recalls — probes not adding lists")
   }
+
+  test("k=64 codebook at the same probed fraction keeps the k=16 recall floor") {
+    // deployment-scale knob check: 4× more (finer) lists probed at the
+    // same corpus fraction (nprobe/k = 1/8) must not collapse recall —
+    // finer partitioning narrows each list without losing the near
+    // neighbors the coarse codebook found
+    val dir = "/root/testdata/sf0.01"
+    val bf = Similarity.bruteForceTopK(spark, dir)
+      .filter("rank <= 3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarse = Similarity.ivfWithParams(spark, dir, 16, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fine = Similarity.ivfWithParams(spark, dir, 64, 2, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rCoarse = (coarse & bf).size.toDouble / bf.size
+    val rFine = (fine & bf).size.toDouble / bf.size
+    info(f"recall@3 k=16/np=2: $rCoarse%.2f  k=64/np=8: $rFine%.2f")
+    assert(rFine >= rCoarse,
+      f"finer codebook lost recall: $rFine%.2f < $rCoarse%.2f at the same probed fraction")
+    assert(rFine >= 0.3, f"k=64 recall $rFine%.2f below the 0.3 floor")
+  }
 }

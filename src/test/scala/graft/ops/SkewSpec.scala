@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.{Catalog, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Skew behavior, asserted — the runtime half of the scale story that
+  * ExplainAuditSpec's static plan pins can't see. Real event logs are
+  * zipfian; the two defenses are AQE's runtime skew-split (for shuffle
+  * joins) and the static salted join (SaltedJoin). This spec proves the
+  * first actually ENGAGES (skew=true in the final adaptive plan, with
+  * results unchanged) and pins the exchange budget of the
+  * funnel/attribution pipelines, whose windowed shapes AQE cannot
+  * split — their skew bound is the per-user work itself, measured on
+  * the hot-key ScaleUp fixture (PLANS.md "skew stress").
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the hot partition of a skewed shuffle join (skew=true, results exact)") {
+    // one hot key carrying 200k rows vs 50 cold keys — the shape the
+    // hot-key ScaleUp fixture produces at 10×. Thresholds lowered to
+    // fixture scale (the defaults are tuned for 256 MB partitions);
+    // broadcast disabled so the join actually shuffles, as it would
+    // when both sides are 100 TB-large.
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val hot = spark.range(200000).select(lit(1L).as("k"), $"id".as("v"))
+      val cold = spark.range(50).select(($"id" + 2L).as("k"), $"id".as("v"))
+      val right = spark.range(60).select(($"id" + 1L).as("k"), ($"id" * 2L).as("w"))
+      val joined = hot.unionAll(cold).join(right, "k")
+      val n = joined.count()
+      assert(n == 200050L)
+      val agg = joined.groupBy().agg(sum($"v")).as[Long].head()
+      // exact sum: skew-split must not lose or duplicate hot-key rows
+      assert(agg == 200000L * 199999L / 2 + (0L to 49L).sum)
+      // the executed join must carry the skew=true marker — AQE detected
+      // the hot partition and split it into advisory-sized chunks
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew-split did not engage:\n$plan")
+    }
+  }
+
+  test("funnel plans exactly one hash exchange (stacked windows + agg share the user_id shuffle)") {
+    val plan = Catalog.byName("q_evt_funnel").fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache()
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"funnel should shuffle events ONCE on user_id:\n$plan")
+  }
+
+  test("attribution plans one hash exchange per join side and no nested loop") {
+    val plan = Catalog.byName("q_evt_attribution").fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache()
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 2, s"attribution equi-join needs at most one exchange per side:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+}
