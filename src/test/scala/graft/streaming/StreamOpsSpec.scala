@@ -154,6 +154,58 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"expected exactly-once ids, got $ids")
   }
 
+  test("interval-join checkpoint restart: RocksDB join state survives, no lost/dup attributions") {
+    // the fault-tolerance case the plain checkpoint test doesn't cover:
+    // stream-STREAM join state (buffered clicks awaiting purchases) must
+    // be restored from the checkpoint, so a click ingested BEFORE the
+    // restart attributes a purchase arriving AFTER it — and committed
+    // offsets + the parquet sink log keep pre-restart pairs exactly-once
+    val srcDir = tmpDir("graft-ij-src")
+    val sinkDir = tmpDir("graft-ij-sink")
+    val cpDir = tmpDir("graft-ij-cp")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+        val clicks = spark.readStream.schema(schema).parquet(s"$srcDir/clicks")
+        val purchases = spark.readStream.schema(schema).parquet(s"$srcDir/purchases")
+        val q = StreamOps.attributeClicks(clicks, purchases, 10)
+          .writeStream.format("parquet")
+          .option("path", s"$sinkDir/out")
+          .option("checkpointLocation", s"$cpDir/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      Seq(ev(11, "2024-01-01 00:05:00", 1, "click", 1.0))
+        .toDF().write.mode("append").parquet(s"$srcDir/clicks")
+      Seq(ev(21, "2024-01-01 00:06:00", 1, "purchase", 5.0))
+        .toDF().write.mode("append").parquet(s"$srcDir/purchases")
+      run()
+      val afterFirst = spark.read.parquet(s"$sinkDir/out")
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+      assert(afterFirst == Seq((21L, 11L)), s"got $afterFirst")
+      // query is down; new events arrive — P2 (00:10) must attribute to
+      // BOTH the pre-restart click C11 (00:05, only in recovered join
+      // state) and the new click C12 (00:09)
+      Seq(ev(12, "2024-01-01 00:09:00", 1, "click", 1.0))
+        .toDF().write.mode("append").parquet(s"$srcDir/clicks")
+      Seq(ev(22, "2024-01-01 00:10:00", 1, "purchase", 7.0))
+        .toDF().write.mode("append").parquet(s"$srcDir/purchases")
+      run()
+      val pairs = spark.read.parquet(s"$sinkDir/out")
+        .collect().map(r => (r.getLong(1), r.getLong(3))).sorted.toSeq
+      assert(pairs == Seq((21L, 11L), (22L, 11L), (22L, 12L)),
+        s"expected exactly-once attributions across restart, got $pairs")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     // purchase at 00:15 attributes to clicks at 00:06..00:15 (within 10
     // min, inclusive), NOT to the 00:01 click (too early) or 00:16
