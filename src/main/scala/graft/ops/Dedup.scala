@@ -693,6 +693,41 @@ object Dedup {
     labels
   }
 
+  /** Catalog query for [[connectedComponents]]: exact components of the
+    * LSH candidate-pair graph, labels = component-min doc_id. The
+    * oracle is a genuinely independent formulation — a recursive-CTE
+    * transitive closure with a per-node min, versus the Spark side's
+    * iterate-until-stable label propagation — so agreement checks the
+    * SEMANTICS (true components), not a replayed plan.
+    */
+  def ccClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = bandsDf(s, dir).persist()
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val nodes = Tables.t(s, dir, "documents").select($"doc_id".as("id"))
+    connectedComponents(s, nodes, pairs)
+      .select($"id".as("doc_id"), $"label")
+      .orderBy($"doc_id")
+  }
+
+  private val ccClustersSql =
+    s"""WITH RECURSIVE $bandsCteSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, p.d2 FROM reach r JOIN pairs p ON r.b = p.d1)
+       |SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared CTE chain ending in `l$ccRounds` = (doc_id, label) — the
     * DuckDB twin of the label-propagation loop, used by both the
     * cluster listing and the corpus-apply rollup.
@@ -766,6 +801,7 @@ object Dedup {
     CatalogEntry("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     CatalogEntry("q_dedup_stream_lsh", streamLsh, Some(streamLshSql)),
     CatalogEntry("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    CatalogEntry("q_dedup_cc", ccClusters, Some(ccClustersSql)),
     CatalogEntry("q_dedup_apply", dedupApply, Some(dedupApplySql)),
     CatalogEntry("q_dedup_simhash", simhash, Some(simhashSql)),
     CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),

@@ -204,7 +204,44 @@ object EventOps {
       |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Cohort retention — the growth-analytics staple: users bucketed by
+    * first-active week (cohort), counted in each later week they
+    * remain active, as (cohort, week_offset, n_users). Week index is
+    * INTEGER floor-division of whole epoch seconds (`div` in Spark,
+    * `floor(epoch())` then `//` in DuckDB) — fractional-second double
+    * division could flip a week boundary by one ulp, the same hazard
+    * the approx-percentile half-cent fix guards.
+    *
+    * Shuffle shape at 100 TB: distinct (user, week) activity first —
+    * partial map-side dedup collapses each user's events before the
+    * one user-keyed shuffle; cohort = min(week) per user reuses that
+    * partitioning; the final (cohort, offset) rollup is
+    * cardinality-bounded by weeks², tiny.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.t(s, dir, "events")
+      .select($"user_id", expr("CAST(ts AS LONG) div 604800").as("wk"))
+      .distinct()
+    val cohorts = act.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    act.join(cohorts, Seq("user_id"))
+      .groupBy($"cohort", ($"wk" - $"cohort").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort", $"week_offset")
+  }
+
+  private val retentionSql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+      |coh AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY 1)
+      |SELECT cohort, wk - cohort AS week_offset,
+      |  COUNT(DISTINCT a.user_id) AS n_users
+      |FROM act a JOIN coh USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_retention", retention, Some(retentionSql)),
     CatalogEntry("q_evt_attribution", attribution, Some(attributionSql)),
     CatalogEntry("q_evt_funnel", funnel, Some(funnelSql)),
     CatalogEntry("q_evt_tumbling", tumbling, Some(tumblingSql)),

@@ -251,7 +251,63 @@ object TextAnalysis {
       |  score, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Email / phone patterns for [[scrubPii]] — kept to the regex subset
+    * with identical semantics in Java regex (Spark codegen'd
+    * regexp_replace/regexp_extract_all) and RE2 (DuckDB): character
+    * classes, +, {n,}, literal dots. No backrefs or lookaround.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub — the redaction pass every shared training corpus runs
+    * before release: replace emails/phones with typed placeholders and
+    * count what was removed (the count per category is the audit
+    * artifact). Pure per-row projection: regex work is map-side,
+    * codegen'd, no shuffle at any scale.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+
+  /** Catalog query for [[scrubPii]]. The fixture corpus contains no
+    * digits at all (verified), so the query plants deterministic PII
+    * derived from doc_id into each document first — both engines build
+    * the same dirty text, then redact independently, making the regex
+    * SEMANTICS (match set, replace-all, counts) the thing the hash
+    * gate compares rather than a vacuous all-zeros row.
+    */
+  def pii(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dirty = Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        concat($"text",
+          lit(" contact user"), $"doc_id", lit("@example.com or +1-555-"),
+          lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")).as("text"))
+    scrubPii(dirty, "text")
+      .select($"doc_id", $"n_emails", $"n_phones", $"clean")
+      .orderBy($"doc_id")
+  }
+
+  private val piiSql =
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    concat(text, ' contact user', doc_id, '@example.com or +1-555-',
+       |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |                 '$phoneRe', '<PHONE>', 'g') AS clean
+       |FROM dirty ORDER BY doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_pii", pii, Some(piiSql)),
     CatalogEntry("q_text_tfidf", tfidf, Some(tfidfSql)),
     CatalogEntry("q_text_stats", stats, Some(statsSql)),
     CatalogEntry("q_text_lang_id", langId, Some(langIdSql)),
