@@ -582,6 +582,45 @@ object Dedup {
        |WHERE n.doc_id % 20 = 0
        |GROUP BY 1, 2 ORDER BY new_doc, dup_of""".stripMargin
 
+  /** Max edit distance for [[editDistancePairs]]. */
+  val editDistCap = 20
+
+  /** Fuzzy duplicate pairs by EXACT Levenshtein distance, prefix-
+    * blocked: candidates share their first three words (near-identical
+    * docs — OCR noise, small in-place edits — keep their prefix; docs
+    * differing earlier are beyond any small edit budget anyway, the
+    * standard recall/cost trade of blocked fuzzy matching). The block
+    * key is the join key, so the plan is an equi-join — never all
+    * pairs — and `levenshtein` is a codegen'd builtin on both engines
+    * with the identical classic definition. At 100 TB the block key
+    * bounds the shuffle exactly like the LSH band key; the O(n·m)
+    * per-pair DP cost stays inside each block.
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"text",
+        array_join(slice(split($"text", " "), 1, 3), " ").as("blk"))
+    d.as("a")
+      .join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
+      .filter($"dist" <= editDistCap)
+      .orderBy($"d1", $"d2")
+  }
+
+  private val editDistancePairsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
+       |  FROM documents)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+       |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.text, b.text) <= $editDistCap
+       |ORDER BY d1, d2""".stripMargin
+
   /** Label-propagation rounds for [[dedupClusters]]. Fixed (not
     * run-to-fixpoint) so the oracle SQL can mirror the exact plan;
     * round r resolves components of diameter ≤ r, and near-dup
@@ -806,6 +845,7 @@ object Dedup {
     CatalogEntry("q_dedup_simhash", simhash, Some(simhashSql)),
     CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
     CatalogEntry("q_dedup_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    CatalogEntry("q_dedup_editdist", editDistancePairs, Some(editDistancePairsSql)),
     CatalogEntry("q_text_contamination", contamination, Some(contaminationSql)),
     CatalogEntry("q_dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)))
 }

@@ -306,7 +306,88 @@ object TextAnalysis {
        |                 '$phoneRe', '<PHONE>', 'g') AS clean
        |FROM dirty ORDER BY doc_id""".stripMargin
 
+  /** Document frequency above which a shingle counts as boilerplate. */
+  val boilerDfCap = 50
+
+  /** C4/CCNet-style boilerplate scoring: a 3-gram shingle appearing in
+    * ≥ [[boilerDfCap]] documents is boilerplate (nav bars, license
+    * headers, templated text); each doc reports its shingle count,
+    * boilerplate count, and fraction — the number a corpus-cleaning
+    * pipeline thresholds on before training. Reuses the dedup shingle
+    * machinery (distinct per doc, so the window count IS document
+    * frequency); one shingle-keyed window pass + one doc-keyed rollup,
+    * both single-shuffle. Counts exact longs; the fraction is one IEEE
+    * division.
+    */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.withShingles(
+      Tables.t(s, dir, "documents").select($"doc_id", $"text"), "sh")
+      .select($"doc_id", explode($"sh").as("wd"))
+    sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"wd")))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(($"df" >= boilerDfCap).cast("long")).as("n_boiler"))
+      .withColumn("boiler_frac", $"n_boiler".cast("double") / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
+  private val boilerplateSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |  list_distinct([array_to_string(ws[i:i+2], ' ')
+       |                 FOR i IN generate_series(1, len(ws) - 2)]) AS sh
+       |FROM d),
+       |e AS (SELECT doc_id, unnest(sh) AS wd FROM s),
+       |f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY wd) AS df FROM e)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df >= $boilerDfCap THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(SUM(CASE WHEN df >= $boilerDfCap THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_frac
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus bigram statistics — the n-gram language-model table (top
+    * bigrams with conditional probability P(w2|w1)): the classic
+    * KenLM-count shape a data pipeline materializes for quality
+    * filtering and decontamination heuristics. Bigrams come from one
+    * zip_with over the token array (no distinct — counts are
+    * occurrences); the denominator is the bigram table re-aggregated
+    * by w1 (narrow, vocabulary-sized), so P sums to 1 per w1 by
+    * construction. Exact integer counts; one IEEE division.
+    */
+  def bigramStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = split($"text", " ")
+    val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y))
+    val bg = Tables.t(s, dir, "documents")
+      .select(explode(filter(bigrams, x => x.isNotNull)).as("bg"))
+      .select(element_at(split($"bg", " "), 1).as("w1"),
+        element_at(split($"bg", " "), 2).as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt")).persist()
+    val c1 = c2.groupBy($"w1").agg(sum($"cnt").as("w1_cnt"))
+    c2.join(c1, Seq("w1"))
+      .select($"w1", $"w2", $"cnt",
+        ($"cnt".cast("double") / $"w1_cnt").as("cond_p"))
+      .orderBy($"cnt".desc, $"w1", $"w2")
+      .limit(30)
+  }
+
+  private val bigramStatsSql =
+    """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest([array_to_string(ws[i:i+1], ' ')
+      |                     FOR i IN generate_series(1, len(ws) - 1)]) AS bg FROM d),
+      |sp AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM b),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS cnt FROM sp GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS w1_cnt FROM c2 GROUP BY 1)
+      |SELECT w1, w2, cnt, CAST(cnt AS DOUBLE) / w1_cnt AS cond_p
+      |FROM c2 JOIN c1 USING (w1)
+      |ORDER BY cnt DESC, w1, w2 LIMIT 30""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_boilerplate", boilerplate, Some(boilerplateSql)),
+    CatalogEntry("q_text_bigram_lm", bigramStats, Some(bigramStatsSql)),
     CatalogEntry("q_text_pii", pii, Some(piiSql)),
     CatalogEntry("q_text_tfidf", tfidf, Some(tfidfSql)),
     CatalogEntry("q_text_stats", stats, Some(statsSql)),
