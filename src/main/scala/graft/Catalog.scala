@@ -30,6 +30,7 @@ object Catalog {
       ops.SetSortLimit.entries ++
       ops.Scalars.entries ++
       ops.EventOps.entries ++
+      ops.FeatureOps.entries ++
       ops.Dedup.entries ++
       ops.Similarity.entries ++
       ops.TextAnalysis.entries ++

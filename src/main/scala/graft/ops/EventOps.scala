@@ -240,7 +240,47 @@ object EventOps {
       |FROM act a JOIN coh USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin
 
+  /** Event-type transition matrix — the first-order Markov table
+    * (from_type, to_type, count, P(to|from)) behavioral models and
+    * anomaly detectors consume. One lead() over the per-user time
+    * order (same single user_id exchange as the funnel; event_id
+    * breaks ts ties identically on both engines), then two
+    * cardinality-bounded rollups (|event_types|² rows). The
+    * denominator re-aggregates the transition counts, so each row of
+    * P sums to 1 by construction; counts exact longs, P one IEEE
+    * division.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val pairs = Tables.t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+    val c2 = pairs.groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("cnt")).persist()
+    val c1 = c2.groupBy($"from_type").agg(sum($"cnt").as("tot"))
+    c2.join(c1, Seq("from_type"))
+      .select($"from_type", $"to_type", $"cnt",
+        ($"cnt".cast("double") / $"tot").as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val transitionsSql =
+    """WITH o AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c2 AS (
+      |  SELECT event_type AS from_type, to_type, COUNT(*) AS cnt
+      |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |c1 AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS tot FROM c2 GROUP BY 1)
+      |SELECT from_type, to_type, cnt, CAST(cnt AS DOUBLE) / tot AS p
+      |FROM c2 JOIN c1 USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_transitions", transitions, Some(transitionsSql)),
     CatalogEntry("q_evt_retention", retention, Some(retentionSql)),
     CatalogEntry("q_evt_attribution", attribution, Some(attributionSql)),
     CatalogEntry("q_evt_funnel", funnel, Some(funnelSql)),

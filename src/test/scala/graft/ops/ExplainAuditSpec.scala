@@ -23,7 +23,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_dedup_jaccard", "q_text_contamination", "q_dedup_embedding", "q_dedup_apply",
     "q_sim_lsh_bucketed", "q5_multiway", "q_join_range", "q_asof_join",
     "q_evt_funnel", "q_evt_attribution", "q_sample_stratified",
-    "q_dedup_editdist", "q_text_boilerplate", "q_text_bigram_lm", "q_evt_retention")
+    "q_dedup_editdist", "q_text_boilerplate", "q_text_bigram_lm", "q_evt_retention",
+    "q_evt_transitions", "q_feat_zscore")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
