@@ -279,7 +279,39 @@ object EventOps {
       |FROM c2 JOIN c1 USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Rolling 7-day active users (WAU ending each day) — the sliding
+    * DISTINCT that a naive range-join formulation turns into a nested
+    * loop. Instead: dedup to (user, day) activity, then each activity
+    * row EXPLODES into the 7 window-end days it contributes to — a
+    * generator + hash aggregate, pure equi-shapes at any scale (7×
+    * fan-out of the already-day-deduped table, far smaller than raw
+    * events). Day index is integer floor-division of epoch seconds,
+    * like [[retention]]'s weeks.
+    */
+  def rollingActive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.t(s, dir, "events")
+      .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("day"))
+      .distinct()
+    act.withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select($"user_id", ($"day" + $"off").as("day"))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+      .orderBy($"day")
+  }
+
+  private val rollingActiveSql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |e AS (
+      |  SELECT user_id, day + off AS day
+      |  FROM act CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o)
+      |SELECT day, COUNT(DISTINCT user_id) AS wau
+      |FROM e GROUP BY 1 ORDER BY day""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_wau", rollingActive, Some(rollingActiveSql)),
     CatalogEntry("q_evt_transitions", transitions, Some(transitionsSql)),
     CatalogEntry("q_evt_retention", retention, Some(retentionSql)),
     CatalogEntry("q_evt_attribution", attribution, Some(attributionSql)),
