@@ -585,6 +585,17 @@ object Dedup {
   /** Max edit distance for [[editDistancePairs]]. */
   val editDistCap = 20
 
+  /** Length ceiling for edit-distance candidacy. The threshold DP's
+    * early exit only helps for DISSIMILAR strings — a matching pair
+    * stays O(n·m), so two near-identical 45k-char docs cost ~2e9 cells
+    * each (the long-doc ScaleUp probe measured 0.67 s → 24 s). The
+    * standard strategy is length-partitioned dedup: character-level
+    * edit distance below the ceiling, shingle/minhash similarity above
+    * it (measured length-robust on the same probe — they're linear in
+    * doc length).
+    */
+  val editDistMaxLen = 2000
+
   /** Fuzzy duplicate pairs by EXACT Levenshtein distance, prefix-
     * blocked: candidates share their first three words (near-identical
     * docs — OCR noise, small in-place edits — keep their prefix; docs
@@ -599,6 +610,7 @@ object Dedup {
   def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.t(s, dir, "documents")
+      .filter(length($"text") <= editDistMaxLen)
       .select($"doc_id", $"text",
         array_join(slice(split($"text", " "), 1, 3), " ").as("blk"))
     // three measured fixes (sf0.1, local[32]): cheap guards (id order,
@@ -625,7 +637,7 @@ object Dedup {
     s"""WITH d AS (
        |  SELECT doc_id, text,
        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
-       |  FROM documents)
+       |  FROM documents WHERE len(text) <= $editDistMaxLen)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id

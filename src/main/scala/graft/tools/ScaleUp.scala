@@ -32,16 +32,25 @@ import org.apache.spark.sql.functions._
   * `events` is skewed; every other table is identical to the benign
   * fixture, isolating the skew variable for A/B benchmarks.
   *
-  * Usage: ScaleUp <srcSfDir> <outDir> <replicas> [skewPct=0]
+  * Long-doc mode (optional 5th arg, group size): corpora are
+  * heavy-tailed in document LENGTH, the text-pipeline analog of hot
+  * keys — replica 1's documents are concatenated in groups of
+  * `longDocGroup` (ordered by doc_id, id = group min), producing docs
+  * ~group× the median length while every other replica stays normal.
+  * Exercises the per-row array ops (shingle zip_with, simhash fold,
+  * banded levenshtein) on outlier rows without changing total tokens.
+  *
+  * Usage: ScaleUp <srcSfDir> <outDir> <replicas> [skewPct=0] [longDocGroup=0]
   */
 object ScaleUp {
 
   private val stride = 100000000L
 
   def main(args: Array[String]): Unit = {
-    val (src, out, repStr, skewPct) = args match {
-      case Array(a, b, c) => (a, b, c, 0)
-      case Array(a, b, c, d) => (a, b, c, d.toInt)
+    val (src, out, repStr, skewPct, longDocGroup) = args match {
+      case Array(a, b, c) => (a, b, c, 0, 0)
+      case Array(a, b, c, d) => (a, b, c, d.toInt, 0)
+      case Array(a, b, c, d, e) => (a, b, c, d.toInt, e.toInt)
     }
     val reps = repStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -89,7 +98,18 @@ object ScaleUp {
         else df.withColumn("text",
           concat_ws(" ", transform(split(col("text"), " "),
             w => concat(w, lit(s"_$r")))))
-      shift(tagged, r, "doc_id")
+      val shaped =
+        if (longDocGroup > 0 && r == 1)
+          tagged
+            .groupBy((col("doc_id") - col("doc_id") % longDocGroup).as("gid"))
+            .agg(
+              concat_ws(" ", array_sort(collect_list(
+                struct(col("doc_id"), col("text")))).getField("text")).as("text"),
+              first(col("lang")).as("lang"), first(col("source")).as("source"))
+            .select(col("gid").as("doc_id"), col("text"), col("lang"), col("source"),
+              length(col("text")).as("n_chars"))
+        else tagged
+      shift(shaped, r, "doc_id")
     }
     replicate("embeddings") { (df, r) =>
       val flipped =
