@@ -85,6 +85,19 @@ class DedupSpec extends SparkSpec {
     assert(atN == atN1, "an extra propagation round changed labels — chain longer than ccRounds")
   }
 
+  test("edit-distance candidacy excludes docs beyond the length ceiling") {
+    // the long-doc probe's lesson, pinned: a matching giant pair costs
+    // full O(n·m) DP, so character-level dedup is length-gated and long
+    // docs belong to the shingle/minhash family
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.editDistancePairs(spark, dir).collect()
+    assert(out.nonEmpty) // fixture dups still pair below the ceiling
+    val maxLen = graft.Tables.t(spark, dir, "documents")
+      .selectExpr("max(length(text))").head().getInt(0)
+    assert(maxLen <= Dedup.editDistMaxLen,
+      "fixture grew docs beyond the ceiling — gate rows would silently shrink")
+  }
+
   test("connectedComponents resolves a 6-link chain (diameter > ccRounds) to one component") {
     import spark.implicits._
     // 1-2-3-4-5-6-7 chain: fixed 3-round propagation CANNOT fully
