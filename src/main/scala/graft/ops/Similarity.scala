@@ -207,13 +207,17 @@ object Similarity {
     def sqDist(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
     // (rescore below is dot64 over the same quantized vectors — scale
     // (1e4)^2 = 1e8, so cosineFromDots is unchanged)
-    // nearest centroid per vector (exact integer L2, ties by cid)
+    // nearest centroid per vector (exact integer L2, ties by cid):
+    // min_by over the (d, cid) pair ≡ the former row_number window's
+    // ORDER BY d, cid LIMIT 1, but as a HASH aggregate with map-side
+    // partial min — no sort, no full shuffle of the k·N scored rows
+    // (the scored table is map-side from the broadcast, so the only
+    // exchange is the partial-aggregated per-vector minima)
     def assign(cents: DataFrame): DataFrame = {
-      val scored = base.select($"vec_id", $"xq").crossJoin(broadcast(cents))
+      base.select($"vec_id", $"xq").crossJoin(broadcast(cents))
         .select($"vec_id", $"cid", sqDist($"xq", $"cq").as("d"))
-      val w = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cid".asc)
-      scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"vec_id", $"cid".as("centroid"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("centroid"))
     }
     // per-dimension member means, re-quantized to the 1e4 grid
     def update(assigned: DataFrame): DataFrame = {
