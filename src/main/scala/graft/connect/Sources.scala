@@ -61,7 +61,15 @@ object Sources {
           throw new IllegalArgumentException(s"load '${step.name}': path required"))
         val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
         val full = base.map(b => s"$b/$path").getOrElse(path)
-        val w = df.write.mode(saveMode(step.mode)).options(step.options)
+        // "partitionBy": comma-separated columns → hive-style directory
+        // layout (…/col=value/…). The scale feature of the loader: a
+        // reader filtering on a layout column prunes whole directories
+        // (PartitionFilters) instead of scanning and filtering rows.
+        val partCols = step.options.get("partitionBy").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val w0 = df.write.mode(saveMode(step.mode))
+          .options(step.options - "partitionBy")
+        val w = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
         f match {
           case "csv" => w.option("header", "true").csv(full)
           case "json" => w.json(full)

@@ -32,6 +32,27 @@ class ConnectServiceSpec extends SparkSpec {
     assert(back.filter($"tag" === "y").select($"v").as[Double].head() == 2.5)
   }
 
+  test("partitionBy load writes hive layout and readers prune partitions") {
+    val dir = tmpDir("graft-part")
+    val conn = ConnectionSpec("p", "p", "parquet", Map("basePath" -> dir.toString))
+    val df = Seq((1L, "en", 10.0), (2L, "fr", 20.0), (3L, "en", 30.0), (4L, "de", 40.0))
+      .toDF("id", "lang", "v")
+    Sources.write(df, conn, LoadStep("w", 1, "p", path = Some("docs"), mode = "replace",
+      options = Map("partitionBy" -> "lang")))
+    // hive-style directories exist per lang
+    val subdirs = new java.io.File(s"$dir/docs").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs == Set("lang=en", "lang=fr", "lang=de"), s"$subdirs")
+    // a filter on the layout column must prune DIRECTORIES, not rows:
+    // the scan plan carries it as a PartitionFilter, and at 100 TB this
+    // is the difference between reading one partition and the corpus
+    val back = Sources.read(spark, conn, ExtractStep("r", 1, "p", path = Some("docs")))
+      .filter($"lang" === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang#"), plan)
+    assert(back.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("tsql_isnull registered via extensions behaves as 2-arg ISNULL") {
     GraftExtensions.register(spark)
     val out = spark.sql(
