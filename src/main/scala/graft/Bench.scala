@@ -20,7 +20,10 @@ object Bench {
       if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
       else sfDir) // fall back to the bench fixture itself — warmup must never silently vanish
     Seq("q1_pricing", "q_win_rank", "q_dedup_minhash", "q_dedup_jaccard",
-      "q_dedup_simhash_hamming", "q_sim_ivf", "q_evt_session").foreach { q =>
+      "q_dedup_simhash_hamming", "q_sim_ivf", "q_evt_session",
+      // round-5 machinery: banded levenshtein, iterative CC, shingle
+      // window, global ntile — warm their codegen too
+      "q_dedup_editdist", "q_dedup_cc", "q_text_boilerplate", "q_feat_ntile").foreach { q =>
       try { SparkEntry.queries(q)(spark, warmupDir).count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup query $q failed on $warmupDir: ${e.getMessage}")
