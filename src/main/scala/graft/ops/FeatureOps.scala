@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature-preparation operators — the normalization/binning passes a
@@ -60,23 +59,64 @@ object FeatureOps {
       |WHERE l_orderkey < 500
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** Equi-depth binning: NTILE(10) over extended price with a total
-    * tiebreak, reporting each decile's row count and [min, max] price
-    * bounds in cents — the quantile-bucketing table feature stores
-    * materialize. One global sort (TakeOrdered-style range partition)
-    * + a 10-row rollup.
+  /** Equi-depth binning: exact NTILE(10) semantics over extended price
+    * with a total tiebreak, reporting each decile's row count and
+    * [min, max] price bounds in cents — the quantile-bucketing table
+    * feature stores materialize.
+    *
+    * NOT a window: `Window.orderBy` with no partitionBy plans
+    * `Exchange SinglePartition` — every row through one task, the
+    * classic 100 TB scale-killer. Instead, the exact two-pass
+    * boundary algorithm: (1) range-repartition on the sort key — a
+    * DISTRIBUTED sort, each of P partitions holds one key range —
+    * then index rows within the range order (`zipWithIndex`: one
+    * count-per-partition job + offsets) and pull out the 9 rows
+    * sitting at the exact NTILE bucket-end ranks (bucket k of n rows
+    * ends at rank k·⌊n/10⌋ + min(k, n mod 10) − 1, bigger buckets
+    * first — NTILE's tie-free contract under a total order); (2) the
+    * 9 boundary keys become broadcast literals and bucket assignment
+    * is a map-side comparison ladder (decile = 1 + #boundaries below
+    * the row's key), followed by a 10-group hash rollup. Driver
+    * traffic is 9 tuples; no stage sees more than n/P rows. The
+    * DuckDB oracle keeps the plain NTILE formulation as the
+    * independent check that the two-pass boundaries ARE ntile's.
     */
   def ntileBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"cents".asc, $"l_orderkey".asc, $"l_linenumber".asc)
-    Tables.t(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_linenumber",
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("ln"),
         round($"l_extendedprice" * 100).cast("long").as("cents"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val sortKeys = Seq($"cents".asc, $"l_orderkey".asc, $"ln".asc)
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = base.repartitionByRange(parts, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .persist()
+    val n = sorted.count()
+    val rollup = (d: DataFrame) => d
       .groupBy($"decile")
       .agg(count(lit(1)).as("n"),
         min($"cents").as("min_cents"), max($"cents").as("max_cents"))
       .orderBy($"decile")
+    if (n == 0) { sorted.unpersist(); return rollup(base.withColumn("decile", lit(1L))) }
+    val bucket = n / 10
+    val rem = n % 10
+    // 1-indexed bucket k ends at 0-indexed global rank cum(k)-1; keep
+    // duplicates (n < 10 degenerates some buckets to empty) so the
+    // comparison ladder still counts multiplicity like NTILE does
+    val boundRanks: Seq[Long] = (1 to 9).map(k => k.toLong * bucket + math.min(k, rem) - 1)
+    val wanted = boundRanks.toSet
+    val boundKeyAt: Map[Long, (Long, Long, Long)] = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => wanted.contains(i) }
+      .map { case (r, i) => i -> ((r.getLong(2), r.getLong(0), r.getLong(1))) }
+      .collect().toMap
+    sorted.unpersist()
+    val decile = boundRanks.map { rk =>
+      val (c, o, l) = boundKeyAt(rk)
+      when($"cents" > c ||
+        ($"cents" === c && ($"l_orderkey" > o || ($"l_orderkey" === o && $"ln" > l))),
+        1L).otherwise(0L)
+    }.reduce(_ + _) + lit(1L)
+    rollup(base.withColumn("decile", decile))
   }
 
   private val ntileBucketsSql =

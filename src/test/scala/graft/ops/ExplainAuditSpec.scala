@@ -72,6 +72,18 @@ class ExplainAuditSpec extends SparkSpec {
       plan)
   }
 
+  test("q_feat_ntile plans no window and no single-partition exchange") {
+    // the round-5 formulation was NTILE over Window.orderBy with no
+    // partitionBy — an Exchange SinglePartition funneling every row
+    // through one task. The two-pass boundary rewrite must never
+    // regress to that: the returned plan is scan → map-side decile
+    // ladder → hash rollup; the only exchanges are the rollup's hash
+    // exchange and the 10-row ordering.
+    val plan = planOf("q_feat_ntile")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q1_pricing scan pushes its filter and prunes columns") {
     val plan = planOf("q1_pricing")
     // a FileSourceScan with a non-empty PushedFilters list

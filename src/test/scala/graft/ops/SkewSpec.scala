@@ -65,6 +65,38 @@ class SkewSpec extends SparkSpec {
     assert(hashExchanges == 1, s"funnel should shuffle events ONCE on user_id:\n$plan")
   }
 
+  /** Exchange budgets of the round-5 event/feature rollups, pinned.
+    * What matters at 100 TB is how many exchanges carry FULL-SCAN data
+    * versus already-collapsed intermediates; the counts below encode
+    * that split so a rewrite that adds a full-table shuffle goes red.
+    */
+  private def hashExchangeCount(name: String): Int = {
+    val plan = Catalog.byName(name).fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache()
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+  }
+
+  test("zscore plans exactly one hash exchange (stats group-by; broadcast join adds none)") {
+    assert(hashExchangeCount("q_feat_zscore") == 1)
+  }
+
+  test("retention plans four hash exchanges, only one over full-scan data") {
+    // 1 full-data: the (user_id, wk) distinct with map-side partial
+    // dedup — events collapse to users×weeks BEFORE the wire. The
+    // other 3 (cohort group-by, act⋈cohort re-key, final
+    // (cohort,offset) count-distinct) move only the collapsed
+    // activity table.
+    assert(hashExchangeCount("q_evt_retention") == 4)
+  }
+
+  test("wau plans three hash exchanges, only one over full-scan data") {
+    // 1 full-data: the (user_id, day) distinct (map-side partial
+    // dedup); the 7-day explode is a generator, not a shuffle; the
+    // count-distinct rollup pair moves only day-deduped rows.
+    assert(hashExchangeCount("q_evt_wau") == 3)
+  }
+
   test("attribution plans one hash exchange per join side and no nested loop") {
     val plan = Catalog.byName("q_evt_attribution").fn(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
