@@ -30,24 +30,28 @@ object Bench {
       }
     }
     spark.sharedState.cacheManager.clearCache()
-    // two timed runs per query, report the min: repeat timing
-    // (graft.tools.QueryBench) shows this box has noisy-neighbor swings
-    // where one iteration can take 5-10x its steady state; min-of-2 is
-    // the standard contention-robust estimator and is cheap at these
-    // per-query times
-    val iters = 2
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val dt = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
-        // each query is self-contained: drop its persisted intermediates
-        // so 80+ accumulated caches don't evict/slow later queries
-        spark.sharedState.cacheManager.clearCache()
-        t
-      }.min
-      name -> dt
+    // INTERLEAVED min-of-3: run the whole catalog once, then again, then
+    // again, and take each query's min across passes. Back-to-back
+    // repeats of one query share any multi-minute noisy-neighbor burst
+    // on this host (a round-5 board carried a contiguous ~20-query
+    // window measuring 6-10x slow that min-of-2 back-to-back could not
+    // suppress); interleaving separates a query's samples by a full
+    // catalog pass (~tens of seconds), so a burst must span the entire
+    // bench to poison a query's minimum.
+    val iters = 3
+    val names = SparkEntry.queries.keys.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to iters; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val t = (System.nanoTime() - t0) / 1e9
+      // each query is self-contained: drop its persisted intermediates
+      // so 100 accumulated caches don't evict/slow later queries
+      spark.sharedState.cacheManager.clearCache()
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    val results = names.map(n => n -> best(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
