@@ -204,6 +204,46 @@ object EventOps {
       |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Clicks-per-user cap for [[attributionCapped]]. */
+  val attributionLastN = 5
+
+  /** [[attribution]] with the zipfian-head mitigation the skew bench
+    * demanded: the raw interval join's OUTPUT grows as clicks×purchases
+    * per user (the hot-key fixture measured 460 → 83k result rows,
+    * 181×, while per-row cost was flat — output-bound, not
+    * shuffle-bound). Capping each user to their `lastN` most recent
+    * clicks BEFORE the join (row_number over the per-user time order,
+    * newest first) bounds join fan-out to ≤ lastN rows per purchase, so
+    * a hot user's output is linear in their purchases, never quadratic.
+    * The row_number window needs the same user_id hash partitioning as
+    * the join, so the cap rides the click side's existing exchange —
+    * no new shuffle.
+    */
+  def attributionCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val clicks = e.filter($"event_type" === "click")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= attributionLastN).drop("rn")
+    graft.streaming.StreamOps.attributeClicks(
+      clicks, e.filter($"event_type" === "purchase"), windowMinutes = 10)
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  private val attributionCappedSql =
+    s"""WITH c AS (
+       |  SELECT user_id, event_id, ts,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events WHERE event_type = 'click')
+       |SELECT p.user_id,
+       |  p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       |  c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+       |FROM events p JOIN c ON p.user_id = c.user_id
+       |WHERE p.event_type = 'purchase' AND c.rn <= $attributionLastN
+       |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+       |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Cohort retention — the growth-analytics staple: users bucketed by
     * first-active week (cohort), counted in each later week they
     * remain active, as (cohort, week_offset, n_users). Week index is
@@ -315,6 +355,7 @@ object EventOps {
     CatalogEntry("q_evt_transitions", transitions, Some(transitionsSql)),
     CatalogEntry("q_evt_retention", retention, Some(retentionSql)),
     CatalogEntry("q_evt_attribution", attribution, Some(attributionSql)),
+    CatalogEntry("q_evt_attribution_capped", attributionCapped, Some(attributionCappedSql)),
     CatalogEntry("q_evt_funnel", funnel, Some(funnelSql)),
     CatalogEntry("q_evt_tumbling", tumbling, Some(tumblingSql)),
     CatalogEntry("q_evt_sliding", sliding, Some(slidingSql)),

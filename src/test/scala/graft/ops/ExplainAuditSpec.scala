@@ -22,7 +22,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_dedup_clusters", "q_dedup_simhash", "q_dedup_simhash_hamming",
     "q_dedup_jaccard", "q_text_contamination", "q_dedup_embedding", "q_dedup_apply",
     "q_sim_lsh_bucketed", "q5_multiway", "q_join_range", "q_asof_join",
-    "q_evt_funnel", "q_evt_attribution", "q_sample_stratified",
+    "q_evt_funnel", "q_evt_attribution", "q_evt_attribution_capped",
+    "q_sample_stratified",
     "q_dedup_editdist", "q_text_boilerplate", "q_text_bigram_lm", "q_evt_retention",
     "q_evt_transitions", "q_feat_zscore")
 

@@ -97,6 +97,13 @@ class SkewSpec extends SparkSpec {
     assert(hashExchangeCount("q_evt_wau") == 3)
   }
 
+  test("capped attribution adds no exchange over raw attribution (cap rides the click-side shuffle)") {
+    // the last-N row_number window requires the same user_id hash
+    // partitioning as the interval equi-join, so capping fan-out must
+    // not cost a third exchange
+    assert(hashExchangeCount("q_evt_attribution_capped") <= 2)
+  }
+
   test("attribution plans one hash exchange per join side and no nested loop") {
     val plan = Catalog.byName("q_evt_attribution").fn(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
