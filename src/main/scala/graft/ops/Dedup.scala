@@ -719,9 +719,15 @@ object Dedup {
     * `maxRounds` is a runaway guard, not a semantic bound.
     *
     * At 100 TB: per-round cost is one shuffle keyed by node id over the
-    * edge table; a production run would swap `localCheckpoint` for a
-    * reliable checkpoint dir and alternate large-star/small-star to cut
-    * the round count to O(log diameter) — same per-round plan shape.
+    * edge table. Pass `checkpointDir` for production fault tolerance:
+    * every `checkpointEvery` rounds the label table is RELIABLY
+    * checkpointed (written to the dir — typically HDFS/S3 — via
+    * `SparkContext.setCheckpointDir`), so an executor death replays at
+    * most `checkpointEvery` rounds instead of losing the
+    * executor-local blocks `localCheckpoint` keeps; the cheap local
+    * variant still truncates lineage on the rounds in between. The
+    * remaining documented upgrade is large-star/small-star for
+    * O(log diameter) rounds — same per-round plan shape.
     *
     * Input: `nodes` = (id: long), `edges` = (src: long, dst: long),
     * undirected (symmetrized internally). Output: (id, label) with
@@ -729,8 +735,16 @@ object Dedup {
     */
   def connectedComponents(
       s: SparkSession, nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): DataFrame = {
     import s.implicits._
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    // lineage cut per round: reliable on every checkpointEvery-th round
+    // when a dir is configured, executor-local otherwise
+    def cut(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined && round % checkpointEvery == 0) df.checkpoint()
+      else df.localCheckpoint()
     val sym = edges.select($"src", $"dst")
       .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
@@ -743,11 +757,11 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select($"id".as("nid"), $"label".as("nlabel")), $"dst" === $"nid")
         .groupBy($"src").agg(min($"nlabel").as("nmin"))
-      val next = labels
+      val next = cut(labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), labels("label").as("old_label"),
-          least(labels("label"), coalesce($"nmin", labels("label"))).as("label"))
-        .localCheckpoint()
+          least(labels("label"), coalesce($"nmin", labels("label"))).as("label")),
+        round)
       changed = next.filter($"label" < $"old_label").count()
       labels = next.select($"id", $"label")
     }

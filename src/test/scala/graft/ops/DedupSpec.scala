@@ -116,6 +116,34 @@ class DedupSpec extends SparkSpec {
     assert(clique.values.toSet == Set(10L))
   }
 
+  test("connectedComponents with a reliable checkpoint dir: 20-link chain resolves, checkpoints written") {
+    import spark.implicits._
+    // a 21-node chain needs 20 propagation rounds — with
+    // checkpointEvery=4 the label table must be RELIABLY checkpointed
+    // several times mid-run; results must be identical to the
+    // local-only path and the dir must actually contain checkpoint data
+    // (proving df.checkpoint() engaged, not the local fallback)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    try {
+      val nodes = (1L to 21L).toDF("id")
+      val edges = (1L until 21L).map(i => (i, i + 1)).toDF("src", "dst")
+      val labels = Dedup.connectedComponents(spark, nodes, edges,
+        checkpointDir = Some(dir.getAbsolutePath), checkpointEvery = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 21L).forall(labels(_) == 1L), s"chain not fully resolved: $labels")
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(dir).nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("pigeonhole blocks: every 16-bit pair at hamming <= 4 shares a block") {
     val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
     def blocks(v: Long): Seq[Long] =
