@@ -95,7 +95,10 @@ object Dedup {
     * batch/stream parity.
     */
   def bandsForDocs(docs: DataFrame): DataFrame = {
-    var withM = withShingles(docs.select(col("doc_id"), col("text")), "shingles")
+    // any column besides text rides along (doc_id, plus e.g. a length
+    // column for the length-routed dispatcher) — all still map-side
+    val keep = docs.columns.filterNot(_ == "text").toSeq.map(col)
+    var withM = withShingles(docs, "shingles")
     (1 to nDigests).foreach { i =>
       withM = withM.withColumn(s"__m$i",
         transform(col("shingles"), w => md5(concat(lit(s"$i:"), w))))
@@ -104,13 +107,13 @@ object Dedup {
       val (d, off) = sigPos(i)
       array_min(transform(col(s"__m$d"), h => substring(h, off, 8))).as(s"h$i")
     }
-    val withSig = withM.select((col("doc_id") +: sigCols): _*)
+    val withSig = withM.select(keep ++ sigCols: _*)
     val bandStructs = (1 to nSeeds / 2).map { b =>
       struct(lit(b).as("band"), concat(col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("key"))
     }
     withSig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(keep :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(keep ++ Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
   }
 
   private def bandsDf(s: SparkSession, dir: String): DataFrame = {
@@ -607,7 +610,10 @@ object Dedup {
     * bounds the shuffle exactly like the LSH band key; the O(n·m)
     * per-pair DP cost stays inside each block.
     */
-  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame =
+    editPairsRaw(s, dir).orderBy(col("d1"), col("d2"))
+
+  private def editPairsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.t(s, dir, "documents")
       .filter(length($"text") <= editDistMaxLen)
@@ -630,7 +636,6 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         levenshtein(col("a.text"), col("b.text"), editDistCap).cast("long").as("dist"))
       .filter($"dist" >= 0)
-      .orderBy($"d1", $"d2")
   }
 
   private val editDistancePairsSql =
@@ -643,6 +648,78 @@ object Dedup {
        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
        |WHERE levenshtein(a.text, b.text) <= $editDistCap
        |ORDER BY d1, d2""".stripMargin
+
+  /** Length-routed fuzzy dedup — the DISPATCHER that makes the
+    * `editDistMaxLen` ceiling a first-class contract instead of a
+    * silent exclusion: one operator, one output schema
+    * (d1, d2, method, score), covering every document.
+    *
+    *  - method `editdist` — both docs ≤ [[editDistMaxLen]] chars:
+    *    the prefix-blocked banded-Levenshtein path
+    *    ([[editDistancePairs]]); score = exact edit distance ≤
+    *    [[editDistCap]]. Character-exact, but O(n·m) per MATCHING
+    *    pair, so quadratic in doc length (the long-doc probe measured
+    *    36× on 45k-char outliers).
+    *  - method `minhash` — at least one doc longer: the LSH band
+    *    table ([[bandsForDocs]]), LINEAR in doc length; score = #
+    *    colliding bands. The band computation carries each doc's
+    *    length so routing is a residual predicate on the band
+    *    self-join — no extra join against a length table, no second
+    *    shuffle.
+    *
+    * The self-join keeps `a` as the long side: a short↔long pair
+    * appears exactly once (only the long doc can be `a`), a
+    * long↔long pair is deduped by id order — so a plain count is the
+    * per-pair band-collision count, no distinct aggregate. At 100 TB
+    * both branches shuffle only on their block key (prefix block /
+    * band key); the union is branch-disjoint by construction.
+    */
+  def lengthRoutedPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edit = editPairsRaw(s, dir)
+      .select($"d1", $"d2", lit("editdist").as("method"), $"dist".as("score"))
+    val bands = bandsForDocs(Tables.t(s, dir, "documents")
+      .select($"doc_id", $"text", length($"text").as("len"))).persist()
+    val longPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.len") > editDistMaxLen &&
+          (col("b.len") <= editDistMaxLen || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .agg(count(lit(1)).as("score"))
+      .select($"d1", $"d2", lit("minhash").as("method"), $"score")
+    edit.unionByName(longPairs).orderBy($"d1", $"d2", $"method")
+  }
+
+  private val lengthRoutedPairsSql =
+    s"""WITH $bandsCteSql,
+       |lens AS (SELECT doc_id, len(text) AS len FROM documents),
+       |d AS (
+       |  SELECT doc_id, text,
+       |    array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
+       |  FROM documents WHERE len(text) <= $editDistMaxLen),
+       |edit AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, 'editdist' AS method,
+       |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS score
+       |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE levenshtein(a.text, b.text) <= $editDistCap),
+       |longp AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS d1,
+       |    greatest(a.doc_id, b.doc_id) AS d2, 'minhash' AS method,
+       |    COUNT(DISTINCT a.band) AS score
+       |  FROM bands a
+       |    JOIN lens la ON a.doc_id = la.doc_id
+       |    JOIN bands b ON a.band = b.band AND a.key = b.key
+       |      AND a.doc_id <> b.doc_id
+       |    JOIN lens lb ON b.doc_id = lb.doc_id
+       |  WHERE la.len > $editDistMaxLen
+       |    AND (lb.len <= $editDistMaxLen OR a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2)
+       |SELECT * FROM edit UNION ALL SELECT * FROM longp
+       |ORDER BY d1, d2, method""".stripMargin
 
   /** Label-propagation rounds for [[dedupClusters]]. Fixed (not
     * run-to-fixpoint) so the oracle SQL can mirror the exact plan;
@@ -883,6 +960,7 @@ object Dedup {
     CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
     CatalogEntry("q_dedup_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     CatalogEntry("q_dedup_editdist", editDistancePairs, Some(editDistancePairsSql)),
+    CatalogEntry("q_dedup_length_routed", lengthRoutedPairs, Some(lengthRoutedPairsSql)),
     CatalogEntry("q_text_contamination", contamination, Some(contaminationSql)),
     CatalogEntry("q_dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)))
 }

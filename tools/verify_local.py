@@ -28,7 +28,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (ScaleUp fixtures): directory of part files
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = n_bad = 0
