@@ -256,22 +256,28 @@ object Aggregates {
   }
 
   /** Exact percentiles (Spark `percentile` ≙ DuckDB `quantile_cont`;
-    * both linear-interpolate at rank p*(n-1)).
+    * both linear-interpolate at rank p*(n-1)). Emitted in MILLS
+    * (×1000), the same ulp-guard as [[approxPercentile]]'s half-cents:
+    * o_totalprice sits on the cent grid and the lerp fraction of
+    * p=0.5/0.9 is a multiple of 0.1, so the true value is a multiple
+    * of a tenth of a cent and round(×1000) is within ulps of an
+    * INTEGER on both engines — a one-ulp difference in the engines'
+    * lerp can never flip the gate, on any fixture.
     */
   def percentileAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "orders")
       .groupBy($"o_orderpriority")
       .agg(
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"))
+        round(expr("percentile(o_totalprice, 0.5)") * 1000).cast("long").as("p50_mills"),
+        round(expr("percentile(o_totalprice, 0.9)") * 1000).cast("long").as("p90_mills"))
       .orderBy($"o_orderpriority")
   }
 
   private val percentileAggSql =
     """SELECT o_orderpriority,
-      |  quantile_cont(o_totalprice, 0.5) AS p50,
-      |  quantile_cont(o_totalprice, 0.9) AS p90
+      |  CAST(round(quantile_cont(o_totalprice, 0.5) * 1000) AS BIGINT) AS p50_mills,
+      |  CAST(round(quantile_cont(o_totalprice, 0.9) * 1000) AS BIGINT) AS p90_mills
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Boolean aggregates + conditional count. */
