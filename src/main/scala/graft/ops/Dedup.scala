@@ -846,6 +846,87 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * O(log diameter) round bound the label-propagation
+    * [[connectedComponents]] docs promise (public MapReduce-CC
+    * algorithm family, cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14; re-derived on DataFrames).
+    * Label propagation moves a component's min ONE hop per round — a
+    * diameter-d chain costs d shuffles; the star operations contract
+    * paths multiplicatively, so rounds grow with log d:
+    *
+    *  - large-star: each node u rewires its LARGER neighbors to
+    *    m = min(N(u) ∪ {u}): emit (v, m) for v ∈ N(u), v > u. Output
+    *    is canonical hi→lo (m < v always).
+    *  - small-star: on canonical hi→lo edges, each hi-node u rewires
+    *    its lo-neighbors and itself to m = min of its lo set: emit
+    *    (v, m) for v ∈ N⁻(u), v ≠ m, plus (u, m).
+    *
+    * Each half-round is one groupBy(node) + one equi-join back — the
+    * same shuffle shape and key as a label round, just two of them.
+    * Fixpoint: the edge set is pure stars (every edge = node →
+    * component min) and stops changing; checked by count equality +
+    * one `exceptAll` over the checkpoint-materialized edge table.
+    * Labels read straight off the final stars; isolated nodes label
+    * themselves. Same reliable-checkpoint contract as
+    * [[connectedComponents]].
+    */
+  def connectedComponentsStar(
+      s: SparkSession, nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 30,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): DataFrame =
+    ccStarWithRounds(s, nodes, edges, maxRounds, checkpointDir, checkpointEvery)._1
+
+  /** [[connectedComponentsStar]] plus the round count, so the spec can
+    * assert the logarithmic bound instead of taking it on faith.
+    */
+  private[graft] def ccStarWithRounds(
+      s: SparkSession, nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 30,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): (DataFrame, Int) = {
+    import s.implicits._
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined && round % checkpointEvery == 0) df.checkpoint()
+      else df.localCheckpoint()
+    var e = edges
+      .select(greatest($"src", $"dst").as("hi"), least($"src", $"dst").as("lo"))
+      .filter($"hi" =!= $"lo")
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var round = 0
+    var stable = n == 0
+    while (!stable && round < maxRounds) {
+      round += 1
+      val sym = e.select($"hi".as("u"), $"lo".as("v"))
+        .unionByName(e.select($"lo".as("u"), $"hi".as("v")))
+      val lsMin = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"u", $"mv").as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("hi"), $"m".as("lo"))
+        .distinct()
+      val ssRows = ls.join(ls.groupBy($"hi").agg(min($"lo").as("m")), "hi")
+      val next = cut(
+        ssRows.filter($"lo" =!= $"m").select($"lo".as("hi"), $"m".as("lo"))
+          .unionByName(ssRows.select($"hi", $"m".as("lo")))
+          .distinct(), round)
+      val nn = next.count()
+      stable = nn == n && next.exceptAll(e).isEmpty
+      e = next
+      n = nn
+    }
+    require(stable, s"connectedComponentsStar did not converge in $maxRounds rounds")
+    val labels = nodes
+      .join(e.groupBy($"hi").agg(min($"lo").as("star_lo")),
+        nodes("id") === $"hi", "left")
+      .select(nodes("id"), coalesce($"star_lo", nodes("id")).as("label"))
+    (labels, round)
+  }
+
   /** Catalog query for [[connectedComponents]]: exact components of the
     * LSH candidate-pair graph, labels = component-min doc_id. The
     * oracle is a genuinely independent formulation — a recursive-CTE
@@ -853,7 +934,10 @@ object Dedup {
     * iterate-until-stable label propagation — so agreement checks the
     * SEMANTICS (true components), not a replayed plan.
     */
-  def ccClusters(s: SparkSession, dir: String): DataFrame = {
+  /** (nodes, candidate-pair edges) of the LSH band graph — shared by
+    * both CC catalog rows.
+    */
+  private def lshPairGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val bands = bandsDf(s, dir).persist()
     val pairs = bands.as("a")
@@ -863,7 +947,26 @@ object Dedup {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
     val nodes = Tables.t(s, dir, "documents").select($"doc_id".as("id"))
+    (nodes, pairs)
+  }
+
+  def ccClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nodes, pairs) = lshPairGraph(s, dir)
     connectedComponents(s, nodes, pairs)
+      .select($"id".as("doc_id"), $"label")
+      .orderBy($"doc_id")
+  }
+
+  /** [[ccClusters]] via the star-contraction algorithm — same
+    * semantics (and the same recursive-CTE oracle), logarithmic
+    * instead of linear round count. Two catalog rows so the gate
+    * checks BOTH implementations against the independent closure.
+    */
+  def ccClustersStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nodes, pairs) = lshPairGraph(s, dir)
+    connectedComponentsStar(s, nodes, pairs)
       .select($"id".as("doc_id"), $"label")
       .orderBy($"doc_id")
   }
@@ -961,6 +1064,7 @@ object Dedup {
     CatalogEntry("q_dedup_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     CatalogEntry("q_dedup_editdist", editDistancePairs, Some(editDistancePairsSql)),
     CatalogEntry("q_dedup_length_routed", lengthRoutedPairs, Some(lengthRoutedPairsSql)),
+    CatalogEntry("q_dedup_cc_star", ccClustersStar, Some(ccClustersSql)),
     CatalogEntry("q_text_contamination", contamination, Some(contaminationSql)),
     CatalogEntry("q_dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)))
 }

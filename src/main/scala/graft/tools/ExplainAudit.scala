@@ -21,7 +21,7 @@ object ExplainAudit {
       "q_dedup_jaccard", "q_text_contamination", "q_dedup_embedding", "q_dedup_clusters",
       "q_dedup_apply", "q_text_tfidf",
       "q_evt_funnel", "q_evt_attribution", "q_sample_stratified",
-      "q_dedup_cc", "q_dedup_editdist", "q_dedup_length_routed",
+      "q_dedup_cc", "q_dedup_cc_star", "q_dedup_editdist", "q_dedup_length_routed",
       "q_evt_attribution_capped", "q_text_pii", "q_text_boilerplate",
       "q_text_bigram_lm", "q_evt_retention", "q_evt_transitions", "q_evt_wau",
       "q_feat_zscore", "q_feat_ntile")

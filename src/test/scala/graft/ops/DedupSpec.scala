@@ -144,6 +144,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star CC resolves a 64-link chain in logarithmic rounds (linear variant's guard could not)") {
+    import spark.implicits._
+    // diameter 64: label propagation needs 64 rounds — beyond its own
+    // default 50-round runaway guard. Star contraction must finish in
+    // ~log2(64) alternations; 12 is a generous pin that still fails
+    // loudly if the contraction ever degrades to linear.
+    val nodes = (1L to 65L).toDF("id")
+    val edges = (1L until 65L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labelsDf, rounds) = Dedup.ccStarWithRounds(spark, nodes, edges)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 65L).forall(labels(_) == 1L), s"chain not fully resolved: $labels")
+    assert(rounds <= 12, s"star contraction took $rounds rounds — not logarithmic")
+  }
+
+  test("star CC agrees with label-propagation CC on a mixed multi-component graph") {
+    import spark.implicits._
+    // chain + triangle + star + isolated nodes, shuffled ids
+    val nodes = (1L to 30L).toDF("id")
+    val edges = (
+      Seq((21L, 3L), (3L, 17L), (17L, 9L), (9L, 25L)) ++ // chain, min 3
+        Seq((10L, 12L), (12L, 14L), (14L, 10L)) ++       // triangle, min 10
+        Seq((28L, 5L), (28L, 6L), (28L, 7L))             // star center 28, min 5
+      ).toDF("src", "dst")
+    val simple = Dedup.connectedComponents(spark, nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.ccStarWithRounds(spark, nodes, edges)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == simple, s"star=$star\nsimple=$simple")
+    assert(star(25L) == 3L && star(14L) == 10L && star(28L) == 5L && star(1L) == 1L)
+  }
+
   test("pigeonhole blocks: every 16-bit pair at hamming <= 4 shares a block") {
     val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
     def blocks(v: Long): Seq[Long] =

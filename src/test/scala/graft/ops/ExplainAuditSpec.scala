@@ -24,7 +24,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_sim_lsh_bucketed", "q5_multiway", "q_join_range", "q_asof_join",
     "q_evt_funnel", "q_evt_attribution", "q_evt_attribution_capped",
     "q_sample_stratified",
-    "q_dedup_editdist", "q_dedup_length_routed",
+    "q_dedup_editdist", "q_dedup_length_routed", "q_dedup_cc_star",
     "q_text_boilerplate", "q_text_bigram_lm", "q_evt_retention",
     "q_evt_transitions", "q_feat_zscore")
 
