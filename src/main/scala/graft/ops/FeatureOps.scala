@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature-preparation operators — the normalization/binning passes a
@@ -132,7 +133,83 @@ object FeatureOps {
       |  min(cents) AS min_cents, max(cents) AS max_cents
       |FROM d GROUP BY 1 ORDER BY decile""".stripMargin
 
+  /** Per-group min-max scaling to [0, 1] — the bounded-range
+    * normalization feature stores apply when outliers are already
+    * clipped. Same shape as [[zscore]]: stats from ONE narrow
+    * group-by over the FULL table, broadcast back onto a bounded row
+    * subset; numerator and denominator are exact integer differences,
+    * so the single IEEE division is bit-identical cross-engine.
+    */
+  def minmaxScale(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        $"l_quantity".cast("long").as("q"))
+    val stats = li.groupBy($"l_returnflag")
+      .agg(min($"q").as("q_min"), max($"q").as("q_max"))
+    li.filter($"l_orderkey" < 500)
+      .join(broadcast(stats), Seq("l_returnflag"))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"q",
+        (($"q" - $"q_min").cast("double") / ($"q_max" - $"q_min")).as("q_scaled"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val minmaxScaleSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT l_returnflag, min(q) AS q_min, max(q) AS q_max
+      |  FROM li GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, q,
+      |  CAST(q - q_min AS DOUBLE) / (q_max - q_min) AS q_scaled
+      |FROM li JOIN st USING (l_returnflag)
+      |WHERE l_orderkey < 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Frequency-ordered label indexing (the StringIndexer shape):
+    * categorical values get dense indexes 0..k−1, most frequent
+    * first, value as tiebreak, then rows encode via a broadcast join
+    * against the dictionary.
+    *
+    * The dictionary DOES use a partitionBy-less window — the pattern
+    * [[ntileBuckets]] had to eliminate — but here it is the RIGHT
+    * plan: the window input is the post-aggregation vocabulary
+    * (|distinct labels| rows, broadcast-sized by definition), not the
+    * data table. Global order over a tiny aggregate is a
+    * single-task job whatever the formulation; the full-table work
+    * stays one narrow group-by + one broadcast-joined map-side
+    * encode.
+    */
+  def labelIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val vocab = o.groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy($"n".desc, $"o_orderpriority".asc)
+    val dict = vocab.select($"o_orderpriority",
+      (row_number().over(w).cast("long") - 1).as("idx"))
+    o.filter($"o_orderkey" < 300)
+      .join(broadcast(dict), Seq("o_orderpriority"))
+      .select($"o_orderkey", $"o_orderpriority", $"idx")
+      .orderBy($"o_orderkey")
+  }
+
+  private val labelIndexSql =
+    """WITH v AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT o_orderpriority,
+      |    CAST(row_number() OVER (ORDER BY n DESC, o_orderpriority) - 1 AS BIGINT) AS idx
+      |  FROM v)
+      |SELECT o_orderkey, o_orderpriority, idx
+      |FROM orders JOIN d USING (o_orderpriority)
+      |WHERE o_orderkey < 300
+      |ORDER BY o_orderkey""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_feat_zscore", zscore, Some(zscoreSql)),
-    CatalogEntry("q_feat_ntile", ntileBuckets, Some(ntileBucketsSql)))
+    CatalogEntry("q_feat_ntile", ntileBuckets, Some(ntileBucketsSql)),
+    CatalogEntry("q_feat_minmax", minmaxScale, Some(minmaxScaleSql)),
+    CatalogEntry("q_feat_index", labelIndex, Some(labelIndexSql)))
 }

@@ -385,7 +385,45 @@ object TextAnalysis {
       |FROM c2 JOIN c1 USING (w1)
       |ORDER BY cnt DESC, w1, w2 LIMIT 30""".stripMargin
 
+  /** Per-document repetition signals — the Gopher-style quality
+    * filters that catch degenerate/templated text: the fraction of
+    * bigram mass taken by the single most frequent bigram
+    * (top_bigram_frac) and the fraction of bigram occurrences that
+    * are repeats of an already-seen bigram (dup_bigram_frac). Both
+    * fall out of ONE per-(doc, bigram) hash count (map-side partial)
+    * re-rolled to the doc — the same exchange shape as
+    * [[bigramStats]], but keyed per doc. Counts are exact integers;
+    * the two fractions are single IEEE divisions.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = split($"text", " ")
+    val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y))
+    val perBg = Tables.t(s, dir, "documents")
+      .select($"doc_id", explode(filter(bigrams, x => x.isNotNull)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+    perBg.groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"), max($"c").as("top_c"),
+        count(lit(1)).as("n_distinct"))
+      .select($"doc_id", $"n_bigrams".cast("long").as("n_bigrams"),
+        ($"top_c".cast("double") / $"n_bigrams").as("top_bigram_frac"),
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_bigrams").as("dup_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+      |                             FOR i IN generate_series(1, len(ws) - 1)]) AS bg FROM d),
+      |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac,
+      |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_bigram_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_repetition", repetition, Some(repetitionSql)),
     CatalogEntry("q_text_boilerplate", boilerplate, Some(boilerplateSql)),
     CatalogEntry("q_text_bigram_lm", bigramStats, Some(bigramStatsSql)),
     CatalogEntry("q_text_pii", pii, Some(piiSql)),

@@ -26,7 +26,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_sample_stratified",
     "q_dedup_editdist", "q_dedup_length_routed", "q_dedup_cc_star",
     "q_text_boilerplate", "q_text_bigram_lm", "q_evt_retention",
-    "q_evt_transitions", "q_feat_zscore")
+    "q_evt_transitions", "q_feat_zscore", "q_feat_minmax", "q_feat_index",
+    "q_text_repetition")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook

@@ -81,6 +81,23 @@ class SkewSpec extends SparkSpec {
     assert(hashExchangeCount("q_feat_zscore") == 1)
   }
 
+  test("minmax scale plans exactly one hash exchange (same stats-broadcast shape as zscore)") {
+    assert(hashExchangeCount("q_feat_minmax") == 1)
+  }
+
+  test("repetition plans two hash exchanges: (doc,bigram) count then doc rollup") {
+    assert(hashExchangeCount("q_text_repetition") == 2)
+  }
+
+  test("label index: one full-data hash exchange; the dictionary window is vocabulary-sized") {
+    // the SinglePartition window here is over the POST-AGGREGATION
+    // vocabulary (|labels| rows), not the data table — the one place a
+    // global window is the right plan. Full-scan data crosses exactly
+    // one hash exchange (the vocab group-by); the encode is a
+    // broadcast join.
+    assert(hashExchangeCount("q_feat_index") == 1)
+  }
+
   test("retention plans four hash exchanges, only one over full-scan data") {
     // 1 full-data: the (user_id, wk) distinct with map-side partial
     // dedup — events collapse to users×weeks BEFORE the wire. The
