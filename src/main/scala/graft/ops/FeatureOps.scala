@@ -207,7 +207,99 @@ object FeatureOps {
       |WHERE o_orderkey < 300
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Deterministic hash split — the reproducible train/val/test
+    * assignment every training pipeline needs: bucket = first two hex
+    * chars of md5(key) (256 uniform buckets, identical string on any
+    * engine/cluster/run), thresholded ~80/10/10 by plain ASCII
+    * comparison. Pure map-side projection; adding data never reshuffles
+    * existing assignments (hash of the KEY, not of position).
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5($"o_orderkey".cast("string")), 1, 2)
+    Tables.t(s, dir, "orders")
+      .filter($"o_orderkey" < 300)
+      .select($"o_orderkey", bucket.as("bucket"),
+        when(bucket < "cc", "train")        // 204/256 ≈ 79.7%
+          .when(bucket < "e6", "val")       // 26/256 ≈ 10.2%
+          .otherwise("test").as("split"))   // 26/256 ≈ 10.2%
+      .orderBy($"o_orderkey")
+  }
+
+  private val hashSplitSql =
+    """SELECT o_orderkey,
+      |  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS bucket,
+      |  CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM orders WHERE o_orderkey < 300
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Smoothing pseudo-count for [[targetEncode]]. */
+  val targetEncSmoothing = 10
+
+  /** Smoothed target encoding — the leakage-averse categorical
+    * encoding: each label's mean binary target shrunk toward the
+    * global prior by `targetEncSmoothing` pseudo-observations,
+    * enc = (pos + m·prior) / (n + m). Counts come from one
+    * vocabulary-sized group-by; the prior re-aggregates those counts
+    * (5 rows), so the whole operator is one full-data exchange. All
+    * counts exact longs; prior and enc are the same IEEE expression
+    * tree on both engines.
+    */
+  def targetEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = targetEncSmoothing
+    val perLabel = Tables.t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_totalprice" > 150000, 1L).otherwise(0L)).as("pos"))
+      .persist()
+    val prior = perLabel.agg(
+      (sum($"pos").cast("double") / sum($"n")).as("prior"))
+    perLabel.crossJoin(broadcast(prior))
+      .select($"o_orderpriority", $"n", $"pos", $"prior",
+        (($"pos" + lit(m.toDouble) * $"prior") / ($"n" + m)).as("enc"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val targetEncodeSql =
+    s"""WITH pl AS (
+       |  SELECT o_orderpriority, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM orders GROUP BY 1),
+       |pr AS (
+       |  SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS prior FROM pl)
+       |SELECT o_orderpriority, n, pos, prior,
+       |  (pos + $targetEncSmoothing.0 * prior) / (n + $targetEncSmoothing) AS enc
+       |FROM pl CROSS JOIN pr
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Feature hashing (the hashing trick): high-cardinality
+    * categoricals land in a fixed 256-bucket space via the same
+    * engine-portable md5-prefix hash as [[hashSplit]] — no dictionary,
+    * no vocabulary shuffle, new categories never resize the feature
+    * space. Emits the bucket histogram (the collision profile a
+    * hashed-feature consumer cares about): one map-side hash + one
+    * 256-ary rollup.
+    */
+  def featureHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select(substring(md5($"o_custkey".cast("string")), 1, 2).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
+  private val featureHashSql =
+    """SELECT substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2) AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_feat_split", hashSplit, Some(hashSplitSql)),
+    CatalogEntry("q_feat_target_enc", targetEncode, Some(targetEncodeSql)),
+    CatalogEntry("q_feat_hash", featureHash, Some(featureHashSql)),
     CatalogEntry("q_feat_zscore", zscore, Some(zscoreSql)),
     CatalogEntry("q_feat_ntile", ntileBuckets, Some(ntileBucketsSql)),
     CatalogEntry("q_feat_minmax", minmaxScale, Some(minmaxScaleSql)),

@@ -315,8 +315,42 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Per-label centroids, one row per (label, dim) — the class-mean
+    * table behind nearest-centroid classifiers, cluster drift
+    * monitoring, and IVF-style codebook seeding. Vectors quantize to
+    * the exact 1e4 integer grid ONCE (map-side), a posexplode turns
+    * each into dim rows, and one (label, dim) hash aggregate sums the
+    * grid values — exact longs — so the final mean (sum/(n·1e4)) is a
+    * single cross-engine-stable IEEE division. Shuffle volume is
+    * N·dim narrow rows on a key whose cardinality is labels×dim; at
+    * 100 TB the partial aggregation collapses each map task to at
+    * most labels×dim rows before the wire.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "embeddings")
+      .select($"label".cast("long").as("label"),
+        posexplode(quantize1e4($"embedding")).as(Seq("dim0", "xq")))
+      .groupBy($"label", ($"dim0" + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum($"xq").as("sum_q"))
+      .select($"label", $"dim", $"n",
+        ($"sum_q".cast("double") / ($"n" * 10000)).as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+
+  private val labelCentroidsSql =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT) AS xq
+      |  FROM embeddings)
+      |SELECT label, dim, COUNT(*) AS n,
+      |  CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * 10000) AS centroid
+      |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     CatalogEntry("q_sim_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
-    CatalogEntry("q_sim_ivf", ivf, Some(ivfSql)))
+    CatalogEntry("q_sim_ivf", ivf, Some(ivfSql)),
+    CatalogEntry("q_emb_centroid", labelCentroids, Some(labelCentroidsSql)))
 }

@@ -89,6 +89,19 @@ class SkewSpec extends SparkSpec {
     assert(hashExchangeCount("q_text_repetition") == 2)
   }
 
+  test("feature hash and embedding centroid each plan exactly one hash exchange") {
+    assert(hashExchangeCount("q_feat_hash") == 1)
+    assert(hashExchangeCount("q_emb_centroid") == 1)
+  }
+
+  test("hash split is pure map-side (zero hash exchanges)") {
+    assert(hashExchangeCount("q_feat_split") == 0)
+  }
+
+  test("target encoding: full-data crosses one exchange; prior/enc work on the 5-row label table") {
+    assert(hashExchangeCount("q_feat_target_enc") <= 2)
+  }
+
   test("label index: one full-data hash exchange; the dictionary window is vocabulary-sized") {
     // the SinglePartition window here is over the POST-AGGREGATION
     // vocabulary (|labels| rows), not the data table — the one place a
