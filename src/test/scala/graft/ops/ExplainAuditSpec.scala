@@ -27,7 +27,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_dedup_editdist", "q_dedup_length_routed", "q_dedup_cc_star",
     "q_text_boilerplate", "q_text_bigram_lm", "q_evt_retention",
     "q_evt_transitions", "q_feat_zscore", "q_feat_minmax", "q_feat_index",
-    "q_feat_split", "q_feat_target_enc", "q_feat_hash", "q_emb_centroid",
+    "q_feat_split", "q_feat_hash", "q_emb_centroid",
     "q_text_repetition")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
@@ -36,7 +36,10 @@ class ExplainAuditSpec extends SparkSpec {
     * definition). Listed explicitly so adding a new BNLJ anywhere else
     * is a conscious decision.
     */
-  private val allowedNestedLoop = Seq("q_sim_topk", "q_sim_ivf")
+  private val allowedNestedLoop = Seq("q_sim_topk", "q_sim_ivf",
+    // target encoding broadcasts its ONE-ROW global prior under every
+    // label row — a scalar cross join is map-side by construction
+    "q_feat_target_enc")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
