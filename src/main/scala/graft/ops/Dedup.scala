@@ -1052,7 +1052,46 @@ object Dedup {
        |  CAST(CAST(SUM(kept) AS BIGINT) AS DOUBLE) / COUNT(*) AS pct_kept
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Quality-canonical cluster representative — [[dedupApply]] keeps
+    * each cluster's min-id doc (cheap, arbitrary); real curation keeps
+    * the BEST copy: here the longest document (most complete crawl of
+    * the page), doc_id breaking ties. Selection is a single hash
+    * aggregation with the struct-min trick — `min(struct(-n_chars,
+    * doc_id))` under lexicographic struct order IS argmax-by-quality
+    * with a deterministic tiebreak — so there is no per-cluster sort
+    * and no window: clusters ⋈ docs (doc-key join), one rollup on the
+    * cluster key. Emits only multi-doc clusters (singletons keep
+    * themselves by definition). The DuckDB oracle deliberately uses a
+    * different formulation (row_number window) as an independent check.
+    */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cl = dedupClusters(s, dir).select($"doc_id", $"cluster_id")
+    val docs = Tables.t(s, dir, "documents").select($"doc_id", $"n_chars")
+    cl.join(docs, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-$"n_chars").as("neg"), $"doc_id".as("id"))).as("best"))
+      .filter($"n_docs" >= 2)
+      .select($"cluster_id", $"n_docs",
+        $"best.id".as("keep_doc_id"), (-$"best.neg").as("keep_chars"))
+      .orderBy($"cluster_id")
+  }
+
+  private val keepBestSql =
+    s"""WITH $clustersCteSql,
+       |ranked AS (
+       |  SELECT l.label AS cluster_id, d.doc_id, d.n_chars,
+       |    COUNT(*) OVER (PARTITION BY l.label) AS n_docs,
+       |    row_number() OVER (PARTITION BY l.label
+       |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+       |  FROM l$ccRounds l JOIN documents d ON l.doc_id = d.doc_id)
+       |SELECT cluster_id, n_docs, doc_id AS keep_doc_id, n_chars AS keep_chars
+       |FROM ranked WHERE rn = 1 AND n_docs >= 2
+       |ORDER BY cluster_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_dedup_keep_best", keepBest, Some(keepBestSql)),
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),
     CatalogEntry("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     CatalogEntry("q_dedup_stream_lsh", streamLsh, Some(streamLshSql)),

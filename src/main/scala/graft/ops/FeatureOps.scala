@@ -296,7 +296,44 @@ object FeatureOps {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Leakage-safe GROUP split — the train/val/test assignment that
+    * hashes the GROUP key (here the document's source domain) instead
+    * of the row key, so near-duplicate rows sharing a group can never
+    * straddle the split boundary (the classic eval-contamination
+    * leak). Same engine-portable md5-prefix bucketing as [[hashSplit]];
+    * the split decision is a pure map-side projection (zero shuffle to
+    * assign — the rollup here exists only to make the gate output
+    * verifiable: docs + distinct groups per split, where
+    * n_sources summing to the global distinct-source count IS the
+    * no-straddle property). At 100 TB: scan + map + one
+    * vocabulary-sized rollup.
+    */
+  def groupSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5($"source"), 1, 2)
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        when(bucket < "cc", "train")
+          .when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"split")
+  }
+
+  private val groupSplitSql =
+    """SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents) t
+      |GROUP BY split ORDER BY split""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_feat_group_split", groupSplit, Some(groupSplitSql)),
     CatalogEntry("q_feat_split", hashSplit, Some(hashSplitSql)),
     CatalogEntry("q_feat_target_enc", targetEncode, Some(targetEncodeSql)),
     CatalogEntry("q_feat_hash", featureHash, Some(featureHashSql)),

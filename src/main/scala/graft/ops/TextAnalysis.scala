@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (builder-prompt
@@ -422,7 +423,100 @@ object TextAnalysis {
       |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_bigram_frac
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-source document quota for [[sourceQuota]]. */
+  val sourceQuotaN = 5
+
+  /** Per-source quota sampling — the per-domain cap web-scale curation
+    * applies so no single crawl domain dominates the training mix (the
+    * "top-N documents per domain" rule in public web-corpus recipes).
+    * Keeps the `sourceQuotaN` longest documents per source; doc_id
+    * breaks length ties so the selection is a total order. Exactly ONE
+    * hash exchange (on source); the rank sort runs per group inside
+    * each task, never globally — at 100 TB with millions of domains the
+    * groups stay small and the plan is a single shuffle + map-side
+    * filter. Skewed mega-domains bound the sort at group size, and the
+    * quota itself is what caps their output.
+    */
+  def sourceQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter($"rank_in_source" <= sourceQuotaN)
+      .orderBy($"source", $"rank_in_source")
+  }
+
+  private val sourceQuotaSql =
+    s"""SELECT doc_id, source, n_chars, rank_in_source FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY n_chars DESC, doc_id ASC) AS rank_in_source
+       |  FROM documents) t
+       |WHERE rank_in_source <= $sourceQuotaN
+       |ORDER BY source, rank_in_source""".stripMargin
+
+  /** Corpus-count ceiling under which a bigram counts as "rare" for
+    * [[lmRarity]]. */
+  val rareBigramMaxCount = 2
+
+  /** LM-rarity quality signal — the integer-exact core of CCNet-style
+    * perplexity filtering: score each document by how much of its
+    * bigram mass the corpus language model has barely seen (corpus
+    * count ≤ `rareBigramMaxCount`). High rarity ⇒ ill-formed or
+    * off-distribution text; low ⇒ fluent but possibly boilerplate.
+    * The ratio is emitted as exact integer per-mille
+    * (`1000·rare div n`), so the gate hash never touches a float —
+    * a true log-probability would hinge on the two engines' `ln`
+    * rounding at the cent boundary (the same ulp hazard the exact-
+    * percentile mills fix removed).
+    *
+    * Shuffle shape: one (doc_id, bigram) hash count (map-side
+    * partial), re-rolled to corpus counts on the bigram key — the
+    * numerator and denominator SHARE that exchange exactly as in
+    * [[bigramStats]] — then one join back on the bigram key and a
+    * final per-doc rollup. Four narrow exchanges, all on keys the
+    * data is already clustered by; nothing global, nothing collected.
+    */
+  def lmRarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = split($"text", " ")
+    val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y))
+    val perDoc = Tables.t(s, dir, "documents")
+      .select($"doc_id", explode(filter(bigrams, x => x.isNotNull)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .persist()
+    val corpus = perDoc.groupBy($"bg").agg(sum($"c").as("corpus_c"))
+    perDoc.join(corpus, Seq("bg"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"),
+        sum(when($"corpus_c" <= rareBigramMaxCount, $"c").otherwise(0L)).as("n_rare"))
+      .select($"doc_id", $"n_bigrams", $"n_rare",
+        // integer `div`, NOT `/`: Spark's `/` on longs is IEEE double
+        // division, and a quotient that rounds up across an integer
+        // boundary would disagree with DuckDB's exact `//`
+        expr("1000 * n_rare div n_bigrams").as("rare_mills"))
+      .orderBy($"doc_id")
+  }
+
+  private val lmRaritySql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |b AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+       |                             FOR i IN generate_series(1, len(ws) - 1)]) AS bg FROM d),
+       |pd AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |corpus AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS corpus_c FROM pd GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN corpus_c <= $rareBigramMaxCount THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(SUM(CASE WHEN corpus_c <= $rareBigramMaxCount THEN c ELSE 0 END) * 1000
+       |       // SUM(c) AS BIGINT) AS rare_mills
+       |FROM pd JOIN corpus USING (bg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_source_quota", sourceQuota, Some(sourceQuotaSql)),
+    CatalogEntry("q_text_lm_rarity", lmRarity, Some(lmRaritySql)),
     CatalogEntry("q_text_repetition", repetition, Some(repetitionSql)),
     CatalogEntry("q_text_boilerplate", boilerplate, Some(boilerplateSql)),
     CatalogEntry("q_text_bigram_lm", bigramStats, Some(bigramStatsSql)),

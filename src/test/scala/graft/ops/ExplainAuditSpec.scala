@@ -28,7 +28,9 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_boilerplate", "q_text_bigram_lm", "q_evt_retention",
     "q_evt_transitions", "q_feat_zscore", "q_feat_minmax", "q_feat_index",
     "q_feat_split", "q_feat_hash", "q_emb_centroid",
-    "q_text_repetition")
+    "q_text_repetition",
+    "q_dedup_keep_best", "q_feat_group_split", "q_text_source_quota",
+    "q_text_lm_rarity")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
