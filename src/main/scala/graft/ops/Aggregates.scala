@@ -406,7 +406,40 @@ object Aggregates {
       |  COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Deterministic per-group MODE — most frequent value with a total
+    * tiebreak (highest count, then lexicographically smallest value),
+    * because engine-native `mode()` leaves ties unspecified and would
+    * flip the gate hash. Two narrow hash aggregations — (group, value)
+    * counts re-rolled to the group key via the struct-min trick
+    * (min over (−count, value) IS argmax-count-then-min-value, no
+    * per-group sort, no window) — both map-side-combinable, so the
+    * value-distinct shuffle is the only real data movement at 100 TB.
+    */
+  def modeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"o_orderstatus")
+      .agg(min(struct((-$"cnt").as("neg"), $"o_orderpriority".as("v"))).as("m"))
+      .select($"o_orderstatus", $"m.v".as("mode_priority"), (-$"m.neg").as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Oracle: independent row_number-window formulation of the same
+    * count-desc-value-asc total order. */
+  private val modeAggSql =
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n
+      |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_agg_mode", modeAgg, Some(modeAggSql)),
     CatalogEntry("q_agg_approx_percentile", approxPercentile, Some(approxPercentileSql)),
     CatalogEntry("q_agg_histogram", histogram, Some(histogramSql)),
     CatalogEntry("q_agg_multi", multiAgg, Some(multiAggSql)),

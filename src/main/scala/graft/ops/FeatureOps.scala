@@ -332,7 +332,54 @@ object FeatureOps {
       |  FROM documents) t
       |GROUP BY split ORDER BY split""".stripMargin
 
+  /** Per-group IQR outlier detection — the Tukey-fence rule (outside
+    * q1−1.5·IQR / q3+1.5·IQR) per nation, the robust-stats sibling of
+    * [[zscore]]. Quartiles run over integer CENTS, whose lerp factors
+    * are exact quarters, so 4·q is an exact integer in both engines
+    * and every fence comparison happens in quarter-cent integer space
+    * scaled ×2 (2·4c vs 2·4q1 − 3·(4q3−4q1)) — no float ever reaches
+    * the gate. Plan: one narrow per-nation percentile aggregation
+    * (25 rows) broadcast back onto customers, flag map-side, roll up —
+    * the same stats-broadcast shape as zscore, ONE row-table exchange.
+    */
+  def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+      .select($"c_nationkey", $"c_custkey",
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val stats = c.groupBy($"c_nationkey")
+      .agg(round(expr("percentile(cents, 0.25)") * 4).cast("long").as("q1_qc"),
+        round(expr("percentile(cents, 0.75)") * 4).cast("long").as("q3_qc"))
+    c.join(broadcast(stats), Seq("c_nationkey"))
+      .select($"c_nationkey", $"cents", $"q1_qc", $"q3_qc",
+        (($"cents" * 8) < ($"q1_qc" * 2 - ($"q3_qc" - $"q1_qc") * 3)).as("low"),
+        (($"cents" * 8) > ($"q3_qc" * 2 + ($"q3_qc" - $"q1_qc") * 3)).as("high"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"low", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"high", 1L).otherwise(0L)).as("n_high"),
+        first($"q1_qc").as("q1_qc"), first($"q3_qc").as("q3_qc"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val iqrOutliersSql =
+    """WITH c AS (SELECT c_nationkey, c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |s AS (SELECT c_nationkey,
+      |    CAST(round(quantile_cont(cents, 0.25) * 4) AS BIGINT) AS q1_qc,
+      |    CAST(round(quantile_cont(cents, 0.75) * 4) AS BIGINT) AS q3_qc
+      |  FROM c GROUP BY 1)
+      |SELECT c.c_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN c.cents * 8 < s.q1_qc * 2 - (s.q3_qc - s.q1_qc) * 3
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN c.cents * 8 > s.q3_qc * 2 + (s.q3_qc - s.q1_qc) * 3
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  any_value(s.q1_qc) AS q1_qc, any_value(s.q3_qc) AS q3_qc
+      |FROM c JOIN s USING (c_nationkey)
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_feat_outlier", iqrOutliers, Some(iqrOutliersSql)),
     CatalogEntry("q_feat_group_split", groupSplit, Some(groupSplitSql)),
     CatalogEntry("q_feat_split", hashSplit, Some(hashSplitSql)),
     CatalogEntry("q_feat_target_enc", targetEncode, Some(targetEncodeSql)),

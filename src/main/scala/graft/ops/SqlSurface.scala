@@ -173,7 +173,89 @@ object SqlSurface {
       |FROM spine s LEFT JOIN daily d ON s.day = d.day
       |ORDER BY s.day""".stripMargin
 
+  /** MERGE / upsert — the batch "MERGE INTO target USING source" the
+    * reference reaches through its SQL passthrough, expressed in the
+    * distributed shape: ONE full-outer equi-join on the key, then a
+    * row-wise coalesce picks source over target. Matched keys update,
+    * source-only keys insert, target-only keys pass through — the
+    * `action` column makes all three branches gate-visible. Source
+    * here is derived deterministically from the target itself (keys
+    * %100<10 update their balance, %100≥95 spawn new +10M keys), so
+    * the query is self-contained on the fixture. Balances ride the
+    * integer cents bridge (round(×100)) — no float drift across
+    * engines. At 100 TB: two hash exchanges on the merge key and a
+    * sort-merge full-outer — the same plan DELETE+INSERT rewrites
+    * compile to; nothing driver-side.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_name",
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val updates = t.filter($"c_custkey" % 100 < 10)
+      .select($"c_custkey", lit(null).cast("string").as("s_name"),
+        ($"cents" + 5000L).as("s_cents"))
+    val inserts = t.filter($"c_custkey" % 100 >= 95)
+      .select(($"c_custkey" + 10000000L).as("c_custkey"),
+        concat(lit("NEW-"), ($"c_custkey" + 10000000L).cast("string")).as("s_name"),
+        lit(0L).as("s_cents"))
+    t.join(updates.union(inserts), Seq("c_custkey"), "full_outer")
+      .select($"c_custkey",
+        coalesce($"s_name", $"c_name").as("c_name"),
+        coalesce($"s_cents", $"cents").as("acct_cents"),
+        when($"c_name".isNull, "insert")
+          .when($"s_cents".isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Oracle: a deliberately DIFFERENT formulation — left join for the
+    * update/keep branches plus an anti-join for inserts, unioned. */
+  private val mergeUpsertSql =
+    """WITH t AS (SELECT c_custkey, c_name,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |src AS (
+      |  SELECT c_custkey, NULL AS s_name, cents + 5000 AS s_cents
+      |  FROM t WHERE c_custkey % 100 < 10
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEW-' || CAST(c_custkey + 10000000 AS VARCHAR), 0
+      |  FROM t WHERE c_custkey % 100 >= 95)
+      |SELECT t.c_custkey, t.c_name,
+      |  coalesce(s.s_cents, t.cents) AS acct_cents,
+      |  CASE WHEN s.c_custkey IS NULL THEN 'keep' ELSE 'update' END AS action
+      |FROM t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      |UNION ALL
+      |SELECT s.c_custkey, s.s_name, s.s_cents, 'insert'
+      |FROM src s ANTI JOIN t ON s.c_custkey = t.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** UNPIVOT / melt — wide→long reshaping (the inverse of [[pivot]]).
+    * Spark's `unpivot` compiles to a map-side Expand: one scan, two
+    * output rows per input, ZERO shuffles — the 100 TB shape for
+    * feature-table melting. Both measures are cast to one long type
+    * (id cols stay); retail price rides the cents bridge.
+    */
+  def unpivotOp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "part")
+      .select($"p_partkey", $"p_size".cast("long").as("p_size"),
+        round($"p_retailprice" * 100).cast("long").as("retail_cents"))
+      .unpivot(Array($"p_partkey"), Array($"p_size", $"retail_cents"),
+        "metric", "value")
+      .orderBy($"p_partkey", $"metric")
+  }
+
+  private val unpivotOpSql =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS BIGINT) AS value
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'retail_cents', CAST(round(p_retailprice * 100) AS BIGINT)
+      |FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_merge", mergeUpsert, Some(mergeUpsertSql)),
+    CatalogEntry("q_sql_unpivot", unpivotOp, Some(unpivotOpSql)),
     CatalogEntry("q_sql_datespine", dateSpine, Some(dateSpineSql)),
     CatalogEntry("q_sql_lateral", lateral, Some(lateralSql)),
     CatalogEntry("q_sql_cte", cte, Some(cteSql)),

@@ -514,7 +514,38 @@ object TextAnalysis {
        |FROM pd JOIN corpus USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Rows kept by [[vocab]]. */
+  val vocabTopN = 100
+
+  /** Corpus vocabulary — the top-`vocabTopN` tokens by corpus
+    * frequency, the first step of building a tokenizer vocab or a
+    * stopword list over a crawl. One explode + one map-side-combinable
+    * hash count, then a GLOBAL top-k with a total order (count desc,
+    * token asc — ties at the cutoff must not make the kept set
+    * nondeterministic): Spark plans TakeOrderedAndProject — per-
+    * partition heaps of k, single k-row driver merge — NOT a global
+    * sort; the only full-data exchange is the token count. At 100 TB
+    * the vocabulary table is the corpus's distinct-token set (Heaps'
+    * law ≪ corpus size), and k rows ride to the driver.
+    */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token".asc)
+      .limit(vocabTopN)
+  }
+
+  private val vocabSql =
+    s"""SELECT token, COUNT(*) AS n
+       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |GROUP BY token
+       |ORDER BY n DESC, token ASC
+       |LIMIT $vocabTopN""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_vocab", vocab, Some(vocabSql)),
     CatalogEntry("q_text_source_quota", sourceQuota, Some(sourceQuotaSql)),
     CatalogEntry("q_text_lm_rarity", lmRarity, Some(lmRaritySql)),
     CatalogEntry("q_text_repetition", repetition, Some(repetitionSql)),

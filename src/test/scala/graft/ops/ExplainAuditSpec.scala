@@ -30,7 +30,9 @@ class ExplainAuditSpec extends SparkSpec {
     "q_feat_split", "q_feat_hash", "q_emb_centroid",
     "q_text_repetition",
     "q_dedup_keep_best", "q_feat_group_split", "q_text_source_quota",
-    "q_text_lm_rarity")
+    "q_text_lm_rarity",
+    "q_sql_merge", "q_sql_unpivot", "q_agg_mode", "q_feat_outlier",
+    "q_text_vocab")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
