@@ -32,6 +32,7 @@ object Catalog {
       ops.EventOps.entries ++
       ops.FeatureOps.entries ++
       ops.Dedup.entries ++
+      ops.Graph.entries ++
       ops.Similarity.entries ++
       ops.TextAnalysis.entries ++
       multimodal.Multimodal.entries

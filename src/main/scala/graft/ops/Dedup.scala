@@ -152,7 +152,7 @@ object Dedup {
   /** Shared CTE chain producing the `bands` relation (DuckDB twin of
     * [[bandsDf]]).
     */
-  private val bandsCteSql = {
+  private[ops] val bandsCteSql = {
     val mExprs = (1 to nDigests).map { i =>
       s"list_transform(words, w -> md5(concat('$i:', w))) AS m$i"
     }.mkString(",\n  ")
@@ -937,7 +937,7 @@ object Dedup {
   /** (nodes, candidate-pair edges) of the LSH band graph — shared by
     * both CC catalog rows.
     */
-  private def lshPairGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ops] def lshPairGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val bands = bandsDf(s, dir).persist()
     val pairs = bands.as("a")

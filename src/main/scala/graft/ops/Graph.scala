@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.CatalogEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the LSH candidate graph ([[Dedup.lshPairGraph]]:
+  * nodes = documents, edges = band-collision pairs with src < dst).
+  * Connected components (the dedup clustering itself) lives in
+  * [[Dedup]]; this module adds the graph-shape diagnostics a curation
+  * pipeline runs BEFORE committing to a clustering — degree
+  * distribution (is the graph near-clique or chain-like? is one hub
+  * about to glue the corpus into a megacluster?) and per-node triangle
+  * counts (density evidence: triangle-rich neighborhoods are true
+  * near-dup families, triangle-free hubs are false-positive glue).
+  * Reference analog: the dedup-quality reports its pipeline UI renders
+  * before a destructive dedup apply.
+  */
+object Graph {
+
+  /** Degree distribution — degree per node (0 for isolated docs), then
+    * a histogram (degree → node count). Two map-side-combinable hash
+    * aggregations plus one left join back to the node table; every
+    * exchange is on the node id the edge table is already keyed by. At
+    * 100 TB the histogram is bounded by the max degree (≪ nodes) and
+    * the heavy hitters that would skew a per-node GROUP BY are exactly
+    * the hub nodes this query exists to expose — the count aggregation
+    * is partial-aggregated map-side, so a hub never concentrates rows
+    * on one task.
+    */
+  def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nodes, pairs) = Dedup.lshPairGraph(s, dir)
+    val deg = pairs.select($"src".as("id")).union(pairs.select($"dst".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("degree"))
+    nodes.join(deg, Seq("id"), "left")
+      .select(coalesce($"degree", lit(0L)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"degree")
+  }
+
+  private val degreeDistSql =
+    s"""WITH ${Dedup.bandsCteSql},
+       |e AS (
+       |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree
+       |  FROM (SELECT s AS doc_id FROM e UNION ALL SELECT d FROM e) u
+       |  GROUP BY 1)
+       |SELECT coalesce(deg.degree, 0) AS degree, COUNT(*) AS n_nodes
+       |FROM documents docs LEFT JOIN deg ON docs.doc_id = deg.doc_id
+       |GROUP BY 1 ORDER BY degree""".stripMargin
+
+  /** Per-node triangle counts — the number of 3-cliques each document
+    * participates in, the standard distributed triangle enumeration:
+    * with edges canonically ordered (src < dst), join wedges
+    * (a<b)⨝(b<c) on the middle vertex, then close each wedge against
+    * the edge table on (a, c). Every triangle a<b<c is built exactly
+    * once, so no dedup pass and no distinct aggregate. Both joins are
+    * equi-joins on edge endpoints — sort-merge/hash territory, never a
+    * nested loop — and the wedge table (Σ deg²-ish) is the known cost
+    * center: on a 100 TB corpus you'd pre-drop super-hub nodes (the
+    * degree histogram above is the tool) exactly as public triangle
+    * pipelines do. Output = (doc_id, n_triangles) for triangle
+    * members, ordered.
+    */
+  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, pairs) = Dedup.lshPairGraph(s, dir)
+    val e = pairs.persist()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(e.as("e3"), $"a" === col("e3.src") && $"c" === col("e3.dst"))
+      .select($"a", $"b", $"c")
+    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: same wedge-close enumeration spelled as a 3-way SQL join
+    * with a UNION ALL unrolling instead of explode. */
+  private val triangleCountsSql =
+    s"""WITH ${Dedup.bandsCteSql},
+       |e AS (
+       |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |t AS (
+       |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+       |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+       |            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d)
+       |SELECT doc_id, COUNT(*) AS n_triangles
+       |FROM (SELECT a AS doc_id FROM t
+       |      UNION ALL SELECT b FROM t
+       |      UNION ALL SELECT c FROM t) u
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_graph_degree", degreeDist, Some(degreeDistSql)),
+    CatalogEntry("q_graph_triangles", triangleCounts, Some(triangleCountsSql)))
+}
