@@ -70,6 +70,13 @@ object GraftExtensions {
         SimHash64(children.head)
       }),
     (
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getCanonicalName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize(string)")
+        NfcNormalize(children.head)
+      }),
+    (
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getCanonicalName, "kmv_distinct"),
       (children: Seq[Expression]) => {

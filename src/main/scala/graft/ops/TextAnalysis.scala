@@ -544,7 +544,42 @@ object TextAnalysis {
        |ORDER BY n DESC, token ASC
        |LIMIT $vocabTopN""".stripMargin
 
+  /** Unicode NFC normalization — runs the native codegen
+    * [[graft.functions.NfcNormalize]] Expression over text with
+    * DECOMPOSED sequences planted deterministically (the fixture is
+    * ASCII, so like q_text_pii the non-ASCII forms are constructed
+    * in-query: combining acute U+0301, ring U+030A, diaeresis U+0308
+    * appended to their base letters). NFC composes each pair to one
+    * code point, so n_raw − n_nfc = the number of planted combining
+    * marks per row — visible proof the normalizer ran. The oracle is
+    * DuckDB's independent ICU-family `nfc_normalize`. Pure map-side
+    * projection inside whole-stage codegen; zero shuffles.
+    */
+  def normalizeNfc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        // decomposed on purpose: base letter + combining mark
+        concat(lit("résumé "), $"source",
+          lit(" Ångström "), substring($"text", 1, 12)).as("raw"))
+      .select($"doc_id", expr("nfc_normalize(raw)").as("nfc"),
+        length($"raw").cast("long").as("n_raw"),
+        length(expr("nfc_normalize(raw)")).cast("long").as("n_nfc"))
+      .orderBy($"doc_id")
+  }
+
+  private val normalizeNfcSql =
+    """WITH r AS (SELECT doc_id,
+      |  're' || chr(769) || 'sume' || chr(769) || ' ' || source ||
+      |  ' A' || chr(778) || 'ngstro' || chr(776) || 'm ' || substr(text, 1, 12) AS raw
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(raw) AS nfc,
+      |  length(raw) AS n_raw, length(nfc_normalize(raw)) AS n_nfc
+      |FROM r ORDER BY doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_normalize", normalizeNfc, Some(normalizeNfcSql)),
     CatalogEntry("q_text_vocab", vocab, Some(vocabSql)),
     CatalogEntry("q_text_source_quota", sourceQuota, Some(sourceQuotaSql)),
     CatalogEntry("q_text_lm_rarity", lmRarity, Some(lmRaritySql)),
