@@ -345,4 +345,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[String]("tier") == "GOLD")
   }
+
+  test("streaming upsert sink: last write per key wins across and within batches") {
+    val mem = MemoryStream[Event](spark)
+    val target = tmpDir("upsert-target").toString
+    // key = user_id, version = event_id; value carries the payload
+    val q = StreamOps.upsertToParquet(
+      mem.toDF().select($"user_id", $"event_id", $"value"),
+      "user_id", "event_id", target).start()
+    try {
+      // batch 1: users 1,2 inserted; user 1 appears TWICE out of order
+      // within the batch — the higher event_id (v=1.5) must win
+      mem.addData(Seq(
+        ev(11, "2024-01-01 00:00:00", 1, "a", 1.0),
+        ev(13, "2024-01-01 00:00:02", 1, "a", 1.5),
+        ev(12, "2024-01-01 00:00:01", 2, "a", 2.0)))
+      q.processAllAvailable()
+      // batch 2: user 2 updated, user 3 inserted
+      mem.addData(Seq(
+        ev(21, "2024-01-01 00:01:00", 2, "a", 2.5),
+        ev(22, "2024-01-01 00:01:01", 3, "a", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = spark.read.parquet(s"$target/current")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(snap == Map(
+      1L -> (13L, 1.5), // in-batch out-of-order resolved by version
+      2L -> (21L, 2.5), // cross-batch update
+      3L -> (22L, 3.0))) // insert
+  }
 }
