@@ -1090,7 +1090,47 @@ object Dedup {
        |FROM ranked WHERE rn = 1 AND n_docs >= 2
        |ORDER BY cluster_id""".stripMargin
 
+  /** Incremental ingest dedup — the daily-crawl shape: a NEW batch of
+    * documents arrives, the corpus keeps a fingerprint snapshot of
+    * everything already ingested, and only batch docs that are (a) not
+    * already in the snapshot and (b) unique within the batch (min
+    * doc_id keeps) are admitted. Split is derived deterministically
+    * from the fixture (doc_id % 7 == 0 is "today's batch", the rest is
+    * the snapshot) so the query is self-contained. Plan: fingerprints
+    * are one map-side md5 projection on each side; "not already seen"
+    * is a LEFT ANTI join on the fingerprint (broadcast when the batch
+    * or snapshot is small, shuffle-hash on the fingerprint key at
+    * 100 TB — either way no full-corpus rescan of text, only of
+    * 16-byte digests); in-batch uniqueness is one fingerprint-keyed
+    * rollup riding the SAME key as the anti join. Emits one row per
+    * admitted doc (id, lang, in-batch copy count) so the gate hash
+    * covers the exact admitted set, not just a tally.
+    */
+  def incrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", md5($"text").as("fp"))
+    val snapshot = docs.filter($"doc_id" % 7 =!= 0).select($"fp").distinct()
+    val batch = docs.filter($"doc_id" % 7 === 0)
+    batch.join(snapshot, Seq("fp"), "left_anti")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"),
+        count(lit(1)).as("n_batch_copies"))
+      .select($"doc_id", $"lang", $"n_batch_copies")
+      .orderBy($"doc_id")
+  }
+
+  private val incrementalIngestSql =
+    """WITH f AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
+      |snapshot AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 <> 0),
+      |batch AS (SELECT * FROM f WHERE doc_id % 7 = 0)
+      |SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+      |  COUNT(*) AS n_batch_copies
+      |FROM batch b ANTI JOIN snapshot s ON b.fp = s.fp
+      |GROUP BY b.fp ORDER BY doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_dedup_incremental", incrementalIngest, Some(incrementalIngestSql)),
     CatalogEntry("q_dedup_keep_best", keepBest, Some(keepBestSql)),
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),
     CatalogEntry("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),

@@ -350,7 +350,55 @@ object EventOps {
       |SELECT day, COUNT(DISTINCT user_id) AS wau
       |FROM e GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Hourly spike (anomaly) detection — flag hours whose event count
+    * exceeds 1.5× the trailing-24-observed-hours average (1.5 fires on
+    * the fixture's Poisson-ish variation; a production 3× would flag
+    * only true incidents — the threshold is the point, the machinery
+    * is identical). The comparison is cross-multiplied into pure
+    * integers (`48·cnt > 3·Σtrailing`),
+    * so no float average ever reaches the gate. Two stages: one
+    * map-side-combinable hourly rollup (the only full-data exchange),
+    * then a ROWS-frame window over the POST-AGGREGATION hour table —
+    * that table is bounded by the time range (720 rows/month, 8.8k/
+    * year), so its single-partition window is a constant-size epilogue
+    * like the funnel's, NOT a scale hazard (the SkewSpec post-agg
+    * window rule). The cross-multiply assumes a FULL baseline, so
+    * hours with fewer than 24 observed trailing hours are flagged
+    * false — without this, warm-up hours misfire (a 1-hour baseline
+    * divided by 24 undershoots the true average 24×). `trail_cnt` is
+    * coalesced to 0 so the gate never carries a nullable sum.
+    * (`trailing` is a reserved word in DuckDB — hence `trail_cnt`.)
+    */
+  def hourlySpikes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"hour").rowsBetween(-24, -1)
+    Tables.t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("trail_cnt", coalesce(sum($"cnt").over(w), lit(0L)))
+      .withColumn("n_trail", count($"cnt").over(w))
+      .select($"hour", $"cnt", $"trail_cnt",
+        ($"n_trail" === 24 && $"cnt" * 48 > $"trail_cnt" * 3).as("spike"))
+      .orderBy($"hour")
+  }
+
+  private val hourlySpikesSql =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT hour, cnt,
+      |    CAST(coalesce(SUM(cnt) OVER (ORDER BY hour
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail_cnt,
+      |    COUNT(cnt) OVER (ORDER BY hour
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_trail
+      |  FROM h)
+      |SELECT hour, cnt, trail_cnt,
+      |  n_trail = 24 AND cnt * 48 > trail_cnt * 3 AS spike
+      |FROM t ORDER BY hour""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_spikes", hourlySpikes, Some(hourlySpikesSql)),
     CatalogEntry("q_evt_wau", rollingActive, Some(rollingActiveSql)),
     CatalogEntry("q_evt_transitions", transitions, Some(transitionsSql)),
     CatalogEntry("q_evt_retention", retention, Some(retentionSql)),

@@ -142,4 +142,26 @@ class SkewSpec extends SparkSpec {
     assert(hashExchanges <= 2, s"attribution equi-join needs at most one exchange per side:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("source quota plans exactly one hash exchange (rank rides the source shuffle)") {
+    assert(hashExchangeCount("q_text_source_quota") == 1)
+  }
+
+  test("group mode plans two hash exchanges: (group,value) counts then the group re-roll") {
+    assert(hashExchangeCount("q_agg_mode") == 2)
+  }
+
+  test("hourly spikes: one full-data exchange; the trailing window rides the bounded hour table") {
+    // the hour rollup is the only exchange over events; the ROWS-frame
+    // window runs over the post-aggregation hour table (720 rows/month)
+    // — the SkewSpec post-agg single-partition rule, same as label index
+    assert(hashExchangeCount("q_evt_spikes") == 1)
+  }
+
+  test("group split: assignment is map-side; both exchanges carry collapsed rows") {
+    // COUNT(DISTINCT source) rewrites to two phases: a (split, source)
+    // partial-dedup exchange (docs collapse to distinct sources
+    // map-side before the wire) and the 3-row split re-roll
+    assert(hashExchangeCount("q_feat_group_split") == 2)
+  }
 }
