@@ -348,7 +348,51 @@ object Similarity {
       |  CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * 10000) AS centroid
       |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
 
+  /** Int8 embedding quantization — the storage-scale path for a 100 TB
+    * embedding corpus (float32 → 1 byte/dim + one scale per vector,
+    * the symmetric per-tensor scheme every public int8 ANN/serving
+    * stack uses). Runs entirely on the repo's integer bridge: floats
+    * are first quantized to exact 1e-4 longs ([[quantize1e4]], the
+    * gate-proven step), then the int8 code is computed with INTEGER
+    * round-half-away rounding — sign(v)·((254·|v|+maxq) div (2·maxq))
+    * — so no engine's float division or rounding mode is anywhere near
+    * the result. Zero vectors (maxq=0) code to all-zero. Pure map-side
+    * projection, zero shuffles; emits the codes array plus the scale
+    * and an L1 checksum so the gate hash pins every byte.
+    */
+  def int8Quantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "embeddings")
+      .select($"vec_id", quantize1e4($"embedding").as("xq"))
+      .withColumn("maxq", array_max(transform($"xq", v => abs(v))))
+      .withColumn("codes", expr(
+        """transform(xq, v -> CASE WHEN maxq = 0 THEN 0L
+          |  ELSE (CASE WHEN v < 0 THEN -1L ELSE 1L END)
+          |       * ((abs(v) * 254 + maxq) div (2 * maxq)) END)""".stripMargin))
+      .select($"vec_id", $"maxq", $"codes",
+        aggregate($"codes", lit(0L), (a, c) => a + abs(c)).as("l1"))
+      .orderBy($"vec_id")
+  }
+
+  private val int8QuantizeSql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, xq,
+      |    list_max(list_transform(xq, v -> abs(v))) AS maxq FROM q),
+      |c AS (SELECT vec_id, maxq,
+      |    list_transform(xq, v -> CASE WHEN maxq = 0 THEN 0
+      |      ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END)
+      |           * ((abs(v) * 254 + maxq) // (2 * maxq)) END) AS codes
+      |  FROM m)
+      |SELECT vec_id, maxq, codes,
+      |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS l1
+      |FROM c ORDER BY vec_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_emb_quantize", int8Quantize, Some(int8QuantizeSql)),
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     CatalogEntry("q_sim_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
     CatalogEntry("q_sim_ivf", ivf, Some(ivfSql)),

@@ -578,7 +578,61 @@ object TextAnalysis {
       |  length(raw) AS n_raw, length(nfc_normalize(raw)) AS n_nfc
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Token budget per packed chunk in [[packChunks]]. */
+  val packBudget = 512
+
+  /** Sequence packing — assign documents to fixed-token-budget chunks
+    * (the "pack to N tokens" step before LLM pre-training; public
+    * recipes call it example packing). True greedy packing is
+    * inherently sequential, so the distributed-sane variant packs
+    * WITHIN each language partition in deterministic doc_id order:
+    * chunk = floor(exclusive-prefix-sum(tokens) / budget) — every
+    * worker computes the same assignment from one window cumsum, no
+    * driver loop, no iteration. Documents longer than the budget get
+    * their own chunk(s) by construction. One lang-keyed exchange for
+    * the cumsum window + one (lang, chunk) rollup that REUSES the same
+    * partitioning prefix; at 100 TB you'd sub-salt giant languages
+    * (the per-lang sort is the cost center, exactly like
+    * [[sourceQuota]]'s per-group rank). Emits per-chunk doc count,
+    * token total, and the budget-fill per-mille (integer div — fill
+    * can exceed 1000 when a doc straddles the boundary, which is how
+    * cross-boundary docs stay visible in the gate).
+    */
+  def packChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("tokens"))
+      .withColumn("cum0", coalesce(sum($"tokens").over(w), lit(0L)))
+      // integer `div`, not `/` — long / int is IEEE double division in
+      // Spark and the quotient could land a hair under an integer
+      .withColumn("chunk_id", expr(s"cum0 div $packBudget"))
+      .groupBy($"lang", $"chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("n_tokens"))
+      .select($"lang", $"chunk_id", $"n_docs", $"n_tokens",
+        expr(s"1000 * n_tokens div $packBudget").as("fill_mills"))
+      .orderBy($"lang", $"chunk_id")
+  }
+
+  private val packChunksSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, tokens,
+       |    CAST(coalesce(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $packBudget AS BIGINT) AS chunk_id
+       |  FROM t)
+       |SELECT lang, chunk_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(tokens) * 1000 // $packBudget AS BIGINT) AS fill_mills
+       |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_pack", packChunks, Some(packChunksSql)),
     CatalogEntry("q_text_normalize", normalizeNfc, Some(normalizeNfcSql)),
     CatalogEntry("q_text_vocab", vocab, Some(vocabSql)),
     CatalogEntry("q_text_source_quota", sourceQuota, Some(sourceQuotaSql)),
