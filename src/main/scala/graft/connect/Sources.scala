@@ -89,4 +89,36 @@ object Sources {
       case other =>
         throw new IllegalArgumentException(s"unsupported sink format '$other'")
     }
+
+  /** Small-files compaction — rewrite a parquet directory into
+    * ceil(rows / targetFileRows) files and swap it in place. The
+    * operational complement of the loader's `maxRecordsPerFile`
+    * passthrough: streaming/incremental appends accumulate small
+    * files, every 100 TB deployment schedules a rewrite like this, and
+    * the scheduler (A13) can run it as a named pipeline transform. The
+    * rewrite is one `repartition(n)` round-robin exchange — no skew,
+    * parallel write — and the directory flip is rename-based so
+    * readers never observe a half-written directory (same swap
+    * discipline as the streaming upsert sink). Returns
+    * (rows, filesBefore, filesAfter) for callers/specs to assert on.
+    */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetFileRows: Long): (Long, Long, Long) = {
+    def parquetFiles(d: java.io.File): Long =
+      Option(d.listFiles()).fold(0L)(_.count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).toLong)
+    val cur = new java.io.File(dir)
+    val before = parquetFiles(cur)
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val parts = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
+    val tmp = new java.io.File(dir + ".compact-tmp")
+    df.repartition(parts).write.mode("overwrite").parquet(tmp.getPath)
+    val old = new java.io.File(dir + ".compact-old")
+    if (old.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    require(cur.renameTo(old) && tmp.renameTo(cur),
+      s"compact swap failed for $dir")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    (rows, before, parquetFiles(cur))
+  }
 }

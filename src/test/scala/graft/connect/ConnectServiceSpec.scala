@@ -61,4 +61,30 @@ class ConnectServiceSpec extends SparkSpec {
     assert(out.getString(0) == "fallback")
     assert(out.getString(1) == "x")
   }
+
+  test("maxRecordsPerFile splits output; compactParquet merges it back") {
+    import spark.implicits._
+    val dir = tmpDir("compact").toString + "/t"
+    (1 to 1000).toDF("v").repartition(1)
+      .write.option("maxRecordsPerFile", "100").parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files() >= 10, s"maxRecordsPerFile=100 over 1000 rows: ${files()} files")
+    val (rows, before, after) = Sources.compactParquet(spark, dir, 1000L)
+    assert(rows == 1000 && before >= 10 && after == 1)
+    assert(files() == 1)
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == (1 to 1000))
+  }
+
+  test("schema-evolved parquet reads with mergeSchema (late column is null on old files)") {
+    import spark.implicits._
+    val dir = tmpDir("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "s").write.parquet(dir)
+    Seq((2L, "b", 9L)).toDF("id", "s", "extra").write.mode("append").parquet(dir)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("extra", "id", "s"))
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(df.columns.indexOf("extra")))
+    assert(byId(2L).getLong(df.columns.indexOf("extra")) == 9L)
+  }
 }
