@@ -104,6 +104,7 @@ object Sources {
     */
   def compactParquet(spark: SparkSession, dir: String,
       targetFileRows: Long): (Long, Long, Long) = {
+    require(targetFileRows > 0, s"targetFileRows must be positive: $targetFileRows")
     def parquetFiles(d: java.io.File): Long =
       Option(d.listFiles()).fold(0L)(_.count(f =>
         f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).toLong)
@@ -116,8 +117,12 @@ object Sources {
     df.repartition(parts).write.mode("overwrite").parquet(tmp.getPath)
     val old = new java.io.File(dir + ".compact-old")
     if (old.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    require(cur.renameTo(old) && tmp.renameTo(cur),
-      s"compact swap failed for $dir")
+    require(cur.renameTo(old), s"compact swap (data→old) failed for $dir")
+    if (!tmp.renameTo(cur)) {
+      // roll back so the dataset directory never stays missing
+      val _ = old.renameTo(cur)
+      throw new IllegalStateException(s"compact swap (tmp→data) failed for $dir")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
     (rows, before, parquetFiles(cur))
   }

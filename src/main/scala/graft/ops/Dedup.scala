@@ -1114,9 +1114,13 @@ object Dedup {
     val batch = docs.filter($"doc_id" % 7 === 0)
     batch.join(snapshot, Seq("fp"), "left_anti")
       .groupBy($"fp")
-      .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"),
+      // struct-min keeps the min-id row's OWN lang — independent
+      // min(lang) could pair the kept id with a different duplicate's
+      // lang (a (id, lang) combination existing on no document)
+      .agg(min(struct($"doc_id", $"lang")).as("keep"),
         count(lit(1)).as("n_batch_copies"))
-      .select($"doc_id", $"lang", $"n_batch_copies")
+      .select($"keep.doc_id".as("doc_id"), $"keep.lang".as("lang"),
+        $"n_batch_copies")
       .orderBy($"doc_id")
   }
 
@@ -1124,7 +1128,7 @@ object Dedup {
     """WITH f AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
       |snapshot AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 <> 0),
       |batch AS (SELECT * FROM f WHERE doc_id % 7 = 0)
-      |SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+      |SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
       |  COUNT(*) AS n_batch_copies
       |FROM batch b ANTI JOIN snapshot s ON b.fp = s.fp
       |GROUP BY b.fp ORDER BY doc_id""".stripMargin

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{CatalogEntry, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,19 +98,31 @@ object FeatureOps {
       .agg(count(lit(1)).as("n"),
         min($"cents").as("min_cents"), max($"cents").as("max_cents"))
       .orderBy($"decile")
-    if (n == 0) { sorted.unpersist(); return rollup(base.withColumn("decile", lit(1L))) }
+    // NOTE: the boundary pass is EAGER (count + indexed scan at
+    // DataFrame-construction time) — unavoidable for collected
+    // boundaries; plan-only callers (explain audits) pay it once.
+    // try/finally so an executor failure can't leak the cached sort.
+    val boundKeyAt: Map[Long, (Long, Long, Long)] =
+      try {
+        if (n == 0) Map.empty
+        else {
+          val bucket = n / 10
+          val rem = n % 10
+          // 1-indexed bucket k ends at 0-indexed global rank cum(k)-1;
+          // keep duplicates (n < 10 degenerates some buckets to empty)
+          // so the comparison ladder still counts multiplicity like
+          // NTILE does
+          val wanted = (1 to 9).map(k => k.toLong * bucket + math.min(k, rem) - 1).toSet
+          sorted.rdd.zipWithIndex()
+            .filter { case (_, i) => wanted.contains(i) }
+            .map { case (r, i) => i -> ((r.getLong(2), r.getLong(0), r.getLong(1))) }
+            .collect().toMap
+        }
+      } finally sorted.unpersist()
+    if (n == 0) return rollup(base.withColumn("decile", lit(1L)))
     val bucket = n / 10
     val rem = n % 10
-    // 1-indexed bucket k ends at 0-indexed global rank cum(k)-1; keep
-    // duplicates (n < 10 degenerates some buckets to empty) so the
-    // comparison ladder still counts multiplicity like NTILE does
     val boundRanks: Seq[Long] = (1 to 9).map(k => k.toLong * bucket + math.min(k, rem) - 1)
-    val wanted = boundRanks.toSet
-    val boundKeyAt: Map[Long, (Long, Long, Long)] = sorted.rdd.zipWithIndex()
-      .filter { case (_, i) => wanted.contains(i) }
-      .map { case (r, i) => i -> ((r.getLong(2), r.getLong(0), r.getLong(1))) }
-      .collect().toMap
-    sorted.unpersist()
     val decile = boundRanks.map { rk =>
       val (c, o, l) = boundKeyAt(rk)
       when($"cents" > c ||
@@ -214,26 +226,41 @@ object FeatureOps {
     * comparison. Pure map-side projection; adding data never reshuffles
     * existing assignments (hash of the KEY, not of position).
     */
+  /** md5-prefix cut points shared by [[hashSplit]] and [[groupSplit]]
+    * (and interpolated into both oracles): buckets below `valLoBucket`
+    * train (204/256 ≈ 79.7%), below `testLoBucket` validate
+    * (26/256 ≈ 10.2%), the rest test. One definition — the two split
+    * operators and their SQL twins cannot drift apart.
+    */
+  val valLoBucket = "cc"
+  val testLoBucket = "e6"
+
+  private def splitFor(bucket: Column): Column =
+    when(bucket < valLoBucket, "train")
+      .when(bucket < testLoBucket, "val")
+      .otherwise("test")
+
+  private def splitCaseSql(bucketExpr: String): String =
+    s"""CASE WHEN $bucketExpr < '$valLoBucket' THEN 'train'
+       |       WHEN $bucketExpr < '$testLoBucket' THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+
   def hashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bucket = substring(md5($"o_orderkey".cast("string")), 1, 2)
     Tables.t(s, dir, "orders")
       .filter($"o_orderkey" < 300)
       .select($"o_orderkey", bucket.as("bucket"),
-        when(bucket < "cc", "train")        // 204/256 ≈ 79.7%
-          .when(bucket < "e6", "val")       // 26/256 ≈ 10.2%
-          .otherwise("test").as("split"))   // 26/256 ≈ 10.2%
+        splitFor(bucket).as("split"))
       .orderBy($"o_orderkey")
   }
 
   private val hashSplitSql =
-    """SELECT o_orderkey,
-      |  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS bucket,
-      |  CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-      |       WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM orders WHERE o_orderkey < 300
-      |ORDER BY o_orderkey""".stripMargin
+    s"""SELECT o_orderkey,
+       |  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS bucket,
+       |  ${splitCaseSql("substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)")} AS split
+       |FROM orders WHERE o_orderkey < 300
+       |ORDER BY o_orderkey""".stripMargin
 
   /** Smoothing pseudo-count for [[targetEncode]]. */
   val targetEncSmoothing = 10
@@ -312,10 +339,7 @@ object FeatureOps {
     import s.implicits._
     val bucket = substring(md5($"source"), 1, 2)
     Tables.t(s, dir, "documents")
-      .select($"doc_id", $"source",
-        when(bucket < "cc", "train")
-          .when(bucket < "e6", "val")
-          .otherwise("test").as("split"))
+      .select($"doc_id", $"source", splitFor(bucket).as("split"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"source").as("n_sources"))
@@ -323,14 +347,12 @@ object FeatureOps {
   }
 
   private val groupSplitSql =
-    """SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
-      |FROM (
-      |  SELECT doc_id, source,
-      |    CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
-      |         WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
-      |         ELSE 'test' END AS split
-      |  FROM documents) t
-      |GROUP BY split ORDER BY split""".stripMargin
+    s"""SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+       |FROM (
+       |  SELECT doc_id, source,
+       |    ${splitCaseSql("substr(md5(source), 1, 2)")} AS split
+       |  FROM documents) t
+       |GROUP BY split ORDER BY split""".stripMargin
 
   /** Per-group IQR outlier detection — the Tukey-fence rule (outside
     * q1−1.5·IQR / q3+1.5·IQR) per nation, the robust-stats sibling of

@@ -199,12 +199,17 @@ object SqlSurface {
       .select(($"c_custkey" + 10000000L).as("c_custkey"),
         concat(lit("NEW-"), ($"c_custkey" + 10000000L).cast("string")).as("s_name"),
         lit(0L).as("s_cents"))
-    t.join(updates.union(inserts), Seq("c_custkey"), "full_outer")
+    // s_present marks SOURCE-ROW existence after the outer join: the
+    // matched/not-matched test must never key off a nullable value
+    // column (a null source balance is still an update, and the oracle
+    // classifies by join-key presence)
+    t.join(updates.union(inserts).withColumn("s_present", lit(true)),
+        Seq("c_custkey"), "full_outer")
       .select($"c_custkey",
         coalesce($"s_name", $"c_name").as("c_name"),
         coalesce($"s_cents", $"cents").as("acct_cents"),
         when($"c_name".isNull, "insert")
-          .when($"s_cents".isNull, "keep")
+          .when($"s_present".isNull, "keep")
           .otherwise("update").as("action"))
       .orderBy($"c_custkey")
   }

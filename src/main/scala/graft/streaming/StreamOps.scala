@@ -159,6 +159,14 @@ object StreamOps {
           Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)))
         .filter(col("__rn") === 1).drop("__rn")
       val cur = new java.io.File(targetDir, "current")
+      val prev = new java.io.File(targetDir, "prev")
+      // crash recovery: a previous batch that died between its two
+      // renames left no "current" but a complete "prev" — restore it
+      // before merging, or the accumulated table would be silently
+      // dropped (foreachBatch may replay the batch after a failure,
+      // which is exactly when this state occurs)
+      if (!cur.isDirectory && prev.isDirectory)
+        require(prev.renameTo(cur), s"upsert recovery rename failed in $targetDir")
       val merged =
         if (cur.isDirectory) {
           val old = spark.read.parquet(cur.getPath)
@@ -167,10 +175,16 @@ object StreamOps {
         } else latest
       val next = new java.io.File(targetDir, "next")
       merged.write.mode("overwrite").parquet(next.getPath)
-      // swap: the reader-visible "current" flips in one rename pair
-      val tmp = new java.io.File(targetDir, "prev")
-      if (tmp.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-      if (cur.isDirectory) { val _ = cur.renameTo(tmp) }
-      val _ = next.renameTo(cur)
+      // swap, every step checked: a silently-failed rename here would
+      // let streaming commit the batch offsets while readers keep the
+      // stale snapshot — the batch would be lost with no error
+      if (prev.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(prev)
+      if (cur.isDirectory)
+        require(cur.renameTo(prev), s"upsert swap (current→prev) failed in $targetDir")
+      if (!next.renameTo(cur)) {
+        // roll the old snapshot back so readers/next batch still see it
+        if (prev.isDirectory) { val _ = prev.renameTo(cur) }
+        throw new IllegalStateException(s"upsert swap (next→current) failed in $targetDir")
+      }
     }
 }

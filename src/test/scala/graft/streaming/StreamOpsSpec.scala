@@ -374,4 +374,24 @@ class StreamOpsSpec extends SparkSpec {
       2L -> (21L, 2.5), // cross-batch update
       3L -> (22L, 3.0))) // insert
   }
+
+  test("streaming upsert recovers a snapshot stranded in prev/ (crash between renames)") {
+    // simulate a batch that died after current→prev but before
+    // next→current: only prev/ exists — the next batch must restore it
+    // and merge into it, not rebuild the table from itself alone
+    val target = tmpDir("upsert-recover").toString
+    Seq((1L, 10L, 1.0), (2L, 11L, 2.0)).toDF("user_id", "event_id", "value")
+      .write.parquet(s"$target/prev")
+    val mem = MemoryStream[Event](spark)
+    val q = StreamOps.upsertToParquet(
+      mem.toDF().select($"user_id", $"event_id", $"value"),
+      "user_id", "event_id", target).start()
+    try {
+      mem.addData(Seq(ev(20, "2024-01-01 00:00:00", 2, "a", 2.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = spark.read.parquet(s"$target/current")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(snap == Map(1L -> 1.0, 2L -> 2.5)) // user 1 preserved from prev
+  }
 }
