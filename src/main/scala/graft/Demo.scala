@@ -51,6 +51,17 @@ object Demo {
     sched.tick() // first sight: schedules only
     println(s"[demo] next scheduled run: ${sched.scheduledFor("demo")}")
     sched.stop()
+
+    // the training-data curation surface on the same session: exact
+    // dedup clusters → quality gate → fixed-budget sequence packing
+    println("[demo] curation: exact-dup groups")
+    ops.Dedup.exact(spark, sfDir).show(3)
+    println("[demo] curation: quality keep/drop")
+    ops.TextAnalysis.quality(spark, sfDir)
+      .groupBy("keep").count().show()
+    println("[demo] curation: packed chunks (512-token budget)")
+    ops.TextAnalysis.packChunks(spark, sfDir).show(3)
+
     spark.stop()
   }
 }
