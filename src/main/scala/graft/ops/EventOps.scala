@@ -397,7 +397,48 @@ object EventOps {
       |  n_trail = 24 AND cnt * 48 > trail_cnt * 3 AS spike
       |FROM t ORDER BY hour""".stripMargin
 
+  /** RFM (recency / frequency / monetary) scoring — the classic
+    * customer-value rollup, one hash aggregation on user_id with every
+    * component engine-exact: recency is an integer day difference from
+    * a fixed anchor date (2024-02-01, just past the fixture's event
+    * range), frequency a count, monetary the integer-bridge sum of
+    * event value ([[dsum]] — order-independent under partial
+    * aggregation). Tier scores are fixed integer CASE thresholds, not
+    * data-driven quantiles, so the row is a pure map of the rollup —
+    * at 100 TB this is scan → one user-keyed exchange → tiny
+    * projection, the cheapest possible per-entity feature table.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(datediff(lit("2024-02-01").cast("date"), max($"ts").cast("date"))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum($"value").as("monetary"))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary",
+        when($"recency_days" <= 3, 3L).when($"recency_days" <= 10, 2L)
+          .otherwise(1L).as("r_score"),
+        when($"frequency" >= 20, 3L).when($"frequency" >= 10, 2L)
+          .otherwise(1L).as("f_score"))
+      .orderBy($"user_id")
+  }
+
+  private val rfmSql =
+    s"""SELECT user_id,
+       |  CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') AS BIGINT)
+       |    AS recency_days,
+       |  COUNT(*) AS frequency,
+       |  ${dsumSql("value")} AS monetary,
+       |  CAST(CASE WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') <= 3 THEN 3
+       |       WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01') <= 10 THEN 2
+       |       ELSE 1 END AS BIGINT) AS r_score,
+       |  CAST(CASE WHEN COUNT(*) >= 20 THEN 3
+       |       WHEN COUNT(*) >= 10 THEN 2 ELSE 1 END AS BIGINT) AS f_score
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_rfm", rfm, Some(rfmSql)),
     CatalogEntry("q_evt_spikes", hourlySpikes, Some(hourlySpikesSql)),
     CatalogEntry("q_evt_wau", rollingActive, Some(rollingActiveSql)),
     CatalogEntry("q_evt_transitions", transitions, Some(transitionsSql)),

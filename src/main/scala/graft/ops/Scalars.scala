@@ -312,7 +312,43 @@ object Scalars {
       |  CAST(bit_count(o_orderkey) AS BIGINT) AS pop
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** URL parsing — host / path / query-parameter extraction, the
+    * first structural step of crawl curation (domain quotas, path
+    * filters, tracking-param stripping). URLs are PLANTED
+    * deterministically from fixture columns (like the PII and NFC
+    * rows — the fixture has no raw URLs) and parsed with three
+    * anchored regexes that mean the same thing in Java regex (Spark)
+    * and RE2 (DuckDB): no backreferences, no lookaround. Spark also
+    * ships `parse_url`, but DuckDB has no counterpart — regex is the
+    * cross-engine-checkable formulation, and it is the same map-side
+    * codegen'd projection. Zero shuffles.
+    */
+  def urlParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        concat(lit("https://"), $"source", lit(".example.com/docs/d"),
+          $"doc_id".cast("string"), lit("?lang="), $"lang", lit("&v=2")).as("url"))
+      .select($"doc_id",
+        regexp_extract($"url", "^https://([^/]+)/", 1).as("host"),
+        regexp_extract($"url", "^https://[^/]+(/[^?]*)", 1).as("path"),
+        regexp_extract($"url", "[?&]lang=([^&]+)", 1).as("lang_param"))
+      .orderBy($"doc_id")
+  }
+
+  private val urlParseSql =
+    """WITH u AS (SELECT doc_id,
+      |  'https://' || source || '.example.com/docs/d' || CAST(doc_id AS VARCHAR)
+      |    || '?lang=' || lang || '&v=2' AS url
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+      |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]lang=([^&]+)', 1) AS lang_param
+      |FROM u ORDER BY doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_scalar_url", urlParse, Some(urlParseSql)),
     CatalogEntry("q_scalar_bitwise", bitwiseFuncs, Some(bitwiseFuncsSql)),
     CatalogEntry("q_scalar_string", stringFuncs, Some(stringFuncsSql)),
     CatalogEntry("q_scalar_date", dateFuncs, Some(dateFuncsSql)),
