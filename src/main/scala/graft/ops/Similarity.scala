@@ -357,7 +357,9 @@ object Similarity {
     * round-half-away rounding — sign(v)·((254·|v|+maxq) div (2·maxq))
     * — so no engine's float division or rounding mode is anywhere near
     * the result. Zero vectors (maxq=0) code to all-zero. Pure map-side
-    * projection, zero shuffles; emits the codes array plus the scale
+    * projection, zero shuffles; emits the codes (csv-serialized — the
+    * driver's pandas compare cannot hash raw array cells, same
+    * constraint [[Aggregates.collectAgg]] documents) plus the scale
     * and an L1 checksum so the gate hash pins every byte.
     */
   def int8Quantize(s: SparkSession, dir: String): DataFrame = {
@@ -369,7 +371,8 @@ object Similarity {
         """transform(xq, v -> CASE WHEN maxq = 0 THEN 0L
           |  ELSE (CASE WHEN v < 0 THEN -1L ELSE 1L END)
           |       * ((abs(v) * 254 + maxq) div (2 * maxq)) END)""".stripMargin))
-      .select($"vec_id", $"maxq", $"codes",
+      .select($"vec_id", $"maxq",
+        concat_ws(",", $"codes".cast("array<string>")).as("codes"),
         aggregate($"codes", lit(0L), (a, c) => a + abs(c)).as("l1"))
       .orderBy($"vec_id")
   }
@@ -387,7 +390,8 @@ object Similarity {
       |      ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END)
       |           * ((abs(v) * 254 + maxq) // (2 * maxq)) END) AS codes
       |  FROM m)
-      |SELECT vec_id, maxq, codes,
+      |SELECT vec_id, maxq,
+      |  array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes,
       |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS l1
       |FROM c ORDER BY vec_id""".stripMargin
 

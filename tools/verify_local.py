@@ -13,12 +13,21 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(df):
+def canon(df, name, side):
+    # Faithful to the driver: NO coercion of array/struct cells. The real
+    # driver's pandas compare sorts rows by all columns and throws
+    # "unhashable type: numpy.ndarray" on array cells — so we hard-FAIL any
+    # result that contains one, BEFORE sorting, with an actionable message.
     import numpy as np
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            bad = df[c].map(lambda v: isinstance(v, (list, tuple, dict, np.ndarray))).any()
+            if bad:
+                raise TypeError(
+                    f"{name} ({side}) column '{c}' contains array/struct cells — "
+                    "serialize to string (concat_ws / array_to_string): the driver "
+                    "cannot hash arrays")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -51,7 +60,10 @@ def main():
             want = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
-        g, w = canon(got), canon(want)
+        try:
+            g, w = canon(got, name, "spark"), canon(want, name, "oracle")
+        except TypeError as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}"); n_bad += 1; continue
         if len(g) != len(w):
