@@ -98,7 +98,118 @@ object Graph {
        |      UNION ALL SELECT c FROM t) u
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Hub-capped triangle counts — the Σdeg² wedge guard the uncapped
+    * enumeration documents: one super-hub of degree d contributes d²
+    * wedges on a single join key (the exact skew class that stalls a
+    * 1000-executor wedge join), and on a zipfian LSH graph hubs are
+    * usually false-positive glue (boilerplate collisions), not real
+    * near-dup families. So: compute degrees from the edge table, pull
+    * nodes with degree > maxDegree into a hub list, anti-join every
+    * edge touching a hub out of the graph, and only then wedge-close.
+    * The hub list is small by construction (few nodes exceed any sane
+    * cap), so both anti-joins broadcast — no extra shuffle on the edge
+    * table beyond the degree aggregation, which is map-side
+    * combinable. Excluded hubs are reported alongside the counts
+    * (`excluded_hub = true`, `n_triangles = -1` sentinel — never a
+    * real count, which is ≥ 0) so the pipeline sees exactly what the
+    * cap dropped instead of silently losing nodes.
+    */
+  def triangleCountsCapped(s: SparkSession, dir: String, maxDegree: Long): DataFrame = {
+    val (_, pairs) = Dedup.lshPairGraph(s, dir)
+    cappedTriangles(pairs, maxDegree)
+  }
+
+  /** Core of [[triangleCountsCapped]] over any canonical (src < dst)
+    * edge table — separated so the hub semantics are unit-testable on
+    * synthetic graphs, not just the LSH fixture. */
+  private[ops] def cappedTriangles(pairs: DataFrame, maxDegree: Long): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val e = pairs.persist()
+    val deg = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("degree"))
+    val hubs = deg.filter($"degree" > maxDegree).select($"id").persist()
+    val capped = e
+      .join(broadcast(hubs.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
+      .join(broadcast(hubs.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
+      .select($"src", $"dst")
+    val tri = capped.as("e1")
+      .join(capped.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(capped.as("e3"), $"a" === col("e3.src") && $"c" === col("e3.dst"))
+      .select($"a", $"b", $"c")
+    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .withColumn("excluded_hub", lit(false))
+      .unionByName(hubs.select($"id".as("doc_id"),
+        lit(-1L).as("n_triangles"), lit(true).as("excluded_hub")))
+  }
+
+  /** Gate shape: at sf0.01 the LSH graph's max degree is 2 (one
+    * triangle), so the query runs the cap at BOTH 1 (binds — the
+    * triangle's three members become listed hubs, zero triangles
+    * survive) and 2 (doesn't bind — the triangle passes through
+    * intact), tagged by a `max_degree` column. One gate row thus
+    * differentially checks the exclusion branch, the hub report, and
+    * the untouched-graph branch against DuckDB.
+    */
+  def triangleCappedQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(1L, 2L)
+      .map(cap => triangleCountsCapped(s, dir, cap)
+        .withColumn("max_degree", lit(cap)))
+      .reduce(_ unionByName _)
+      .select($"max_degree", $"doc_id", $"n_triangles", $"excluded_hub")
+      .orderBy($"max_degree", $"doc_id")
+  }
+
+  /** Oracle: the capped pipeline is expanded per cap value (DuckDB has
+    * no lateral parameterization worth the obscurity); NOT IN is safe
+    * here — the hub list never contains NULLs by construction. */
+  private def cappedBlockSql(cap: Int): String =
+    s"""h$cap AS (
+       |  SELECT doc_id FROM deg WHERE degree > $cap),
+       |e$cap AS (
+       |  SELECT s, d FROM e
+       |  WHERE s NOT IN (SELECT doc_id FROM h$cap)
+       |    AND d NOT IN (SELECT doc_id FROM h$cap)),
+       |t$cap AS (
+       |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+       |  FROM e$cap e1 JOIN e$cap e2 ON e1.d = e2.s
+       |                JOIN e$cap e3 ON e3.s = e1.s AND e3.d = e2.d),
+       |c$cap AS (
+       |  SELECT doc_id, COUNT(*) AS n_triangles
+       |  FROM (SELECT a AS doc_id FROM t$cap
+       |        UNION ALL SELECT b FROM t$cap
+       |        UNION ALL SELECT c FROM t$cap) u
+       |  GROUP BY 1)""".stripMargin
+
+  private def cappedSelectSql(cap: Int): String =
+    s"""SELECT CAST($cap AS BIGINT) AS max_degree, doc_id,
+       |  CAST(n_triangles AS BIGINT) AS n_triangles, FALSE AS excluded_hub
+       |FROM c$cap
+       |UNION ALL
+       |SELECT CAST($cap AS BIGINT), doc_id, CAST(-1 AS BIGINT), TRUE
+       |FROM h$cap""".stripMargin
+
+  private val triangleCappedSql =
+    s"""WITH ${Dedup.bandsCteSql},
+       |e AS (
+       |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree
+       |  FROM (SELECT s AS doc_id FROM e UNION ALL SELECT d FROM e) u
+       |  GROUP BY 1),
+       |${cappedBlockSql(1)},
+       |${cappedBlockSql(2)}
+       |${cappedSelectSql(1)}
+       |UNION ALL
+       |${cappedSelectSql(2)}
+       |ORDER BY max_degree, doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_graph_degree", degreeDist, Some(degreeDistSql)),
-    CatalogEntry("q_graph_triangles", triangleCounts, Some(triangleCountsSql)))
+    CatalogEntry("q_graph_triangles", triangleCounts, Some(triangleCountsSql)),
+    CatalogEntry("q_graph_triangles_capped", triangleCappedQuery, Some(triangleCappedSql)))
 }

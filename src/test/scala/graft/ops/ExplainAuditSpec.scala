@@ -34,7 +34,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_sql_merge", "q_sql_unpivot", "q_agg_mode", "q_feat_outlier",
     "q_text_vocab", "q_graph_degree", "q_graph_triangles",
     "q_text_normalize", "q_dedup_incremental", "q_evt_spikes",
-    "q_text_pack", "q_emb_quantize", "q_evt_rfm", "q_scalar_url")
+    "q_text_pack", "q_emb_quantize", "q_evt_rfm", "q_scalar_url",
+    "q_graph_triangles_capped")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook

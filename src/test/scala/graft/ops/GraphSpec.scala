@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Unit tests for the hub-capped triangle guard on synthetic graphs
+  * where the expected counts are computable by hand — independent of
+  * the LSH fixture the catalog row runs on.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** A 4-clique on {1,2,3,4} (every node degree 3, C(4,3)=4 triangles,
+    * each node in 3 of them) plus a star hub 100 connected to leaves
+    * 101..110 (hub degree 10, leaves degree 1, zero triangles).
+    */
+  private def fixture = {
+    val clique = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val star = (101L to 110L).map(l => (100L, l))
+    (clique ++ star).toDF("src", "dst")
+  }
+
+  test("uncapped-equivalent high cap keeps the clique, drops nothing") {
+    val out = Graph.cappedTriangles(fixture, maxDegree = 100).collect()
+    assert(!out.exists(_.getBoolean(2)), "no hubs expected above cap 100")
+    val counts = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("cap 5 excludes the star hub, clique triangles unaffected") {
+    val out = Graph.cappedTriangles(fixture, maxDegree = 5).collect()
+    val hubs = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(hubs == Set(100L), "only the degree-10 star center is above cap 5")
+    assert(out.filter(_.getBoolean(2)).forall(_.getLong(1) == -1L),
+      "hub rows carry the -1 sentinel, never a count")
+    val counts = out.filterNot(_.getBoolean(2))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("cap 2 excludes the clique too — graph left triangle-free") {
+    val out = Graph.cappedTriangles(fixture, maxDegree = 2).collect()
+    val hubs = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(hubs == Set(1L, 2L, 3L, 4L, 100L))
+    assert(out.filterNot(_.getBoolean(2)).isEmpty,
+      "leaves have degree 1 and no surviving triangles exist")
+  }
+
+  test("excluding a hub also removes wedges THROUGH it, not just its rows") {
+    // path 1-2, 2-3 plus closing edge 1-3 is a triangle; make node 2 a
+    // hub by attaching 5 leaves — capping at 5 must drop the whole
+    // triangle because its wedge runs through node 2.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val leaves = (11L to 15L).map(l => (2L, l))
+    val out = Graph.cappedTriangles((tri ++ leaves).toDF("src", "dst"), maxDegree = 5)
+      .collect()
+    assert(out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet == Set(2L))
+    assert(out.filterNot(_.getBoolean(2)).isEmpty,
+      "1-3 alone cannot close a triangle once node 2's edges are gone")
+  }
+
+  test("hub anti-join side is broadcast — no shuffle added for the cap") {
+    val plan = Graph.cappedTriangles(fixture, maxDegree = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftanti"),
+      s"expected broadcast anti-joins for the hub filter:\n$plan")
+  }
+}
