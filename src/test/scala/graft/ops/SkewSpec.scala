@@ -158,6 +158,36 @@ class SkewSpec extends SparkSpec {
     assert(hashExchangeCount("q_evt_spikes") == 1)
   }
 
+  test("rfm scoring plans exactly one hash exchange (one user-keyed rollup)") {
+    // recency/frequency/monetary are three aggregates of the SAME
+    // user_id group-by — a rewrite that scores them in separate passes
+    // (3 shuffles of the full event log) goes red here
+    assert(hashExchangeCount("q_evt_rfm") == 1)
+  }
+
+  test("incremental dedup plans one hash exchange per anti-join side") {
+    // batch and snapshot each collapse to (md5 key) fingerprints
+    // map-side; the LEFT ANTI then shuffles only the two narrow
+    // fingerprint tables — corpus text never crosses the wire
+    assert(hashExchangeCount("q_dedup_incremental") == 2)
+  }
+
+  test("keep-best adds zero hash exchanges over the cluster build it rides") {
+    // the struct-min argmax rides the cluster-resolution shuffles and
+    // the representative join back is broadcast — so keep_best's
+    // exchange count must equal q_dedup_clusters' exactly (29 at this
+    // fixture: the fixed 3-round label propagation + candidate build)
+    assert(hashExchangeCount("q_dedup_keep_best") ==
+      hashExchangeCount("q_dedup_clusters"))
+  }
+
+  test("sequence packing plans exactly one hash exchange (prefix-sum rides the lang shuffle)") {
+    // the exclusive prefix-sum window, the chunk-id div, and the chunk
+    // re-group all require the same per-language partitioning — one
+    // shuffle of the token table serves the whole pack pipeline
+    assert(hashExchangeCount("q_text_pack") == 1)
+  }
+
   test("group split: assignment is map-side; both exchanges carry collapsed rows") {
     // COUNT(DISTINCT source) rewrites to two phases: a (split, source)
     // partial-dedup exchange (docs collapse to distinct sources
