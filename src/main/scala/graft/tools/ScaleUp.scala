@@ -40,17 +40,30 @@ import org.apache.spark.sql.functions._
   * Exercises the per-row array ops (shingle zip_with, simhash fold,
   * banded levenshtein) on outlier rows without changing total tokens.
   *
-  * Usage: ScaleUp <srcSfDir> <outDir> <replicas> [skewPct=0] [longDocGroup=0]
+  * Hub mode (optional 6th arg, copy count): zipfian LSH graphs have
+  * super-hub documents — boilerplate near-duplicated thousands of
+  * times whose band collisions form a near-clique and whose degree-d
+  * node contributes d² wedges to a triangle join. `hubCopies` appends
+  * that many near-copies of the lexicographically-first source doc
+  * (original text + one copy-specific tail token, so copies collide in
+  * most but not all bands — a realistic near-dup family, not an exact
+  * clique), with fresh doc_ids in the `reps·stride` space. This is the
+  * fixture that actually STRESSES the wedge join — the benign replica
+  * suffixing deliberately keeps replica shingle spaces disjoint, so
+  * graph ops never see a hub there.
+  *
+  * Usage: ScaleUp <srcSfDir> <outDir> <replicas> [skewPct=0] [longDocGroup=0] [hubCopies=0]
   */
 object ScaleUp {
 
   private val stride = 100000000L
 
   def main(args: Array[String]): Unit = {
-    val (src, out, repStr, skewPct, longDocGroup) = args match {
-      case Array(a, b, c) => (a, b, c, 0, 0)
-      case Array(a, b, c, d) => (a, b, c, d.toInt, 0)
-      case Array(a, b, c, d, e) => (a, b, c, d.toInt, e.toInt)
+    val (src, out, repStr, skewPct, longDocGroup, hubCopies) = args match {
+      case Array(a, b, c) => (a, b, c, 0, 0, 0)
+      case Array(a, b, c, d) => (a, b, c, d.toInt, 0, 0)
+      case Array(a, b, c, d, e) => (a, b, c, d.toInt, e.toInt, 0)
+      case Array(a, b, c, d, e, f) => (a, b, c, d.toInt, e.toInt, f.toInt)
     }
     val reps = repStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -66,10 +79,11 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(table: String)(xform: (DataFrame, Int) => DataFrame): Unit = {
+    def replicate(table: String, finish: DataFrame => DataFrame = identity)(
+        xform: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val all = (0 until reps).map(r => xform(base, r)).reduce(_ unionByName _)
-      all.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      finish(all).write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scaleup] $table x$reps")
     }
     def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
@@ -92,7 +106,21 @@ object ScaleUp {
         when(pmod(hash(col("event_id")), lit(100)) < lit(skewPct),
           lit(r * stride + 1L)).otherwise(col("user_id")))
     }
-    replicate("documents") { (df, r) =>
+    def appendHub(all: DataFrame): DataFrame =
+      if (hubCopies <= 0) all
+      else {
+        val seed = spark.read.parquet(s"$src/documents.parquet")
+          .orderBy("doc_id").limit(1)
+        val copies = seed.crossJoin(
+            spark.range(hubCopies).select(col("id").as("copy")))
+          .select((lit(reps * stride) + col("copy")).as("doc_id"),
+            concat(col("text"), lit(" hubvariant"), col("copy")).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")))
+        all.unionByName(copies)
+      }
+
+    replicate("documents", appendHub) { (df, r) =>
       val tagged =
         if (r == 0) df
         else df.withColumn("text",
