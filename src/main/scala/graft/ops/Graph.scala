@@ -208,8 +208,81 @@ object Graph {
        |${cappedSelectSql(2)}
        |ORDER BY max_degree, doc_id""".stripMargin
 
+  /** Fixed-round PageRank over the (undirected) LSH candidate graph —
+    * the centrality score curation pipelines use to rank near-dup
+    * families by how "glue-like" a document is (a high-rank node in
+    * the candidate graph is boilerplate connecting many families; cf.
+    * the hub diagnostics above). Three power iterations with damping
+    * 0.85, entirely on the integer bridge: ranks are micro-units
+    * (start 1 000 000), each neighbor contribution is `rank div deg`
+    * and the update is `150000 + (850000·Σ) div 1000000` — integer
+    * `div` at every step, so no engine's float rounding is anywhere in
+    * the gate hash (DuckDB's `//` is floor division, Spark's `div`
+    * truncates: identical on the all-positive values here). Isolated
+    * docs hold the teleport floor 150 000. Per iteration: one
+    * (contrib ⋈ edges) equi-join + one dst-keyed sum + one join back
+    * to the node table — every exchange on the node id, the same key
+    * every round, exactly the shape AQE/exchange-reuse favors; round
+    * count is fixed (3), so the plan is static and auditable. At
+    * 100 TB the same hub caveat as the wedge join applies to the
+    * CONTRIB fan-out (deg(hub) output rows per hot node — linear, not
+    * quadratic, hence no cap needed: a hub's d contributions are the
+    * algorithm, d² wedges were waste).
+    */
+  private val prRounds = 3
+
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nodes, pairs) = Dedup.lshPairGraph(s, dir)
+    val edges = pairs.select($"src".as("u"), $"dst".as("v"))
+      .unionAll(pairs.select($"dst".as("u"), $"src".as("v"))).persist()
+    val deg = edges.groupBy($"u".as("id")).agg(count(lit(1)).as("deg"))
+    val state0 = nodes.join(deg, Seq("id"), "left")
+      .select($"id", coalesce($"deg", lit(0L)).as("deg"),
+        lit(1000000L).as("rank"))
+      .persist()
+    val state = (1 to prRounds).foldLeft(state0) { (st, _) =>
+      val contrib = st.filter($"deg" > 0)
+        .select($"id".as("u"), expr("rank div deg").as("c"))
+      val incoming = edges.join(contrib, Seq("u"))
+        .groupBy($"v".as("id")).agg(sum($"c").as("s"))
+      state0.select($"id", $"deg").join(incoming, Seq("id"), "left")
+        .select($"id", $"deg",
+          (lit(150000L) + expr("(850000 * coalesce(s, 0)) div 1000000")).as("rank"))
+    }
+    state.select($"id".as("doc_id"), $"rank").orderBy($"doc_id")
+  }
+
+  /** Oracle: the same three integer-bridge iterations as an unrolled
+    * CTE chain (the [[Dedup]] clustersCteSql pattern). */
+  private val pagerankSql = {
+    val rounds = (1 to prRounds).map { r =>
+      s"""r$r AS (
+         |  SELECT n.doc_id, n.deg,
+         |    CAST(150000 + (850000 * coalesce(m.s, 0)) // 1000000 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.v, CAST(SUM(x.rank // x.deg) AS BIGINT) AS s
+         |    FROM edges e JOIN r${r - 1} x ON e.u = x.doc_id AND x.deg > 0
+         |    GROUP BY 1) m ON n.doc_id = m.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.bandsCteSql},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |n AS (SELECT doc_id, coalesce(deg, 0) AS deg
+       |      FROM documents LEFT JOIN deg ON documents.doc_id = deg.u),
+       |r0 AS (SELECT doc_id, deg, CAST(1000000 AS BIGINT) AS rank FROM n),
+       |$rounds
+       |SELECT doc_id, rank FROM r$prRounds ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_graph_degree", degreeDist, Some(degreeDistSql)),
     CatalogEntry("q_graph_triangles", triangleCounts, Some(triangleCountsSql)),
-    CatalogEntry("q_graph_triangles_capped", triangleCappedQuery, Some(triangleCappedSql)))
+    CatalogEntry("q_graph_triangles_capped", triangleCappedQuery, Some(triangleCappedSql)),
+    CatalogEntry("q_graph_pagerank", pagerank, Some(pagerankSql)))
 }

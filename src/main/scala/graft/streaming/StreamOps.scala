@@ -150,9 +150,15 @@ object StreamOps {
     */
   def upsertToParquet(df: DataFrame, keyCol: String, versionCol: String,
       targetDir: String): DataStreamWriter[Row] =
-    toForeachBatch(df, "append") { (batch, _) =>
+    toForeachBatch(df, "append")((batch, _) =>
+      mergeIntoSnapshot(batch, keyCol, versionCol, targetDir))
+
+  /** The per-batch merge of [[upsertToParquet]], callable directly
+    * (bench harnesses, backfills replaying batches without a stream).
+    */
+  private[graft] def mergeIntoSnapshot(batch: DataFrame, keyCol: String,
+      versionCol: String, targetDir: String): Unit = {
       val spark = batch.sparkSession
-      import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       val latest = batch
         .withColumn("__rn", row_number().over(
@@ -186,5 +192,114 @@ object StreamOps {
         if (prev.isDirectory) { val _ = prev.renameTo(cur) }
         throw new IllegalStateException(s"upsert swap (next→current) failed in $targetDir")
       }
+  }
+
+  /** Bucketed streaming CDC upsert — the partition-pruned upgrade path
+    * of [[upsertToParquet]], whose merge-rewrite-swap rewrites the FULL
+    * snapshot every micro-batch (O(snapshot) per batch, its documented
+    * cost). Here the snapshot is laid out as `bucket=<b>/current`
+    * directories with b = pmod(hash(key), numBuckets); each batch
+    *
+    *  1. restores any bucket a crash left mid-swap (prev/ without
+    *     current/ — same recovery invariant as the unbucketed sink,
+    *     now per bucket; an O(numBuckets) directory sweep),
+    *  2. resolves in-batch versions (highest `versionCol` per key),
+    *  3. reads ONLY the buckets the batch's keys hash into — the
+    *     partition pruning: untouched buckets are never read, never
+    *     rewritten, their files never move,
+    *  4. anti-joins replaced keys out, unions the batch in, writes the
+    *     merged touched buckets to a staging dir in ONE job
+    *     (`partitionBy(__bucket)`), and
+    *  5. swaps each touched bucket with the same checked
+    *     current→prev→next rename dance, so readers see per-bucket
+    *     atomicity and a crash anywhere replays idempotently
+    *     (re-merging the same batch is a no-op by key).
+    *
+    * Per-batch cost drops from O(snapshot) to O(batch + touched-bucket
+    * bytes) ≈ snapshot·min(1, |batch keys| / numBuckets): at 100 TB
+    * with 100k buckets a 10k-key CDC batch rewrites ≤ 0.01 % of the
+    * table. The driver-side bucket list is bounded by numBuckets — a
+    * constant, not data volume. The remaining gap to a real table
+    * format (Iceberg/Delta) is multi-bucket transactionality: a reader
+    * listing during the swap loop can see bucket A new and bucket B
+    * old; per-key consistency still holds because a key lives in
+    * exactly one bucket.
+    */
+  def upsertToParquetBucketed(df: DataFrame, keyCol: String, versionCol: String,
+      targetDir: String, numBuckets: Int): DataStreamWriter[Row] =
+    toForeachBatch(df, "append")((batch, _) =>
+      mergeIntoBucketedSnapshot(batch, keyCol, versionCol, targetDir, numBuckets))
+
+  /** The per-batch merge of [[upsertToParquetBucketed]], callable
+    * directly. */
+  private[graft] def mergeIntoBucketedSnapshot(batch: DataFrame, keyCol: String,
+      versionCol: String, targetDir: String, numBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val root = new java.io.File(targetDir)
+    root.mkdirs()
+    // 1. crash-recovery sweep over bucket dirs
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).foreach { bd =>
+        val cur = new java.io.File(bd, "current")
+        val prev = new java.io.File(bd, "prev")
+        if (!cur.isDirectory && prev.isDirectory)
+          require(prev.renameTo(cur), s"bucketed upsert recovery rename failed in $bd")
+      }
+    // 2. in-batch version resolution + bucket assignment
+    val latest = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+      .persist()
+    // 3. touched buckets only — bounded by numBuckets, never by data
+    val touched = latest.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = touched
+      .map(b => new java.io.File(root, s"bucket=$b/current"))
+      .filter(_.isDirectory).map(_.getPath)
+    // 4. merge + one staged write of the touched buckets. The bucket
+    // column is RECOMPUTED from the key on read (partition dirs don't
+    // store it), keeping bucket routing a pure function of the key.
+    val merged =
+      if (existing.isEmpty) latest
+      else spark.read.parquet(existing.toIndexedSeq: _*)
+        .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+        .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(latest)
+    val staging = new java.io.File(root, "staging")
+    if (staging.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(staging)
+    merged.select(latest.columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(staging.getPath)
+    latest.unpersist()
+    // 5. per-bucket checked swap
+    touched.foreach { b =>
+      val next = new java.io.File(staging, s"__bucket=$b")
+      require(next.isDirectory, s"staged bucket $b missing under $staging")
+      val bd = new java.io.File(root, s"bucket=$b")
+      bd.mkdirs()
+      val cur = new java.io.File(bd, "current")
+      val prev = new java.io.File(bd, "prev")
+      if (prev.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(prev)
+      if (cur.isDirectory)
+        require(cur.renameTo(prev), s"bucketed upsert swap (current→prev) failed in $bd")
+      if (!next.renameTo(cur)) {
+        if (prev.isDirectory) { val _ = prev.renameTo(cur) }
+        throw new IllegalStateException(s"bucketed upsert swap (next→current) failed in $bd")
+      }
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(staging)
+  }
+
+  /** Read the current state of a [[upsertToParquetBucketed]] target:
+    * the union of every bucket's `current` snapshot. */
+  def readBucketedSnapshot(spark: SparkSession, targetDir: String): DataFrame = {
+    val dirs = Option(new java.io.File(targetDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(bd => new java.io.File(bd, "current"))
+      .filter(_.isDirectory).map(_.getPath)
+    require(dirs.nonEmpty, s"no bucket snapshots under $targetDir")
+    spark.read.parquet(dirs.toIndexedSeq: _*)
+  }
 }

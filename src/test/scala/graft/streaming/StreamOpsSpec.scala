@@ -394,4 +394,70 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(snap == Map(1L -> 1.0, 2L -> 2.5)) // user 1 preserved from prev
   }
+
+  test("bucketed upsert: last write per key wins; untouched buckets' files never move") {
+    val mem = MemoryStream[Event](spark)
+    val target = tmpDir("upsert-bucketed").toString
+    val q = StreamOps.upsertToParquetBucketed(
+      mem.toDF().select($"user_id", $"event_id", $"value"),
+      "user_id", "event_id", target, numBuckets = 8).start()
+    def files(dir: java.io.File): Map[String, Long] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    try {
+      // batch 1: 16 users spread over the 8 buckets; user 1 twice
+      // out of order within the batch (higher event_id must win)
+      mem.addData(
+        ev(11, "2024-01-01 00:00:00", 1, "a", 1.0) +:
+        ev(99, "2024-01-01 00:00:09", 1, "a", 1.5) +:
+        (2L to 16L).map(u => ev(u * 10, "2024-01-01 00:00:01", u, "a", u * 1.0)))
+      q.processAllAvailable()
+      // snapshot the file listing of every bucket user 7 does NOT
+      // hash into, then update ONLY user 7
+      val u7Bucket = spark.range(1).select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit(7L)),
+          org.apache.spark.sql.functions.lit(8))).as[Int].head()
+      val before = (0 until 8).filter(_ != u7Bucket).map { b =>
+        b -> files(new java.io.File(target, s"bucket=$b/current"))
+      }.toMap
+      mem.addData(Seq(ev(200, "2024-01-01 00:01:00", 7, "a", 77.0)))
+      q.processAllAvailable()
+      val after = (0 until 8).filter(_ != u7Bucket).map { b =>
+        b -> files(new java.io.File(target, s"bucket=$b/current"))
+      }.toMap
+      assert(after == before,
+        "a single-key batch must rewrite only the bucket the key hashes into")
+    } finally q.stop()
+    val snap = StreamOps.readBucketedSnapshot(spark, target)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(snap(1L) == (99L, 1.5), "in-batch out-of-order resolved by version")
+    assert(snap(7L) == (200L, 77.0), "cross-batch update applied")
+    assert(snap.size == 16 && snap(16L) == (160L, 16.0))
+  }
+
+  test("bucketed upsert recovers a bucket stranded in prev/ (crash between renames)") {
+    val target = tmpDir("upsert-bucketed-recover").toString
+    // user 3's bucket under numBuckets=8, computed with Spark's own hash
+    val b3 = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit(3L)),
+        org.apache.spark.sql.functions.lit(8))).as[Int].head()
+    // strand user 3's row in prev/ with no current/ — the crash window
+    Seq((3L, 10L, 3.0)).toDF("user_id", "event_id", "value")
+      .write.parquet(s"$target/bucket=$b3/prev")
+    val mem = MemoryStream[Event](spark)
+    val q = StreamOps.upsertToParquetBucketed(
+      mem.toDF().select($"user_id", $"event_id", $"value"),
+      "user_id", "event_id", target, numBuckets = 8).start()
+    try {
+      mem.addData(Seq(ev(20, "2024-01-01 00:00:00", 4, "a", 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = StreamOps.readBucketedSnapshot(spark, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(snap == Map(3L -> 3.0, 4L -> 4.0),
+      "stranded bucket restored before merge, not dropped")
+  }
 }
