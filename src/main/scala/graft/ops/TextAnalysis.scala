@@ -631,7 +631,119 @@ object TextAnalysis {
        |  CAST(SUM(tokens) * 1000 // $packBudget AS BIGINT) AS fill_mills
        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
 
+  /** Cross-document duplicate 5-gram fraction — the "duplicate text
+    * fraction" signal public web-corpus recipes (C4, RefinedWeb) use
+    * to find templated/mirrored content that per-document
+    * [[repetition]] can't see: a page can be internally non-repetitive
+    * yet be 90 % shared boilerplate. Per document: the per-mille of
+    * its DISTINCT word 5-grams whose corpus document-frequency is > 1,
+    * as exact integer per-mille (`1000·dup div n` — no engine floats
+    * near the gate hash). Docs under 5 words have no 5-grams and are
+    * absent, like every other gram-based row here.
+    *
+    * Shuffle shape (the [[lmRarity]] family): one (doc_id, gram)
+    * distinct with map-side partial dedup — the only exchange that
+    * sees full-scan gram volume — then the document-frequency re-roll,
+    * the join back, and the per-doc rollup all move the collapsed gram
+    * table on keys it's already clustered by. At 100 TB the df table
+    * is the big intermediate; its heavy hitters (mega-shared grams)
+    * are bounded per-key by the count agg's map-side combine.
+    */
+  def dupNgramFrac(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.t(s, dir, "documents")
+      .withColumn("ws", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> array_join(slice(ws, i, 5), ' '))"))
+        .as("g"))
+      .distinct()
+    val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams5"),
+        sum(when($"df" > 1, 1L).otherwise(0L)).as("dup"))
+      .select($"doc_id", $"n_grams5",
+        expr("1000 * dup div n_grams5").as("dup_ngram_permille"))
+      .orderBy($"doc_id")
+  }
+
+  private val dupNgramFracSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest([array_to_string(ws[i:i+4], ' ')
+      |                FOR i IN generate_series(1, len(ws) - 4)]) AS g
+      |      FROM d),
+      |f AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_grams5,
+      |  CAST(1000 * SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+      |    AS dup_ngram_permille
+      |FROM g JOIN f USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Cap on any single language's share of the training mix, per-mille. */
+  val mixtureCapPermille = 300L
+
+  /** Language-mixture budget allocation — the data-mixing step that
+    * turns per-language token mass into sampling shares without letting
+    * one language dominate: proportional share, capped at
+    * [[mixtureCapPermille]], the capped overflow redistributed to
+    * uncapped languages proportional to their token mass (one
+    * redistribution round — the public web-mix recipes' "cap and
+    * renormalize"; a fixpoint would re-cap until stable, overkill for
+    * a mixing table read by humans). Everything is integer per-mille
+    * on `div`, so both engines agree exactly. Plan: one map-side
+    * token-count rollup on the (bounded) language key + two scalar
+    * subquery broadcasts — the corpus total and the uncapped total;
+    * nothing global touches row data. At 100 TB this is the cheapest
+    * query in the module: |languages| rows out of one scan.
+    */
+  def languageMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // persisted: the mixing table is |languages| rows but feeds three
+    // derivations — without it the document scan would run twice
+    val tok = Tables.t(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
+      .persist()
+    val shared = tok
+      .crossJoin(broadcast(tok.agg(sum($"tokens").as("total"))))
+      .select($"lang", $"tokens", expr("1000 * tokens div total").as("share_permille"))
+      .withColumn("capped", least($"share_permille", lit(mixtureCapPermille)))
+    val o = shared.agg(
+      sum($"share_permille" - $"capped").as("overflow"),
+      coalesce(sum(when($"share_permille" < mixtureCapPermille, $"tokens")), lit(0L))
+        .as("utok"))
+    shared.crossJoin(broadcast(o))
+      .select($"lang", $"tokens", $"share_permille",
+        ($"capped" + when($"share_permille" < mixtureCapPermille && $"utok" > 0,
+          expr("overflow * tokens div greatest(utok, 1)")).otherwise(lit(0L)))
+          .as("final_share_permille"))
+      .orderBy($"lang")
+  }
+
+  private val languageMixtureSql =
+    s"""WITH tok AS (
+       |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM tok),
+       |s AS (SELECT lang, tokens,
+       |        CAST(1000 * tokens // (SELECT total FROM t) AS BIGINT) AS share_permille
+       |      FROM tok),
+       |c AS (SELECT *, least(share_permille, $mixtureCapPermille) AS capped FROM s),
+       |o AS (SELECT CAST(SUM(share_permille - capped) AS BIGINT) AS overflow,
+       |        CAST(coalesce(SUM(CASE WHEN share_permille < $mixtureCapPermille
+       |                               THEN tokens END), 0) AS BIGINT) AS utok
+       |      FROM c)
+       |SELECT lang, tokens, share_permille,
+       |  CAST(capped + CASE WHEN share_permille < $mixtureCapPermille AND
+       |                          (SELECT utok FROM o) > 0
+       |    THEN (SELECT overflow FROM o) * tokens // greatest((SELECT utok FROM o), 1)
+       |    ELSE 0 END AS BIGINT) AS final_share_permille
+       |FROM c ORDER BY lang""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_dup_ngram", dupNgramFrac, Some(dupNgramFracSql)),
+    CatalogEntry("q_text_mixture", languageMixture, Some(languageMixtureSql)),
     CatalogEntry("q_text_pack", packChunks, Some(packChunksSql)),
     CatalogEntry("q_text_normalize", normalizeNfc, Some(normalizeNfcSql)),
     CatalogEntry("q_text_vocab", vocab, Some(vocabSql)),

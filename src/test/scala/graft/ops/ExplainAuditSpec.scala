@@ -35,7 +35,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_vocab", "q_graph_degree", "q_graph_triangles",
     "q_text_normalize", "q_dedup_incremental", "q_evt_spikes",
     "q_text_pack", "q_emb_quantize", "q_evt_rfm", "q_scalar_url",
-    "q_graph_triangles_capped", "q_graph_pagerank")
+    "q_graph_triangles_capped", "q_graph_pagerank", "q_text_dup_ngram")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -46,7 +46,10 @@ class ExplainAuditSpec extends SparkSpec {
   private val allowedNestedLoop = Seq("q_sim_topk", "q_sim_ivf",
     // target encoding broadcasts its ONE-ROW global prior under every
     // label row — a scalar cross join is map-side by construction
-    "q_feat_target_enc")
+    "q_feat_target_enc",
+    // same shape: the corpus-total and overflow rows are single-row
+    // broadcasts under the |languages|-row mixing table
+    "q_text_mixture")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString

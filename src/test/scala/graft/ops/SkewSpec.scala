@@ -188,6 +188,21 @@ class SkewSpec extends SparkSpec {
     assert(hashExchangeCount("q_text_pack") == 1)
   }
 
+  test("dup-ngram fraction: four exchanges, one over full gram volume (the lm_rarity family)") {
+    // the (doc_id, gram) distinct is the only exchange seeing raw gram
+    // volume (map-side partial dedup); the df re-roll, join back, and
+    // per-doc rollup move the collapsed gram table
+    assert(hashExchangeCount("q_text_dup_ngram") == 4)
+  }
+
+  test("language mixture: one full-data exchange; everything after is |languages| rows") {
+    // lang token rollup is the single full-scan shuffle; the corpus
+    // total / overflow sides are 1-row broadcasts (allowlisted scalar
+    // cross joins), and the SinglePartition exchanges in this plan
+    // carry exactly those 1-row aggregates
+    assert(hashExchangeCount("q_text_mixture") == 4)
+  }
+
   test("group split: assignment is map-side; both exchanges carry collapsed rows") {
     // COUNT(DISTINCT source) rewrites to two phases: a (split, source)
     // partial-dedup exchange (docs collapse to distinct sources
