@@ -258,7 +258,51 @@ object SqlSurface {
       |FROM part
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** Columns profiled by [[profile]], in output order. */
+  private val profileCols = Seq("doc_id", "lang", "n_chars", "source", "text")
+
+  /** Per-column data profiling — the summary every ETL tool's metadata
+    * UI shows before a load (the reference introspects schemas for
+    * exactly this purpose, `core/extractors/sqlserver.py:117-150`):
+    * row/non-null/distinct counts plus min/max per column of the
+    * documents table. Values are compared as strings (CAST before
+    * MIN/MAX in BOTH engines, so the ordering itself is lexicographic
+    * and engine-independent; fixture text is ASCII where binary and
+    * collated orders agree). One full scan, all 20 aggregates in a
+    * single pass (Spark plans the 5 count-distincts as one Expand —
+    * 5× map-side rows, still one scan, no joins), then a map-side
+    * `stack` to long form. At 100 TB: this is the one-pass profile
+    * you run INSTEAD of 5 per-column queries; the final single-row
+    * exchange carries 20 scalars.
+    */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val aggs = count(lit(1)).as("n_rows") +: profileCols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"dist_$c"),
+      min(col(c).cast("string")).as(s"min_$c"),
+      max(col(c).cast("string")).as(s"max_$c")))
+    val stackArgs = profileCols.map(c =>
+      s"'$c', cnt_$c, dist_$c, min_$c, max_$c").mkString(", ")
+    d.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${profileCols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_s, max_s)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
+  private val profileSql = profileCols.map(c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($c) AS n_nulls,
+       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  MIN(CAST($c AS VARCHAR)) AS min_s, MAX(CAST($c AS VARCHAR)) AS max_s
+       |FROM documents""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_profile", profile, Some(profileSql)),
     CatalogEntry("q_sql_merge", mergeUpsert, Some(mergeUpsertSql)),
     CatalogEntry("q_sql_unpivot", unpivotOp, Some(unpivotOpSql)),
     CatalogEntry("q_sql_datespine", dateSpine, Some(dateSpineSql)),

@@ -35,7 +35,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_vocab", "q_graph_degree", "q_graph_triangles",
     "q_text_normalize", "q_dedup_incremental", "q_evt_spikes",
     "q_text_pack", "q_emb_quantize", "q_evt_rfm", "q_scalar_url",
-    "q_graph_triangles_capped", "q_graph_pagerank", "q_text_dup_ngram")
+    "q_graph_triangles_capped", "q_graph_pagerank", "q_text_dup_ngram",
+    "q_sql_profile")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook

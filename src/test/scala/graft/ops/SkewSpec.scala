@@ -203,6 +203,10 @@ class SkewSpec extends SparkSpec {
     assert(hashExchangeCount("q_text_mixture") == 4)
   }
 
+  test("profile: one hash exchange (count-distinct expand), final single carries 20 scalars") {
+    assert(hashExchangeCount("q_sql_profile") == 1)
+  }
+
   test("group split: assignment is map-side; both exchanges carry collapsed rows") {
     // COUNT(DISTINCT source) rewrites to two phases: a (split, source)
     // partial-dedup exchange (docs collapse to distinct sources

@@ -21,7 +21,7 @@ fi
 OUT=${OUT:-tools/bench10x.json}
 ITERS=${ITERS:-3}
 CPUS=${CPUS:-32}
-QUERIES=${QUERIES:-q_dedup_exact q_dedup_minhash q_dedup_jaccard q_dedup_simhash_hamming q_dedup_editdist q_dedup_cc q_dedup_cc_star q_dedup_keep_best q_text_contamination q_text_tfidf q_text_boilerplate q_text_bigram_lm q_text_lm_rarity q_join_range q_sim_ivf q_evt_funnel q_evt_attribution q_evt_wau q_graph_degree q_graph_triangles q_graph_triangles_capped}
+QUERIES=${QUERIES:-q_dedup_exact q_dedup_minhash q_dedup_jaccard q_dedup_simhash_hamming q_dedup_editdist q_dedup_cc q_dedup_cc_star q_dedup_keep_best q_text_contamination q_text_tfidf q_text_boilerplate q_text_bigram_lm q_text_lm_rarity q_text_dup_ngram q_text_mixture q_join_range q_sim_ivf q_evt_funnel q_evt_attribution q_evt_wau q_graph_degree q_graph_triangles q_graph_triangles_capped q_graph_pagerank}
 
 if [ ! -d "$FIX/lineitem.parquet" ]; then
   echo "[bench10x] building $FIX = ${REPS}x $SRC (skew ${SKEW}%)" >&2
