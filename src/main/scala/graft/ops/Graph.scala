@@ -232,8 +232,15 @@ object Graph {
   private val prRounds = 3
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val (nodes, pairs) = Dedup.lshPairGraph(s, dir)
+    pagerankOf(nodes, pairs)
+  }
+
+  /** Core of [[pagerank]] over any (id) node / canonical (src,dst)
+    * edge table — separated so the fixed-round integer arithmetic is
+    * unit-testable against hand-computed ranks. */
+  private[ops] def pagerankOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
     val edges = pairs.select($"src".as("u"), $"dst".as("v"))
       .unionAll(pairs.select($"dst".as("u"), $"src".as("v"))).persist()
     val deg = edges.groupBy($"u".as("id")).agg(count(lit(1)).as("deg"))

@@ -62,6 +62,27 @@ class GraphSpec extends SparkSpec {
       "1-3 alone cannot close a triangle once node 2's edges are gone")
   }
 
+  test("pagerank: triangle is a fixpoint, isolated node holds the teleport floor") {
+    // symmetric 3-cycle: every node's incoming sum is exactly 1 000 000
+    // micro-units each round, so rank stays 150000 + 850000 = 1000000
+    val nodes = Seq(1L, 2L, 3L, 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.pagerankOf(nodes, edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 10L -> 150000L))
+  }
+
+  test("pagerank: 3 hand-computed rounds on the 2-leaf star") {
+    // star 1-{2,3}: r1 = (1850000, 575000, 575000),
+    // r2 = (1127500, 936250, 936250), r3 = (1741625, 629187, 629187) —
+    // every step integer div, computed by hand in the test comment
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.pagerankOf(nodes, edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
+  }
+
   test("hub anti-join side is broadcast — no shuffle added for the cap") {
     val plan = Graph.cappedTriangles(fixture, maxDegree = 5)
       .queryExecution.executedPlan.toString
