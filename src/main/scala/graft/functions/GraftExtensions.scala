@@ -87,6 +87,29 @@ object GraftExtensions {
         else 1024
         KmvDistinct(new org.apache.spark.sql.catalyst.expressions.XxHash64(
           Seq(children.head)), k).toAggregateExpression()
+      }),
+    (
+      new FunctionIdentifier("kmv_state"),
+      new ExpressionInfo(classOf[KmvState].getCanonicalName, "kmv_state"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "kmv_state(expr[, k]) — arbitrary input is hashed with xxhash64")
+        val k = if (children.size == 2)
+          children(1).eval(null).asInstanceOf[Number].intValue()
+        else 1024
+        KmvState(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(children.head)), k).toAggregateExpression()
+      }),
+    (
+      new FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(classOf[KmvMerge].getCanonicalName, "kmv_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "kmv_merge(state[, k]) — merges serialized kmv_state sketches")
+        val k = if (children.size == 2)
+          children(1).eval(null).asInstanceOf[Number].intValue()
+        else 1024
+        KmvMerge(children.head, k).toAggregateExpression()
       }))
 
   /** Register on an already-built session (tests, notebooks) via the

@@ -145,6 +145,49 @@ object Aggregates {
       |  TRUE AS within_tol
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Incremental sketch rollup — the store-states-merge-later pattern
+    * (graft.functions.{KmvState,KmvMerge}): per-day KMV states of the
+    * weekly-active-user set are built once (the daily job), then the
+    * weekly distinct count comes from merging the 7 stored binary
+    * states — NEVER rescanning the day's raw events. KMV merge is
+    * lossless for the union's k minima, so below k the merged estimate
+    * is exactly the distinct count; the query emits the exact count
+    * and the merged==exact flag (sketch hashing is engine-specific —
+    * the [[kmvDistinct]] gate convention). At 100 TB: daily states are
+    * k longs per group; week/month/quarter rollups all read states,
+    * making reporting O(#days), not O(history·events).
+    */
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val daily = Tables.t(s, dir, "events")
+      .select(expr("CAST(ts AS LONG) div 604800").as("wk"),
+        expr("CAST(ts AS LONG) div 86400").as("day"), $"user_id")
+      .groupBy($"wk", $"day")
+      .agg(expr("kmv_state(user_id)").as("state"),
+        countDistinct($"user_id").as("day_exact"))
+    daily.groupBy($"wk")
+      .agg(expr("kmv_merge(state)").as("merged"),
+        count(lit(1)).as("n_days"))
+      .join(
+        Tables.t(s, dir, "events")
+          .select(expr("CAST(ts AS LONG) div 604800").as("wk"), $"user_id")
+          .groupBy($"wk").agg(countDistinct($"user_id").as("exact_users")),
+        Seq("wk"))
+      .select($"wk", $"n_days", $"exact_users",
+        ($"merged" === $"exact_users").as("merge_exact"))
+      .orderBy($"wk")
+  }
+
+  private val sketchRollupSql =
+    """WITH d AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+      |  FROM events)
+      |SELECT wk, COUNT(DISTINCT day) AS n_days,
+      |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS merge_exact
+      |FROM d GROUP BY wk ORDER BY wk""".stripMargin
+
   /** CUBE with grouping() flags. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -448,6 +491,7 @@ object Aggregates {
     CatalogEntry("q_agg_distinct", distinctAgg, Some(distinctAggSql)),
     CatalogEntry("q_agg_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     CatalogEntry("q_agg_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    CatalogEntry("q_agg_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),
     CatalogEntry("q_agg_rollup", rollupAgg, Some(rollupAggSql)),
     CatalogEntry("q_agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
