@@ -123,10 +123,21 @@ object Graph {
     * edge table — separated so the hub semantics are unit-testable on
     * synthetic graphs, not just the LSH fixture. */
   private[ops] def cappedTriangles(pairs: DataFrame, maxDegree: Long): DataFrame = {
-    import pairs.sparkSession.implicits._
     val e = pairs.persist()
-    val deg = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+    cappedTrianglesWithDeg(e, degreesOf(e), maxDegree)
+  }
+
+  /** Edge-endpoint degrees — cap-independent, so multi-cap callers
+    * compute (and persist) this once. */
+  private def degreesOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"src".as("id")).union(e.select($"dst".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("degree"))
+  }
+
+  private def cappedTrianglesWithDeg(
+      e: DataFrame, deg: DataFrame, maxDegree: Long): DataFrame = {
+    import e.sparkSession.implicits._
     val hubs = deg.filter($"degree" > maxDegree).select($"id").persist()
     val capped = e
       .join(broadcast(hubs.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
@@ -154,9 +165,15 @@ object Graph {
     */
   def triangleCappedQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the candidate graph AND its degree table are cap-independent —
+    // build (and persist) both ONCE and run both caps against them, or
+    // the band/shingle pipeline would execute twice (measured ~2× the
+    // row's cost at sf0.1)
+    val (_, pairs) = Dedup.lshPairGraph(s, dir)
+    val e = pairs.persist()
+    val deg = degreesOf(e).persist()
     Seq(1L, 2L)
-      .map(cap => triangleCountsCapped(s, dir, cap)
-        .withColumn("max_degree", lit(cap)))
+      .map(cap => cappedTrianglesWithDeg(e, deg, cap).withColumn("max_degree", lit(cap)))
       .reduce(_ unionByName _)
       .select($"max_degree", $"doc_id", $"n_triangles", $"excluded_hub")
       .orderBy($"max_degree", $"doc_id")
