@@ -35,6 +35,26 @@ final class MetadataService(spark: SparkSession, fks: Seq[FkEdge] = MetadataServ
       case FkEdge(`t1`, c, `t2`, rc) => (c, rc)
       case FkEdge(`t2`, c, `t1`, rc) => (rc, c)
     }
+
+  /** Schema drift between two snapshots of a table — the check an
+    * incremental loader runs before appending today's extract to
+    * yesterday's target (the reference introspects schemas for its
+    * load-side DDL, core/loaders/sqlserver.py:185-230; drift detection
+    * is the missing half of that contract). Returns one row per
+    * changed column: (column, change ∈ added|removed|retyped,
+    * beforeType, afterType) — nullability loosening/tightening counts
+    * as a retype because the reference's DDL carries NOT NULL.
+    */
+  def schemaDiff(before: StructType, after: StructType): Seq[(String, String, String, String)] = {
+    def m(s: StructType) = s.fields.map(f =>
+      f.name -> (f.dataType.simpleString + (if (f.nullable) "" else " not null"))).toMap
+    val b = m(before); val a = m(after)
+    val removed = (b.keySet -- a.keySet).toSeq.sorted.map(c => (c, "removed", b(c), ""))
+    val added = (a.keySet -- b.keySet).toSeq.sorted.map(c => (c, "added", "", a(c)))
+    val retyped = (b.keySet & a.keySet).toSeq.sorted
+      .filter(c => b(c) != a(c)).map(c => (c, "retyped", b(c), a(c)))
+    removed ++ added ++ retyped
+  }
 }
 
 object MetadataService {

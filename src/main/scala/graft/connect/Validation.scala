@@ -1,0 +1,104 @@
+package graft.connect
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations — the reference DECLARES this surface
+  * (`services/validation_service.py`, 0 bytes on disk; SURVEY.md §0
+  * treats declared files as the capability contract) but never
+  * implemented it. The shape follows what every public expectation
+  * framework converged on: a small rule ADT evaluated as aggregates,
+  * reporting violation counts per rule.
+  *
+  * Scale design: all column rules against the SAME table fuse into ONE
+  * aggregation pass over one scan (conditional sums + the
+  * count−countDistinct uniqueness identity ride the same partial agg),
+  * so validating a 100 TB table costs one read regardless of how many
+  * rules it carries. Referential rules are each one equi-anti-join on
+  * the FK key — the only rules that can't fuse, because they touch two
+  * tables.
+  */
+object Validation {
+
+  /** One expectation; `name` becomes the report key. */
+  sealed trait Rule { def name: String }
+
+  /** Rules evaluable inside a single-table aggregation pass. */
+  sealed trait ColumnRule extends Rule { def table: String }
+
+  final case class NotNull(table: String, column: String) extends ColumnRule {
+    def name = s"not_null:$table.$column"
+  }
+  /** Inclusive numeric bounds; NULLs don't count as violations (that's
+    * [[NotNull]]'s job — same separation as SQL CHECK semantics). */
+  final case class InRange(table: String, column: String, lo: Double, hi: Double)
+      extends ColumnRule {
+    def name = s"range:$table.$column[$lo,$hi]"
+  }
+  final case class AcceptedValues(table: String, column: String, values: Seq[String])
+      extends ColumnRule {
+    def name = s"accepted:$table.$column{${values.mkString(",")}}"
+  }
+  final case class Unique(table: String, column: String) extends ColumnRule {
+    def name = s"unique:$table.$column"
+  }
+  /** Child rows whose key has no parent (NULL child keys don't violate,
+    * matching SQL FK semantics). */
+  final case class RefIntegrity(table: String, column: String,
+      refTable: String, refColumn: String) extends Rule {
+    def name = s"fk:$table.$column->$refTable.$refColumn"
+  }
+
+  private def violationAgg(r: ColumnRule): Column = r match {
+    case NotNull(_, c) =>
+      sum(when(col(c).isNull, 1L).otherwise(0L))
+    case InRange(_, c, lo, hi) =>
+      sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L))
+    case AcceptedValues(_, c, vs) =>
+      sum(when(!col(c).isin(vs: _*), 1L).otherwise(0L))
+    case Unique(_, c) =>
+      count(col(c)) - countDistinct(col(c))
+  }
+
+  /** Evaluate `rules`, returning (rule, violations, pass) ordered by
+    * rule name. */
+  def run(s: SparkSession, dir: String, rules: Seq[Rule]): DataFrame = {
+    val perTable = rules.collect { case r: ColumnRule => r }
+      .groupBy(_.table).toSeq.map { case (t, rs) =>
+        val aggs = rs.zipWithIndex.map { case (r, i) => violationAgg(r).as(s"a$i") }
+        val stackArgs = rs.zipWithIndex
+          .map { case (r, i) => s"'${r.name}', a$i" }.mkString(", ")
+        Tables.t(s, dir, t)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${rs.size}, $stackArgs) AS (rule, violations)")
+      }
+    val fkChecks = rules.collect { case f: RefIntegrity =>
+      Tables.t(s, dir, f.table)
+        .select(col(f.column)).filter(col(f.column).isNotNull)
+        .join(Tables.t(s, dir, f.refTable).select(col(f.refColumn)),
+          col(f.column) === col(f.refColumn), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(f.name).as("rule"), col("violations"))
+    }
+    (perTable ++ fkChecks).reduce(_ unionByName _)
+      .select(col("rule"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
+  /** The fixture expectation suite for the catalog row — a deliberate
+    * mix of passing rules and rules with nonzero violation counts, so
+    * the DuckDB gate checks real counting, not just a column of
+    * zeros: quantity capped at 25 fails for half of lineitem, flag
+    * {A,N} misses every R row, l_orderkey repeats across line numbers.
+    */
+  val fixtureRules: Seq[Rule] = Seq(
+    NotNull("lineitem", "l_orderkey"),
+    InRange("lineitem", "l_quantity", 1, 25),
+    AcceptedValues("lineitem", "l_returnflag", Seq("A", "N")),
+    Unique("lineitem", "l_orderkey"),
+    Unique("orders", "o_orderkey"),
+    RefIntegrity("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    NotNull("documents", "text"))
+}

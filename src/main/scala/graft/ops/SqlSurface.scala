@@ -301,7 +301,44 @@ object SqlSurface {
        |FROM documents""".stripMargin)
     .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Data-quality expectations over the fixture suite — see
+    * [[graft.connect.Validation]] (the reference's declared-but-empty
+    * validation_service surface). Same-table rules fuse into one scan;
+    * the ruleset deliberately mixes passing and violated rules so the
+    * gate checks real counts.
+    */
+  def expectations(s: SparkSession, dir: String): DataFrame =
+    graft.connect.Validation.run(s, dir, graft.connect.Validation.fixtureRules)
+
+  private val expectationsSql =
+    """WITH u AS (
+      |  SELECT 'accepted:lineitem.l_returnflag{A,N}' AS rule,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N')) AS violations
+      |  UNION ALL
+      |  SELECT 'fk:lineitem.l_orderkey->orders.o_orderkey',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |  UNION ALL
+      |  SELECT 'not_null:documents.text',
+      |    (SELECT COUNT(*) FROM documents WHERE text IS NULL)
+      |  UNION ALL
+      |  SELECT 'not_null:lineitem.l_orderkey',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+      |  UNION ALL
+      |  SELECT 'range:lineitem.l_quantity[1.0,25.0]',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 25)
+      |  UNION ALL
+      |  SELECT 'unique:lineitem.l_orderkey',
+      |    (SELECT COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'unique:orders.o_orderkey',
+      |    (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders))
+      |SELECT rule, CAST(violations AS BIGINT) AS violations,
+      |  violations = 0 AS pass
+      |FROM u ORDER BY rule""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_expectations", expectations, Some(expectationsSql)),
     CatalogEntry("q_sql_profile", profile, Some(profileSql)),
     CatalogEntry("q_sql_merge", mergeUpsert, Some(mergeUpsertSql)),
     CatalogEntry("q_sql_unpivot", unpivotOp, Some(unpivotOpSql)),

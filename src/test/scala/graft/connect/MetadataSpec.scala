@@ -40,4 +40,30 @@ class MetadataSpec extends AnyFunSuite {
     assert(svc.suggestJoin("orders", "lineitem").contains(("o_orderkey", "l_orderkey")))
     assert(svc.suggestJoin("region", "part").isEmpty)
   }
+
+  test("schemaDiff reports added, removed, retyped, and nullability changes") {
+    val svc = new MetadataService(null)
+    val before = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("qty", IntegerType),
+      StructField("price", DoubleType)))
+    val after = StructType(Seq(
+      StructField("id", LongType), // NOT NULL loosened -> retyped
+      StructField("name", StringType), // unchanged
+      StructField("qty", LongType), // widened -> retyped
+      StructField("added_at", TimestampType))) // new
+    val diff = svc.schemaDiff(before, after)
+    assert(diff == Seq(
+      ("price", "removed", "double", ""),
+      ("added_at", "added", "", "timestamp"),
+      ("id", "retyped", "bigint not null", "bigint"),
+      ("qty", "retyped", "int", "bigint")))
+  }
+
+  test("schemaDiff is empty for identical schemas") {
+    val svc = new MetadataService(null)
+    val s = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    assert(svc.schemaDiff(s, s).isEmpty)
+  }
 }

@@ -36,7 +36,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_normalize", "q_dedup_incremental", "q_evt_spikes",
     "q_text_pack", "q_emb_quantize", "q_evt_rfm", "q_scalar_url",
     "q_graph_triangles_capped", "q_graph_pagerank", "q_text_dup_ngram",
-    "q_sql_profile", "q_agg_sketch_rollup")
+    "q_sql_profile", "q_agg_sketch_rollup", "q_sql_expectations")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook

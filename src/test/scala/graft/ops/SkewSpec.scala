@@ -207,6 +207,16 @@ class SkewSpec extends SparkSpec {
     assert(hashExchangeCount("q_sql_profile") == 1)
   }
 
+  test("expectations: same-table rules fuse — four lineitem rules, one lineitem scan") {
+    val plan = Catalog.byName("q_sql_expectations").fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache()
+    // lineitem appears once in the fused rule agg and once as the FK
+    // child side — NOT once per rule (4 column rules share one scan)
+    val lineitemScans = "Location.*lineitem".r.findAllIn(plan).length
+    assert(lineitemScans == 2, s"expected 2 lineitem scans (fused agg + fk child):\n$plan")
+  }
+
   test("group split: assignment is map-side; both exchanges carry collapsed rows") {
     // COUNT(DISTINCT source) rewrites to two phases: a (split, source)
     // partial-dedup exchange (docs collapse to distinct sources
