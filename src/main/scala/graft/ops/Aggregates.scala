@@ -149,13 +149,18 @@ object Aggregates {
     * (graft.functions.{KmvState,KmvMerge}): per-day KMV states of the
     * weekly-active-user set are built once (the daily job), then the
     * weekly distinct count comes from merging the 7 stored binary
-    * states — NEVER rescanning the day's raw events. KMV merge is
-    * lossless for the union's k minima, so below k the merged estimate
-    * is exactly the distinct count; the query emits the exact count
-    * and the merged==exact flag (sketch hashing is engine-specific —
-    * the [[kmvDistinct]] gate convention). At 100 TB: daily states are
-    * k longs per group; week/month/quarter rollups all read states,
-    * making reporting O(#days), not O(history·events).
+    * states — NEVER rescanning the day's raw events. Two gate flags:
+    * `merge_lossless` pins the algebraic invariant — merging stored
+    * day states reproduces the single-shot weekly sketch EXACTLY
+    * (the k minima of a union of per-part k-minima ARE the union's k
+    * minima; deterministic because xxhash64 is, so true at EVERY
+    * scale, below or above k) — and `within_tol` bounds the estimate
+    * against the exact count (15 % ≈ 3.4σ for k=1024, the
+    * [[kmvDistinct]] gate convention, since above k the estimate is
+    * an approximation whose exact value is engine-specific). At
+    * 100 TB: daily states are k longs per group; week/month/quarter
+    * rollups all read states, making reporting O(#days), not
+    * O(history·events).
     */
   def sketchRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -164,18 +169,20 @@ object Aggregates {
       .select(expr("CAST(ts AS LONG) div 604800").as("wk"),
         expr("CAST(ts AS LONG) div 86400").as("day"), $"user_id")
       .groupBy($"wk", $"day")
-      .agg(expr("kmv_state(user_id)").as("state"),
-        countDistinct($"user_id").as("day_exact"))
+      .agg(expr("kmv_state(user_id)").as("state"))
     daily.groupBy($"wk")
       .agg(expr("kmv_merge(state)").as("merged"),
         count(lit(1)).as("n_days"))
       .join(
         Tables.t(s, dir, "events")
           .select(expr("CAST(ts AS LONG) div 604800").as("wk"), $"user_id")
-          .groupBy($"wk").agg(countDistinct($"user_id").as("exact_users")),
+          .groupBy($"wk").agg(countDistinct($"user_id").as("exact_users"),
+            expr("kmv_distinct(user_id)").as("direct")),
         Seq("wk"))
       .select($"wk", $"n_days", $"exact_users",
-        ($"merged" === $"exact_users").as("merge_exact"))
+        ($"merged" === $"direct").as("merge_lossless"),
+        (abs($"merged" - $"exact_users").cast("double") <=
+          $"exact_users".cast("double") * 0.15).as("within_tol"))
       .orderBy($"wk")
   }
 
@@ -185,7 +192,8 @@ object Aggregates {
       |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
       |  FROM events)
       |SELECT wk, COUNT(DISTINCT day) AS n_days,
-      |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS merge_exact
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS merge_lossless, TRUE AS within_tol
       |FROM d GROUP BY wk ORDER BY wk""".stripMargin
 
   /** CUBE with grouping() flags. */

@@ -18,6 +18,13 @@ class SchemaGuardSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("catalog names are unique — a duplicate would silently collapse in SparkEntry's map") {
+    val names = Catalog.entries.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate catalog names: ${dups.mkString(", ")}")
+    assert(names.size == Catalog.byName.size)
+  }
+
   Catalog.entries.foreach { e =>
     test(s"${e.name}: output schema has no array/struct/map columns") {
       val schema = e.fn(spark, dir).schema
