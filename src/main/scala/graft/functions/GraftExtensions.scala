@@ -101,6 +101,16 @@ object GraftExtensions {
           Seq(children.head)), k).toAggregateExpression()
       }),
     (
+      new FunctionIdentifier("freq_topk"),
+      new ExpressionInfo(classOf[FreqTopK].getCanonicalName, "freq_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 1 && children.size <= 3,
+          "freq_topk(item[, k[, capacity]]) — Misra-Gries heavy hitters")
+        def lit(i: Int, dflt: Int) = if (children.size > i)
+          children(i).eval(null).asInstanceOf[Number].intValue() else dflt
+        FreqTopK(children.head, lit(1, 10), lit(2, 256)).toAggregateExpression()
+      }),
+    (
       new FunctionIdentifier("kmv_merge"),
       new ExpressionInfo(classOf[KmvMerge].getCanonicalName, "kmv_merge"),
       (children: Seq[Expression]) => {

@@ -196,6 +196,96 @@ object Aggregates {
       |  TRUE AS merge_lossless, TRUE AS within_tol
       |FROM d GROUP BY wk ORDER BY wk""".stripMargin
 
+  /** Heavy-hitters head per language — [[graft.functions.FreqTopK]]
+    * (Misra–Gries) over the exploded token stream: top-5 tokens with
+    * counts as one `item:count` string per language. The gate pins the
+    * EXACT regime (capacity 64 ≫ the fixture vocabulary, so every
+    * counter is exact and the oracle is a plain GROUP BY count +
+    * row_number head); FreqTopKSpec owns the approximate regime
+    * (eviction, merge trim, the N/(capacity+1) bound). Plan: the only
+    * exchange after the scan carries ≤ capacity counters per language —
+    * at 100 TB this replaces the full-corpus (lang, token) shuffle an
+    * exact vocabulary head would pay, the same state-not-rows trade as
+    * [[kmvDistinct]].
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    Tables.t(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("term"))
+      .groupBy($"lang")
+      .agg(expr("freq_topk(term, 5, 64)").as("top_terms"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy($"lang")
+  }
+
+  private val heavyHittersSql =
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+      |r AS (SELECT lang, term, n,
+      |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn
+      |      FROM c)
+      |SELECT lang,
+      |  string_agg(term || ':' || n, ' ' ORDER BY rn) AS top_terms,
+      |  (SELECT COUNT(*) FROM toks t WHERE t.lang = r.lang) AS n_tokens
+      |FROM r WHERE rn <= 5 GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Sketch-based join-size / overlap estimation — the optimizer-style
+    * use of the KMV family: per-language token [[graft.functions.KmvState]]
+    * sketches, then for every language PAIR the union cardinality from
+    * one [[graft.functions.KmvMerge]] and the intersection by
+    * inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) — the standard
+    * KMV set-operation estimator, and exactly how an engine estimates
+    * equi-join output size from two column sketches without touching
+    * row data. The pair join runs on the AGGREGATED per-language table
+    * (|languages| rows — broadcast nested loop on purpose: the `<`
+    * predicate is a triangular self-pair enumeration over bounded
+    * metadata, the [[graft.ops.TextAnalysis.languageMixture]] shape,
+    * not a data-volume join). Exact below k (the gate regime, vocab ≪
+    * k=1024); above k the estimator inherits KMV's error, bounded in
+    * KmvDistinctSpec.
+    */
+  def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val perLang = Tables.t(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("term"))
+      .groupBy($"lang")
+      .agg(expr("kmv_state(term)").as("state"),
+        expr("kmv_distinct(term)").as("nd"))
+      .persist()
+    val pairs = perLang.as("a")
+      .join(broadcast(perLang.as("b")), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        col("a.nd").as("nd_a"), col("b.nd").as("nd_b"),
+        col("a.state").as("sa"), col("b.state").as("sb"))
+    pairs.select($"lang_a", $"lang_b", $"nd_a", $"nd_b", $"sa".as("state"))
+      .unionByName(
+        pairs.select($"lang_a", $"lang_b", $"nd_a", $"nd_b", $"sb".as("state")))
+      .groupBy($"lang_a", $"lang_b", $"nd_a", $"nd_b")
+      .agg(expr("kmv_merge(state)").as("union_est"))
+      .select($"lang_a", $"lang_b", $"nd_a", $"nd_b", $"union_est",
+        ($"nd_a" + $"nd_b" - $"union_est").as("intersect_est"))
+      .orderBy($"lang_a", $"lang_b")
+  }
+
+  private val kmvIntersectSql =
+    """WITH toks AS (
+      |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |n AS (SELECT lang, COUNT(*) AS nd FROM toks GROUP BY 1),
+      |p AS (SELECT a.lang AS la, a.nd AS na, b.lang AS lb, b.nd AS nb
+      |      FROM n a JOIN n b ON a.lang < b.lang),
+      |u AS (SELECT p.la, p.lb,
+      |        COUNT(DISTINCT t.term) AS un
+      |      FROM p JOIN toks t ON t.lang IN (p.la, p.lb) GROUP BY 1, 2)
+      |SELECT p.la AS lang_a, p.lb AS lang_b,
+      |  p.na AS nd_a, p.nb AS nd_b, u.un AS union_est,
+      |  p.na + p.nb - u.un AS intersect_est
+      |FROM p JOIN u ON p.la = u.la AND p.lb = u.lb
+      |ORDER BY lang_a, lang_b""".stripMargin
+
   /** CUBE with grouping() flags. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -500,6 +590,8 @@ object Aggregates {
     CatalogEntry("q_agg_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     CatalogEntry("q_agg_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     CatalogEntry("q_agg_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
+    CatalogEntry("q_agg_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    CatalogEntry("q_agg_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)),
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),
     CatalogEntry("q_agg_rollup", rollupAgg, Some(rollupAggSql)),
     CatalogEntry("q_agg_grouping_sets", groupingSets, Some(groupingSetsSql)),

@@ -400,7 +400,47 @@ object FeatureOps {
       |FROM c JOIN s USING (c_nationkey)
       |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
 
+  /** Per-GROUP equi-depth binning — the grouped sibling of
+    * [[ntileBuckets]]: quartiles of document length computed
+    * independently per language, the per-stratum binning a curriculum /
+    * mixing pipeline derives before sampling within each language. The
+    * global decile query needed its two-pass boundary algorithm because
+    * a global NTILE window is an `Exchange SinglePartition` scale-killer
+    * — but a PARTITIONED window is exactly what window functions are
+    * for: the only exchange is hash(lang), each language sorts in
+    * parallel, and no single task ever owns more than one language's
+    * rows. (Skew caveat at 100 TB: one language CAN dominate a corpus —
+    * if p99 language mass exceeds executor memory, fall back to the
+    * two-pass boundary algorithm per heavy language; the doc records
+    * the switchover, the operator stays the cheap default.) Order is
+    * pinned with the doc_id tiebreak so both engines' NTILE — identical
+    * SQL-standard semantics — see one total order.
+    */
+  def ntileGrouped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars".asc, $"doc_id".asc)
+    Tables.t(s, dir, "documents")
+      .select($"lang", $"doc_id", $"n_chars")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy($"lang", $"quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang", $"quartile")
+  }
+
+  private val ntileGroupedSql =
+    """WITH q AS (
+      |  SELECT lang, n_chars,
+      |    CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
+      |      AS quartile
+      |  FROM documents)
+      |SELECT lang, quartile, COUNT(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM q GROUP BY 1, 2 ORDER BY lang, quartile""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_feat_ntile_grouped", ntileGrouped, Some(ntileGroupedSql)),
     CatalogEntry("q_feat_outlier", iqrOutliers, Some(iqrOutliersSql)),
     CatalogEntry("q_feat_group_split", groupSplit, Some(groupSplitSql)),
     CatalogEntry("q_feat_split", hashSplit, Some(hashSplitSql)),

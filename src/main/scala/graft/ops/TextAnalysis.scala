@@ -741,7 +741,81 @@ object TextAnalysis {
        |    ELSE 0 END AS BIGINT) AS final_share_permille
        |FROM c ORDER BY lang""".stripMargin
 
+  /** Corpus-level duplicate-span REMOVAL — the destructive sibling of
+    * the [[dupNgramFrac]] signal, modeled on C4's "discard all but one
+    * of any three-sentence span occurring more than once": the fixture
+    * text has no sentence boundaries, so the span unit is a tumbling
+    * 5-word window (last span may be shorter). Every span occurrence
+    * except the canonical first — ordered by (doc_id, span_idx) — is
+    * dropped, and each document's surviving spans are reassembled in
+    * position order into `clean_text` (serialized as a plain string;
+    * the gate cannot hash arrays). Unlike the per-doc signals, this is
+    * the operator a pipeline actually APPLIES before training.
+    *
+    * Shuffle shape: one (span) hash agg for the canonical-occurrence
+    * table (min struct(doc_id, span_idx) — map-side combinable), one
+    * equi-join of the span stream against it on the span text, one
+    * (doc_id) rollup for reassembly. Tumbling (not sliding) spans keep
+    * the exploded volume at 1/5 word count — the property that makes
+    * corpus-wide span dedup affordable at 100 TB where sliding 5-grams
+    * are 5× the corpus. The canonical table's heavy hitters (mega-
+    * duplicated boilerplate spans) are bounded by the agg's partial
+    * combine, same as [[dupNgramFrac]]'s df table. The oracle keeps an
+    * INDEPENDENT formulation: row_number over (doc_id, span_idx) per
+    * span vs the Spark side's min-struct equality.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupOf(Tables.t(s, dir, "documents"))
+
+  /** Core of [[spanDedup]] over any (doc_id, text) table — separated so
+    * the canonical-first / in-document-duplicate / all-spans-dropped
+    * semantics are unit-testable on crafted corpora (TextAnalysisSpec),
+    * not just the fixture. */
+  private[ops] def spanDedupOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val spans = docs
+      .withColumn("ws", split($"text", " "))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, (size(ws) - 1) div 5), i -> array_join(slice(ws, i * 5 + 1, 5), ' '))"))
+        .as(Seq("span_idx", "g")))
+    val canon = spans.groupBy($"g")
+      .agg(min(struct($"doc_id", $"span_idx")).as("first"))
+    spans.join(canon, Seq("g"))
+      .withColumn("kept", struct($"doc_id", $"span_idx") === $"first")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"kept", struct($"span_idx", $"g")))),
+            x => x.getField("g")),
+          " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  private val spanDedupSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sp AS (
+      |  SELECT doc_id,
+      |    unnest([{'span_idx': i - 1,
+      |             'g': array_to_string(ws[(i - 1) * 5 + 1 : (i - 1) * 5 + 5], ' ')}
+      |            FOR i IN generate_series(1, (len(ws) - 1) // 5 + 1)],
+      |           recursive := true)
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, span_idx, g,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, span_idx) AS rn
+      |  FROM sp)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  coalesce(array_to_string(list(g ORDER BY span_idx) FILTER (rn = 1), ' '), '')
+      |    AS clean_text
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_span_dedup", spanDedup, Some(spanDedupSql)),
     CatalogEntry("q_text_dup_ngram", dupNgramFrac, Some(dupNgramFracSql)),
     CatalogEntry("q_text_mixture", languageMixture, Some(languageMixtureSql)),
     CatalogEntry("q_text_pack", packChunks, Some(packChunksSql)),

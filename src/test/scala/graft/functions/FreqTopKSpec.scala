@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[FreqTopK]] (Misra–Gries heavy hitters): the gate row
+  * (q_agg_heavy_hitters) pins only the exact regime; this spec owns the
+  * sketch properties — exact counts below capacity regardless of
+  * partitioning, the eviction path, the distributed merge trim, and the
+  * N/(capacity+1) underestimate bound.
+  */
+class FreqTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private def topkOf(items: Seq[String], k: Int, cap: Int, parts: Int): String =
+    items.toDF("item").repartition(parts)
+      .agg(expr(s"freq_topk(item, $k, $cap)")).as[String].head()
+
+  test("exact regime: counts are exact and partitioning-independent") {
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(25)("c") ++
+      Seq.fill(10)("d")
+    val expected = "a:40 b:25 c:25 d:10" // b before c: count tie broken by item asc
+    for (parts <- Seq(1, 7)) {
+      assert(topkOf(scala.util.Random.shuffle(items), 10, 8, parts) == expected)
+    }
+  }
+
+  test("ties order by item ascending at equal counts") {
+    assert(topkOf(Seq("z", "m", "a"), 3, 8, 1) == "a:1 m:1 z:1")
+  }
+
+  test("k truncates below the summary size") {
+    assert(topkOf(Seq("a", "a", "b", "b", "c"), 2, 8, 1) == "a:2 b:2")
+  }
+
+  test("approximate regime: heavy hitter survives eviction with the MG bound") {
+    // 60% heavy item in a stream of 500 with 100 distinct light items,
+    // capacity 16: true(heavy)=300, underestimate ≤ N/(cap+1) ≈ 29
+    val n = 500
+    val heavy = Seq.fill(300)("HEAVY")
+    val light = (0 until 200).map(i => s"light${i % 100}")
+    val out = topkOf(scala.util.Random.shuffle(heavy ++ light), 1, 16, 1)
+    val Array(item, count) = out.split(" ").head.split(":")
+    assert(item == "HEAVY")
+    assert(count.toLong >= 300 - n / 17 && count.toLong <= 300)
+  }
+
+  test("distributed merge trims to capacity and keeps the bound") {
+    // shards whose union exceeds capacity: merge must end ≤ cap counters
+    // and still surface the global heavy hitter at an in-bound count
+    val n = 900
+    val heavy = Seq.fill(400)("HEAVY")
+    val light = (0 until 500).map(i => s"w$i") // all distinct: worst case
+    val out = topkOf(scala.util.Random.shuffle(heavy ++ light), 5, 32, 9)
+    val head = out.split(" ").head.split(":")
+    assert(head(0) == "HEAVY")
+    assert(head(1).toLong >= 400 - n / 33 && head(1).toLong <= 400)
+    assert(out.split(" ").length <= 5)
+  }
+
+  test("nulls are skipped, empty input yields empty string") {
+    val withNulls = Seq(Some("x"), None, Some("x"), None).toDF("item")
+    assert(withNulls.agg(expr("freq_topk(item, 3, 8)")).as[String].head() == "x:2")
+    assert(Seq.empty[String].toDF("item")
+      .agg(expr("freq_topk(item, 3, 8)")).as[String].head() == "")
+  }
+}

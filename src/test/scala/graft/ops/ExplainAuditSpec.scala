@@ -36,7 +36,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_normalize", "q_dedup_incremental", "q_evt_spikes",
     "q_text_pack", "q_emb_quantize", "q_evt_rfm", "q_scalar_url",
     "q_graph_triangles_capped", "q_graph_pagerank", "q_text_dup_ngram",
-    "q_sql_profile", "q_agg_sketch_rollup", "q_sql_expectations")
+    "q_sql_profile", "q_agg_sketch_rollup", "q_sql_expectations",
+    "q_text_span_dedup", "q_feat_ntile_grouped", "q_agg_heavy_hitters")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -50,7 +51,11 @@ class ExplainAuditSpec extends SparkSpec {
     "q_feat_target_enc",
     // same shape: the corpus-total and overflow rows are single-row
     // broadcasts under the |languages|-row mixing table
-    "q_text_mixture")
+    "q_text_mixture",
+    // triangular (lang_a < lang_b) self-pairing of the AGGREGATED
+    // per-language sketch table — |languages|² pairs of bounded
+    // metadata, never row data
+    "q_agg_kmv_intersect")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
@@ -100,6 +105,15 @@ class ExplainAuditSpec extends SparkSpec {
     val plan = planOf("q_feat_ntile")
     assert(!plan.contains("Exchange SinglePartition"), plan)
     assert(!plan.contains("Window"), plan)
+  }
+
+  test("q_feat_ntile_grouped windows per-language, never single-partition") {
+    // the grouped variant is ALLOWED its window — partitionBy(lang)
+    // hash-distributes it; what must never appear is the global-NTILE
+    // Exchange SinglePartition the ungrouped query was rewritten to kill
+    val plan = planOf("q_feat_ntile_grouped")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
   }
 
   test("q1_pricing scan pushes its filter and prunes columns") {

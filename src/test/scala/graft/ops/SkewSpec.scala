@@ -217,6 +217,36 @@ class SkewSpec extends SparkSpec {
     assert(lineitemScans == 2, s"expected 2 lineitem scans (fused agg + fk child):\n$plan")
   }
 
+  test("span dedup: two hash exchanges — canonical agg and doc reassembly") {
+    // the tumbling-span explode is map-side; the (span) canonical-min
+    // agg and the (doc_id) reassembly rollup shuffle. At fixture scale
+    // the canonical table broadcasts into the join-back (no third
+    // exchange); at 100 TB that join becomes the third, g-keyed shuffle
+    // — either way nothing re-moves full span volume twice on one key
+    assert(hashExchangeCount("q_text_span_dedup") == 2)
+  }
+
+  test("grouped ntile: one exchange — the lang window partitioning serves the rollup too") {
+    // hashpartitioning(lang) from the window satisfies the
+    // (lang, quartile) rollup's clustered distribution — no re-shuffle
+    assert(hashExchangeCount("q_feat_ntile_grouped") == 1)
+  }
+
+  test("heavy hitters: one exchange carrying ≤capacity counters per language") {
+    // freq_topk partial-aggregates map-side; the wire sees MG summaries,
+    // never the raw token stream
+    assert(hashExchangeCount("q_agg_heavy_hitters") == 1)
+  }
+
+  test("kmv intersect: exchanges carry sketches on bounded keys, never row data") {
+    // semantically two shuffles: the (lang) rollup to sketch states and
+    // the (pair) merge rollup. The count reads 5 only because the
+    // PERSISTED per-lang rollup's printed plan (containing its one
+    // exchange) appears under both join sides and both union branches —
+    // one physical exchange, four appearances, plus the merge rollup
+    assert(hashExchangeCount("q_agg_kmv_intersect") == 5)
+  }
+
   test("group split: assignment is map-side; both exchanges carry collapsed rows") {
     // COUNT(DISTINCT source) rewrites to two phases: a (split, source)
     // partial-dedup exchange (docs collapse to distinct sources

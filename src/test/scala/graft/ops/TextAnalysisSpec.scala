@@ -10,6 +10,23 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spanDedup keeps canonical first occurrences, drops cross- and in-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),        // both spans canonical
+      (2L, "a b c d e x"),                 // span0 duplicates doc1's → dropped; tail "x" kept
+      (3L, "a b c d e f g h i j"),         // full duplicate of doc1 → everything dropped
+      (4L, "p q r s t p q r s t")          // in-document duplicate span → second dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedupOf(docs)
+      .select("doc_id", "n_spans", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 0L, "a b c d e f g h i j")))
+    assert(out(2L) == ((2L, 1L, "x")))
+    assert(out(3L) == ((2L, 2L, "")))     // all spans dropped → empty, not null
+    assert(out(4L) == ((2L, 1L, "p q r s t")))
+  }
+
   test("scrubPii redacts email/phone variants and counts per category") {
     val rows = Seq(
       (1L, "mail a.b_c%d+tag@sub.example.co.uk and +44-020-7946 done"),
