@@ -395,7 +395,71 @@ object Similarity {
       |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS l1
       |FROM c ORDER BY vec_id""".stripMargin
 
+  /** Embedding outlier detection — the "noisy / mislabeled vector"
+    * curation pass: for every vector, its squared distance to its own
+    * label's centroid, top-3 farthest flagged per label. Division-free
+    * integer bridge: with S_d = Σ xq_d over the label (exact longs) and
+    * n the label count, the per-dim deviation of vector x is
+    * n·xq_d − S_d, and sqn = Σ_d (n·xq_d − S_d)² ranks identically to
+    * true centroid distance (both factors constant within a label) with
+    * ZERO divisions — sidestepping the Spark-`div`-truncates vs
+    * DuckDB-`//`-floors mismatch on negative sums entirely. The emitted
+    * `dist` rescales sqn by n² (non-negative operands, so truncation
+    * and floor agree); ranking stays on raw sqn. Capacity: |n·xq| ≤
+    * label_rows·1e4, so sqn fits int64 up to ~10⁵-row labels per the
+    * bridge capacity note — past that, rank within label SHARDS (salt
+    * the label, take per-shard top-k, re-rank the k·shards survivors
+    * exactly) rather than switching to float division. Plan: one
+    * map-side explode feeding a (label, dim) hash agg (640 rows out),
+    * broadcast back over the re-exploded scan, one (vec_id) rollup,
+    * one bounded per-label window.
+    */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        quantize1e4($"embedding").as("xq"))
+    val cent = e
+      .select($"label", posexplode($"xq").as(Seq("dim", "q")))
+      .groupBy($"label", $"dim")
+      .agg(sum($"q").as("sd"), count(lit(1)).as("n"))
+    val sqn = e
+      .select($"vec_id", $"label", posexplode($"xq").as(Seq("dim", "q")))
+      .join(broadcast(cent), Seq("label", "dim"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(($"n" * $"q" - $"sd") * ($"n" * $"q" - $"sd")).as("sqn"),
+        first($"n").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"sqn".desc, $"vec_id".asc)
+    sqn.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"label", $"rn", $"vec_id", expr("sqn div (n * n)").as("dist"))
+      .orderBy($"label", $"rn")
+  }
+
+  private val embOutliersSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT) AS q
+      |  FROM embeddings),
+      |c AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sd,
+      |        COUNT(*) AS n
+      |      FROM e GROUP BY 1, 2),
+      |s AS (SELECT e.vec_id, e.label,
+      |        CAST(SUM((c.n * e.q - c.sd) * (c.n * e.q - c.sd)) AS BIGINT) AS sqn,
+      |        any_value(c.n) AS n
+      |      FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+      |      GROUP BY 1, 2),
+      |r AS (SELECT label, vec_id, sqn, n,
+      |        row_number() OVER (PARTITION BY label ORDER BY sqn DESC, vec_id) AS rn
+      |      FROM s)
+      |SELECT label, CAST(rn AS BIGINT) AS rn, vec_id,
+      |  CAST(sqn // (n * n) AS BIGINT) AS dist
+      |FROM r WHERE rn <= 3 ORDER BY label, rn""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_emb_outlier", embOutliers, Some(embOutliersSql)),
     CatalogEntry("q_emb_quantize", int8Quantize, Some(int8QuantizeSql)),
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     CatalogEntry("q_sim_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),

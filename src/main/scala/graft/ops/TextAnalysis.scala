@@ -814,7 +814,60 @@ object TextAnalysis {
       |    AS clean_text
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-source token-distribution drift — the corpus-mix monitor a
+    * training pipeline runs per ingest batch: for every source, the L1
+    * distance (total variation ×2) between its token distribution and
+    * the whole corpus's, in exact integer per-mille —
+    * Σ_t |1000·c_st div T_s − 1000·c_t div T| over the FULL (source ×
+    * vocabulary) grid, so tokens a source never emits still contribute
+    * their corpus mass. All operands non-negative, so Spark `div` and
+    * DuckDB `//` agree. A drifting crawl source (template change, spam
+    * flood, language shift) moves this number before any downstream
+    * quality metric notices. Plan: one (source, token) hash agg over
+    * the exploded stream — the only full-volume exchange — then the
+    * grid is |sources|·|vocab| rows built from two bounded broadcast
+    * sides; per-token corpus counts ride the same collapsed table. At
+    * 100 TB the vocabulary table is the big small-side: cap it (the
+    * [[vocab]] head) and bucket the tail as an "other" residual —
+    * documented here, not needed at fixture vocab size.
+    */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.t(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+      .persist()
+    val perSource = st.groupBy($"source").agg(sum($"c").as("ts"))
+    val perTerm = st.groupBy($"term").agg(sum($"c").as("ct"))
+    val total = st.agg(sum($"c").as("t"))
+    val grid = perSource.crossJoin(broadcast(perTerm))
+    grid
+      .join(st, Seq("source", "term"), "left")
+      .crossJoin(broadcast(total))
+      .select($"source", $"ts",
+        abs(expr("1000 * coalesce(c, 0) div ts") - expr("1000 * ct div t"))
+          .as("d"))
+      .groupBy($"source")
+      .agg(first($"ts").as("n_tokens"), sum($"d").as("l1_permille"))
+      .orderBy($"source")
+  }
+
+  private val sourceDriftSql =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |st AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |ps AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM st GROUP BY 1),
+      |pt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM st),
+      |g AS (SELECT ps.source, ps.ts, pt.term, pt.ct FROM ps CROSS JOIN pt)
+      |SELECT g.source, any_value(g.ts) AS n_tokens,
+      |  CAST(SUM(abs(1000 * coalesce(st.c, 0) // g.ts
+      |              - 1000 * g.ct // (SELECT t FROM t))) AS BIGINT) AS l1_permille
+      |FROM g LEFT JOIN st ON g.source = st.source AND g.term = st.term
+      |GROUP BY g.source ORDER BY g.source""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_drift", sourceDrift, Some(sourceDriftSql)),
     CatalogEntry("q_text_span_dedup", spanDedup, Some(spanDedupSql)),
     CatalogEntry("q_text_dup_ngram", dupNgramFrac, Some(dupNgramFracSql)),
     CatalogEntry("q_text_mixture", languageMixture, Some(languageMixtureSql)),

@@ -37,7 +37,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_pack", "q_emb_quantize", "q_evt_rfm", "q_scalar_url",
     "q_graph_triangles_capped", "q_graph_pagerank", "q_text_dup_ngram",
     "q_sql_profile", "q_agg_sketch_rollup", "q_sql_expectations",
-    "q_text_span_dedup", "q_feat_ntile_grouped", "q_agg_heavy_hitters")
+    "q_text_span_dedup", "q_feat_ntile_grouped", "q_agg_heavy_hitters",
+    "q_emb_outlier")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -55,7 +56,10 @@ class ExplainAuditSpec extends SparkSpec {
     // triangular (lang_a < lang_b) self-pairing of the AGGREGATED
     // per-language sketch table — |languages|² pairs of bounded
     // metadata, never row data
-    "q_agg_kmv_intersect")
+    "q_agg_kmv_intersect",
+    // |sources|×|vocab| grid built from two bounded aggregated sides
+    // (plus the 1-row corpus total) — the languageMixture shape
+    "q_text_drift")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString

@@ -307,6 +307,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("freq_topk heavy hitters aggregate works under streaming state (complete mode)") {
+    // the MG summary is a TypedImperativeAggregate: its binary buffer
+    // must round-trip through the streaming state store across
+    // micro-batches; exact regime, so counts accumulated over two
+    // batches must equal a batch run over the union
+    graft.functions.GraftExtensions.register(spark)
+    val mem = MemoryStream[Event](spark)
+    val top = mem.toDF().groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.expr("freq_topk(event_type, 3, 8)").as("top"))
+    val name = s"mem_${System.nanoTime()}"
+    val q = top.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(Seq(ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        ev(2, "2024-01-01 00:01:00", 1, "a", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(3, "2024-01-01 00:02:00", 1, "b", 1.0),
+        ev(4, "2024-01-01 00:03:00", 1, "a", 1.0),
+        ev(5, "2024-01-01 00:04:00", 2, "c", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "a:3 b:1", 2L -> "c:1"))
+    } finally q.stop()
+  }
+
   test("foreachBatch reuses the batch load path") {
     val mem = MemoryStream[Event](spark)
     val outDir = tmpDir("graft-stream-sink")
