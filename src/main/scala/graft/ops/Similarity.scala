@@ -315,6 +315,140 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Product-quantization parameters: m subspaces of dim/m components,
+    * k codes per subspace, one k-means refinement round (seeded by the
+    * first k vectors' subvectors — deterministic, the [[ivf]]
+    * convention). 4×16 codes = 4 bytes/vector at 64 dims: the 16×
+    * compression tier below [[int8Quantize]]'s 64 bytes.
+    */
+  val pqM = 4
+  val pqSub = 16 // dims per subspace (64 / pqM)
+  val pqK = 16
+
+  /** PQ-ADC approximate nearest neighbors — the third rung of the
+    * ANN-at-scale ladder after [[lshBucketed]] (coarse candidate
+    * pruning) and [[int8Quantize]] (per-vector scalar compression):
+    * per-SUBSPACE codebooks quantize each vector to [[pqM]] byte codes,
+    * and query-to-vector distance becomes an asymmetric-distance
+    * (ADC) TABLE LOOKUP — Σ_sub qd[query, sub, code(v, sub)] — instead
+    * of a 64-component dot product. Candidates come from the proven
+    * sign-bucket equi-join (never an all-pairs scan), so this row is
+    * the bucket+PQ HYBRID a real 100 TB serving stack runs: buckets
+    * bound candidates, PQ makes scoring them ~m adds each, and the
+    * stored index is codes (4 B/vector) + one k·m-row codebook — the
+    * corpus's float vectors never page in at query time.
+    *
+    * Cross-engine determinism mirrors [[ivf]]: subvectors live on the
+    * 1e4 integer grid, L2 distances are exact integer sums, the one
+    * centroid-mean division is a single IEEE round(sum/count), argmin
+    * ties break by code id, ADC sums are exact longs. The one
+    * all-(vector,code) distance table `d2` deliberately serves BOTH
+    * the encoding argmin and the query ADC tables — computed once,
+    * broadcast twice.
+    */
+  def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    def sqDist(a: Column, b: Column): Column = call_function("sqdist64", a, b)
+    val bits = 6
+    val e = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", signBucket($"embedding", bits).as("bucket"),
+        quantize1e4($"embedding").as("xq"))
+      .persist()
+    // subvector slices, map-side: (vec_id, sub, sxq[pqSub])
+    val subv = e.select($"vec_id", posexplode(expr(
+      s"transform(sequence(0, ${pqM - 1}), s -> slice(xq, s * $pqSub + 1, $pqSub))"))
+      .as(Seq("sub", "sxq")))
+      .persist()
+    // seed codebook: first pqK vectors' subvectors
+    val c0 = subv.filter($"vec_id" < pqK)
+      .select($"sub", $"vec_id".as("cid"), $"sxq".as("cq"))
+    def assign(cents: DataFrame): DataFrame =
+      subv.join(broadcast(cents), Seq("sub"))
+        .select($"vec_id", $"sub", $"cid", sqDist($"sxq", $"cq").as("d"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
+    // one refinement round: per-(sub, code, spos) member mean on the grid
+    val c1 = assign(c0)
+      .join(subv, Seq("vec_id", "sub"))
+      .select($"sub", $"code".as("cid"), posexplode($"sxq").as(Seq("spos", "v")))
+      .groupBy($"sub", $"cid", $"spos")
+      .agg(round(sum($"v").cast("double") / count(lit(1))).cast("long").as("cq1"))
+      .groupBy($"sub", $"cid")
+      .agg(transform(array_sort(collect_list(struct($"spos", $"cq1"))), p => p("cq1")).as("cq"))
+      .persist()
+    // d2: every (vector, sub, code) distance vs the trained codebook —
+    // one table, two consumers (encoding argmin + query ADC lookups)
+    val d2 = subv.join(broadcast(c1), Seq("sub"))
+      .select($"vec_id", $"sub", $"cid", sqDist($"sxq", $"cq").as("d"))
+      .persist()
+    val codes = d2.groupBy($"vec_id", $"sub")
+      .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
+    val qd = d2.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"sub", $"cid".as("code"), $"d")
+    val cand = broadcast(e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"bucket"))
+      .join(e.select($"vec_id", $"bucket"), Seq("bucket"))
+      .filter($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id")
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qd), Seq("qid", "sub", "code"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"d").as("adc"))
+    val w = Window.partitionBy($"qid").orderBy($"adc".asc, $"vec_id".asc)
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"vec_id".as("cid"), $"adc")
+      .orderBy($"qid", $"rank")
+  }
+
+  private val pqAdcSql = {
+    val b = signBucketSql(6)
+    s"""WITH eb AS (SELECT vec_id, CAST($b AS BIGINT) AS bucket FROM embeddings),
+       |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |       unnest(embedding) AS x FROM embeddings),
+       |q AS (SELECT vec_id, (i - 1) // $pqSub AS sub, (i - 1) % $pqSub AS spos,
+       |       CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM ex),
+       |c0 AS (SELECT sub, vec_id AS cid, spos, xq AS cq FROM q WHERE vec_id < $pqK),
+       |d1 AS (
+       |  SELECT v.vec_id, v.sub, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM q v JOIN c0 c ON v.sub = c.sub AND v.spos = c.spos GROUP BY 1, 2, 3),
+       |a1 AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d1) t WHERE rn = 1),
+       |c1 AS (
+       |  SELECT v.sub, a.code AS cid, v.spos,
+       |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |  FROM a1 a JOIN q v ON a.vec_id = v.vec_id AND a.sub = v.sub
+       |  GROUP BY 1, 2, 3),
+       |d2 AS (
+       |  SELECT v.vec_id, v.sub, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM q v JOIN c1 c ON v.sub = c.sub AND v.spos = c.spos GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d2) t WHERE rn = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS qid, b.vec_id
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket
+       |    AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+       |adc AS (
+       |  SELECT c.qid, c.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adc
+       |  FROM cand c
+       |  JOIN codes cv ON cv.vec_id = c.vec_id
+       |  JOIN d2 qd ON qd.vec_id = c.qid AND qd.sub = cv.sub AND qd.cid = cv.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rank
+       |  FROM adc)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS cid, adc
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   /** Per-label centroids, one row per (label, dim) — the class-mean
     * table behind nearest-centroid classifiers, cluster drift
     * monitoring, and IVF-style codebook seeding. Vectors quantize to
@@ -464,5 +598,6 @@ object Similarity {
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     CatalogEntry("q_sim_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
     CatalogEntry("q_sim_ivf", ivf, Some(ivfSql)),
+    CatalogEntry("q_sim_pq", pqAdc, Some(pqAdcSql)),
     CatalogEntry("q_emb_centroid", labelCentroids, Some(labelCentroidsSql)))
 }
