@@ -166,7 +166,51 @@ object SetSortLimit {
       |  FROM documents) t
       |WHERE pick <= 20 ORDER BY lang, pick""".stripMargin
 
+  /** Weighted sampling without replacement — the quality-proportional
+    * corpus-mixing draw ("sample documents ∝ quality score"): a
+    * deterministic priority race in the exponential-race family, kept
+    * ENTIRELY on integers so the gate hash holds. Per doc: a uniform
+    * u from the Knuth multiplicative hash of doc_id (pure int64, both
+    * engines), priority = u·10⁹ div weight (weight = n_chars here, any
+    * positive score in practice), keep the 10 LOWEST priorities per
+    * language — heavier docs draw systematically smaller keys, so
+    * selection probability rises with weight. The textbook A-ES key
+    * u^(1/w) needs pow/log — transcendental, so never bit-identical
+    * across engines; the integer rational key preserves the u/w race
+    * ordering (monotone transform) with zero float ops. Plan: one
+    * hash(lang) exchange; the rank-≤-10 predicate pushes into
+    * WindowGroupLimit (per-partition heaps), the [[stratifiedSample]]
+    * shape — no global sort at any scale.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"priority".asc, $"doc_id".asc)
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        (pmod($"doc_id" * lit(2654435761L), lit(1048576L)) + 1L).as("u"))
+      .withColumn("priority", expr("(u * 1000000000) div n_chars"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter($"pick" <= 10)
+      .select($"lang", $"pick", $"doc_id", $"n_chars", $"priority")
+      .orderBy($"lang", $"pick")
+  }
+
+  private val weightedSampleSql =
+    """WITH p AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ((doc_id * 2654435761) % 1048576 + 1) * 1000000000 // n_chars AS priority
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, n_chars, priority,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY priority ASC, doc_id ASC) AS BIGINT) AS pick
+      |  FROM p)
+      |SELECT lang, pick, doc_id, n_chars, CAST(priority AS BIGINT) AS priority
+      |FROM r WHERE pick <= 10 ORDER BY lang, pick""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sample_weighted", weightedSample, Some(weightedSampleSql)),
     CatalogEntry("q_sample_stratified", stratifiedSample, Some(stratifiedSampleSql)),
     CatalogEntry("q_orderby_multi", orderByMulti, Some(orderByMultiSql)),
     CatalogEntry("q_topk", topK, Some(topKSql)),

@@ -22,6 +22,48 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout bounds both dimensions per file; linear layout scatters the second") {
+    // 64×64 grid of (a, b) points: a linear a-sort clusters a perfectly
+    // but leaves every file spanning b's whole range, so a selective
+    // b-filter (or an (a,b) box) overlaps all files; the Morton layout
+    // gives each file a small box in BOTH dims. Files touched = files
+    // whose per-file [min,max] box intersects the query box — exactly
+    // the min/max skipping decision a parquet reader makes.
+    import org.apache.spark.sql.functions._
+    val grid = spark.range(64L * 64)
+      .select(($"id" % 64).as("a"), ($"id" / 64).cast("long").as("b"),
+        $"id".as("payload"))
+    val base = tmpDir("graft-zorder")
+    val nFiles = 16
+    val written = Sources.writeZOrdered(grid, "a", "b", s"$base/z", nFiles)
+    assert(written == nFiles)
+    grid.orderBy("a", "payload").repartitionByRange(nFiles, $"a", $"payload")
+      .sortWithinPartitions("a", "payload")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    def filesTouched(dir: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"a").as("alo"), max($"a").as("ahi"),
+          min($"b").as("blo"), max($"b").as("bhi"))
+        .filter($"ahi" >= aLo && $"alo" <= aHi && $"bhi" >= bLo && $"blo" <= bHi)
+        .count()
+    // an 8×8 box = 1/64 of the data volume
+    val zTouched = filesTouched(s"$base/z", 8, 15, 8, 15)
+    val linTouched = filesTouched(s"$base/linear", 8, 15, 8, 15)
+    // linear: the box's a-range lives in ~2 of 16 a-sorted files, but a
+    // query selective in b ONLY cannot skip anything:
+    val zbTouched = filesTouched(s"$base/z", 0, 63, 8, 15)
+    val linbTouched = filesTouched(s"$base/linear", 0, 63, 8, 15)
+    info(s"files touched of $nFiles — box: z=$zTouched linear=$linTouched; " +
+      s"b-slice: z=$zbTouched linear=$linbTouched")
+    assert(zTouched < linbTouched && zbTouched < linbTouched,
+      s"z box=$zTouched zb=$zbTouched lin box=$linTouched linb=$linbTouched")
+    assert(linbTouched == nFiles) // linear layout cannot skip on b
+    assert(zbTouched <= nFiles / 2, s"z-order should skip ≥half the files on a b-slice: $zbTouched")
+    // and the layout is lossless
+    assert(spark.read.parquet(s"$base/z").count() == 64L * 64)
+  }
+
   test("partitioned parquet write prunes partitions at read") {
     val dir = tmpDir("graft-part")
     val df = (1 to 1000).map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 1.0))

@@ -38,7 +38,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_graph_triangles_capped", "q_graph_pagerank", "q_text_dup_ngram",
     "q_sql_profile", "q_agg_sketch_rollup", "q_sql_expectations",
     "q_text_span_dedup", "q_feat_ntile_grouped", "q_agg_heavy_hitters",
-    "q_emb_outlier", "q_sim_pq")
+    "q_emb_outlier", "q_sim_pq", "q_sample_weighted")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -118,6 +118,16 @@ class ExplainAuditSpec extends SparkSpec {
     val plan = planOf("q_feat_ntile_grouped")
     assert(!plan.contains("Exchange SinglePartition"), plan)
     assert(plan.contains("Window"), plan)
+  }
+
+  test("per-group sampling ranks via WindowGroupLimit, never a full group sort") {
+    // rank-≤-k predicates over per-group windows must push into
+    // WindowGroupLimit (per-partition top-k heaps) — the property that
+    // keeps weighted/stratified sampling O(k) memory per group at 100 TB
+    Seq("q_sample_weighted", "q_sample_stratified").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("WindowGroupLimit"), s"$name lost the pushdown:\n$plan")
+    }
   }
 
   test("q1_pricing scan pushes its filter and prunes columns") {
