@@ -101,4 +101,36 @@ object Validation {
     Unique("orders", "o_orderkey"),
     RefIntegrity("lineitem", "l_orderkey", "orders", "o_orderkey"),
     NotNull("documents", "text"))
+
+  /** Row-level snapshot diff — the data half of [[MetadataService]]'s
+    * schemaDiff and the check an incremental loader runs before
+    * promoting a new snapshot: full-outer join two snapshots on the
+    * key, classify every key as added / removed / changed / unchanged
+    * (changed = any compared column differs, null-safe), and roll up to
+    * one row per status with count and key range — bounded output
+    * regardless of table size. One shuffle per side on the join key;
+    * the status classification and rollup ride it. At 100 TB both
+    * sides are key-partitioned scans and the rollup is map-side
+    * combinable; a bucketed table layout ([[Sources]]) makes the join
+    * co-located.
+    */
+  def dataDiff(a: DataFrame, b: DataFrame, key: String,
+      compare: Seq[String]): DataFrame = {
+    val an = a.select((key +: compare).map(c => col(c).as(s"a_$c")): _*)
+    val bn = b.select((key +: compare).map(c => col(c).as(s"b_$c")): _*)
+    val changed = compare
+      .map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduce(_ || _)
+    an.join(bn, col(s"a_$key") === col(s"b_$key"), "full_outer")
+      .select(
+        when(col(s"a_$key").isNull, "added")
+          .when(col(s"b_$key").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col(s"a_$key"), col(s"b_$key")).as("key"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy(col("status"))
+  }
 }

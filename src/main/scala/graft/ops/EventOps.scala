@@ -437,7 +437,46 @@ object EventOps {
        |       WHEN COUNT(*) >= 10 THEN 2 ELSE 1 END AS BIGINT) AS f_score
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Hourly top event types via the [[graft.functions.FreqTopK]]
+    * heavy-hitters sketch — the windowed form of `q_agg_heavy_hitters`
+    * and the shape a live dashboard aggregates: per tumbling hour, the
+    * top-3 event types as one `type:count` string plus the window
+    * volume. Exact regime (5 event types ≪ capacity 16), so the oracle
+    * is plain exact counts + a row_number head. The point at 100 TB:
+    * the wire carries ≤16 counters per hour window regardless of event
+    * volume — the same partial-agg collapse as the per-language row —
+    * and the SAME aggregate runs unchanged under Structured Streaming
+    * (StreamOpsSpec pins the state-store round-trip).
+    */
+  def topTypesHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    Tables.t(s, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(expr("freq_topk(event_type, 3, 16)").as("top_types"),
+        count(lit(1)).as("n"))
+      .select($"w.start".as("win_start"), $"top_types", $"n")
+      .orderBy($"win_start")
+  }
+
+  private val topTypesHourlySql =
+    """WITH w AS (
+      |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+      |           AS TIMESTAMP) AS win_start, event_type
+      |  FROM events),
+      |c AS (SELECT win_start, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2),
+      |r AS (SELECT win_start, event_type, n,
+      |        row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS rn
+      |      FROM c),
+      |t AS (SELECT win_start,
+      |        string_agg(event_type || ':' || n, ' ' ORDER BY rn) AS top_types
+      |      FROM r WHERE rn <= 3 GROUP BY 1),
+      |tot AS (SELECT win_start, COUNT(*) AS n FROM w GROUP BY 1)
+      |SELECT t.win_start, t.top_types, tot.n
+      |FROM t JOIN tot USING (win_start) ORDER BY win_start""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_top_types", topTypesHourly, Some(topTypesHourlySql)),
     CatalogEntry("q_evt_rfm", rfm, Some(rfmSql)),
     CatalogEntry("q_evt_spikes", hourlySpikes, Some(hourlySpikesSql)),
     CatalogEntry("q_evt_wau", rollingActive, Some(rollingActiveSql)),

@@ -337,7 +337,51 @@ object SqlSurface {
       |  violations = 0 AS pass
       |FROM u ORDER BY rule""".stripMargin
 
+  /** Snapshot data diff over deterministically derived "yesterday/
+    * today" views of orders: snapshot A = keys with `% 3 != 0`, price
+    * bumped one cent where `% 5 == 0`; snapshot B = keys with
+    * `% 7 != 0` unmodified — so the diff has real added (`%3==0 ∧
+    * %7!=0`), removed (`%7==0 ∧ %3!=0`), changed (both present,
+    * `%5==0`), and unchanged populations. Comparison is on the cents
+    * grid + order status; see [[graft.connect.Validation.dataDiff]]
+    * for the operator (full-outer on the key, null-safe column
+    * compare, bounded per-status rollup).
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val snapA = base.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("cents",
+        when(col("o_orderkey") % 5 === 0, col("cents") + 1).otherwise(col("cents")))
+    val snapB = base.filter(col("o_orderkey") % 7 =!= 0)
+    graft.connect.Validation.dataDiff(
+      snapA, snapB, "o_orderkey", Seq("o_orderstatus", "cents"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |a AS (SELECT o_orderkey, o_orderstatus,
+      |        CASE WHEN o_orderkey % 5 = 0 THEN cents + 1 ELSE cents END AS cents
+      |      FROM base WHERE o_orderkey % 3 <> 0),
+      |b AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+      |d AS (
+      |  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |              WHEN b.o_orderkey IS NULL THEN 'removed'
+      |              WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+      |                OR a.cents IS DISTINCT FROM b.cents THEN 'changed'
+      |              ELSE 'unchanged' END AS status,
+      |    coalesce(a.o_orderkey, b.o_orderkey) AS key
+      |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT status, COUNT(*) AS n, min(key) AS min_key, max(key) AS max_key
+      |FROM d GROUP BY 1 ORDER BY status""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     CatalogEntry("q_sql_expectations", expectations, Some(expectationsSql)),
     CatalogEntry("q_sql_profile", profile, Some(profileSql)),
     CatalogEntry("q_sql_merge", mergeUpsert, Some(mergeUpsertSql)),

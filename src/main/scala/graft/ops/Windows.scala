@@ -179,7 +179,76 @@ object Windows {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_big
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Linear gap interpolation — the time-series repair step between
+    * forward-fill ([[ignoreNulls]]) and a model: values are OBSERVED
+    * only at purchase events; every other event in a user's sequence
+    * gets the straight line between its neighboring observations,
+    * leading/trailing gaps fall back to nearest-observation fill. All
+    * integer: cents on the 1e2 grid, and the interpolation is the
+    * WEIGHTED-SUM form `(prev·(np−p) + next·(p−pp)) div (np−pp)` whose
+    * numerator is a sum of non-negative products (values ≥ 0, position
+    * gaps > 0) — so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree, where the naive `prev + Δ·k/gap` form would diverge on
+    * falling segments. Two window passes over one user-keyed sort
+    * (backward-looking last + forward-looking first, both IGNORE
+    * NULLS); the only exchange is hash(user_id).
+    */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    Tables.t(s, dir, "events")
+      .filter($"user_id" < 50)
+      .select($"user_id", $"event_id", $"ts",
+        when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).as("obs"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("prev_c", last($"obs", ignoreNulls = true).over(back))
+      .withColumn("prev_p", last(when($"obs".isNotNull, $"pos"), ignoreNulls = true).over(back))
+      .withColumn("next_c", first($"obs", ignoreNulls = true).over(fwd))
+      .withColumn("next_p", first(when($"obs".isNotNull, $"pos"), ignoreNulls = true).over(fwd))
+      .select($"user_id", $"pos", $"event_id", $"obs",
+        when($"obs".isNotNull, $"obs")
+          .when($"prev_c".isNotNull && $"next_c".isNotNull, expr(
+            "(prev_c * (next_p - pos) + next_c * (pos - prev_p)) div (next_p - prev_p)"))
+          .otherwise(coalesce($"prev_c", $"next_c")).as("cents_filled"))
+      .orderBy($"user_id", $"pos")
+  }
+
+  private val interpolateSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value * 100) AS BIGINT) END AS obs
+      |  FROM events WHERE user_id < 50),
+      |p AS (
+      |  SELECT user_id, event_id, obs,
+      |    CAST(row_number() OVER w AS BIGINT) AS pos,
+      |    last_value(obs IGNORE NULLS)
+      |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+      |    first_value(obs IGNORE NULLS)
+      |      OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |q AS (
+      |  SELECT user_id, event_id, obs, pos, prev_c, next_c,
+      |    last_value(CASE WHEN obs IS NOT NULL THEN pos END IGNORE NULLS)
+      |      OVER (w2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+      |    first_value(CASE WHEN obs IS NOT NULL THEN pos END IGNORE NULLS)
+      |      OVER (w2 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+      |  FROM p
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY pos))
+      |SELECT user_id, pos, event_id, obs,
+      |  CASE WHEN obs IS NOT NULL THEN obs
+      |       WHEN prev_c IS NOT NULL AND next_c IS NOT NULL
+      |         THEN (prev_c * (next_p - pos) + next_c * (pos - prev_p)) // (next_p - prev_p)
+      |       ELSE coalesce(prev_c, next_c) END AS cents_filled
+      |FROM q ORDER BY user_id, pos""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_win_interpolate", interpolate, Some(interpolateSql)),
     CatalogEntry("q_win_ignore_nulls", ignoreNulls, Some(ignoreNullsSql)),
     CatalogEntry("q_win_rank", ranking, Some(rankingSql)),
     CatalogEntry("q_win_analytic", analytic, Some(analyticSql)),
