@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unrestricted Damerau–Levenshtein (Lowrance–Wagner: a transposed pair
+  * may be further edited) — deliberately the SAME variant DuckDB's
+  * `damerau_levenshtein` implements, verified on the discriminator
+  * CA→ABC = 2 where the restricted/OSA variant answers 3. Kept as a
+  * static helper so the codegen call inlines into the stage.
+  */
+object DamerauImpl {
+  def distance(sa: UTF8String, sb: UTF8String): Int = {
+    val a = sa.toString
+    val b = sb.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue }
+        val l = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val tra = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, tra))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
+}
+
+/** `damerau_lev(a, b)` as a native Catalyst expression — Spark ships
+  * `levenshtein` but no transposition-aware distance, and typo-heavy
+  * near-dup families (swapped words, fat-fingered ids) score one edit
+  * cheaper under DL. Generated code is one static call into
+  * [[DamerauImpl]] (the [[SimHash64]] pattern) — no boxing, no lambda
+  * dispatch. Registered by [[GraftExtensions]].
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "damerau_lev"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING, STRING), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DamerauImpl.distance(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DamerauImpl.distance($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}

@@ -101,6 +101,13 @@ object GraftExtensions {
           Seq(children.head)), k).toAggregateExpression()
       }),
     (
+      new FunctionIdentifier("damerau_lev"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getCanonicalName, "damerau_lev"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "damerau_lev(string, string)")
+        DamerauLevenshtein(children.head, children(1))
+      }),
+    (
       new FunctionIdentifier("freq_topk"),
       new ExpressionInfo(classOf[FreqTopK].getCanonicalName, "freq_topk"),
       (children: Seq[Expression]) => {

@@ -638,6 +638,54 @@ object Dedup {
       .filter($"dist" >= 0)
   }
 
+  /** Transposition-aware fuzzy pairs — the [[editDistancePairs]]
+    * blocking with BOTH metrics: plain Levenshtein and the native
+    * [[graft.functions.DamerauLevenshtein]] codegen expression
+    * (unrestricted Lowrance–Wagner, the variant DuckDB's
+    * `damerau_levenshtein` implements — verified on the CA→ABC=2
+    * discriminator). Word-swapped / fat-fingered near-dups score one
+    * edit cheaper under DL, so `gain = lev − dl > 0` flags exactly the
+    * transposition family; admission runs on the DL score. Same block
+    * key = shuffle key shape as every dedup block; the un-thresholded
+    * DP here is bounded by the [[editDistMaxLen]] guard and the block
+    * sizes (the banded-threshold variant remains the >cap fast path).
+    */
+  def damerauPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val d = Tables.t(s, dir, "documents")
+      .filter(length($"text") <= editDistMaxLen)
+      .select($"doc_id", $"text",
+        array_join(slice(split($"text", " "), 1, 3), " ").as("blk"))
+    val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
+    d.repartition(shufflePartitions, col("blk")).as("a")
+      .join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+          abs(length(col("a.text")) - length(col("b.text"))) <= editDistCap)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
+        call_function("damerau_lev", col("a.text"), col("b.text"))
+          .cast("long").as("dl"))
+      .filter($"dl" <= editDistCap)
+      .select($"d1", $"d2", $"lev", $"dl", ($"lev" - $"dl").as("gain"))
+      .orderBy($"d1", $"d2")
+  }
+
+  private val damerauPairsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
+       |  FROM documents WHERE len(text) <= $editDistMaxLen)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       |  CAST(damerau_levenshtein(a.text, b.text) AS BIGINT) AS dl,
+       |  CAST(levenshtein(a.text, b.text) - damerau_levenshtein(a.text, b.text)
+       |    AS BIGINT) AS gain
+       |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  AND abs(len(a.text) - len(b.text)) <= $editDistCap
+       |WHERE damerau_levenshtein(a.text, b.text) <= $editDistCap
+       |ORDER BY d1, d2""".stripMargin
+
   private val editDistancePairsSql =
     s"""WITH d AS (
        |  SELECT doc_id, text,
@@ -1146,6 +1194,7 @@ object Dedup {
     CatalogEntry("q_dedup_simhash_hamming", simhashHamming, Some(simhashHammingSql)),
     CatalogEntry("q_dedup_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     CatalogEntry("q_dedup_editdist", editDistancePairs, Some(editDistancePairsSql)),
+    CatalogEntry("q_dedup_damerau", damerauPairs, Some(damerauPairsSql)),
     CatalogEntry("q_dedup_length_routed", lengthRoutedPairs, Some(lengthRoutedPairsSql)),
     CatalogEntry("q_dedup_cc_star", ccClustersStar, Some(ccClustersSql)),
     CatalogEntry("q_text_contamination", contamination, Some(contaminationSql)),

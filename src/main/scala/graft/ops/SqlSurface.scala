@@ -380,7 +380,79 @@ object SqlSurface {
       |SELECT status, COUNT(*) AS n, min(key) AS min_key, max(key) AS max_key
       |FROM d GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** Gaps-and-islands interval merge — the classic SQL-surface pattern
+    * (merge overlapping validity/shipping windows, count coverage):
+    * per supplier, [shipdate, receiptdate] intervals sorted by
+    * (start, end, key), a new island starts where the interval's start
+    * exceeds the running max end of everything before it; islands roll
+    * up to coverage days. Two stacked windows + two rollups share ONE
+    * hash(supplier) exchange — the stacked-window funnel shape. Dates
+    * subtract to exact integer days in both engines. Adjacent
+    * (start = prev end) intervals merge: a touching handoff is
+    * continuous coverage.
+    */
+  def intervalIslands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("istart"), col("iend"), col("l_orderkey"), col("l_linenumber"))
+    val prevMax = max(col("iend"))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("istart"),
+        // the fixture carries only the ship date; transit time derives
+        // deterministically from the (integral) quantity so both
+        // engines build identical [start, end] windows
+        date_add(col("l_shipdate").cast("date"),
+          col("l_quantity").cast("int") % 14 + 1).as("iend"))
+      .withColumn("new_island",
+        when(prevMax.isNull || col("istart") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(count(lit(1)).as("n_intervals"),
+        min(col("istart")).as("s"), max(col("iend")).as("e"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("n_intervals")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(datediff(col("e"), col("s")) + 1).cast("long").as("covered_days"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val intervalIslandsSql =
+    """WITH base AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    CAST(l_shipdate AS DATE) AS istart,
+      |    CAST(l_shipdate AS DATE) + (CAST(l_quantity AS INTEGER) % 14 + 1) AS iend
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, istart, iend,
+      |    CASE WHEN max(iend) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                              AND 1 PRECEDING) IS NULL
+      |           OR istart > max(iend)
+      |                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS new_island
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY l_suppkey
+      |               ORDER BY istart, iend, l_orderkey, l_linenumber)),
+      |g AS (
+      |  SELECT l_suppkey, istart, iend,
+      |    SUM(new_island) OVER (PARTITION BY l_suppkey
+      |      ORDER BY istart, iend, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f),
+      |i AS (
+      |  SELECT l_suppkey, island, COUNT(*) AS n_intervals,
+      |    min(istart) AS s, max(iend) AS e
+      |  FROM g GROUP BY 1, 2)
+      |SELECT l_suppkey, CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+      |  COUNT(*) AS n_islands,
+      |  CAST(SUM(e - s + 1) AS BIGINT) AS covered_days
+      |FROM i GROUP BY 1 ORDER BY l_suppkey""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_intervals", intervalIslands, Some(intervalIslandsSql)),
     CatalogEntry("q_sql_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     CatalogEntry("q_sql_expectations", expectations, Some(expectationsSql)),
     CatalogEntry("q_sql_profile", profile, Some(profileSql)),

@@ -39,7 +39,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_sql_profile", "q_agg_sketch_rollup", "q_sql_expectations",
     "q_text_span_dedup", "q_feat_ntile_grouped", "q_agg_heavy_hitters",
     "q_emb_outlier", "q_sim_pq", "q_sample_weighted",
-    "q_evt_top_types", "q_win_interpolate", "q_sql_snapshot_diff")
+    "q_evt_top_types", "q_win_interpolate", "q_sql_snapshot_diff",
+    "q_dedup_damerau", "q_sql_intervals")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
