@@ -650,11 +650,24 @@ object Dedup {
     * DP here is bounded by the [[editDistMaxLen]] guard and the block
     * sizes (the banded-threshold variant remains the >cap fast path).
     */
+  /** Length ceiling for the transposition scorer: DL has no cheap
+    * banded variant (the Lowrance–Wagner transposition lookup reaches
+    * arbitrarily far back), so its O(n·m) DP is confined to the short
+    * fields transpositions actually afflict — titles, names, ids.
+    * Long-text near-dup stays with the banded [[editDistancePairs]] /
+    * LSH family (the [[lengthRoutedPairs]] routing principle). The 10×
+    * hub fixture is what forced the ceiling: unbounded it measured 6×
+    * at 10× data; with ceiling + the ≤2·cap banded-Levenshtein
+    * PREFILTER (lev ≤ 2·dl always, so no dl ≤ cap pair is lost) the
+    * DP only ever runs on short, already-near pairs.
+    */
+  val damerauMaxLen = 400
+
   def damerauPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
     val d = Tables.t(s, dir, "documents")
-      .filter(length($"text") <= editDistMaxLen)
+      .filter(length($"text") <= damerauMaxLen)
       .select($"doc_id", $"text",
         array_join(slice(split($"text", " "), 1, 3), " ").as("blk"))
     val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -662,10 +675,16 @@ object Dedup {
       .join(d.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
           abs(length(col("a.text")) - length(col("b.text"))) <= editDistCap)
+      // banded threshold Levenshtein rejects far pairs in O(n·2cap)
+      // BEFORE the quadratic DL DP; lev ≤ 2·dl means the band keeps
+      // every pair the dl ≤ cap admission could accept
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
-        call_function("damerau_lev", col("a.text"), col("b.text"))
-          .cast("long").as("dl"))
+        col("a.text").as("ta"), col("b.text").as("tb"),
+        levenshtein(col("a.text"), col("b.text"), 2 * editDistCap)
+          .cast("long").as("lev"))
+      .filter($"lev" >= 0)
+      .select($"d1", $"d2", $"lev",
+        call_function("damerau_lev", $"ta", $"tb").cast("long").as("dl"))
       .filter($"dl" <= editDistCap)
       .select($"d1", $"d2", $"lev", $"dl", ($"lev" - $"dl").as("gain"))
       .orderBy($"d1", $"d2")
@@ -675,7 +694,7 @@ object Dedup {
     s"""WITH d AS (
        |  SELECT doc_id, text,
        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
-       |  FROM documents WHERE len(text) <= $editDistMaxLen)
+       |  FROM documents WHERE len(text) <= $damerauMaxLen)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
        |  CAST(damerau_levenshtein(a.text, b.text) AS BIGINT) AS dl,
@@ -683,7 +702,8 @@ object Dedup {
        |    AS BIGINT) AS gain
        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
        |  AND abs(len(a.text) - len(b.text)) <= $editDistCap
-       |WHERE damerau_levenshtein(a.text, b.text) <= $editDistCap
+       |WHERE levenshtein(a.text, b.text) <= ${2 * editDistCap}
+       |  AND damerau_levenshtein(a.text, b.text) <= $editDistCap
        |ORDER BY d1, d2""".stripMargin
 
   private val editDistancePairsSql =
