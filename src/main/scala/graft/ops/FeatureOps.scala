@@ -439,7 +439,57 @@ object FeatureOps {
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM q GROUP BY 1, 2 ORDER BY lang, quartile""".stripMargin
 
+  /** Percentile winsorizing — the robust-clipping preprocessor (cap
+    * features at [p05, p95] before scaling so tail outliers don't set
+    * the range): per-group exact interpolated percentiles land on the
+    * MILLS grid first (`round(percentile·1000)` — the
+    * [[graft.ops.Aggregates.percentileAgg]] bridge, pinned exact
+    * cross-engine), and the clip comparison runs long-vs-long on that
+    * grid, so no raw IEEE percentile double ever meets a data value at
+    * the gate. One stats rollup broadcast back over the scan (the
+    * [[zscore]] shape, exchanges = 1) and a map-side
+    * least/greatest — at 100 TB the clip is free and the only cost is
+    * the percentile rollup already paid by any stats pass.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * 1000).cast("long").as("mills"))
+    val cuts = base.groupBy($"l_returnflag")
+      .agg(round(expr("percentile(mills, 0.05)")).cast("long").as("lo"),
+        round(expr("percentile(mills, 0.95)")).cast("long").as("hi"))
+    base.join(broadcast(cuts), Seq("l_returnflag"))
+      .select($"l_returnflag",
+        least(greatest($"mills", $"lo"), $"hi").as("w"),
+        ($"mills" < $"lo").cast("long").as("clip_lo"),
+        ($"mills" > $"hi").cast("long").as("clip_hi"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"clip_lo").as("n_clipped_lo"), sum($"clip_hi").as("n_clipped_hi"),
+        sum($"w").as("sum_winsorized_mills"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val winsorizeSql =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 1000) AS BIGINT) AS mills
+      |  FROM lineitem),
+      |cuts AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(quantile_cont(mills, 0.05)) AS BIGINT) AS lo,
+      |    CAST(round(quantile_cont(mills, 0.95)) AS BIGINT) AS hi
+      |  FROM base GROUP BY 1)
+      |SELECT b.l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN b.mills < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      |  CAST(SUM(CASE WHEN b.mills > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+      |  CAST(SUM(least(greatest(b.mills, c.lo), c.hi)) AS BIGINT) AS sum_winsorized_mills
+      |FROM base b JOIN cuts c USING (l_returnflag)
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_feat_winsorize", winsorize, Some(winsorizeSql)),
     CatalogEntry("q_feat_ntile_grouped", ntileGrouped, Some(ntileGroupedSql)),
     CatalogEntry("q_feat_outlier", iqrOutliers, Some(iqrOutliersSql)),
     CatalogEntry("q_feat_group_split", groupSplit, Some(groupSplitSql)),

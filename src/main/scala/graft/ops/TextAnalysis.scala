@@ -866,7 +866,62 @@ object TextAnalysis {
       |FROM g LEFT JOIN st ON g.source = st.source AND g.term = st.term
       |GROUP BY g.source ORDER BY g.source""".stripMargin
 
+  /** PMI collocation mining — the phrase-extraction pass (word2phrase,
+    * tokenizer-vocab "merge these two tokens" candidates): bigrams
+    * whose observed count beats independence, ranked by the PMI RATIO
+    * on the integer bridge — `1000·c_xy·N div (c_x·c_y)` — because
+    * log(pmi) is monotone in the ratio, so the ranking is PMI's with
+    * zero transcendentals near the gate. Min-count 5 kills the
+    * hapax-pair noise floor exactly as word2phrase's δ does. Capacity:
+    * c_xy·N ≤ 1000·(tokens)² must fit int64 — holds through ~10⁶-token
+    * fixtures; past that divide N through first (ranking unchanged,
+    * documented). Plan: one (bigram) count + one (unigram) count off
+    * the same scan, two bounded broadcasts back, global top-30 via
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = Tables.t(s, dir, "documents")
+      .select(split($"text", " ").as("ws"))
+      .persist()
+    val uni = ws.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = ws.select(sum(size($"ws")).as("n"))
+    val bi = ws.select(explode(expr(
+      "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+      .as("b"))
+      .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+      .filter($"c_xy" >= 5)
+    bi.join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select($"w1", $"w2", $"c_xy",
+        expr("1000 * c_xy * n div (c1 * c2)").as("pmi_ratio_permille"))
+      .orderBy($"pmi_ratio_permille".desc, $"w1".asc, $"w2".asc)
+      .limit(30)
+  }
+
+  private val collocationsSql =
+    """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |uni AS (SELECT unnest(ws) AS w FROM d),
+      |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM uni),
+      |bi AS (
+      |  SELECT unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+      |                 FOR i IN generate_series(1, len(ws) - 1)],
+      |                recursive := true)
+      |  FROM d),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2
+      |       HAVING COUNT(*) >= 5)
+      |SELECT bc.w1, bc.w2, bc.c_xy,
+      |  CAST(1000 * bc.c_xy * (SELECT n FROM n) // (u1.c * u2.c) AS BIGINT)
+      |    AS pmi_ratio_permille
+      |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+      |ORDER BY pmi_ratio_permille DESC, w1, w2 LIMIT 30""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_collocations", collocations, Some(collocationsSql)),
     CatalogEntry("q_text_drift", sourceDrift, Some(sourceDriftSql)),
     CatalogEntry("q_text_span_dedup", spanDedup, Some(spanDedupSql)),
     CatalogEntry("q_text_dup_ngram", dupNgramFrac, Some(dupNgramFracSql)),

@@ -40,7 +40,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_span_dedup", "q_feat_ntile_grouped", "q_agg_heavy_hitters",
     "q_emb_outlier", "q_sim_pq", "q_sample_weighted",
     "q_evt_top_types", "q_win_interpolate", "q_sql_snapshot_diff",
-    "q_dedup_damerau", "q_sql_intervals")
+    "q_dedup_damerau", "q_sql_intervals", "q_feat_winsorize")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -61,7 +61,10 @@ class ExplainAuditSpec extends SparkSpec {
     "q_agg_kmv_intersect",
     // |sources|×|vocab| grid built from two bounded aggregated sides
     // (plus the 1-row corpus total) — the languageMixture shape
-    "q_text_drift")
+    "q_text_drift",
+    // 1-row token-total broadcast under the bigram table — the same
+    // scalar cross join as q_text_mixture
+    "q_text_collocations")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
