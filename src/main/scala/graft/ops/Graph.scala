@@ -304,7 +304,137 @@ object Graph {
        |SELECT doc_id, rank FROM r$prRounds ORDER BY doc_id""".stripMargin
   }
 
+  /** Local clustering coefficient — triangles over possible wedges per
+    * node, the "is this neighborhood a real near-dup family or
+    * hub glue" density score (families are triangle-rich, boilerplate
+    * hubs triangle-poor): `1000·2·T(v) div (deg·(deg−1))` as exact
+    * integer per-mille, composed ENTIRELY from tables this module
+    * already builds (wedge-close triangle counts + endpoint degrees) —
+    * one extra equi-join and a map-side division, nothing new touches
+    * edge volume. Nodes need deg ≥ 2 to have a defined coefficient.
+    */
+  def clusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, pairs) = Dedup.lshPairGraph(s, dir)
+    val e = pairs.persist()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(e.as("e3"), $"a" === col("e3.src") && $"c" === col("e3.dst"))
+      .select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    e.select($"src".as("doc_id")).union(e.select($"dst".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+      .filter($"degree" >= 2)
+      .join(tri, Seq("doc_id"), "left")
+      .select($"doc_id", $"degree",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        expr("2000 * coalesce(n_triangles, 0) div (degree * (degree - 1))")
+          .as("clustering_permille"))
+      .orderBy($"doc_id")
+  }
+
+  private val clusteringCoefficientSql =
+    s"""WITH ${Dedup.bandsCteSql},
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |t AS (
+       |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+       |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+       |            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+       |tc AS (
+       |  SELECT doc_id, COUNT(*) AS n_triangles
+       |  FROM (SELECT a AS doc_id FROM t
+       |        UNION ALL SELECT b FROM t
+       |        UNION ALL SELECT c FROM t) u
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree
+       |  FROM (SELECT s AS doc_id FROM e UNION ALL SELECT d FROM e) u
+       |  GROUP BY 1)
+       |SELECT deg.doc_id, deg.degree,
+       |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST(2000 * coalesce(tc.n_triangles, 0)
+       |       // (deg.degree * (deg.degree - 1)) AS BIGINT) AS clustering_permille
+       |FROM deg LEFT JOIN tc ON deg.doc_id = tc.doc_id
+       |WHERE deg.degree >= 2
+       |ORDER BY deg.doc_id""".stripMargin
+
+  /** Peel rounds for the fixed-k core: enough for the fixture to reach
+    * its fixpoint (GraphSpec proves a 3-deep pendant chain cascades off
+    * in exactly 3 rounds and that the fixture converges — the
+    * cluster-resolution "fixed rounds + fixpoint audit" convention).
+    */
+  private val kcoreRounds = 4
+
+  /** k-core decomposition (k=2, [[kcoreRounds]] unrolled peel rounds) —
+    * the graph-cleanup pass that strips pendant chains and isolated
+    * spurs before community/clustering analysis: repeatedly drop nodes
+    * with degree < k, because removing a spur lowers its neighbor's
+    * degree and can cascade. Per round: one map-side-combinable degree
+    * agg + two equi-joins restricting the edge list — the same
+    * shuffle-per-round budget as [[pagerank]]; rounds are FIXED so the
+    * plan is static and the oracle an unrolled CTE chain. Emits the
+    * surviving 2-core with in-core degrees. At 100 TB, O(peel-depth)
+    * rounds with a reliable-checkpoint option is the same playbook as
+    * [[Dedup]]'s cc — the fixture's depth is bounded by the audit.
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val (_, pairs) = Dedup.lshPairGraph(s, dir)
+    kcoreOf(pairs, 2, kcoreRounds)
+  }
+
+  /** Core of [[kcore]] over any canonical (src < dst) edge table —
+    * unit-testable on synthetic graphs (pendant-chain cascade). */
+  private[ops] def kcoreOf(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
+    import pairs.sparkSession.implicits._
+    def degrees(e: DataFrame): DataFrame =
+      e.select($"src".as("id")).union(e.select($"dst".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("d"))
+    var e = pairs.select($"src", $"dst").persist()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter($"d" >= k).select($"id")
+      e = e
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"))
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select($"src", $"dst").persist()
+    }
+    degrees(e).select($"id".as("doc_id"), $"d".as("core_degree"))
+      .orderBy($"doc_id")
+  }
+
+  private val kcoreSql = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each round references its predecessor three times
+    // (edge source + two IN-subqueries) — inlined, the band self-join
+    // re-executes 3^rounds times (measured: 5m22s at sf0.01 vs seconds
+    // materialized)
+    val rounds = (1 to kcoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT id, COUNT(*) AS deg FROM (
+         |    SELECT s AS id FROM e${r - 1} UNION ALL SELECT d FROM e${r - 1}) u
+         |  GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT s, d FROM e${r - 1}
+         |  WHERE s IN (SELECT id FROM k$r) AND d IN (SELECT id FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.bandsCteSql},
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |$rounds
+       |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+       |  SELECT s AS id FROM e$kcoreRounds UNION ALL SELECT d FROM e$kcoreRounds) u
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_graph_clustering", clusteringCoefficient, Some(clusteringCoefficientSql)),
+    CatalogEntry("q_graph_kcore", kcore, Some(kcoreSql)),
     CatalogEntry("q_graph_degree", degreeDist, Some(degreeDistSql)),
     CatalogEntry("q_graph_triangles", triangleCounts, Some(triangleCountsSql)),
     CatalogEntry("q_graph_triangles_capped", triangleCappedQuery, Some(triangleCappedSql)),

@@ -90,4 +90,23 @@ class GraphSpec extends SparkSpec {
       plan.toLowerCase.contains("leftanti"),
       s"expected broadcast anti-joins for the hub filter:\n$plan")
   }
+
+  test("kcore: pendant chain cascades off round by round, core survives") {
+    // triangle {1,2,3} with a 3-deep pendant chain 3-10-11-12: node 12
+    // peels in round 1 (deg 1), which drops 11 to deg 1 (round 2), then
+    // 10 (round 3) — the cascade that makes peeling iterative. After
+    // enough rounds only the triangle remains, every member at degree 2.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 10L), (10L, 11L), (11L, 12L))
+      .toDF("src", "dst")
+    // not yet converged after 2 rounds: node 10 still present
+    val partial = Graph.kcoreOf(g, 2, 2).collect().map(_.getLong(0)).toSet
+    assert(partial.contains(10L))
+    val core = Graph.kcoreOf(g, 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // round 4 (the catalog setting) is a fixpoint on this graph
+    val again = Graph.kcoreOf(g, 2, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == core)
+  }
 }
