@@ -393,13 +393,22 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select($"src".as("id")).union(e.select($"dst".as("id")))
         .groupBy($"id").agg(count(lit(1)).as("d"))
-    var e = pairs.select($"src", $"dst").persist()
+    // each round's edge set is localCheckpoint(eager)-ed — the [[Dedup]]
+    // cc loop convention, and here it is about LINEAGE, not replay:
+    // every round references its predecessor through two join branches
+    // plus the degree agg, so an ordinary cached plan still TRIPLES the
+    // logical tree per round and Catalyst pays 3^rounds optimizer
+    // passes over the candidate-graph pipeline (measured: ~70 s at
+    // EVERY sf — pure plan-compile time; checkpointed, ~2 s at sf0.1).
+    // A many-round 100 TB run would use reliable checkpointing instead,
+    // exactly as cc's checkpointDir option documents.
+    var e = pairs.select($"src", $"dst").localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter($"d" >= k).select($"id")
       e = e
         .join(keep.withColumnRenamed("id", "src"), Seq("src"))
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select($"src", $"dst").persist()
+        .select($"src", $"dst").localCheckpoint(true)
     }
     degrees(e).select($"id".as("doc_id"), $"d".as("core_degree"))
       .orderBy($"doc_id")
