@@ -475,7 +475,76 @@ object EventOps {
       |SELECT t.win_start, t.top_types, tot.n
       |FROM t JOIN tot USING (win_start) ORDER BY win_start""".stripMargin
 
+  /** User journey mining — the top 3-step event paths across the user
+    * base (the product-analytics "common flows" report; [[transitions]]
+    * is its 2-step marginal): lead(1)/lead(2) over each user's
+    * time-ordered stream build the trigram in place — no collect, no
+    * self-join — then one path-keyed count and a top-20 heads. The
+    * user window and everything after share one hash(user_id) + one
+    * hash(path) exchange; paths are bounded (|event_types|³).
+    */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path".asc)
+      .limit(20)
+  }
+
+  private val topPathsSql =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  /** Daily new / cumulative user counts — the growth-accounting curve
+    * every events pipeline reports: each user's first-seen day, a
+    * day-keyed rollup to new-user counts, and a running sum. The scan
+    * collapses to one row per user map-side (min-day partial agg), the
+    * day table is bounded (~date range), and the single running-sum
+    * window over it is a bounded SinglePartition by construction — the
+    * [[graft.ops.SqlSurface.profile]] convention: global windows are
+    * banned over row data, fine over a ≤10³-row aggregate.
+    */
+  def cumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstDay = Tables.t(s, dir, "events")
+      .select($"user_id", expr("CAST(ts AS LONG) div 86400").as("day"))
+      .groupBy($"user_id").agg(min($"day").as("first_day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"first_day".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    firstDay.groupBy($"first_day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum($"new_users").over(w))
+      .orderBy($"first_day")
+  }
+
+  private val cumulativeUsersSql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS first_day
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT first_day, COUNT(*) AS new_users FROM f GROUP BY 1)
+      |SELECT first_day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY first_day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d ORDER BY first_day""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_paths", topPaths, Some(topPathsSql)),
+    CatalogEntry("q_evt_cumulative_users", cumulativeUsers, Some(cumulativeUsersSql)),
     CatalogEntry("q_evt_top_types", topTypesHourly, Some(topTypesHourlySql)),
     CatalogEntry("q_evt_rfm", rfm, Some(rfmSql)),
     CatalogEntry("q_evt_spikes", hourlySpikes, Some(hourlySpikesSql)),

@@ -488,7 +488,63 @@ object FeatureOps {
       |FROM base b JOIN cuts c USING (l_returnflag)
       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** MAD robust outliers — median absolute deviation, the
+    * breakdown-resistant sibling of [[iqrOutliers]] (a single wild
+    * point moves IQR fences, never the MAD's): per group, median on
+    * the mills grid, then the median of |x − m| (same exact
+    * interpolated percentile machinery), and the classic flag
+    * |x − m| > 3·1.4826·MAD with the 4.4478 constant carried as the
+    * integer ratio 44478/10000 — cross-multiplied, so the comparison
+    * is long-vs-long and no float constant touches the gate. Two
+    * group-keyed stats rollups + two broadcasts back over the scan;
+    * both rollup keys are the bounded group column.
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 1000).cast("long").as("mills"))
+    val med = base.groupBy($"l_returnflag")
+      .agg(round(expr("percentile(mills, 0.5)")).cast("long").as("m"))
+    val dev = base.join(broadcast(med), Seq("l_returnflag"))
+      .select($"l_returnflag", $"mills", $"m", abs($"mills" - $"m").as("ad"))
+    val mad = dev.groupBy($"l_returnflag")
+      .agg(round(expr("percentile(ad, 0.5)")).cast("long").as("mad"))
+    dev.join(broadcast(mad), Seq("l_returnflag"))
+      .select($"l_returnflag", $"mad",
+        // |x−m| > 3·1.4826·MAD ⟺ 10000·|x−m| > 44478·MAD
+        ($"ad" * 10000 > $"mad" * 44478).cast("long").as("is_out"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), first($"mad").as("mad_mills"),
+        sum($"is_out").as("n_outliers"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val madOutliersSql =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 1000) AS BIGINT) AS mills
+      |  FROM lineitem),
+      |med AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(quantile_cont(mills, 0.5)) AS BIGINT) AS m
+      |  FROM base GROUP BY 1),
+      |dev AS (
+      |  SELECT b.l_returnflag, abs(b.mills - med.m) AS ad
+      |  FROM base b JOIN med USING (l_returnflag)),
+      |mad AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(quantile_cont(ad, 0.5)) AS BIGINT) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.l_returnflag, COUNT(*) AS n,
+      |  any_value(mad.mad) AS mad_mills,
+      |  CAST(SUM(CASE WHEN d.ad * 10000 > mad.mad * 44478 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad USING (l_returnflag)
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_feat_mad", madOutliers, Some(madOutliersSql)),
     CatalogEntry("q_feat_winsorize", winsorize, Some(winsorizeSql)),
     CatalogEntry("q_feat_ntile_grouped", ntileGrouped, Some(ntileGroupedSql)),
     CatalogEntry("q_feat_outlier", iqrOutliers, Some(iqrOutliersSql)),

@@ -219,6 +219,41 @@ object Joins {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** TPC-H Q3 twin (shipping priority, adapted to the fixture's
+    * columns): segment-filtered customers ⋈ open orders ⋈ late-shipped
+    * lineitems, revenue-ranked top 10 order keys. The selective
+    * dimension filter pushes to the customer scan, the date predicates
+    * push to orders/lineitem, and the revenue aggregate rides the
+    * l_orderkey join key — three pushed filters, two hash joins (small
+    * sides broadcast at fixture scale), one rollup, TakeOrdered top-k.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = "1995-03-15"
+    val c = Tables.t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.t(s, dir, "orders").filter($"o_orderdate" < lit(cut).cast("date"))
+    val li = Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate".cast("date") > lit(cut).cast("date"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"l_orderkey", $"o_orderdate".cast("date").as("o_orderdate"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  private val shippingPrioritySql =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+       |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   private val multiwayJoinSql =
     s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
        |FROM lineitem
@@ -264,5 +299,6 @@ object Joins {
     CatalogEntry("q_join_cross", crossJoinSmall, Some(crossJoinSmallSql)),
     CatalogEntry("q_join_range", rangeJoin, Some(rangeJoinSql)),
     CatalogEntry("q5_multiway", multiwayJoin, Some(multiwayJoinSql)),
+    CatalogEntry("q3_shipping", shippingPriority, Some(shippingPrioritySql)),
     CatalogEntry("q_asof_join", asofJoin, Some(asofJoinSql)))
 }

@@ -41,7 +41,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_emb_outlier", "q_sim_pq", "q_sample_weighted",
     "q_evt_top_types", "q_win_interpolate", "q_sql_snapshot_diff",
     "q_dedup_damerau", "q_sql_intervals", "q_feat_winsorize",
-    "q_graph_clustering", "q_graph_kcore")
+    "q_graph_clustering", "q_graph_kcore", "q3_shipping",
+    "q_evt_paths", "q_evt_cumulative_users", "q_feat_mad")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
