@@ -247,6 +247,24 @@ class SkewSpec extends SparkSpec {
     assert(hashExchangeCount("q_agg_kmv_intersect") == 5)
   }
 
+  test("round-7 rows: exchange budgets pinned (full-scan data crosses each wire once)") {
+    // (query, expected hash exchanges) — each row's shuffles are either
+    // the one full-volume rollup/window its algorithm requires or
+    // bounded aggregate tables; none re-moves raw data twice on one key
+    val budgets = Seq(
+      "q_win_interpolate" -> 1,       // one user-keyed window sort
+      "q_evt_top_types" -> 1,         // window agg carries ≤16 counters
+      "q_evt_paths" -> 2,             // user window + bounded path rollup
+      "q_evt_cumulative_users" -> 2,  // user min-day + bounded day rollup
+      "q_sql_intervals" -> 1,         // supplier window + rollups share it
+      "q_feat_winsorize" -> 2,        // percentile rollup + clipped re-roll
+      "q_feat_mad" -> 2)              // median pass + MAD pass
+    budgets.foreach { case (name, expected) =>
+      assert(hashExchangeCount(name) == expected,
+        s"$name expected $expected hash exchanges")
+    }
+  }
+
   test("group split: assignment is map-side; both exchanges carry collapsed rows") {
     // COUNT(DISTINCT source) rewrites to two phases: a (split, source)
     // partial-dedup exchange (docs collapse to distinct sources
