@@ -258,7 +258,10 @@ class SkewSpec extends SparkSpec {
       "q_evt_cumulative_users" -> 2,  // user min-day + bounded day rollup
       "q_sql_intervals" -> 1,         // supplier window + rollups share it
       "q_feat_winsorize" -> 2,        // percentile rollup + clipped re-roll
-      "q_feat_mad" -> 2)              // median pass + MAD pass
+      // median rollup + MAD rollup + final re-roll; reads 4 because the
+      // uncached dev subtree (containing the median exchange) prints
+      // under both its consumers — three physical shuffles
+      "q_feat_mad" -> 4)
     budgets.foreach { case (name, expected) =>
       assert(hashExchangeCount(name) == expected,
         s"$name expected $expected hash exchanges")
