@@ -506,6 +506,11 @@ object FeatureOps {
         round($"l_extendedprice" * 1000).cast("long").as("mills"))
     val med = base.groupBy($"l_returnflag")
       .agg(round(expr("percentile(mills, 0.5)")).cast("long").as("m"))
+    // dev feeds the MAD rollup AND the final flag pass; deliberately
+    // NOT persisted — caching the wide row set measured 2.2× SLOWER at
+    // the 10× fixture than re-running the columnar scan + broadcast
+    // join (memory-store write+read beats two parquet scans only when
+    // the source is remote/expensive, which a spec comment can't know)
     val dev = base.join(broadcast(med), Seq("l_returnflag"))
       .select($"l_returnflag", $"mills", $"m", abs($"mills" - $"m").as("ad"))
     val mad = dev.groupBy($"l_returnflag")

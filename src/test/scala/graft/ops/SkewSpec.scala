@@ -259,8 +259,9 @@ class SkewSpec extends SparkSpec {
       "q_sql_intervals" -> 1,         // supplier window + rollups share it
       "q_feat_winsorize" -> 2,        // percentile rollup + clipped re-roll
       // median rollup + MAD rollup + final re-roll; reads 4 because the
-      // uncached dev subtree (containing the median exchange) prints
-      // under both its consumers — three physical shuffles
+      // deliberately-uncached dev subtree (containing the median
+      // exchange) prints under both consumers — three physical shuffle
+      // keys, and re-scanning parquet measured faster than caching
       "q_feat_mad" -> 4)
     budgets.foreach { case (name, expected) =>
       assert(hashExchangeCount(name) == expected,
