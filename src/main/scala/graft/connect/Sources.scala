@@ -151,21 +151,25 @@ object Sources {
       path: String, numFiles: Int, bits: Int = 8): Long = {
     import org.apache.spark.sql.functions._
     require(numFiles > 0 && bits > 0 && bits <= 16)
+    // internal columns are __zw_-prefixed so a caller column named
+    // "amin"/"ra" can never collide with the writer's plumbing
     val bounds = df.agg(
-      min(col(colA)).cast("long").as("amin"), max(col(colA)).cast("long").as("amax"),
-      min(col(colB)).cast("long").as("bmin"), max(col(colB)).cast("long").as("bmax"))
+      min(col(colA)).cast("long").as("__zw_amin"),
+      max(col(colA)).cast("long").as("__zw_amax"),
+      min(col(colB)).cast("long").as("__zw_bmin"),
+      max(col(colB)).cast("long").as("__zw_bmax"))
     val maxRank = (1L << bits) - 1
     def rank(c: String, lo: String, hi: String): Column =
       expr(s"((cast(`$c` as long) - $lo) * $maxRank) div greatest(1L, $hi - $lo)")
     val z = (0 until bits).map { i =>
-      (shiftleft(shiftrightunsigned(col("ra"), i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftrightunsigned(col("rb"), i).bitwiseAND(1), 2 * i + 1)): Column
+      (shiftleft(shiftrightunsigned(col("__zw_ra"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftrightunsigned(col("__zw_rb"), i).bitwiseAND(1), 2 * i + 1)): Column
     }.reduce(_ + _)
     val zdf = df.crossJoin(broadcast(bounds))
-      .withColumn("ra", rank(colA, "amin", "amax"))
-      .withColumn("rb", rank(colB, "bmin", "bmax"))
+      .withColumn("__zw_ra", rank(colA, "__zw_amin", "__zw_amax"))
+      .withColumn("__zw_rb", rank(colB, "__zw_bmin", "__zw_bmax"))
       .withColumn("__z", z)
-      .drop("amin", "amax", "bmin", "bmax", "ra", "rb")
+      .drop("__zw_amin", "__zw_amax", "__zw_bmin", "__zw_bmax", "__zw_ra", "__zw_rb")
     zdf.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
