@@ -920,7 +920,84 @@ object TextAnalysis {
       |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
       |ORDER BY pmi_ratio_permille DESC, w1, w2 LIMIT 30""".stripMargin
 
+  /** Content-defined chunking dedup stats — the storage-dedup
+    * technique (rabin/CDC chunkers in backup systems, and the
+    * shift-robust alternative to [[spanDedup]]'s fixed tumbling
+    * windows): a chunk boundary falls AFTER any token whose trailing
+    * word 3-gram hashes into 1/8 of the space, so inserting one word
+    * near the top of a document only re-chunks the neighborhood of the
+    * edit — fixed windows shift EVERY downstream span. Boundaries are
+    * md5-prefix tests (md5 is the engine-portable hash here; the
+    * fleet-scale variant would be a rolling Rabin fingerprint as a
+    * codegen Expression), chunk ids are an exclusive prefix sum of
+    * boundary flags (the [[packChunks]] pattern), chunk identity is
+    * the md5 of the order-joined tokens, and the corpus df of chunk
+    * hashes yields each doc's duplicate-chunk per-mille. Plan: one
+    * (doc, pos) window pass with two lags riding the same sort — no
+    * per-token array carry — then the chunk rollup, the df count, and
+    * the join-back, all on keys the data is already clustered by.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos".asc)
+    val toks = Tables.t(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("gram",
+        when($"pos" >= 2,
+          concat_ws(" ", lag($"w", 2).over(w), lag($"w", 1).over(w), $"w")))
+      .withColumn("flag",
+        when($"gram".isNotNull &&
+          substring(md5($"gram"), 1, 1).isin("0", "1"), 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(
+        sum($"flag").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = toks.groupBy($"doc_id", $"chunk_id")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct($"pos", $"w"))), x => x.getField("w")),
+        " ")).as("sig"),
+        count(lit(1)).as("n_tokens"))
+    val df = chunks.groupBy($"sig").agg(count(lit(1)).as("df"))
+    chunks.join(df, Seq("sig"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"df" > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        expr("1000 * sum(CASE WHEN df > 1 THEN n_tokens ELSE 0 END) div sum(n_tokens)")
+          .as("dup_token_permille"))
+      .orderBy($"doc_id")
+  }
+
+  private val cdcChunksSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(ws) AS w,
+      |    CAST(generate_subscripts(ws, 1) AS BIGINT) - 1 AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |f AS (
+      |  SELECT doc_id, pos, w,
+      |    CASE WHEN pos >= 2 AND substr(md5(
+      |        lag(w, 2) OVER win || ' ' || lag(w, 1) OVER win || ' ' || w
+      |      ), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS flag
+      |  FROM t
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |c AS (
+      |  SELECT doc_id, pos, w,
+      |    coalesce(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |  FROM f),
+      |ch AS (
+      |  SELECT doc_id, chunk_id,
+      |    md5(string_agg(w, ' ' ORDER BY pos)) AS sig,
+      |    COUNT(*) AS n_tokens
+      |  FROM c GROUP BY 1, 2),
+      |d AS (SELECT sig, COUNT(*) AS df FROM ch GROUP BY 1)
+      |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+      |  CAST(1000 * SUM(CASE WHEN d.df > 1 THEN ch.n_tokens ELSE 0 END)
+      |    // SUM(ch.n_tokens) AS BIGINT) AS dup_token_permille
+      |FROM ch JOIN d USING (sig)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     CatalogEntry("q_text_collocations", collocations, Some(collocationsSql)),
     CatalogEntry("q_text_drift", sourceDrift, Some(sourceDriftSql)),
     CatalogEntry("q_text_span_dedup", spanDedup, Some(spanDedupSql)),

@@ -42,7 +42,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_evt_top_types", "q_win_interpolate", "q_sql_snapshot_diff",
     "q_dedup_damerau", "q_sql_intervals", "q_feat_winsorize",
     "q_graph_clustering", "q_graph_kcore", "q3_shipping",
-    "q_evt_paths", "q_evt_cumulative_users", "q_feat_mad")
+    "q_evt_paths", "q_evt_cumulative_users", "q_feat_mad",
+    "q_text_cdc_chunks")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
