@@ -62,6 +62,16 @@ object Demo {
     println("[demo] curation: packed chunks (512-token budget)")
     ops.TextAnalysis.packChunks(spark, sfDir).show(3)
 
+    // round-7 surface: sketches, ANN compression, corpus monitoring
+    println("[demo] sketches: per-language heavy hitters (freq_topk)")
+    ops.Aggregates.heavyHitters(spark, sfDir).show(3, truncate = false)
+    println("[demo] ANN: product-quantized top-3 (bucket + ADC)")
+    ops.Similarity.pqAdc(spark, sfDir).show(3)
+    println("[demo] monitoring: per-source distribution drift (L1 permille)")
+    ops.TextAnalysis.sourceDrift(spark, sfDir).show(3)
+    println("[demo] graph: 2-core of the near-dup candidate graph")
+    ops.Graph.kcore(spark, sfDir).show(3)
+
     spark.stop()
   }
 }
