@@ -69,15 +69,26 @@ object Graph {
   def triangleCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, pairs) = Dedup.lshPairGraph(s, dir)
-    val e = pairs.persist()
-    val tri = e.as("e1")
+    triangleCountsOf(pairs.persist()).orderBy($"doc_id")
+  }
+
+  /** The ONE wedge-close enumeration (a<b ⨝ b<c, closed on (a,c)) over
+    * a canonical (src < dst) edge set — every triangle built exactly
+    * once. Shared by the uncapped counts, the hub-capped variant, and
+    * the clustering coefficient so the algorithm exists in one place.
+    */
+  private def trianglesOf(e: DataFrame): DataFrame =
+    e.as("e1")
       .join(e.as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      .join(e.as("e3"), $"a" === col("e3.src") && $"c" === col("e3.dst"))
-      .select($"a", $"b", $"c")
-    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .join(e.as("e3"), col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(col("a"), col("b"), col("c"))
+
+  /** Per-node membership counts over [[trianglesOf]]. */
+  private def triangleCountsOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    trianglesOf(e).select(explode(array($"a", $"b", $"c")).as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
-      .orderBy($"doc_id")
   }
 
   /** Oracle: same wedge-close enumeration spelled as a 3-way SQL join
@@ -143,13 +154,7 @@ object Graph {
       .join(broadcast(hubs.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
       .join(broadcast(hubs.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
       .select($"src", $"dst")
-    val tri = capped.as("e1")
-      .join(capped.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      .join(capped.as("e3"), $"a" === col("e3.src") && $"c" === col("e3.dst"))
-      .select($"a", $"b", $"c")
-    tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    triangleCountsOf(capped)
       .withColumn("excluded_hub", lit(false))
       .unionByName(hubs.select($"id".as("doc_id"),
         lit(-1L).as("n_triangles"), lit(true).as("excluded_hub")))
@@ -317,16 +322,9 @@ object Graph {
     import s.implicits._
     val (_, pairs) = Dedup.lshPairGraph(s, dir)
     val e = pairs.persist()
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      .join(e.as("e3"), $"a" === col("e3.src") && $"c" === col("e3.dst"))
-      .select(explode(array($"a", $"b", $"c")).as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
-    e.select($"src".as("doc_id")).union(e.select($"dst".as("doc_id")))
-      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    degreesOf(e).withColumnRenamed("id", "doc_id")
       .filter($"degree" >= 2)
-      .join(tri, Seq("doc_id"), "left")
+      .join(triangleCountsOf(e), Seq("doc_id"), "left")
       .select($"doc_id", $"degree",
         coalesce($"n_triangles", lit(0L)).as("n_triangles"),
         expr("2000 * coalesce(n_triangles, 0) div (degree * (degree - 1))")

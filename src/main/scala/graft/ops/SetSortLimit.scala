@@ -186,9 +186,14 @@ object SetSortLimit {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"priority".asc, $"doc_id".asc)
+    // doc_id is reduced mod the Knuth constant BEFORE the multiply:
+    // (c-1)·c ≈ 7.0e18 stays inside int64, where a raw 64-bit id times
+    // c overflows (ANSI Spark throws, DuckDB errors). A no-op at
+    // fixture ids (< c), identical u either way there.
     Tables.t(s, dir, "documents")
       .select($"doc_id", $"lang", $"n_chars",
-        (pmod($"doc_id" * lit(2654435761L), lit(1048576L)) + 1L).as("u"))
+        (pmod(pmod($"doc_id", lit(2654435761L)) * lit(2654435761L),
+          lit(1048576L)) + 1L).as("u"))
       .withColumn("priority", expr("(u * 1000000000) div n_chars"))
       .withColumn("pick", row_number().over(w).cast("long"))
       .filter($"pick" <= 10)
@@ -199,7 +204,8 @@ object SetSortLimit {
   private val weightedSampleSql =
     """WITH p AS (
       |  SELECT doc_id, lang, n_chars,
-      |    ((doc_id * 2654435761) % 1048576 + 1) * 1000000000 // n_chars AS priority
+      |    (((doc_id % 2654435761) * 2654435761) % 1048576 + 1)
+      |      * 1000000000 // n_chars AS priority
       |  FROM documents),
       |r AS (
       |  SELECT lang, doc_id, n_chars, priority,

@@ -653,8 +653,13 @@ object TextAnalysis {
     import s.implicits._
     val grams = Tables.t(s, dir, "documents")
       .withColumn("ws", split($"text", " "))
+      // guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark (step
+      // defaults to -1 when start > stop), and the i=0 slice throws —
+      // short docs must produce an empty gram list, not a crash
       .select($"doc_id", explode(expr(
-        "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> array_join(slice(ws, i, 5), ' '))"))
+        """CASE WHEN size(ws) >= 5
+          |  THEN transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))
+          |  ELSE array() END""".stripMargin))
         .as("g"))
       .distinct()
     val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
@@ -887,8 +892,12 @@ object TextAnalysis {
     val uni = ws.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val total = ws.select(sum(size($"ws")).as("n"))
+    // same sequence(1, 0)-descends guard as dupNgramFrac: a one-word
+    // doc must yield zero bigrams, not an ANSI array-index error
     val bi = ws.select(explode(expr(
-      "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+      """CASE WHEN size(ws) >= 2
+        |  THEN transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))
+        |  ELSE array() END""".stripMargin))
       .as("b"))
       .select($"b.w1".as("w1"), $"b.w2".as("w2"))
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))

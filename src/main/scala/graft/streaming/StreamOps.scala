@@ -238,6 +238,22 @@ object StreamOps {
     import org.apache.spark.sql.expressions.Window
     val root = new java.io.File(targetDir)
     root.mkdirs()
+    // 0. bucket-count contract: routing is pure hash(key) mod N, so a
+    // DIFFERENT N against an existing snapshot silently re-routes rows
+    // read from touched buckets into staged buckets the swap loop never
+    // installs — permanent row loss. Persist N on first write and fail
+    // fast on any mismatch instead.
+    val marker = new java.io.File(root, "_num_buckets")
+    if (marker.isFile) {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim.toInt
+      require(stored == numBuckets,
+        s"bucketed snapshot at $targetDir was written with numBuckets=$stored; " +
+          s"got $numBuckets — changing the bucket count requires a full rewrite")
+    } else {
+      java.nio.file.Files.write(marker.toPath,
+        numBuckets.toString.getBytes("UTF-8"))
+    }
     // 1. crash-recovery sweep over bucket dirs
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).foreach { bd =>

@@ -10,6 +10,29 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gram-based rows survive docs shorter than the gram width; big ids don't overflow sampling") {
+    // regression: sequence(1, greatest(n, 0)) DESCENDS ([1, 0]) when
+    // n = 0, so short docs crashed the 5-gram and bigram transforms
+    // (ANSI slice/index errors) instead of yielding empty gram lists;
+    // and the weighted-sample Knuth multiply overflowed 64-bit doc ids
+    val dir = tmpDir("graft-short-docs").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, "solo", "en", "s", 4L),
+      (2L, "a b c", "en", "s", 5L),
+      (5000000000000000000L, "big id doc", "en", "s", 10L),
+      (3L, "one two three four five six", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = TextAnalysis.dupNgramFrac(spark, dir).collect()
+    assert(d.map(_.getLong(0)).toSet == Set(3L)) // short docs absent, not crashed
+    val c = TextAnalysis.collocations(spark, dir).collect()
+    assert(c.length >= 0) // no bigram reaches min-count 5; surviving IS the test
+    val w = SetSortLimit.weightedSample(spark, dir).collect()
+    assert(w.map(_.getLong(2)).toSet.contains(5000000000000000000L))
+  }
+
   test("spanDedup keeps canonical first occurrences, drops cross- and in-doc repeats") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),        // both spans canonical

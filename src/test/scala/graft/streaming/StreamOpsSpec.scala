@@ -307,6 +307,22 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed upsert refuses a changed numBuckets against an existing snapshot") {
+    // routing is hash(key) mod N: a different N re-routes rows read
+    // from touched buckets into staged buckets the swap never installs
+    // — silent row loss. The persisted marker must fail fast instead.
+    val dir = tmpDir("graft-bucketed-guard").toString
+    val b1 = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "payload")
+    StreamOps.mergeIntoBucketedSnapshot(b1, "k", "v", dir, 16)
+    val b2 = Seq((3L, 2L, "c")).toDF("k", "v", "payload")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.mergeIntoBucketedSnapshot(b2, "k", "v", dir, 32)
+    }
+    assert(e.getMessage.contains("numBuckets=16"))
+    // same count still works
+    StreamOps.mergeIntoBucketedSnapshot(b2, "k", "v", dir, 16)
+  }
+
   test("freq_topk heavy hitters aggregate works under streaming state (complete mode)") {
     // the MG summary is a TypedImperativeAggregate: its binary buffer
     // must round-trip through the streaming state store across
