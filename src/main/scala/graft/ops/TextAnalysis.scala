@@ -948,9 +948,29 @@ object TextAnalysis {
     */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val chunks = cdcChunkSigs(Tables.t(s, dir, "documents"))
+    val df = chunks.groupBy($"sig").agg(count(lit(1)).as("df"))
+    chunks.join(df, Seq("sig"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"df" > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        expr("1000 * sum(CASE WHEN df > 1 THEN n_tokens ELSE 0 END) div sum(n_tokens)")
+          .as("dup_token_permille"))
+      .orderBy($"doc_id")
+  }
+
+  /** The chunker itself — (doc_id, chunk_id, sig, n_tokens) per
+    * content-defined chunk over any (doc_id, text) table. Separated so
+    * the SHIFT-ROBUSTNESS property (an edit re-chunks its
+    * neighborhood, downstream chunks keep their signatures) is
+    * unit-testable, not just asserted in prose.
+    */
+  private[ops] def cdcChunkSigs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos".asc)
-    val toks = Tables.t(s, dir, "documents")
+    docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .withColumn("gram",
         when($"pos" >= 2,
@@ -960,19 +980,11 @@ object TextAnalysis {
           substring(md5($"gram"), 1, 1).isin("0", "1"), 1L).otherwise(0L))
       .withColumn("chunk_id", coalesce(
         sum($"flag").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val chunks = toks.groupBy($"doc_id", $"chunk_id")
+      .groupBy($"doc_id", $"chunk_id")
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct($"pos", $"w"))), x => x.getField("w")),
         " ")).as("sig"),
         count(lit(1)).as("n_tokens"))
-    val df = chunks.groupBy($"sig").agg(count(lit(1)).as("df"))
-    chunks.join(df, Seq("sig"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when($"df" > 1, 1L).otherwise(0L)).as("dup_chunks"),
-        expr("1000 * sum(CASE WHEN df > 1 THEN n_tokens ELSE 0 END) div sum(n_tokens)")
-          .as("dup_token_permille"))
-      .orderBy($"doc_id")
   }
 
   private val cdcChunksSql =

@@ -33,6 +33,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w.map(_.getLong(2)).toSet.contains(5000000000000000000L))
   }
 
+  test("CDC chunking is shift-robust: a front insertion preserves downstream chunk sigs") {
+    // 120 deterministic words; doc 2 = the same text with one word
+    // prepended. Content-defined boundaries (trailing-3-gram hash)
+    // realign after the edit, so most chunk signatures survive — the
+    // property fixed tumbling windows (spanDedup's 5-word spans, which
+    // ALL shift) cannot have.
+    val words = (0 until 120).map(i => s"w${i * 7 % 23}")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, ("INSERTED" +: words).mkString(" "))).toDF("doc_id", "text")
+    val sigs = TextAnalysis.cdcChunkSigs(docs)
+      .select("doc_id", "sig").as[(Long, String)].collect()
+    val s1 = sigs.filter(_._1 == 1L).map(_._2).toSet
+    val s2 = sigs.filter(_._1 == 2L).map(_._2).toSet
+    val shared = (s1 & s2).size
+    assert(s1.size >= 4, s"need several chunks for the property, got ${s1.size}")
+    // everything after the first boundary past the edit must match:
+    // at least half the original chunks survive the insertion
+    assert(shared * 2 >= s1.size, s"shared $shared of ${s1.size} chunks")
+  }
+
   test("spanDedup keeps canonical first occurrences, drops cross- and in-doc repeats") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),        // both spans canonical
