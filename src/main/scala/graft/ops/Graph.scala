@@ -317,6 +317,13 @@ object Graph {
     * already builds (wedge-close triangle counts + endpoint degrees) —
     * one extra equi-join and a map-side division, nothing new touches
     * edge volume. Nodes need deg ≥ 2 to have a defined coefficient.
+    * Hub caveat: the coefficient rides the UNCAPPED [[trianglesOf]], so
+    * on a super-hub graph it inherits the Σdeg² wedge cost (measured
+    * bounded through hub800 — 1.4× per hub doubling, PLANS.md — but
+    * the d² growth is real past that). For hub-heavy corpora compose
+    * the capped pipeline instead: the shared [[triangleCountsOf]] over
+    * [[cappedTrianglesWithDeg]]'s anti-joined edge set gives
+    * hub-excluded coefficients with the cap's cost bound.
     */
   def clusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
