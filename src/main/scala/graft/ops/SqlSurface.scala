@@ -451,7 +451,95 @@ object SqlSurface {
       |  CAST(SUM(e - s + 1) AS BIGINT) AS covered_days
       |FROM i GROUP BY 1 ORDER BY l_suppkey""".stripMargin
 
+  /** One-pass pairwise correlation matrix — the numeric-profiling
+    * sibling of [[profile]]: Pearson correlation for every pair of
+    * four lineitem measures from a SINGLE scan's exact integer moment
+    * sums (Σx, Σx², Σxy per pair on per-column integer grids sized so
+    * every sum fits int64 at fixture scales — the dsum capacity
+    * discipline; at 10¹²-row scale the grids shard per partition
+    * first). The final Pearson formula runs a fixed shape of IEEE
+    * ops (divide, sqrt, multiply) on doubles converted from IDENTICAL
+    * exact longs in both engines, then lands on the 1e6 grid — the
+    * [[graft.ops.Aggregates.percentileAgg]] convention: floats may
+    * compute, only grid integers meet the gate hash. Engine's own
+    * `corr()` is deliberately NOT used: its streaming/pairwise update
+    * order differs per engine, exactly the nondeterminism the moment
+    * bridge exists to avoid.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // integer grids: qty units (≤50), price dollars (≤1e5), disc/tax
+    // mills (≤1e3) — every Σx² stays far under int64 at sf ≤ 10
+    val cols = Seq(
+      "qty" -> round(col("l_quantity")).cast("long"),
+      "price" -> round(col("l_extendedprice")).cast("long"),
+      "disc" -> round(col("l_discount") * 1000).cast("long"),
+      "tax" -> round(col("l_tax") * 1000).cast("long"))
+    val base = Tables.t(s, dir, "lineitem")
+      .select(cols.map { case (n, c) => c.as(n) }: _*)
+    val aggs =
+      cols.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+        cols.map { case (n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
+        (for {
+          (a, i) <- cols.map(_._1).zipWithIndex
+          b <- cols.map(_._1).drop(i + 1)
+        } yield sum(col(a) * col(b)).as(s"sp_${a}_$b"))
+    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairExprs = (for {
+      (a, i) <- cols.map(_._1).zipWithIndex
+      b <- cols.map(_._1).drop(i + 1)
+    } yield
+      s"""'$a', '$b', CAST(round(1e6 *
+         |  (CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+         |     - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |  / (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+         |          - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |     * sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+         |            - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+         |) AS BIGINT)""".stripMargin).mkString(", ")
+    m.selectExpr(
+      s"stack(6, $pairExprs) AS (col_x, col_y, corr_ppm)")
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  private val corrMatrixSql = {
+    val defs = Seq(
+      "qty" -> "CAST(round(l_quantity) AS BIGINT)",
+      "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+      "disc" -> "CAST(round(l_discount * 1000) AS BIGINT)",
+      "tax" -> "CAST(round(l_tax * 1000) AS BIGINT)")
+    val moments =
+      defs.map { case (n, _) => s"CAST(SUM($n) AS BIGINT) AS s_$n" } ++
+        defs.map { case (n, _) => s"CAST(SUM($n * $n) AS BIGINT) AS ss_$n" } ++
+        (for {
+          (a, i) <- defs.map(_._1).zipWithIndex
+          b <- defs.map(_._1).drop(i + 1)
+        } yield s"CAST(SUM($a * $b) AS BIGINT) AS sp_${a}_$b")
+    val pairs = (for {
+      (a, i) <- defs.map(_._1).zipWithIndex
+      b <- defs.map(_._1).drop(i + 1)
+    } yield
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(round(1e6 *
+         |  (CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+         |     - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |  / (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+         |          - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |     * sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+         |            - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+         |) AS BIGINT) AS corr_ppm FROM m""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT ${defs.map { case (n, d) => s"$d AS $n" }.mkString(", ")}
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT COUNT(*) AS n, ${moments.mkString(", ")}
+       |  FROM b)
+       |$pairs
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_sql_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     CatalogEntry("q_sql_intervals", intervalIslands, Some(intervalIslandsSql)),
     CatalogEntry("q_sql_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     CatalogEntry("q_sql_expectations", expectations, Some(expectationsSql)),

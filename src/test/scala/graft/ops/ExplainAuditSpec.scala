@@ -43,7 +43,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_dedup_damerau", "q_sql_intervals", "q_feat_winsorize",
     "q_graph_clustering", "q_graph_kcore", "q3_shipping",
     "q_evt_paths", "q_evt_cumulative_users", "q_feat_mad",
-    "q_text_cdc_chunks")
+    "q_text_cdc_chunks", "q_sql_corr_matrix")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
