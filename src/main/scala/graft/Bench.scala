@@ -48,6 +48,7 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // each query is self-contained: drop its persisted intermediates
       // so 100 accumulated caches don't evict/slow later queries
+      CacheScope.drain()
       spark.sharedState.cacheManager.clearCache()
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }

@@ -154,13 +154,18 @@ object Sources {
     // internal columns are __zw_-prefixed so a caller column named
     // "amin"/"ra" can never collide with the writer's plumbing
     val bounds = df.agg(
-      min(col(colA)).cast("long").as("__zw_amin"),
-      max(col(colA)).cast("long").as("__zw_amax"),
-      min(col(colB)).cast("long").as("__zw_bmin"),
-      max(col(colB)).cast("long").as("__zw_bmax"))
+      min(col(colA)).cast("double").as("__zw_amin"),
+      max(col(colA)).cast("double").as("__zw_amax"),
+      min(col(colB)).cast("double").as("__zw_bmin"),
+      max(col(colB)).cast("double").as("__zw_bmax"))
     val maxRank = (1L << bits) - 1
+    // ranks are computed in double space: (c - lo) * maxRank in int64
+    // overflows for wide-domain columns (xxhash64 values, full-range
+    // ids) — ANSI mode would throw mid-write. Rank precision only
+    // shapes file boxes (see doc above), so double rounding is free.
     def rank(c: String, lo: String, hi: String): Column =
-      expr(s"((cast(`$c` as long) - $lo) * $maxRank) div greatest(1L, $hi - $lo)")
+      expr(s"cast(least(cast($maxRank as double), greatest(0.0d, " +
+        s"floor((cast(`$c` as double) - $lo) / greatest(1.0d, $hi - $lo) * $maxRank))) as long)")
     val z = (0 until bits).map { i =>
       (shiftleft(shiftrightunsigned(col("__zw_ra"), i).bitwiseAND(1), 2 * i) +
         shiftleft(shiftrightunsigned(col("__zw_rb"), i).bitwiseAND(1), 2 * i + 1)): Column

@@ -116,15 +116,22 @@ object Validation {
     */
   def dataDiff(a: DataFrame, b: DataFrame, key: String,
       compare: Seq[String]): DataFrame = {
-    val an = a.select((key +: compare).map(c => col(c).as(s"a_$c")): _*)
-    val bn = b.select((key +: compare).map(c => col(c).as(s"b_$c")): _*)
+    require(compare.nonEmpty, "dataDiff needs at least one compare column")
+    // presence markers + a null-safe join: a NULL-keyed row must not be
+    // classified by key nullness (the outer join never matches NULL with
+    // ===, which inverted added/removed for such rows), so membership is
+    // carried explicitly and NULL keys pair up via <=>
+    val an = a.select(lit(1).as("__in_a") +:
+      (key +: compare).map(c => col(c).as(s"a_$c")): _*)
+    val bn = b.select(lit(1).as("__in_b") +:
+      (key +: compare).map(c => col(c).as(s"b_$c")): _*)
     val changed = compare
       .map(c => !(col(s"a_$c") <=> col(s"b_$c")))
       .reduce(_ || _)
-    an.join(bn, col(s"a_$key") === col(s"b_$key"), "full_outer")
+    an.join(bn, col(s"a_$key") <=> col(s"b_$key"), "full_outer")
       .select(
-        when(col(s"a_$key").isNull, "added")
-          .when(col(s"b_$key").isNull, "removed")
+        when(col("__in_a").isNull, "added")
+          .when(col("__in_b").isNull, "removed")
           .when(changed, "changed")
           .otherwise("unchanged").as("status"),
         coalesce(col(s"a_$key"), col(s"b_$key")).as("key"))

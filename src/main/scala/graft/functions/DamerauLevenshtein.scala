@@ -14,8 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DamerauImpl {
   def distance(sa: UTF8String, sb: UTF8String): Int = {
-    val a = sa.toString
-    val b = sb.toString
+    // code points, not UTF-16 units: Spark's levenshtein and DuckDB's
+    // damerau_levenshtein both count code points, and the banded
+    // lev<=2*dl prefilter invariant in damerauPairs needs both distances
+    // measured in the same alphabet for supplementary-plane text
+    val a = sa.toString.codePoints.toArray
+    val b = sb.toString.codePoints.toArray
     val la = a.length
     val lb = b.length
     if (la == 0) return lb
@@ -27,16 +31,16 @@ object DamerauImpl {
     while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue }
+        val k = { val v = da.get(Integer.valueOf(b(j - 1))); if (v == null) 0 else v.intValue }
         val l = db
         var cost = 1
-        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
         val sub = d(i)(j) + cost
         val ins = d(i + 1)(j) + 1
         val del = d(i)(j + 1) + 1
@@ -44,7 +48,7 @@ object DamerauImpl {
         d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, tra))
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      da.put(Integer.valueOf(a(i - 1)), i)
       i += 1
     }
     d(la + 1)(lb + 1)

@@ -69,6 +69,22 @@ private[functions] object MgSummary {
     * a single space — a STRING so gate outputs stay hashable (the
     * driver's pandas compare cannot sort array cells).
     */
+  // item asc by UTF-8 BYTES, not String.compareTo: the DuckDB oracles
+  // break count ties in UTF-8 binary collation, and UTF-16 code-unit
+  // order inverts U+E000..U+FFFF vs supplementary-plane items
+  private def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes(StandardCharsets.UTF_8)
+    val bb = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(ab.length, bb.length)
+  }
+
   def topK(buf: Buf, k: Int): String = {
     val entries = new java.util.ArrayList[java.util.Map.Entry[String, Long]](buf.entrySet())
     java.util.Collections.sort(entries,
@@ -76,7 +92,7 @@ private[functions] object MgSummary {
         def compare(a: java.util.Map.Entry[String, Long],
             b: java.util.Map.Entry[String, Long]): Int = {
           val byCount = java.lang.Long.compare(b.getValue, a.getValue)
-          if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+          if (byCount != 0) byCount else utf8Compare(a.getKey, b.getKey)
         }
       })
     val sb = new StringBuilder

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.Scoped
 
 /** Aggregation operators (SURVEY.md §2.B "Aggregation"). All run as
   * Catalyst HashAggregate with automatic partial (map-side) + final
@@ -254,7 +255,7 @@ object Aggregates {
       .groupBy($"lang")
       .agg(expr("kmv_state(term)").as("state"),
         expr("kmv_distinct(term)").as("nd"))
-      .persist()
+      .persistScoped()
     val pairs = perLang.as("a")
       .join(broadcast(perLang.as("b")), col("a.lang") < col("b.lang"))
       .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),

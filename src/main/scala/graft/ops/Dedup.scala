@@ -3,6 +3,7 @@ package graft.ops
 import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.Scoped
 
 /** Deduplication operators for training-data pipelines (builder-prompt
   * north star; no reference counterpart — the reference dedups nothing).
@@ -133,7 +134,7 @@ object Dedup {
     import s.implicits._
     // persist: bands is self-joined — without it the seeded digest
     // passes over every shingle run twice
-    val bands = bandsDf(s, dir).persist()
+    val bands = bandsDf(s, dir).persistScoped()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -279,7 +280,7 @@ object Dedup {
     // re-run the full simhash projection whenever AQE fails to reuse
     // the rollup exchange — measured as a 2-8s run-to-run swing; the
     // ~1575-row cache makes the cost deterministic
-    val vals = sh.groupBy($"simhash").agg(count(lit(1)).as("c")).persist()
+    val vals = sh.groupBy($"simhash").agg(count(lit(1)).as("c")).persistScoped()
     val blockDefs = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3)) // (shift, width)
     val blocks = vals.select($"simhash", $"c",
       explode(array(blockDefs.zipWithIndex.map { case ((off, w), i) =>
@@ -562,7 +563,7 @@ object Dedup {
     */
   def streamLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = bandsDf(s, dir).persist()
+    val corpus = bandsDf(s, dir).persistScoped()
     val batch = corpus.filter($"doc_id" % 20 === 0)
     batch.as("n")
       .join(corpus.as("c"),
@@ -747,7 +748,7 @@ object Dedup {
     val edit = editPairsRaw(s, dir)
       .select($"d1", $"d2", lit("editdist").as("method"), $"dist".as("score"))
     val bands = bandsForDocs(Tables.t(s, dir, "documents")
-      .select($"doc_id", $"text", length($"text").as("len"))).persist()
+      .select($"doc_id", $"text", length($"text").as("len"))).persistScoped()
     val longPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -819,14 +820,14 @@ object Dedup {
     */
   private[graft] def dedupClustersRounds(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     import s.implicits._
-    val bands = bandsDf(s, dir).persist()
+    val bands = bandsDf(s, dir).persistScoped()
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-      .persist()
+      .persistScoped()
     val edges = pairs.unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
     var labels = Tables.t(s, dir, "documents").select($"doc_id", $"doc_id".as("label"))
     for (_ <- 1 to rounds) {
@@ -1007,7 +1008,7 @@ object Dedup {
     */
   private[ops] def lshPairGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val bands = bandsDf(s, dir).persist()
+    val bands = bandsDf(s, dir).persistScoped()
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -4,6 +4,7 @@ import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.Scoped
 
 /** Event-table operators: the batch twins of the streaming surface
   * (SURVEY.md §2.B "Streaming"). The same transformations run under
@@ -298,7 +299,7 @@ object EventOps {
       .withColumn("to_type", lead($"event_type", 1).over(w))
       .filter($"to_type".isNotNull)
     val c2 = pairs.groupBy($"event_type".as("from_type"), $"to_type")
-      .agg(count(lit(1)).as("cnt")).persist()
+      .agg(count(lit(1)).as("cnt")).persistScoped()
     val c1 = c2.groupBy($"from_type").agg(sum($"cnt").as("tot"))
     c2.join(c1, Seq("from_type"))
       .select($"from_type", $"to_type", $"cnt",

@@ -4,6 +4,7 @@ import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.Scoped
 
 /** Feature-preparation operators — the normalization/binning passes a
   * training pipeline runs after cleaning and before materializing
@@ -91,7 +92,7 @@ object FeatureOps {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = base.repartitionByRange(parts, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
-      .persist()
+      .persistScoped()
     val n = sorted.count()
     val rollup = (d: DataFrame) => d
       .groupBy($"decile")
@@ -281,7 +282,7 @@ object FeatureOps {
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),
         sum(when($"o_totalprice" > 150000, 1L).otherwise(0L)).as("pos"))
-      .persist()
+      .persistScoped()
     val prior = perLabel.agg(
       (sum($"pos").cast("double") / sum($"n")).as("prior"))
     perLabel.crossJoin(broadcast(prior))

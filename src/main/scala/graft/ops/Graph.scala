@@ -3,6 +3,7 @@ package graft.ops
 import graft.CatalogEntry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope.Scoped
 
 /** Graph analytics over the LSH candidate graph ([[Dedup.lshPairGraph]]:
   * nodes = documents, edges = band-collision pairs with src < dst).
@@ -69,7 +70,7 @@ object Graph {
   def triangleCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, pairs) = Dedup.lshPairGraph(s, dir)
-    triangleCountsOf(pairs.persist()).orderBy($"doc_id")
+    triangleCountsOf(pairs.persistScoped()).orderBy($"doc_id")
   }
 
   /** The ONE wedge-close enumeration (a<b ⨝ b<c, closed on (a,c)) over
@@ -134,7 +135,7 @@ object Graph {
     * edge table — separated so the hub semantics are unit-testable on
     * synthetic graphs, not just the LSH fixture. */
   private[ops] def cappedTriangles(pairs: DataFrame, maxDegree: Long): DataFrame = {
-    val e = pairs.persist()
+    val e = pairs.persistScoped()
     cappedTrianglesWithDeg(e, degreesOf(e), maxDegree)
   }
 
@@ -149,7 +150,7 @@ object Graph {
   private def cappedTrianglesWithDeg(
       e: DataFrame, deg: DataFrame, maxDegree: Long): DataFrame = {
     import e.sparkSession.implicits._
-    val hubs = deg.filter($"degree" > maxDegree).select($"id").persist()
+    val hubs = deg.filter($"degree" > maxDegree).select($"id").persistScoped()
     val capped = e
       .join(broadcast(hubs.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
       .join(broadcast(hubs.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
@@ -175,8 +176,8 @@ object Graph {
     // the band/shingle pipeline would execute twice (measured ~2× the
     // row's cost at sf0.1)
     val (_, pairs) = Dedup.lshPairGraph(s, dir)
-    val e = pairs.persist()
-    val deg = degreesOf(e).persist()
+    val e = pairs.persistScoped()
+    val deg = degreesOf(e).persistScoped()
     Seq(1L, 2L)
       .map(cap => cappedTrianglesWithDeg(e, deg, cap).withColumn("max_degree", lit(cap)))
       .reduce(_ unionByName _)
@@ -264,12 +265,12 @@ object Graph {
   private[ops] def pagerankOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     import nodes.sparkSession.implicits._
     val edges = pairs.select($"src".as("u"), $"dst".as("v"))
-      .unionAll(pairs.select($"dst".as("u"), $"src".as("v"))).persist()
+      .unionAll(pairs.select($"dst".as("u"), $"src".as("v"))).persistScoped()
     val deg = edges.groupBy($"u".as("id")).agg(count(lit(1)).as("deg"))
     val state0 = nodes.join(deg, Seq("id"), "left")
       .select($"id", coalesce($"deg", lit(0L)).as("deg"),
         lit(1000000L).as("rank"))
-      .persist()
+      .persistScoped()
     val state = (1 to prRounds).foldLeft(state0) { (st, _) =>
       val contrib = st.filter($"deg" > 0)
         .select($"id".as("u"), expr("rank div deg").as("c"))
@@ -328,7 +329,7 @@ object Graph {
   def clusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, pairs) = Dedup.lshPairGraph(s, dir)
-    val e = pairs.persist()
+    val e = pairs.persistScoped()
     degreesOf(e).withColumnRenamed("id", "doc_id")
       .filter($"degree" >= 2)
       .join(triangleCountsOf(e), Seq("doc_id"), "left")

@@ -4,6 +4,7 @@ import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.Scoped
 
 /** Similarity search over the embedding column (builder-prompt north
   * star). Baseline = brute-force cosine top-k; scale path = sign-LSH
@@ -202,7 +203,7 @@ object Similarity {
     val base = Tables.t(s, dir, "embeddings")
       .select($"vec_id", quantize1e4($"embedding").as("xq"))
       .withColumn("n2", dot64($"xq", $"xq"))
-      .persist() // read by every k-means pass, the probes, and the rescore
+      .persistScoped() // read by every k-means pass, the probes, and the rescore
     // custom codegen expression: fused integer loop (see SqDist64)
     def sqDist(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
     // (rescore below is dot64 over the same quantized vectors — scale
@@ -234,7 +235,7 @@ object Similarity {
     // persist the trained codebook (≤16 tiny rows): the final list
     // assignment AND the query probes both read it — without the cache
     // each reference re-executes the whole training DAG
-    cents = cents.persist()
+    cents = cents.persistScoped()
     val assigned = assign(cents)
     // probe the nprobe nearest inverted lists per query
     val qScored = base.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
@@ -354,12 +355,12 @@ object Similarity {
     val e = Tables.t(s, dir, "embeddings")
       .select($"vec_id", signBucket($"embedding", bits).as("bucket"),
         quantize1e4($"embedding").as("xq"))
-      .persist()
+      .persistScoped()
     // subvector slices, map-side: (vec_id, sub, sxq[pqSub])
     val subv = e.select($"vec_id", posexplode(expr(
       s"transform(sequence(0, ${pqM - 1}), s -> slice(xq, s * $pqSub + 1, $pqSub))"))
       .as(Seq("sub", "sxq")))
-      .persist()
+      .persistScoped()
     // seed codebook: first pqK vectors' subvectors
     val c0 = subv.filter($"vec_id" < pqK)
       .select($"sub", $"vec_id".as("cid"), $"sxq".as("cq"))
@@ -376,12 +377,12 @@ object Similarity {
       .agg(round(sum($"v").cast("double") / count(lit(1))).cast("long").as("cq1"))
       .groupBy($"sub", $"cid")
       .agg(transform(array_sort(collect_list(struct($"spos", $"cq1"))), p => p("cq1")).as("cq"))
-      .persist()
+      .persistScoped()
     // d2: every (vector, sub, code) distance vs the trained codebook —
     // one table, two consumers (encoding argmin + query ADC lookups)
     val d2 = subv.join(broadcast(c1), Seq("sub"))
       .select($"vec_id", $"sub", $"cid", sqDist($"sxq", $"cq").as("d"))
-      .persist()
+      .persistScoped()
     val codes = d2.groupBy($"vec_id", $"sub")
       .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
     val qd = d2.filter($"vec_id" % 50 === 0)

@@ -4,6 +4,7 @@ import graft.{CatalogEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.CacheScope.Scoped
 
 /** Text-analysis operators for training-data pipelines (builder-prompt
   * north star): language-ID heuristic, quality scoring, token counting,
@@ -223,7 +224,7 @@ object TextAnalysis {
     val tf = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .persistScoped()
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
@@ -366,7 +367,7 @@ object TextAnalysis {
       .select(explode(filter(bigrams, x => x.isNotNull)).as("bg"))
       .select(element_at(split($"bg", " "), 1).as("w1"),
         element_at(split($"bg", " "), 2).as("w2"))
-    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt")).persist()
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt")).persistScoped()
     val c1 = c2.groupBy($"w1").agg(sum($"cnt").as("w1_cnt"))
     c2.join(c1, Seq("w1"))
       .select($"w1", $"w2", $"cnt",
@@ -486,7 +487,7 @@ object TextAnalysis {
     val perDoc = Tables.t(s, dir, "documents")
       .select($"doc_id", explode(filter(bigrams, x => x.isNotNull)).as("bg"))
       .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-      .persist()
+      .persistScoped()
     val corpus = perDoc.groupBy($"bg").agg(sum($"c").as("corpus_c"))
     perDoc.join(corpus, Seq("bg"))
       .groupBy($"doc_id")
@@ -709,7 +710,7 @@ object TextAnalysis {
     val tok = Tables.t(s, dir, "documents")
       .groupBy($"lang")
       .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
-      .persist()
+      .persistScoped()
     val shared = tok
       .crossJoin(broadcast(tok.agg(sum($"tokens").as("total"))))
       .select($"lang", $"tokens", expr("1000 * tokens div total").as("share_permille"))
@@ -841,7 +842,7 @@ object TextAnalysis {
     val st = Tables.t(s, dir, "documents")
       .select($"source", explode(split($"text", " ")).as("term"))
       .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
-      .persist()
+      .persistScoped()
     val perSource = st.groupBy($"source").agg(sum($"c").as("ts"))
     val perTerm = st.groupBy($"term").agg(sum($"c").as("ct"))
     val total = st.agg(sum($"c").as("t"))
@@ -888,7 +889,7 @@ object TextAnalysis {
     import s.implicits._
     val ws = Tables.t(s, dir, "documents")
       .select(split($"text", " ").as("ws"))
-      .persist()
+      .persistScoped()
     val uni = ws.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val total = ws.select(sum(size($"ws")).as("n"))

@@ -64,6 +64,32 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/z").count() == 64L * 64)
   }
 
+  test("z-order survives full-range int64 columns (xxhash64 domains)") {
+    // the rank formula must not multiply (c - lo) by maxRank in int64:
+    // for a hash-valued column spanning ~the whole long range that
+    // overflows, which under Spark 4's default ANSI mode is a runtime
+    // ArithmeticException mid-write (and silent clustering destruction
+    // with ANSI off). Ranks are computed in double space instead.
+    import org.apache.spark.sql.functions._
+    val wide = spark.range(1024)
+      .select(xxhash64($"id").as("a"), xxhash64($"id" + 7).as("b"),
+        $"id".as("payload"))
+    val base = tmpDir("graft-zorder-wide")
+    val written = Sources.writeZOrdered(wide, "a", "b", s"$base/z", 8)
+    assert(written == 8L)
+    assert(spark.read.parquet(s"$base/z").count() == 1024L)
+    // clustering still real: each file's a-range must be a strict
+    // subset of the global range (a degenerate all-equal-rank write
+    // would leave every file spanning ~the full domain)
+    val spans = spark.read.parquet(s"$base/z")
+      .groupBy(input_file_name())
+      .agg((max($"a").cast("double") - min($"a").cast("double")).as("span"))
+      .select(max($"span")).as[Double].head()
+    val global = wide
+      .select(max($"a").cast("double") - min($"a").cast("double")).as[Double].head()
+    assert(spans < global, s"widest file a-span $spans should be < global $global")
+  }
+
   test("partitioned parquet write prunes partitions at read") {
     val dir = tmpDir("graft-part")
     val df = (1 to 1000).map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 1.0))

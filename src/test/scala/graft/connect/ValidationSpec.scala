@@ -40,4 +40,33 @@ class ValidationSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getString(0) == "unchanged" &&
       out.head.getLong(1) == 2L)
   }
+
+  test("dataDiff classifies NULL-keyed rows by presence, not key nullness") {
+    // an === join never matches NULL keys, which used to dump a
+    // NULL-keyed row from snapshot A into 'added' (it is A-only →
+    // 'removed') and vice versa; presence markers + <=> fix both sides
+    val a = Seq((Option.empty[Long], "only-in-a"), (Some(1L), "x"))
+      .toDF("k", "v")
+    val b = Seq((Some(1L), "x")).toDF("k", "v")
+    val ab = Validation.dataDiff(a, b, "k", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ab == Map("removed" -> 1L, "unchanged" -> 1L), ab.toString)
+    val ba = Validation.dataDiff(b, a, "k", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ba == Map("added" -> 1L, "unchanged" -> 1L), ba.toString)
+    // NULL keys on both sides pair up (null-safe join): same value →
+    // unchanged, different value → changed
+    val a2 = Seq((Option.empty[Long], "s")).toDF("k", "v")
+    val b2 = Seq((Option.empty[Long], "t")).toDF("k", "v")
+    val st = Validation.dataDiff(a2, b2, "k", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == Map("changed" -> 1L), st.toString)
+  }
+
+  test("dataDiff rejects an empty compare list") {
+    val a = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Validation.dataDiff(a, a, "k", Seq.empty)
+    }
+  }
 }

@@ -55,6 +55,23 @@ class DamerauSpec extends SparkSpec {
     assert(fromDf == direct)
   }
 
+  test("supplementary-plane text counts code points, not UTF-16 units") {
+    // each emoji is one code point but two UTF-16 chars; a swapped
+    // adjacent pair must be ONE transposition (char-level DP saw four
+    // units and answered 2), matching DuckDB's code-point semantics
+    val dl = (a: String, b: String) =>
+      Seq((a, b)).toDF("a", "b")
+        .select(call_function("damerau_lev", col("a"), col("b"))).as[Int].head()
+    assert(dl("😀😁", "😁😀") == 1)
+    // substitution of one supplementary code point = 1 edit (not 2)
+    assert(dl("x😀y", "x😁y") == 1)
+    // and the banded-prefilter invariant lev <= 2*dl holds in the same
+    // alphabet: Spark's levenshtein counts code points too
+    val lev = Seq(("😀😁", "😁😀"))
+      .toDF("a", "b").select(org.apache.spark.sql.functions.levenshtein(col("a"), col("b"))).as[Int].head()
+    assert(lev <= 2 * 1)
+  }
+
   test("nulls propagate as null") {
     val out = Seq((Some("a"), None: Option[String]))
       .toDF("a", "b")

@@ -60,6 +60,20 @@ class FreqTopKSpec extends SparkSpec {
     assert(out.split(" ").length <= 5)
   }
 
+  test("count ties break in UTF-8 byte order, not UTF-16 code-unit order") {
+    // U+E000 (private use, 3 UTF-8 bytes 0xEE..) vs U+10000 (4 bytes
+    // 0xF0..): UTF-16 compareTo puts the surrogate pair (0xD800..)
+    // FIRST, but the DuckDB oracles collate UTF-8 binary where 0xEE <
+    // 0xF0 — the sketch must agree or the gate hash breaks on non-BMP
+    // vocab
+    val bmp = "\uE000"
+    val supp = new String(Character.toChars(0x10000))
+    assert(bmp.compareTo(supp) > 0) // UTF-16 order would invert...
+    val out = topkOf(Seq(supp, bmp, supp, bmp), 2, 8, 1)
+    assert(out == s"$bmp:2 $supp:2", // ...UTF-8 order must win
+      out.toList.map(_.toInt.toHexString).toString)
+  }
+
   test("nulls are skipped, empty input yields empty string") {
     val withNulls = Seq(Some("x"), None, Some("x"), None).toDF("item")
     assert(withNulls.agg(expr("freq_topk(item, 3, 8)")).as[String].head() == "x:2")
