@@ -105,26 +105,26 @@ object Sources {
   def compactParquet(spark: SparkSession, dir: String,
       targetFileRows: Long): (Long, Long, Long) = {
     require(targetFileRows > 0, s"targetFileRows must be positive: $targetFileRows")
-    def parquetFiles(d: java.io.File): Long =
-      Option(d.listFiles()).fold(0L)(_.count(f =>
-        f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).toLong)
-    val cur = new java.io.File(dir)
-    val before = parquetFiles(cur)
+    import org.apache.hadoop.fs.Path
+    val fs = Hfs.fs(spark, dir)
+    val cur = new Path(dir)
+    val before = Hfs.countParquetFiles(fs, cur)
     val df = spark.read.parquet(dir)
     val rows = df.count()
     val parts = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
-    val tmp = new java.io.File(dir + ".compact-tmp")
-    df.repartition(parts).write.mode("overwrite").parquet(tmp.getPath)
-    val old = new java.io.File(dir + ".compact-old")
-    if (old.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    require(cur.renameTo(old), s"compact swap (data→old) failed for $dir")
-    if (!tmp.renameTo(cur)) {
+    val tmp = new Path(dir + ".compact-tmp")
+    df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(dir + ".compact-old")
+    Hfs.deleteIfExists(fs, old)
+    Hfs.renameChecked(fs, cur, old, s"compact swap (data->old) for $dir")
+    try Hfs.renameChecked(fs, tmp, cur, s"compact swap (tmp->data) for $dir")
+    catch { case e: Throwable =>
       // roll back so the dataset directory never stays missing
-      val _ = old.renameTo(cur)
-      throw new IllegalStateException(s"compact swap (tmp→data) failed for $dir")
+      if (!fs.exists(cur)) { val _ = fs.rename(old, cur) }
+      throw e
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
-    (rows, before, parquetFiles(cur))
+    Hfs.deleteIfExists(fs, old)
+    (rows, before, Hfs.countParquetFiles(fs, cur))
   }
 
   /** Z-order (Morton-curve) clustered parquet write — the layout that
@@ -179,7 +179,7 @@ object Sources {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
-    Option(new java.io.File(path).listFiles()).fold(0L)(_.count(f =>
-      f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).toLong)
+    Hfs.countParquetFiles(Hfs.fs(df.sparkSession, path),
+      new org.apache.hadoop.fs.Path(path))
   }
 }

@@ -160,37 +160,46 @@ object StreamOps {
       versionCol: String, targetDir: String): Unit = {
       val spark = batch.sparkSession
       import org.apache.spark.sql.expressions.Window
+      import graft.connect.Hfs
+      import org.apache.hadoop.fs.Path
       val latest = batch
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)))
         .filter(col("__rn") === 1).drop("__rn")
-      val cur = new java.io.File(targetDir, "current")
-      val prev = new java.io.File(targetDir, "prev")
+      // all paths through the Hadoop FileSystem bound to targetDir's
+      // scheme — file:/hdfs:/s3a: alike (rename-swap needs atomic
+      // rename, i.e. a real filesystem; see Hfs scaladoc and the
+      // manifest sink for object stores)
+      val fs = Hfs.fs(spark, targetDir)
+      val root = new Path(targetDir)
+      val cur = new Path(root, "current")
+      val prev = new Path(root, "prev")
       // crash recovery: a previous batch that died between its two
       // renames left no "current" but a complete "prev" — restore it
       // before merging, or the accumulated table would be silently
       // dropped (foreachBatch may replay the batch after a failure,
       // which is exactly when this state occurs)
-      if (!cur.isDirectory && prev.isDirectory)
-        require(prev.renameTo(cur), s"upsert recovery rename failed in $targetDir")
+      if (!Hfs.isDir(fs, cur) && Hfs.isDir(fs, prev))
+        Hfs.renameChecked(fs, prev, cur, "upsert recovery")
       val merged =
-        if (cur.isDirectory) {
-          val old = spark.read.parquet(cur.getPath)
+        if (Hfs.isDir(fs, cur)) {
+          val old = spark.read.parquet(cur.toString)
           old.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
             .unionByName(latest)
         } else latest
-      val next = new java.io.File(targetDir, "next")
-      merged.write.mode("overwrite").parquet(next.getPath)
+      val next = new Path(root, "next")
+      merged.write.mode("overwrite").parquet(next.toString)
       // swap, every step checked: a silently-failed rename here would
       // let streaming commit the batch offsets while readers keep the
       // stale snapshot — the batch would be lost with no error
-      if (prev.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(prev)
-      if (cur.isDirectory)
-        require(cur.renameTo(prev), s"upsert swap (current→prev) failed in $targetDir")
-      if (!next.renameTo(cur)) {
+      Hfs.deleteIfExists(fs, prev)
+      if (Hfs.isDir(fs, cur))
+        Hfs.renameChecked(fs, cur, prev, "upsert swap (current->prev)")
+      try Hfs.renameChecked(fs, next, cur, "upsert swap (next->current)")
+      catch { case e: Throwable =>
         // roll the old snapshot back so readers/next batch still see it
-        if (prev.isDirectory) { val _ = prev.renameTo(cur) }
-        throw new IllegalStateException(s"upsert swap (next→current) failed in $targetDir")
+        if (Hfs.isDir(fs, prev) && !fs.exists(cur)) { val _ = fs.rename(prev, cur) }
+        throw e
       }
   }
 
@@ -236,31 +245,32 @@ object StreamOps {
       versionCol: String, targetDir: String, numBuckets: Int): Unit = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val root = new java.io.File(targetDir)
-    root.mkdirs()
+    import graft.connect.Hfs
+    import org.apache.hadoop.fs.Path
+    val fs = Hfs.fs(spark, targetDir)
+    val root = new Path(targetDir)
+    fs.mkdirs(root)
     // 0. bucket-count contract: routing is pure hash(key) mod N, so a
     // DIFFERENT N against an existing snapshot silently re-routes rows
     // read from touched buckets into staged buckets the swap loop never
     // installs — permanent row loss. Persist N on first write and fail
     // fast on any mismatch instead.
-    val marker = new java.io.File(root, "_num_buckets")
-    if (marker.isFile) {
-      val stored = new String(
-        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim.toInt
+    val marker = new Path(root, "_num_buckets")
+    if (Hfs.isFile(fs, marker)) {
+      val stored = Hfs.readSmall(fs, marker).trim.toInt
       require(stored == numBuckets,
         s"bucketed snapshot at $targetDir was written with numBuckets=$stored; " +
           s"got $numBuckets — changing the bucket count requires a full rewrite")
     } else {
-      java.nio.file.Files.write(marker.toPath,
-        numBuckets.toString.getBytes("UTF-8"))
+      Hfs.writeSmall(fs, marker, numBuckets.toString)
     }
     // 1. crash-recovery sweep over bucket dirs
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).foreach { bd =>
-        val cur = new java.io.File(bd, "current")
-        val prev = new java.io.File(bd, "prev")
-        if (!cur.isDirectory && prev.isDirectory)
-          require(prev.renameTo(cur), s"bucketed upsert recovery rename failed in $bd")
+    Hfs.listDirs(fs, root)
+      .filter(_.getName.startsWith("bucket=")).foreach { bd =>
+        val cur = new Path(bd, "current")
+        val prev = new Path(bd, "prev")
+        if (!Hfs.isDir(fs, cur) && Hfs.isDir(fs, prev))
+          Hfs.renameChecked(fs, prev, cur, s"bucketed upsert recovery ($bd)")
       }
     // 2. in-batch version resolution + bucket assignment
     val latest = batch
@@ -273,8 +283,8 @@ object StreamOps {
     val touched = latest.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val existing = touched
-      .map(b => new java.io.File(root, s"bucket=$b/current"))
-      .filter(_.isDirectory).map(_.getPath)
+      .map(b => new Path(root, s"bucket=$b/current"))
+      .filter(Hfs.isDir(fs, _)).map(_.toString)
     // 4. merge + one staged write of the touched buckets. The bucket
     // column is RECOMPUTED from the key on read (partition dirs don't
     // store it), keeping bucket routing a pure function of the key.
@@ -284,38 +294,221 @@ object StreamOps {
         .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
         .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(latest)
-    val staging = new java.io.File(root, "staging")
-    if (staging.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(staging)
+    val staging = new Path(root, "staging")
+    Hfs.deleteIfExists(fs, staging)
     merged.select(latest.columns.map(col).toIndexedSeq: _*)
-      .write.mode("overwrite").partitionBy("__bucket").parquet(staging.getPath)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(staging.toString)
     latest.unpersist()
     // 5. per-bucket checked swap
     touched.foreach { b =>
-      val next = new java.io.File(staging, s"__bucket=$b")
-      require(next.isDirectory, s"staged bucket $b missing under $staging")
-      val bd = new java.io.File(root, s"bucket=$b")
-      bd.mkdirs()
-      val cur = new java.io.File(bd, "current")
-      val prev = new java.io.File(bd, "prev")
-      if (prev.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(prev)
-      if (cur.isDirectory)
-        require(cur.renameTo(prev), s"bucketed upsert swap (current→prev) failed in $bd")
-      if (!next.renameTo(cur)) {
-        if (prev.isDirectory) { val _ = prev.renameTo(cur) }
-        throw new IllegalStateException(s"bucketed upsert swap (next→current) failed in $bd")
+      val next = new Path(staging, s"__bucket=$b")
+      require(Hfs.isDir(fs, next), s"staged bucket $b missing under $staging")
+      val bd = new Path(root, s"bucket=$b")
+      fs.mkdirs(bd)
+      val cur = new Path(bd, "current")
+      val prev = new Path(bd, "prev")
+      Hfs.deleteIfExists(fs, prev)
+      if (Hfs.isDir(fs, cur))
+        Hfs.renameChecked(fs, cur, prev, s"bucketed upsert swap current->prev ($bd)")
+      try Hfs.renameChecked(fs, next, cur, s"bucketed upsert swap next->current ($bd)")
+      catch { case e: Throwable =>
+        if (Hfs.isDir(fs, prev) && !fs.exists(cur)) { val _ = fs.rename(prev, cur) }
+        throw e
       }
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(staging)
+    Hfs.deleteIfExists(fs, staging)
+  }
+
+  // ---------------------------------------------------------------------
+  // Manifest-committed bucketed upsert — the OBJECT-STORE-SAFE variant.
+  //
+  // The rename-swap sinks above are atomic exactly where rename is an
+  // atomic namespace edit: local filesystems and HDFS. Object stores
+  // (s3a:, gs:, abfs:) implement "rename" as per-object copy+delete — a
+  // crash mid-swap strands a directory HALF-moved, which breaks the
+  // prev/current recovery invariant those sinks rely on. The fix every
+  // public table format (Iceberg, Delta) converged on: never move data
+  // at all. Data directories are write-once; commits are small
+  // write-once manifest files; the LATEST COMPLETE manifest is the
+  // snapshot. This sink is that protocol in its smallest honest form:
+  //
+  //   targetDir/data/v<N>/__bucket=<b>/part-*.parquet  write-once gens
+  //   targetDir/manifests/m<N>                         write-once, maps
+  //                                                    bucket -> data dir,
+  //                                                    terminated by END
+  //
+  // Commit point = the manifest's final "END" line being durable: a
+  // manifest without END (writer crashed mid-PUT; object stores make
+  // this impossible, filesystems possible) is ignored and readers fall
+  // back to the previous version, so a crash ANYWHERE leaves the old
+  // snapshot intact and the replayed batch re-merges idempotently (the
+  // gen dir name is the deterministic v<N+1>, so a retry overwrites the
+  // orphan instead of leaking it). Untouched buckets keep pointing at
+  // their old gen dirs — the same O(touched-bucket) I/O bound as the
+  // rename sink — and the whole table version flips atomically (the
+  // rename sink only promised PER-BUCKET atomicity; the manifest commit
+  // is strictly stronger). Old gens stay readable for time travel until
+  // [[vacuumManifestSnapshot]] reclaims them.
+  // ---------------------------------------------------------------------
+
+  private val ManifestEnd = "END"
+
+  /** Parse a manifest if complete, else None. Returns (numBuckets,
+    * bucket -> data-dir-relative-path). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(Int, Map[Int, String])] = {
+    import graft.connect.Hfs
+    val lines = Hfs.readSmall(fs, p).split("\n", -1).toSeq
+    if (lines.isEmpty || lines.takeWhile(_.nonEmpty).lastOption.forall(_ != ManifestEnd)) None
+    else {
+      val entries = lines.takeWhile(_ != ManifestEnd)
+      val nb = entries.collectFirst {
+        case l if l.startsWith("numBuckets\t") => l.split("\t")(1).toInt
+      }
+      nb.map { n =>
+        n -> entries.collect {
+          case l if l.nonEmpty && !l.startsWith("numBuckets\t") =>
+            val Array(b, dir) = l.split("\t", 2)
+            b.toInt -> dir
+        }.toMap
+      }
+    }
+  }
+
+  /** Highest complete manifest under `targetDir/manifests`, with its
+    * version; (-1, empty) for a fresh target. */
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (Long, Int, Map[Int, String]) = {
+    val mdir = new org.apache.hadoop.fs.Path(root, "manifests")
+    if (!fs.exists(mdir)) return (-1L, 0, Map.empty)
+    val versions = fs.listStatus(mdir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("m"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+    versions.iterator
+      .map(v => v -> readManifest(fs, new org.apache.hadoop.fs.Path(mdir, s"m$v")))
+      .collectFirst { case (v, Some((nb, m))) => (v, nb, m) }
+      .getOrElse((-1L, 0, Map.empty))
+  }
+
+  /** Streaming CDC upsert committed via manifests — drop-in for
+    * [[upsertToParquetBucketed]] on object stores (and equally correct
+    * on HDFS/local; it just never needs rename at all). */
+  def upsertToParquetManifest(df: DataFrame, keyCol: String, versionCol: String,
+      targetDir: String, numBuckets: Int): DataStreamWriter[Row] =
+    toForeachBatch(df, "append")((batch, _) =>
+      mergeIntoManifestSnapshot(batch, keyCol, versionCol, targetDir, numBuckets))
+
+  /** The per-batch merge of [[upsertToParquetManifest]], callable
+    * directly. Same merge semantics as the bucketed rename sink
+    * (in-batch highest `versionCol` per key wins, last batch wins
+    * across batches); only the commit mechanism differs. */
+  private[graft] def mergeIntoManifestSnapshot(batch: DataFrame, keyCol: String,
+      versionCol: String, targetDir: String, numBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import graft.connect.Hfs
+    import org.apache.hadoop.fs.Path
+    val fs = Hfs.fs(spark, targetDir)
+    val root = new Path(targetDir)
+    val (ver, storedNb, current) = latestManifest(fs, root)
+    if (ver >= 0) require(storedNb == numBuckets,
+      s"manifest snapshot at $targetDir was written with numBuckets=$storedNb; " +
+        s"got $numBuckets — changing the bucket count requires a full rewrite")
+    val latest = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+      .persist()
+    val touched = latest.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = touched.flatMap(b => current.get(b))
+      .map(rel => new Path(root, rel).toString)
+    val merged =
+      if (existing.isEmpty) latest
+      else spark.read.parquet(existing.toIndexedSeq: _*)
+        .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+        .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(latest)
+    // deterministic gen dir: a replayed batch overwrites its own orphan
+    val nextVer = ver + 1
+    val genRel = s"data/v$nextVer"
+    merged.select(latest.columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(new Path(root, genRel).toString)
+    latest.unpersist()
+    // commit: write-once manifest, END last. Untouched buckets carry
+    // their previous data dirs forward — their files never move.
+    val entries = (current ++ touched.map(b => b -> s"$genRel/__bucket=$b")).toSeq
+      .sortBy(_._1).map { case (b, d) => s"$b\t$d" }
+    val body = (s"numBuckets\t$numBuckets" +: entries :+ ManifestEnd).mkString("\n")
+    fs.mkdirs(new Path(root, "manifests"))
+    // overwrite=true: a crash may have left a PARTIAL m<nextVer> (no
+    // END, ignored by readers) that this retry must replace
+    Hfs.writeSmall(fs, new Path(root, s"manifests/m$nextVer"), body, overwrite = true)
+  }
+
+  /** Current state of a [[upsertToParquetManifest]] target: the union
+    * of the latest complete manifest's bucket data dirs. */
+  def readManifestSnapshot(spark: SparkSession, targetDir: String): DataFrame = {
+    import graft.connect.Hfs
+    import org.apache.hadoop.fs.Path
+    val fs = Hfs.fs(spark, targetDir)
+    val root = new Path(targetDir)
+    val (ver, _, current) = latestManifest(fs, root)
+    require(ver >= 0, s"no committed manifest under $targetDir")
+    spark.read.parquet(current.values.toSeq.distinct.sorted
+      .map(rel => new Path(root, rel).toString): _*)
+  }
+
+  /** Reclaim generations no manifest in the kept window references:
+    * keeps the latest `keep` complete manifests (time travel window)
+    * and deletes every `data/v*` dir none of them cites, plus older
+    * manifest files. Never touches the latest version. Returns the
+    * deleted data-dir count. */
+  def vacuumManifestSnapshot(spark: SparkSession, targetDir: String,
+      keep: Int = 2): Int = {
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    import graft.connect.Hfs
+    import org.apache.hadoop.fs.Path
+    val fs = Hfs.fs(spark, targetDir)
+    val root = new Path(targetDir)
+    val mdir = new Path(root, "manifests")
+    if (!fs.exists(mdir)) return 0
+    val complete = fs.listStatus(mdir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("m"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+      .filter(v => readManifest(fs, new Path(mdir, s"m$v")).isDefined)
+    val kept = complete.take(keep).toSet
+    val referenced = kept.toSeq
+      .flatMap(v => readManifest(fs, new Path(mdir, s"m$v")).toSeq)
+      .flatMap(_._2.values)
+      // entries point at __bucket= subdirs; the reclaim unit is the gen
+      .map(rel => rel.split("/").take(2).mkString("/")).toSet
+    val dataDir = new Path(root, "data")
+    var deleted = 0
+    Hfs.listDirs(fs, dataDir).foreach { gen =>
+      if (!referenced.contains(s"data/${gen.getName}")) {
+        Hfs.deleteIfExists(fs, gen); deleted += 1
+      }
+    }
+    complete.drop(keep).foreach(v => Hfs.deleteIfExists(fs, new Path(mdir, s"m$v")))
+    deleted
   }
 
   /** Read the current state of a [[upsertToParquetBucketed]] target:
     * the union of every bucket's `current` snapshot. */
   def readBucketedSnapshot(spark: SparkSession, targetDir: String): DataFrame = {
-    val dirs = Option(new java.io.File(targetDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map(bd => new java.io.File(bd, "current"))
-      .filter(_.isDirectory).map(_.getPath)
+    import graft.connect.Hfs
+    import org.apache.hadoop.fs.Path
+    val fs = Hfs.fs(spark, targetDir)
+    val dirs = Hfs.listDirs(fs, new Path(targetDir))
+      .filter(_.getName.startsWith("bucket="))
+      .map(bd => new Path(bd, "current"))
+      .filter(Hfs.isDir(fs, _)).map(_.toString)
     require(dirs.nonEmpty, s"no bucket snapshots under $targetDir")
-    spark.read.parquet(dirs.toIndexedSeq: _*)
+    spark.read.parquet(dirs: _*)
   }
 }
