@@ -283,6 +283,67 @@ object Graph {
     state.select($"id".as("doc_id"), $"rank").orderBy($"doc_id")
   }
 
+  /** Convergence-driven PageRank — the production companion of the
+    * fixed-round gate row [[pagerankOf]]: same per-round plan (one
+    * (contrib ⋈ edges) equi-join + one dst-keyed sum on the node id,
+    * every round), but termination is data-driven — stop when the max
+    * per-node rank move is ≤ `tolMicro` micro-units, an EXACT integer
+    * test on the same bridge as the ranks themselves (no float epsilon
+    * whose evaluation could differ across engines). Lineage follows
+    * the [[Dedup.connectedComponents]] contract verbatim:
+    * `localCheckpoint` truncates every round (the plan would otherwise
+    * double per round), and with `checkpointDir` set every
+    * `checkpointEvery`-th round is RELIABLY checkpointed so an
+    * executor death replays at most `checkpointEvery` rounds on a
+    * 1000-executor run. `maxRounds` is the runaway guard — hitting it
+    * without convergence is an error, never a silent partial result.
+    */
+  def pagerankConverged(nodes: DataFrame, pairs: DataFrame,
+      tolMicro: Long = 1000L, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): DataFrame =
+    pagerankConvergedWithRounds(
+      nodes, pairs, tolMicro, maxRounds, checkpointDir, checkpointEvery)._1
+
+  private[ops] def pagerankConvergedWithRounds(
+      nodes: DataFrame, pairs: DataFrame, tolMicro: Long, maxRounds: Int,
+      checkpointDir: Option[String], checkpointEvery: Int): (DataFrame, Int) = {
+    import nodes.sparkSession.implicits._
+    val sc = nodes.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def cut(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined && round % checkpointEvery == 0) df.checkpoint()
+      else df.localCheckpoint()
+    val edges = pairs.select($"src".as("u"), $"dst".as("v"))
+      .unionAll(pairs.select($"dst".as("u"), $"src".as("v"))).localCheckpoint()
+    val deg = edges.groupBy($"u".as("id")).agg(count(lit(1)).as("deg"))
+    val base = nodes.join(deg, Seq("id"), "left")
+      .select($"id", coalesce($"deg", lit(0L)).as("deg")).localCheckpoint()
+    var state = base.withColumn("rank", lit(1000000L)).localCheckpoint()
+    var round = 0
+    var delta = Long.MaxValue
+    while (delta > tolMicro && round < maxRounds) {
+      round += 1
+      val contrib = state.filter($"deg" > 0)
+        .select($"id".as("u"), expr("rank div deg").as("c"))
+      val incoming = edges.join(contrib, Seq("u"))
+        .groupBy($"v".as("id")).agg(sum($"c").as("s"))
+      val next = cut(base.join(incoming, Seq("id"), "left")
+        .join(state.select($"id", $"rank".as("prev_rank")), Seq("id"))
+        .select($"id", $"deg",
+          (lit(150000L) + expr("(850000 * coalesce(s, 0)) div 1000000")).as("rank"),
+          $"prev_rank"), round)
+      // exact integer max-move; the cut above materialized `next`, so
+      // this is a scan of local blocks, not a plan re-execution
+      delta = next.select(coalesce(max(abs($"rank" - $"prev_rank")), lit(0L)))
+        .head().getLong(0)
+      state = next.select($"id", $"deg", $"rank")
+    }
+    require(delta <= tolMicro,
+      s"pagerank did not converge in $maxRounds rounds (last max move $delta µ)")
+    (state.select($"id".as("doc_id"), $"rank").orderBy($"doc_id"), round)
+  }
+
   /** Oracle: the same three integer-bridge iterations as an unrolled
     * CTE chain (the [[Dedup]] clustersCteSql pattern). */
   private val pagerankSql = {
@@ -321,10 +382,11 @@ object Graph {
     * Hub caveat: the coefficient rides the UNCAPPED [[trianglesOf]], so
     * on a super-hub graph it inherits the Σdeg² wedge cost (measured
     * bounded through hub800 — 1.4× per hub doubling, PLANS.md — but
-    * the d² growth is real past that). For hub-heavy corpora compose
-    * the capped pipeline instead: the shared [[triangleCountsOf]] over
-    * [[cappedTrianglesWithDeg]]'s anti-joined edge set gives
-    * hub-excluded coefficients with the cap's cost bound.
+    * the d² growth is real past that). For hub-heavy corpora use the
+    * capped composition instead — [[clusteringCappedQuery]], its own
+    * differential gate row (`q_graph_clustering_capped`) — which
+    * anti-joins hub edges out before the wedge join and bounds the
+    * cost at N·maxDegree².
     */
   def clusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -367,6 +429,111 @@ object Graph {
        |FROM deg LEFT JOIN tc ON deg.doc_id = tc.doc_id
        |WHERE deg.degree >= 2
        |ORDER BY deg.doc_id""".stripMargin
+
+  /** Hub-capped clustering coefficient — the composition the uncapped
+    * [[clusteringCoefficient]]'s scaladoc prescribes, now a gate row of
+    * its own: anti-join hub-touching edges out FIRST (the
+    * [[cappedTrianglesWithDeg]] move), then compute degrees AND
+    * triangles on the capped edge set, so both the wedge join and the
+    * coefficient denominators see the bounded graph. This is the one
+    * query on the board that could still blow up quadratically on a
+    * zipfian corpus without the cap; with it the wedge cost is ≤
+    * N·maxDegree². Excluded hubs are reported with the -1 sentinel
+    * triple (never a real value: degrees, counts, and permilles are
+    * all ≥ 0) exactly like the capped triangle row. Gate shape mirrors
+    * [[triangleCappedQuery]]: both a binding cap (1: every triangle
+    * member is a hub, no coefficients survive) and a non-binding cap
+    * (2: the fixture triangle passes — 3 nodes at permille 1000)
+    * against ONE persisted graph + degree table.
+    */
+  def clusteringCappedQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, pairs) = Dedup.lshPairGraph(s, dir)
+    val e = pairs.persistScoped()
+    val deg = degreesOf(e).persistScoped()
+    Seq(1L, 2L)
+      .map(cap => cappedClusteringWithDeg(e, deg, cap).withColumn("max_degree", lit(cap)))
+      .reduce(_ unionByName _)
+      .select($"max_degree", $"doc_id", $"degree", $"n_triangles",
+        $"clustering_permille", $"excluded_hub")
+      .orderBy($"max_degree", $"doc_id")
+  }
+
+  private[ops] def cappedClusteringWithDeg(
+      e: DataFrame, deg: DataFrame, maxDegree: Long): DataFrame = {
+    import e.sparkSession.implicits._
+    val hubs = deg.filter($"degree" > maxDegree).select($"id").persistScoped()
+    val capped = e
+      .join(broadcast(hubs.withColumnRenamed("id", "src")), Seq("src"), "left_anti")
+      .join(broadcast(hubs.withColumnRenamed("id", "dst")), Seq("dst"), "left_anti")
+      .select($"src", $"dst")
+    degreesOf(capped).withColumnRenamed("id", "doc_id")
+      .filter($"degree" >= 2)
+      .join(triangleCountsOf(capped), Seq("doc_id"), "left")
+      .select($"doc_id", $"degree",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        expr("2000 * coalesce(n_triangles, 0) div (degree * (degree - 1))")
+          .as("clustering_permille"),
+        lit(false).as("excluded_hub"))
+      .unionByName(hubs.select($"id".as("doc_id"), lit(-1L).as("degree"),
+        lit(-1L).as("n_triangles"), lit(-1L).as("clustering_permille"),
+        lit(true).as("excluded_hub")))
+  }
+
+  /** Oracle: per-cap expansion over the shared e/deg CTEs — capped
+    * edge set, RECOMPUTED degrees on it, triangles, coefficient. */
+  private def cappedClusteringBlockSql(cap: Int): String =
+    s"""h$cap AS (
+       |  SELECT doc_id FROM deg WHERE degree > $cap),
+       |e$cap AS (
+       |  SELECT s, d FROM e
+       |  WHERE s NOT IN (SELECT doc_id FROM h$cap)
+       |    AND d NOT IN (SELECT doc_id FROM h$cap)),
+       |cd$cap AS (
+       |  SELECT doc_id, COUNT(*) AS degree
+       |  FROM (SELECT s AS doc_id FROM e$cap UNION ALL SELECT d FROM e$cap) u
+       |  GROUP BY 1),
+       |t$cap AS (
+       |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+       |  FROM e$cap e1 JOIN e$cap e2 ON e1.d = e2.s
+       |                JOIN e$cap e3 ON e3.s = e1.s AND e3.d = e2.d),
+       |c$cap AS (
+       |  SELECT doc_id, COUNT(*) AS n_triangles
+       |  FROM (SELECT a AS doc_id FROM t$cap
+       |        UNION ALL SELECT b FROM t$cap
+       |        UNION ALL SELECT c FROM t$cap) u
+       |  GROUP BY 1)""".stripMargin
+
+  private def cappedClusteringSelectSql(cap: Int): String =
+    s"""SELECT CAST($cap AS BIGINT) AS max_degree, cd.doc_id,
+       |  CAST(cd.degree AS BIGINT) AS degree,
+       |  CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST(2000 * coalesce(c.n_triangles, 0)
+       |       // (cd.degree * (cd.degree - 1)) AS BIGINT) AS clustering_permille,
+       |  FALSE AS excluded_hub
+       |FROM cd$cap cd LEFT JOIN c$cap c ON cd.doc_id = c.doc_id
+       |WHERE cd.degree >= 2
+       |UNION ALL
+       |SELECT CAST($cap AS BIGINT), doc_id, CAST(-1 AS BIGINT),
+       |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE
+       |FROM h$cap""".stripMargin
+
+  private val clusteringCappedSql =
+    s"""WITH ${Dedup.bandsCteSql},
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree
+       |  FROM (SELECT s AS doc_id FROM e UNION ALL SELECT d FROM e) u
+       |  GROUP BY 1),
+       |${cappedClusteringBlockSql(1)},
+       |${cappedClusteringBlockSql(2)}
+       |${cappedClusteringSelectSql(1)}
+       |UNION ALL
+       |${cappedClusteringSelectSql(2)}
+       |ORDER BY max_degree, doc_id""".stripMargin
 
   /** Peel rounds for the fixed-k core: enough for the fixture to reach
     * its fixpoint (GraphSpec proves a 3-deep pendant chain cascades off
@@ -420,6 +587,56 @@ object Graph {
       .orderBy($"doc_id")
   }
 
+  /** Convergence-driven k-core — peel until the edge set stops
+    * changing (an exact count equality on the checkpoint-materialized
+    * table, so the test costs a metadata-cheap scan, not a replay),
+    * instead of [[kcoreOf]]'s fixed unroll. A pendant chain deeper
+    * than the fixed round count is exactly the case this exists for:
+    * the fixed variant leaves the chain's tail in the "core", the
+    * converged one peels to the true fixpoint. Reliable-checkpoint
+    * cadence matches [[Dedup.connectedComponents]]: `checkpointDir` +
+    * `checkpointEvery` bound executor-death replay on long peels;
+    * `maxRounds` is the runaway guard (error, never partial output).
+    */
+  def kcoreConverged(pairs: DataFrame, k: Long, maxRounds: Int = 100,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 5): DataFrame =
+    kcoreConvergedWithRounds(pairs, k, maxRounds, checkpointDir, checkpointEvery)._1
+
+  private[ops] def kcoreConvergedWithRounds(
+      pairs: DataFrame, k: Long, maxRounds: Int,
+      checkpointDir: Option[String], checkpointEvery: Int): (DataFrame, Int) = {
+    import pairs.sparkSession.implicits._
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def cut(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined && round % checkpointEvery == 0) df.checkpoint()
+      else df.localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select($"src".as("id")).union(e.select($"dst".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("d"))
+    var e = pairs.select($"src", $"dst").localCheckpoint(true)
+    var nEdges = e.count()
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      round += 1
+      val keep = degrees(e).filter($"d" >= k).select($"id")
+      val next = cut(e
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"))
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select($"src", $"dst"), round)
+      val m = next.count()
+      changed = m != nEdges
+      nEdges = m
+      e = next
+    }
+    require(!changed,
+      s"k-core did not reach a fixpoint in $maxRounds rounds ($nEdges edges left)")
+    (degrees(e).select($"id".as("doc_id"), $"d".as("core_degree"))
+      .orderBy($"doc_id"), round)
+  }
+
   private val kcoreSql = {
     // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
     // reference, and each round references its predecessor three times
@@ -449,6 +666,7 @@ object Graph {
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_graph_clustering", clusteringCoefficient, Some(clusteringCoefficientSql)),
+    CatalogEntry("q_graph_clustering_capped", clusteringCappedQuery, Some(clusteringCappedSql)),
     CatalogEntry("q_graph_kcore", kcore, Some(kcoreSql)),
     CatalogEntry("q_graph_degree", degreeDist, Some(degreeDistSql)),
     CatalogEntry("q_graph_triangles", triangleCounts, Some(triangleCountsSql)),

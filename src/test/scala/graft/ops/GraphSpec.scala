@@ -62,6 +62,30 @@ class GraphSpec extends SparkSpec {
       "1-3 alone cannot close a triangle once node 2's edges are gone")
   }
 
+  test("capped clustering recomputes degrees on the capped edge set") {
+    // node 1 also touches the hub: uncapped degree 4, capped degree 3.
+    // Its coefficient must use the CAPPED degree — 2000·3/(3·2) = 1000
+    // — not the uncapped one (2000·3/(4·3) = 500): the hub edge is
+    // gone, so it must not inflate the denominator either.
+    val withHubEdge = fixture.union(Seq((1L, 100L)).toDF("src", "dst"))
+    val e = withHubEdge
+    val out = Graph.cappedClusteringWithDeg(
+        e, e.select($"src".as("id")).union(e.select($"dst".as("id")))
+          .groupBy($"id").agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("degree")),
+        maxDegree = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // hub 100 (degree 11) excluded with the sentinel triple
+    assert(out(100L) == ((-1L, -1L, -1L, true)))
+    // all four clique nodes: capped degree 3, 3 triangles, permille 1000
+    (1L to 4L).foreach { n =>
+      assert(out(n) == ((3L, 3L, 1000L, false)), s"node $n: ${out(n)}")
+    }
+    // star leaves lost their only edge -> no degree>=2 row, no sentinel
+    assert(!out.contains(101L))
+  }
+
   test("pagerank: triangle is a fixpoint, isolated node holds the teleport floor") {
     // symmetric 3-cycle: every node's incoming sum is exactly 1 000 000
     // micro-units each round, so rank stays 150000 + 850000 = 1000000
@@ -89,6 +113,72 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.toLowerCase.contains("leftanti"),
       s"expected broadcast anti-joins for the hub filter:\n$plan")
+  }
+
+  test("converged pagerank stops at the fixpoint, matches the fixed-round ranks") {
+    // the symmetric triangle is a 1-round fixpoint (every rank move is
+    // 0 after round 1), so convergence must trigger immediately instead
+    // of burning maxRounds — and agree with the fixed-round gate math
+    val nodes = Seq(1L, 2L, 3L, 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val (df, rounds) = Graph.pagerankConvergedWithRounds(
+      nodes, edges, tolMicro = 0L, maxRounds = 50,
+      checkpointDir = None, checkpointEvery = 5)
+    val r = df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 10L -> 150000L))
+    assert(rounds <= 2, s"fixpoint graph should converge in <=2 rounds, took $rounds")
+  }
+
+  test("converged pagerank: 2-leaf star settles within tolerance, honors maxRounds guard") {
+    // hub/leaf moves contract by 0.85 per round (geometric mean of the
+    // 1.7 / 0.425 alternation), so tol picks the round count:
+    // 850000·0.85^n ≤ 50000 → n ≈ 17. A unit-test-sized tolerance —
+    // production callers trade tol for rounds on the same curve.
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val (df, rounds) = Graph.pagerankConvergedWithRounds(
+      nodes, edges, tolMicro = 50000L, maxRounds = 50,
+      checkpointDir = None, checkpointEvery = 5)
+    assert(rounds < 50)
+    val r = df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val hub = r(1L)
+    assert(r(2L) == r(3L), "symmetric leaves must tie exactly")
+    assert(hub > r(2L), "hub outranks leaves")
+    // near the damping-0.85 closed-form limits (hub ≈ 1 459 459 µ,
+    // leaf ≈ 770 270 µ) — within a few tol of the fixpoint
+    assert(math.abs(hub - 1459459L) < 3 * 50000L, s"hub $hub")
+    assert(math.abs(r(2L) - 770270L) < 3 * 50000L, s"leaf ${r(2L)}")
+    // and a too-small maxRounds is an ERROR, not a silent partial result
+    val e = intercept[IllegalArgumentException] {
+      Graph.pagerankConverged(nodes, edges, tolMicro = 0L, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("converged kcore peels a chain DEEPER than the fixed unroll to the true fixpoint") {
+    // 6-deep pendant chain off the triangle: the catalog's fixed 4
+    // rounds leave chain remnants — exactly the failure mode the
+    // convergence mode exists to close — while kcoreConverged peels to
+    // the triangle and reports the rounds it took
+    val chain = Seq((3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L))
+    val g = (Seq((1L, 2L), (1L, 3L), (2L, 3L)) ++ chain).toDF("src", "dst")
+    val fixed4 = Graph.kcoreOf(g, 2, 4).collect().map(_.getLong(0)).toSet
+    assert(fixed4.exists(_ >= 10L), "fixed 4 rounds should NOT have finished this peel")
+    val (df, rounds) = Graph.kcoreConvergedWithRounds(
+      g, 2, maxRounds = 100, checkpointDir = None, checkpointEvery = 5)
+    val core = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // 6 peel rounds + the no-change round that proves the fixpoint
+    assert(rounds == 7, s"expected 6 peels + 1 fixpoint check, got $rounds")
+  }
+
+  test("converged kcore errors instead of returning a partial peel at maxRounds") {
+    val g = (Seq((1L, 2L), (1L, 3L), (2L, 3L)) ++
+      Seq((3L, 10L), (10L, 11L), (11L, 12L))).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.kcoreConverged(g, 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
   }
 
   test("kcore: pendant chain cascades off round by round, core survives") {
