@@ -319,11 +319,19 @@ object Similarity {
   /** Product-quantization parameters: m subspaces of dim/m components,
     * k codes per subspace, one k-means refinement round (seeded by the
     * first k vectors' subvectors — deterministic, the [[ivf]]
-    * convention). 4×16 codes = 4 bytes/vector at 64 dims: the 16×
-    * compression tier below [[int8Quantize]]'s 64 bytes.
+    * convention). 8×16 codes = 8 half-byte codes = 4 bytes/vector at
+    * 64 dims — the 16× compression tier below [[int8Quantize]]'s 64
+    * bytes. m=8 (8 dims per subspace) rather than m=4: the SAME
+    * storage (m·log2 k = 32 bits either way) buys finer subspace
+    * resolution where it matters — ordering NEAR neighbors. Measured
+    * (PLANS.md round-8): [[ivfPq]]'s shortlist recall@3 vs
+    * exact-on-the-same-candidates went 0.40 (m=4) → 0.47 (m=8) at
+    * R=10 and clears the spec's 0.5 floor at R=20, putting end-to-end
+    * IVF-PQ at 0.43 vs brute force at sf0.01 — right at the 0.47
+    * candidate ceiling of nprobe=2 probing.
     */
-  val pqM = 4
-  val pqSub = 16 // dims per subspace (64 / pqM)
+  val pqM = 8
+  val pqSub = 8 // dims per subspace (64 / pqM)
   val pqK = 16
 
   /** PQ-ADC approximate nearest neighbors — the third rung of the
@@ -447,6 +455,230 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rank
        |  FROM adc)
        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS cid, adc
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** IVF-PQ — the composition [[graft.tools.PqRecall]]'s measurement
+    * demands and the pairing every public ANN serving stack (FAISS
+    * IndexIVFPQ) converged on: [[pqAdc]]'s sign-bucket candidate
+    * generation has a ~7 % recall CEILING vs global brute force at
+    * sf0.01 (the 6-bit buckets don't adapt to the data and the ceiling
+    * shrinks with corpus size), while its ADC quantization keeps 77 %
+    * of the exact-in-bucket ranking — so the fix is to swap the
+    * candidate generator, not the scorer. Here candidates come from
+    * the TRAINED coarse quantizer ([[ivf]]'s codebook, k=16, 2
+    * refinement rounds, nprobe=2 — the catalog constants), and scoring
+    * is TWO-STAGE: table-lookup ADC over [[pqM]] byte codes shortlists
+    * [[ivfPqShortlist]] candidates per query, then an exact
+    * integer-dot rescore ranks only the shortlist.
+    *
+    * At 100 TB this is the index layout that actually serves: inverted
+    * lists bound candidates to ~nprobe·N/k vectors, the stored index
+    * is 4 B codes + two tiny codebooks, the ADC stage touches code
+    * tables only, and the float corpus is hit for exactly R rows per
+    * query (the shortlist rescore). Every training/encoding step
+    * reuses the exact integer-grid arithmetic the `q_sim_ivf` and
+    * `q_sim_pq` gates already pin (deterministic seeds, integer L2,
+    * argmin ties by id, one IEEE division per centroid mean), so the
+    * composed row stays hash-identical to the DuckDB oracle.
+    */
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    def sqDist(a: Column, b: Column): Column = call_function("sqdist64", a, b)
+    val e = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", quantize1e4($"embedding").as("xq"))
+      .withColumn("n2", dot64($"xq", $"xq"))
+      .persistScoped()
+    // ---- coarse quantizer: the ivf training loop, verbatim ----
+    def assignC(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", sqDist($"xq", $"cq").as("d"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("centroid"))
+    def updateC(assigned: DataFrame): DataFrame =
+      assigned.join(e.select($"vec_id", posexplode($"xq").as(Seq("pos", "v"))), Seq("vec_id"))
+        .groupBy($"centroid", $"pos")
+        .agg(round(sum($"v").cast("double") / count(lit(1))).cast("long").as("cq1"))
+        .groupBy($"centroid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"cq1"))), p => p("cq1")).as("cq"))
+        .select($"centroid".as("cid"), $"cq")
+    var cents = e.filter($"vec_id" < ivfK).select($"vec_id".as("cid"), $"xq".as("cq"))
+    for (_ <- 1 to ivfIters) cents = updateC(assignC(cents))
+    cents = cents.persistScoped()
+    val assigned = assignC(cents).persistScoped()
+    val qScored = e.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
+      .crossJoin(broadcast(cents))
+      .select($"qid", $"cid", sqDist($"xq", $"cq").as("d"))
+    val wp = Window.partitionBy($"qid").orderBy($"d".asc, $"cid".asc)
+    val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= ivfNprobe)
+      .select($"qid", $"cid".as("centroid"))
+    // ---- PQ codebooks + codes: the pqAdc training, verbatim ----
+    val subv = e.select($"vec_id", posexplode(expr(
+      s"transform(sequence(0, ${pqM - 1}), s -> slice(xq, s * $pqSub + 1, $pqSub))"))
+      .as(Seq("sub", "sxq")))
+      .persistScoped()
+    val c0 = subv.filter($"vec_id" < pqK)
+      .select($"sub", $"vec_id".as("cid"), $"sxq".as("cq"))
+    def assignP(cb: DataFrame): DataFrame =
+      subv.join(broadcast(cb), Seq("sub"))
+        .select($"vec_id", $"sub", $"cid", sqDist($"sxq", $"cq").as("d"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
+    val c1 = assignP(c0)
+      .join(subv, Seq("vec_id", "sub"))
+      .select($"sub", $"code".as("cid"), posexplode($"sxq").as(Seq("spos", "v")))
+      .groupBy($"sub", $"cid", $"spos")
+      .agg(round(sum($"v").cast("double") / count(lit(1))).cast("long").as("cq1"))
+      .groupBy($"sub", $"cid")
+      .agg(transform(array_sort(collect_list(struct($"spos", $"cq1"))), p => p("cq1")).as("cq"))
+      .persistScoped()
+    val d2 = subv.join(broadcast(c1), Seq("sub"))
+      .select($"vec_id", $"sub", $"cid", sqDist($"sxq", $"cq").as("d"))
+      .persistScoped()
+    val codes = d2.groupBy($"vec_id", $"sub")
+      .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
+    val qd = d2.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"sub", $"cid".as("code"), $"d")
+    // ---- IVF candidates, ADC scoring ----
+    val cand = broadcast(probes).join(assigned, Seq("centroid"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id")
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qd), Seq("qid", "sub", "code"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"d").as("adc"))
+    // stage 1 — ADC shortlist, scored in the FINAL metric: the ADC L2
+    // estimate plus exact stored norms give 2·dot ≈ |q|² + |v|² − d
+    // (polarization identity, exact longs), i.e. a cosine estimate.
+    // 4-byte codes are deliberately too coarse to ORDER intra-list
+    // neighbors (PqRecall measured recall@3 ≈ 0.1 ranking by ADC
+    // alone) but plenty to SHORTLIST them — so ADC prunes the probed
+    // lists to ivfPqShortlist candidates per query and only those R
+    // vectors are fetched for stage 2's exact rescore. That is the
+    // two-stage serving pattern: codes bound the scan, exact floats
+    // touch R rows per query, never the corpus.
+    val scoredAdc = adc
+      .join(e.select($"vec_id".as("qid"), $"n2".as("qn2")), Seq("qid"))
+      .join(e.select($"vec_id", $"n2"), Seq("vec_id"))
+      .select($"qid", $"vec_id",
+        (cosineFromDots($"qn2" + $"n2" - $"adc", $"qn2", $"n2") / 2).as("cos_adc"))
+    val wAdc = Window.partitionBy($"qid").orderBy($"cos_adc".desc, $"vec_id".asc)
+    val shortlist = scoredAdc.withColumn("rn", row_number().over(wAdc))
+      .filter($"rn" <= ivfPqShortlist)
+      .select($"qid", $"vec_id")
+    // stage 2 — exact integer-dot rescore of the shortlist only
+    val rescored = shortlist
+      .join(e.select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2")), Seq("qid"))
+      .join(e.select($"vec_id", $"xq", $"n2"), Seq("vec_id"))
+      .select($"qid", $"vec_id".as("cid"),
+        cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** ADC shortlist width R: stage-2 exact rescore touches R vectors
+    * per query — the knob trading code coarseness against fetches. */
+  val ivfPqShortlist = 20
+
+  /** Oracle: the ivf training CTE chain (coarse assignment + probes)
+    * composed with the pq chain (p-prefixed to avoid collisions) and
+    * the ADC scoring join — block-for-block the two proven oracles. */
+  private val ivfPqSql = {
+    val iters = (1 to ivfIters).map { it =>
+      val prevC = if (it == 1) "c0" else s"c${it - 1}"
+      s"""d$it AS (
+         |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+         |  FROM q v JOIN $prevC c ON v.i = c.i GROUP BY 1, 2),
+         |a$it AS (
+         |  SELECT vec_id, cid AS centroid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d$it) t WHERE rn = 1),
+         |c$it AS (
+         |  SELECT a.centroid AS cid, v.i,
+         |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+         |  FROM a$it a JOIN q v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin = ivfIters + 1
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |           unnest(embedding) AS x FROM embeddings),
+       |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM ex),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
+       |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $ivfK),
+       |$iters,
+       |d$fin AS (
+       |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM q v JOIN c$ivfIters c ON v.i = c.i GROUP BY 1, 2),
+       |a$fin AS (
+       |  SELECT vec_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin WHERE vec_id % 50 = 0) t WHERE rn <= $ivfNprobe),
+       |pq AS (SELECT vec_id, (i - 1) // $pqSub AS sub, (i - 1) % $pqSub AS spos, xq FROM q),
+       |pc0 AS (SELECT sub, vec_id AS cid, spos, xq AS cq FROM pq WHERE vec_id < $pqK),
+       |pd1 AS (
+       |  SELECT v.vec_id, v.sub, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM pq v JOIN pc0 c ON v.sub = c.sub AND v.spos = c.spos GROUP BY 1, 2, 3),
+       |pa1 AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+       |    FROM pd1) t WHERE rn = 1),
+       |pc1 AS (
+       |  SELECT v.sub, a.code AS cid, v.spos,
+       |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |  FROM pa1 a JOIN pq v ON a.vec_id = v.vec_id AND a.sub = v.sub
+       |  GROUP BY 1, 2, 3),
+       |pd2 AS (
+       |  SELECT v.vec_id, v.sub, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM pq v JOIN pc1 c ON v.sub = c.sub AND v.spos = c.spos GROUP BY 1, 2, 3),
+       |pcodes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+       |    FROM pd2) t WHERE rn = 1),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id
+       |  FROM probes p JOIN a$fin a ON p.centroid = a.centroid AND a.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT c.qid, c.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adc
+       |  FROM cand c
+       |  JOIN pcodes cv ON cv.vec_id = c.vec_id
+       |  JOIN pd2 qd ON qd.vec_id = c.qid AND qd.sub = cv.sub AND qd.cid = cv.code
+       |  GROUP BY 1, 2),
+       |scored_adc AS (
+       |  SELECT a.qid, a.vec_id,
+       |    (((na.n2 + nb.n2 - a.adc) / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8))) / 2 AS cos_adc
+       |  FROM adc a JOIN norms na ON a.qid = na.vec_id JOIN norms nb ON a.vec_id = nb.vec_id),
+       |sl AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, vec_id ASC) AS rn
+       |    FROM scored_adc) t WHERE rn <= $ivfPqShortlist),
+       |dots AS (
+       |  SELECT s.qid, s.vec_id AS cid, CAST(SUM(qa.xq * qb.xq) AS BIGINT) AS dot
+       |  FROM sl s
+       |  JOIN q qa ON qa.vec_id = s.qid
+       |  JOIN q qb ON qb.vec_id = s.vec_id AND qa.i = qb.i
+       |  GROUP BY 1, 2),
+       |rescored AS (
+       |  SELECT qid, cid,
+       |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+       |  FROM rescored)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cos
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
@@ -600,5 +832,6 @@ object Similarity {
     CatalogEntry("q_sim_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
     CatalogEntry("q_sim_ivf", ivf, Some(ivfSql)),
     CatalogEntry("q_sim_pq", pqAdc, Some(pqAdcSql)),
+    CatalogEntry("q_sim_ivfpq", ivfPq, Some(ivfPqSql)),
     CatalogEntry("q_emb_centroid", labelCentroids, Some(labelCentroidsSql)))
 }

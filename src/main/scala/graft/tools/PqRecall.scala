@@ -58,6 +58,17 @@ object PqRecall {
     // sign-bucket candidate set contains at all (blocking loss alone)
     val ceiling = (bucketExact & bf).size.toDouble / math.max(1, bf.size)
     println(f"""{"tool":"pq_recall","recall_vs_bf":$vsBf%.4f,"recall_vs_bucket":$vsBucket%.4f,"bucket_ceiling_vs_bf":$ceiling%.4f,"queries":${pq.map(_._1).size},"adc_sec":$dt%.2f,"sf":"$sfDir"}""")
+
+    // the composition the decomposition motivates: same ADC scorer,
+    // trained-IVF candidate generation
+    val t1 = System.nanoTime()
+    val ivfpq = Similarity.ivfPq(spark, sfDir)
+      .select(col("qid"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dt1 = (System.nanoTime() - t1) / 1e9
+    spark.sharedState.cacheManager.clearCache(); graft.CacheScope.drain()
+    val ivfpqVsBf = (ivfpq & bf).size.toDouble / math.max(1, bf.size)
+    println(f"""{"tool":"ivfpq_recall","recall_vs_bf":$ivfpqVsBf%.4f,"queries":${ivfpq.map(_._1).size},"adc_sec":$dt1%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,9 @@ class ExplainAuditSpec extends SparkSpec {
     * is a conscious decision.
     */
   private val allowedNestedLoop = Seq("q_sim_topk", "q_sim_ivf",
+    // IVF-PQ reuses ivf's ≤16-row codebook cross joins (training
+    // assignment + query probing) — map-side by construction
+    "q_sim_ivfpq",
     // target encoding broadcasts its ONE-ROW global prior under every
     // label row — a scalar cross join is map-side by construction
     "q_feat_target_enc",

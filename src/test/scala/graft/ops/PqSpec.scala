@@ -36,4 +36,29 @@ class PqSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
     assert(a == b)
   }
+
+  test("IVF-PQ: ADC over IVF candidates recovers most of the exact-rescore ranking") {
+    // ivf (exact rescore) and ivfPq (ADC scoring) share the SAME
+    // trained coarse quantizer, probes, and candidate lists — so their
+    // divergence is pure ADC quantization loss, the same bound the
+    // sign-bucket test above pins for pqAdc
+    val adcTop = top3(Similarity.ivfPq(spark, dir))
+    spark.sharedState.cacheManager.clearCache()
+    val exactTop = top3(Similarity.ivf(spark, dir))
+    spark.sharedState.cacheManager.clearCache()
+    assert(adcTop.keySet == exactTop.keySet, "same probes → same query coverage")
+    val qids = exactTop.keySet
+    val denom = qids.toSeq.map(q => exactTop(q).size).sum
+    val hits = qids.toSeq.map(q => (adcTop(q) & exactTop(q)).size).sum
+    val recall = hits.toDouble / denom
+    assert(recall >= 0.5, s"IVF-PQ recall@3 vs exact-on-same-candidates = $recall")
+  }
+
+  test("IVF-PQ result is deterministic across runs") {
+    val a = Similarity.ivfPq(spark, dir).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val b = Similarity.ivfPq(spark, dir).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    assert(a == b)
+  }
 }
