@@ -1028,9 +1028,11 @@ object Dedup {
   }
 
   /** [[ccClusters]] via the star-contraction algorithm — same
-    * semantics (and the same recursive-CTE oracle), logarithmic
-    * instead of linear round count. Two catalog rows so the gate
-    * checks BOTH implementations against the independent closure.
+    * semantics, logarithmic instead of linear round count. Oracled by
+    * [[ccStarSql]], the star rounds unrolled in SQL — distinct from
+    * `q_dedup_cc`'s recursive-closure oracle, so the two catalog rows
+    * check the two ALGORITHMS independently, not one fixture result
+    * twice.
     */
   def ccClustersStar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1052,6 +1054,63 @@ object Dedup {
        |  SELECT r.a, p.d2 FROM reach r JOIN pairs p ON r.b = p.d1)
        |SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a
        |ORDER BY doc_id""".stripMargin
+
+  /** Rounds to unroll in [[ccStarSql]]. The Spark side iterates to an
+    * audited fixpoint; on pure-star edge sets both half-rounds are
+    * identity (large-star re-emits each star edge because every
+    * non-center neighbor is larger than the center; small-star keeps
+    * (hi, min lo) = the star edge itself), so any unroll length ≥ the
+    * fixture's rounds-to-stability replays the converged stars
+    * exactly. LSH duplicate clusters are near-cliques (diameter ≤ 2 —
+    * every member shares a band key with the rest), which contract in
+    * 2 rounds; 6 leaves a 3× margin and stays a cheap chain for DuckDB
+    * at the gate's sf0.01.
+    */
+  val ccStarOracleRounds = 6
+
+  /** Independent oracle for [[ccClustersStar]]: the alternating
+    * large-star/small-star half-rounds unrolled as their own CTE
+    * chain, NOT the recursive-closure oracle [[ccClustersSql]] shares
+    * with `q_dedup_cc` — so the gate differentially checks the star
+    * ALGORITHM's round structure across engines, not just that the
+    * fixture's final clustering agrees.
+    */
+  private val ccStarSql = {
+    val rounds = (1 to ccStarOracleRounds).map { r =>
+      // AS MATERIALIZED: every round references the previous one
+      // multiple times; DuckDB's default CTE inlining would otherwise
+      // expand the chain exponentially (round 6 = hundreds of scans of
+      // the base table — observed as an fd-exhaustion error)
+      s"""sym$r AS MATERIALIZED (
+         |  SELECT hi AS u, lo AS v FROM e${r - 1}
+         |  UNION ALL SELECT lo AS u, hi AS v FROM e${r - 1}),
+         |lsm$r AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM sym$r GROUP BY u),
+         |ls$r AS MATERIALIZED (
+         |  SELECT DISTINCT s.v AS hi, l.m AS lo
+         |  FROM sym$r s JOIN lsm$r l ON s.u = l.u WHERE s.v > s.u),
+         |ssm$r AS MATERIALIZED (SELECT hi, min(lo) AS m FROM ls$r GROUP BY hi),
+         |e$r AS MATERIALIZED (
+         |  SELECT DISTINCT hi, lo FROM (
+         |    SELECT l.lo AS hi, s.m AS lo
+         |    FROM ls$r l JOIN ssm$r s ON l.hi = s.hi WHERE l.lo <> s.m
+         |    UNION ALL
+         |    SELECT hi, m AS lo FROM ssm$r) u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bandsCteSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT greatest(d1, d2) AS hi, least(d1, d2) AS lo
+       |  FROM pairs WHERE d1 <> d2),
+       |$rounds,
+       |stars AS (
+       |  SELECT hi, min(lo) AS lab FROM e$ccStarOracleRounds GROUP BY hi)
+       |SELECT d.doc_id, coalesce(s.lab, d.doc_id) AS label
+       |FROM documents d LEFT JOIN stars s ON d.doc_id = s.hi
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared CTE chain ending in `l$ccRounds` = (doc_id, label) — the
     * DuckDB twin of the label-propagation loop, used by both the
@@ -1217,7 +1276,7 @@ object Dedup {
     CatalogEntry("q_dedup_editdist", editDistancePairs, Some(editDistancePairsSql)),
     CatalogEntry("q_dedup_damerau", damerauPairs, Some(damerauPairsSql)),
     CatalogEntry("q_dedup_length_routed", lengthRoutedPairs, Some(lengthRoutedPairsSql)),
-    CatalogEntry("q_dedup_cc_star", ccClustersStar, Some(ccClustersSql)),
+    CatalogEntry("q_dedup_cc_star", ccClustersStar, Some(ccStarSql)),
     CatalogEntry("q_text_contamination", contamination, Some(contaminationSql)),
     CatalogEntry("q_dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)))
 }
