@@ -22,14 +22,41 @@ object Sources {
       case f if fileFormats(f) =>
         val path = step.path.orElse(step.table).getOrElse(
           throw new IllegalArgumentException(s"extract '${step.name}': path required"))
-        val r = spark.read.options(conn.options ++ step.options)
         val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
         val full = base.map(b => s"$b/$path").getOrElse(path)
-        f match {
-          case "csv" => r.option("header", "true").option("inferSchema", "true").csv(full)
-          case "json" => r.json(full)
-          case "orc" => r.orc(full)
-          case _ => r.parquet(full)
+        val merged = conn.options ++ step.options
+        if (merged.get("streaming").contains("true")) {
+          // Streaming file extract: the landing-zone shape — each
+          // scheduled run drains the files that arrived since the last
+          // one (source offsets live in the LOAD step's checkpoint, so
+          // a run is an incremental batch, not a rescan). File streams
+          // need an explicit schema: pass DDL via option "schema", or
+          // we infer once from the files already present.
+          val opts = merged - "streaming" - "schema" - "basePath" - "baseDir"
+          val schema = merged.get("schema")
+            .map(org.apache.spark.sql.types.StructType.fromDDL)
+            .getOrElse {
+              // the session caches file listings per path — a prior
+              // run's listing may cite files since compacted/deleted
+              spark.catalog.refreshByPath(full)
+              read(spark, conn.copy(options = conn.options - "streaming"),
+                step.copy(options = step.options - "streaming")).schema
+            }
+          val r = spark.readStream.options(opts).schema(schema)
+          f match {
+            case "csv" => r.option("header", "true").csv(full)
+            case "json" => r.json(full)
+            case "orc" => r.orc(full)
+            case _ => r.parquet(full)
+          }
+        } else {
+          val r = spark.read.options(merged)
+          f match {
+            case "csv" => r.option("header", "true").option("inferSchema", "true").csv(full)
+            case "json" => r.json(full)
+            case "orc" => r.orc(full)
+            case _ => r.parquet(full)
+          }
         }
       case "jdbc" =>
         // ≅ A1: the reference requires a non-empty query

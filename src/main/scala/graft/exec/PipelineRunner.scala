@@ -117,7 +117,12 @@ final class PipelineRunner(
         val df = data.getOrElse(throw new IllegalStateException(
           s"load '${l.name}' has no upstream frame"))
         val out = if (l.sanitize) Sanitize(df) else df
-        Sources.write(out, connection(l.connectionId), l)
+        // a streaming frame (extract had streaming=true) runs as an
+        // AvailableNow incremental drain — bounded, so the scheduled
+        // run still completes and writes its history row
+        if (out.isStreaming)
+          graft.streaming.StreamingLoad.write(out, connection(l.connectionId), l)
+        else Sources.write(out, connection(l.connectionId), l)
         Some(df) // frame keeps flowing (a pipeline may load twice)
     }
 }

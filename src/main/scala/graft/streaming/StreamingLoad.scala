@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.model.{ConnectionSpec, LoadStep}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming LoadStep dispatch — the sink half of declarative streaming
+  * pipelines (the extract half is `Sources.read` with
+  * `streaming=true`). A scheduled pipeline whose frame is streaming
+  * runs as an INCREMENTAL BATCH: `Trigger.AvailableNow` drains
+  * everything the source has accumulated since the checkpoint's last
+  * offsets, then the query stops — so each scheduler tick processes
+  * only new files, the run is bounded (the reference's run_task
+  * contract: start, finish, history row — core/engine.py:35-96), and a
+  * crash mid-run resumes from the checkpoint on the next tick with
+  * exactly-once file-source semantics.
+  *
+  * Modes:
+  *  - `append`: plain file-format streaming sink (parquet/csv/json/orc).
+  *  - `upsert`: CDC merge by key/version into a bucketed parquet
+  *    snapshot — [[StreamOps.upsertToParquetBucketed]] (rename-swap;
+  *    HDFS/local) or, with option `commit=manifest`,
+  *    [[StreamOps.upsertToParquetManifest]] (write-once manifests;
+  *    object stores). Options: `keyCol`, `versionCol`, `numBuckets`.
+  *
+  * `checkpointLocation` is required and resolves against the
+  * connection's basePath unless absolute — the checkpoint must live
+  * with the target's storage so a restart anywhere in the cluster
+  * finds the same offsets.
+  */
+object StreamingLoad {
+
+  private def resolve(base: Option[String], p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p
+    else base.map(b => s"$b/$p").getOrElse(p)
+
+  def write(df: DataFrame, conn: ConnectionSpec, step: LoadStep): Unit = {
+    require(df.isStreaming, s"load '${step.name}': StreamingLoad needs a streaming frame")
+    val merged = conn.options ++ step.options
+    val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
+    val path = step.path.orElse(step.table).getOrElse(
+      throw new IllegalArgumentException(s"load '${step.name}': path required"))
+    val full = resolve(base, path)
+    val checkpoint = resolve(base, merged.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException(
+        s"load '${step.name}': streaming load needs option checkpointLocation")))
+    def req(k: String): String = merged.getOrElse(k,
+      throw new IllegalArgumentException(s"load '${step.name}': upsert needs option $k"))
+    val writer = step.mode match {
+      case "upsert" =>
+        val nb = merged.getOrElse("numBuckets", "16").toInt
+        if (merged.get("commit").contains("manifest"))
+          StreamOps.upsertToParquetManifest(df, req("keyCol"), req("versionCol"), full, nb)
+        else
+          StreamOps.upsertToParquetBucketed(df, req("keyCol"), req("versionCol"), full, nb)
+      case "append" =>
+        df.writeStream.format(conn.format).option("path", full).outputMode("append")
+      case other => throw new IllegalArgumentException(
+        s"load '${step.name}': streaming load supports append | upsert, got '$other'")
+    }
+    val q = writer
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.exec
+
+import graft.SparkSpec
+import graft.model._
+import graft.sched.PipelineScheduler
+import graft.store.Repository
+import graft.streaming.StreamOps
+import java.time.Instant
+
+/** The reference's actual product shape, run end-to-end as ONE
+  * composition: a persisted PipelineSpec fires on a scheduler tick
+  * (first-seen-skip honored), its extract is a STREAMING file source
+  * over a landing directory, a SQL transform reshapes the frame, and
+  * the load is the bucketed CDC upsert sink — each run an AvailableNow
+  * incremental drain whose offsets live in the load checkpoint, with
+  * the engine.run history contract (running→success,
+  * core/engine.py:40-76) asserted per run. The second run happens on a
+  * FRESH scheduler instance (process restart) after the first batch's
+  * landing files are DELETED — so the only way the early keys can
+  * survive into the final snapshot is via the persisted snapshot +
+  * checkpoint resume, proving the drain is incremental, not a rescan.
+  */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val specJson =
+    s"""{"id":"cdc","name":"landing-to-snapshot","recurrence":"*/15","enabled":true,"steps":[
+       |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+       | "path":"landing","options":{"streaming":"true"}},
+       |{"stepType":"transform","name":"shape","order":2,"kind":"sql",
+       | "sql":"SELECT id, ver, upper(tag) AS tag, amount * 2 AS amount FROM input"},
+       |{"stepType":"load","name":"snapshot","order":3,"connectionId":"local",
+       | "path":"snapshot","mode":"upsert",
+       | "options":{"keyCol":"id","versionCol":"ver","numBuckets":"4",
+       |            "checkpointLocation":"ckpt"}}
+       |]}""".stripMargin
+
+  test("scheduled streaming pipeline: tick -> drain -> CDC upsert, incremental across restart") {
+    val dataDir = tmpDir("graft-stream-e2e").toString
+    val repo = new Repository(tmpDir("graft-stream-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+    repo.savePipeline(PipelineJson.parsePipeline(specJson))
+
+    // batch 1 lands, with an in-batch version collision on id=2
+    Seq((1L, "a", 1L, 10.0), (2L, "b", 1L, 20.0), (2L, "bb", 2L, 25.0), (3L, "c", 1L, 30.0))
+      .toDF("id", "tag", "ver", "amount")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+
+    var now = Instant.parse("2026-03-01T08:00:10Z")
+    val sched1 = new PipelineScheduler(new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched1.tick().isEmpty) // first sight: scheduled, never run immediately
+    now = Instant.parse("2026-03-01T08:15:05Z")
+    assert(sched1.tick() == Seq("cdc"))
+    sched1.stop() // drains the worker pool -> run 1 is complete
+
+    assert(repo.history("cdc").map(_.status) == Seq("running", "success"))
+    val snap1 = StreamOps.readBucketedSnapshot(spark, s"$dataDir/snapshot")
+      .select($"id", $"ver", $"tag", $"amount").as[(Long, Long, String, Double)]
+      .collect().sortBy(_._1)
+    // transformed (upper tag, doubled amount); id=2 resolved to ver 2
+    assert(snap1.toSeq == Seq((1L, 1L, "A", 20.0), (2L, 2L, "BB", 50.0), (3L, 1L, "C", 60.0)))
+
+    // delete batch 1's files: a rescan would now see nothing of them
+    val landing = new java.io.File(s"$dataDir/landing")
+    val old = landing.listFiles().filter(_.getName.startsWith("part-"))
+    assert(old.nonEmpty)
+    old.foreach(f => assert(f.delete()))
+    // batch 2: an update for id=2 and a brand-new id=4
+    Seq((2L, "b2", 3L, 99.0), (4L, "d", 1L, 40.0))
+      .toDF("id", "tag", "ver", "amount")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+
+    // fresh scheduler = restart; same repo, same checkpoint
+    val sched2 = new PipelineScheduler(new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched2.tick().isEmpty) // first-seen-skip applies per process
+    now = Instant.parse("2026-03-01T08:30:05Z")
+    assert(sched2.tick() == Seq("cdc"))
+    sched2.stop()
+
+    assert(repo.history("cdc").map(_.status) ==
+      Seq("running", "success", "running", "success"))
+    val snap2 = StreamOps.readBucketedSnapshot(spark, s"$dataDir/snapshot")
+      .select($"id", $"ver", $"tag", $"amount").as[(Long, Long, String, Double)]
+      .collect().sortBy(_._1)
+    // ids 1,3 survive from the snapshot (their source files are gone),
+    // id 2 upserted to ver 3, id 4 inserted
+    assert(snap2.toSeq == Seq(
+      (1L, 1L, "A", 20.0), (2L, 3L, "B2", 198.0), (3L, 1L, "C", 60.0), (4L, 1L, "D", 80.0)))
+  }
+
+  test("streaming load without checkpointLocation fails fast") {
+    val dataDir = tmpDir("graft-stream-nockpt").toString
+    val repo = new Repository(tmpDir("graft-stream-repo2"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+    Seq((1L, 1L)).toDF("id", "ver").write.parquet(s"$dataDir/landing")
+    val p = PipelineSpec("bad", "no-ckpt", None, enabled = true, steps = List(
+      ExtractStep("e", 1, "local", path = Some("landing"),
+        options = Map("streaming" -> "true")),
+      LoadStep("l", 2, "local", path = Some("out"), mode = "upsert",
+        options = Map("keyCol" -> "id", "versionCol" -> "ver"))))
+    repo.savePipeline(p)
+    val ex = intercept[IllegalArgumentException] {
+      new PipelineRunner(spark, repo).run(p)
+    }
+    assert(ex.getMessage.contains("checkpointLocation"))
+    // the failed run still wrote its history (running -> error)
+    assert(repo.history("bad").map(_.status) == Seq("running", "error"))
+  }
+}
