@@ -196,8 +196,15 @@ object Similarity {
     * k-means CTE stays its exact twin; IvfSpec and graft.tools.IvfSweep
     * exercise larger k through this entry point.
     */
-  private[graft] def ivfWithParams(
-      s: SparkSession, dir: String, k: Int, iters: Int, nprobe: Int): DataFrame = {
+  /** The k-means front end shared by [[ivf]] and [[semanticDedup]]:
+    * quantized embedding table (persisted — every training pass and
+    * downstream rescore reads it), trained coarse codebook (persisted,
+    * ≤k tiny rows), and the final inverted-list assignment.
+    * Identical op-for-op to the loop the `q_sim_ivf` oracle unrolls
+    * ([[ivfPq]] inlines the same loop alongside its PQ training).
+    */
+  private[graft] def coarseFrontEnd(s: SparkSession, dir: String, k: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
     val base = Tables.t(s, dir, "embeddings")
@@ -236,7 +243,14 @@ object Similarity {
     // assignment AND the query probes both read it — without the cache
     // each reference re-executes the whole training DAG
     cents = cents.persistScoped()
-    val assigned = assign(cents)
+    (base, cents, assign(cents))
+  }
+
+  private[graft] def ivfWithParams(
+      s: SparkSession, dir: String, k: Int, iters: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    def sqDist(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
+    val (base, cents, assigned) = coarseFrontEnd(s, dir, k, iters)
     // probe the nprobe nearest inverted lists per query
     val qScored = base.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
       .crossJoin(broadcast(cents))
@@ -682,6 +696,119 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Cosine threshold for [[semanticDedup]]. The synthetic fixture's
+    * embeddings are near-random (top within-bucket cosine ≈ 0.4,
+    * PLANS.md), so a production-style 0.95+ threshold would drop
+    * nothing and gate nothing; 0.2 exercises the full drop/keep
+    * mechanics differentially. A real corpus sets this per model
+    * (SemDeDup used ~0.95+ on OPT embeddings). */
+  val semanticTau = 0.2
+
+  /** SemDeDup-style semantic deduplication (public method: Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", 2023): documents whose EMBEDDINGS are
+    * near-parallel are semantic duplicates even when no n-gram
+    * overlaps — the dedup family's complement to the lexical
+    * minhash/simhash rows. Shape:
+    *
+    *  1. cluster the corpus with the TRAINED coarse quantizer
+    *     ([[coarseFrontEnd]], the exact `q_sim_ivf` k-means — k=16,
+    *     2 refinement rounds, integer-grid determinism);
+    *  2. within each cluster only, score pairs (id_a < id_b) by exact
+    *     bridged cosine;
+    *  3. greedy keep-lowest-id: a vector is DROPPED iff some
+    *     lower-id vector in its cluster has cos ≥ τ — deterministic,
+    *     order-free, no iteration (the standard SemDeDup
+    *     keep-one-per-group approximation).
+    *
+    * Output: one row per vector — (vec_id, centroid, kept 1/0,
+    * dup_of = the smallest such anchor, self when kept).
+    *
+    * At 100 TB: the pairwise stage is bounded by cluster size — k
+    * scales as ~√N (deployment knob on [[coarseFrontEnd]]) so each
+    * cluster's self-join is ~N/k² of the naive all-pairs, and the
+    * join key IS the centroid id, so clusters merge independently
+    * (one shuffle on centroid). A skew-guard composes exactly like
+    * the graph hub cap: an oversized cluster (degenerate codebook)
+    * can be excluded and reported rather than joined.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (base, _, assigned0) = coarseFrontEnd(s, dir, ivfK, ivfIters)
+    val assigned = assigned0.persistScoped() // read 3×: two pair sides + final roster
+    val withVec = assigned.join(base, Seq("vec_id"))
+    val pairs = withVec.as("a").join(withVec.as("b"),
+        col("a.centroid") === col("b.centroid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        cosineFromDots(dot64(col("a.xq"), col("b.xq")),
+          col("a.n2"), col("b.n2")).as("cos"))
+    val dups = pairs.filter($"cos" >= semanticTau)
+      .groupBy($"v2").agg(min($"v1").as("dup_of"))
+      .withColumnRenamed("v2", "vec_id")
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"centroid",
+        when($"dup_of".isNull, 1L).otherwise(0L).as("kept"),
+        coalesce($"dup_of", $"vec_id").as("dup_of"))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: the proven ivf coarse-training CTE chain, then the
+    * within-cluster pair scoring and greedy keep-lowest-id rule. */
+  private val semanticDedupSql = {
+    val iters = (1 to ivfIters).map { it =>
+      val prevC = if (it == 1) "c0" else s"c${it - 1}"
+      s"""d$it AS (
+         |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+         |  FROM q v JOIN $prevC c ON v.i = c.i GROUP BY 1, 2),
+         |a$it AS (
+         |  SELECT vec_id, cid AS centroid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d$it) t WHERE rn = 1),
+         |c$it AS (
+         |  SELECT a.centroid AS cid, v.i,
+         |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+         |  FROM a$it a JOIN q v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin = ivfIters + 1
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |           unnest(embedding) AS x FROM embeddings),
+       |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM ex),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
+       |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $ivfK),
+       |$iters,
+       |d$fin AS (
+       |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM q v JOIN c$ivfIters c ON v.i = c.i GROUP BY 1, 2),
+       |a$fin AS MATERIALIZED (
+       |  SELECT vec_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin) t WHERE rn = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM a$fin a JOIN a$fin b
+       |    ON a.centroid = b.centroid AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT c.v1, c.v2, CAST(SUM(qa.xq * qb.xq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN q qa ON qa.vec_id = c.v1
+       |  JOIN q qb ON qb.vec_id = c.v2 AND qa.i = qb.i
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT v1, v2,
+       |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |  FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id),
+       |dups AS (
+       |  SELECT v2 AS vec_id, MIN(v1) AS dup_of
+       |  FROM sim WHERE cos >= $semanticTau GROUP BY v2)
+       |SELECT a.vec_id, a.centroid,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  COALESCE(d.dup_of, a.vec_id) AS dup_of
+       |FROM a$fin a LEFT JOIN dups d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** Per-label centroids, one row per (label, dim) — the class-mean
     * table behind nearest-centroid classifiers, cluster drift
     * monitoring, and IVF-style codebook seeding. Vectors quantize to
@@ -833,5 +960,6 @@ object Similarity {
     CatalogEntry("q_sim_ivf", ivf, Some(ivfSql)),
     CatalogEntry("q_sim_pq", pqAdc, Some(pqAdcSql)),
     CatalogEntry("q_sim_ivfpq", ivfPq, Some(ivfPqSql)),
+    CatalogEntry("q_dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     CatalogEntry("q_emb_centroid", labelCentroids, Some(labelCentroidsSql)))
 }

@@ -55,6 +55,8 @@ class ExplainAuditSpec extends SparkSpec {
     // IVF-PQ reuses ivf's ≤16-row codebook cross joins (training
     // assignment + query probing) — map-side by construction
     "q_sim_ivfpq",
+    // semantic dedup clusters with the same trained ≤16-row codebook
+    "q_dedup_semantic",
     // target encoding broadcasts its ONE-ROW global prior under every
     // label row — a scalar cross join is map-side by construction
     "q_feat_target_enc",
