@@ -809,6 +809,112 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** ANN-mined hard negatives — the contrastive-training data op
+    * (public method: ANCE, Xiong et al. 2021, mines negatives from an
+    * ANN index over the current embeddings; DPR's in-batch negatives
+    * are the weaker fallback). For each query vector, probe the
+    * trained IVF lists exactly as `q_sim_ivf` does, keep only
+    * candidates whose LABEL differs from the query's, and rank by
+    * exact bridged cosine — the top-3 most-similar-yet-differently-
+    * labeled vectors are the hard negatives a contrastive batch
+    * builder would pair with the query.
+    *
+    * Same 100 TB shape as the ivf row (broadcast ≤16-row codebook,
+    * inverted-list equi-join bounds candidates to ~nprobe/k of the
+    * corpus); the label table rides the same join as two narrow
+    * broadcastable projections.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sqDist(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
+    val (base, cents, assigned) = coarseFrontEnd(s, dir, ivfK, ivfIters)
+    val labels = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"))
+    val qScored = base.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
+      .crossJoin(broadcast(cents))
+      .select($"qid", $"cid", sqDist($"xq", $"cq").as("d"))
+    val wp = Window.partitionBy($"qid").orderBy($"d".asc, $"cid".asc)
+    val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= ivfNprobe)
+      .select($"qid", $"cid".as("centroid"))
+    val scored = broadcast(probes).join(assigned, Seq("centroid"))
+      .filter($"vec_id" =!= $"qid")
+      .join(base.select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2")), Seq("qid"))
+      .join(base.select($"vec_id", $"xq", $"n2"), Seq("vec_id"))
+      .join(labels.select($"vec_id".as("qid"), $"label".as("q_label")), Seq("qid"))
+      .join(labels.select($"vec_id", $"label".as("neg_label")), Seq("vec_id"))
+      .filter($"neg_label" =!= $"q_label")
+      .select($"qid", $"q_label", $"vec_id".as("cid"), $"neg_label",
+        cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
+    val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"qid", $"q_label", $"rank", $"cid", $"neg_label", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Oracle: the ivf probe chain with the different-label filter. */
+  private val hardNegativesSql = {
+    val iters = (1 to ivfIters).map { it =>
+      val prevC = if (it == 1) "c0" else s"c${it - 1}"
+      s"""d$it AS (
+         |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+         |  FROM q v JOIN $prevC c ON v.i = c.i GROUP BY 1, 2),
+         |a$it AS (
+         |  SELECT vec_id, cid AS centroid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d$it) t WHERE rn = 1),
+         |c$it AS (
+         |  SELECT a.centroid AS cid, v.i,
+         |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+         |  FROM a$it a JOIN q v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin = ivfIters + 1
+    s"""WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |           generate_subscripts(embedding, 1) AS i,
+       |           unnest(embedding) AS x FROM embeddings),
+       |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM ex),
+       |lab AS (SELECT DISTINCT vec_id, label FROM ex),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
+       |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $ivfK),
+       |$iters,
+       |d$fin AS (
+       |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM q v JOIN c$ivfIters c ON v.i = c.i GROUP BY 1, 2),
+       |a$fin AS MATERIALIZED (
+       |  SELECT vec_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin WHERE vec_id % 50 = 0) t WHERE rn <= $ivfNprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id
+       |  FROM probes p JOIN a$fin a ON p.centroid = a.centroid AND a.vec_id <> p.qid),
+       |dots AS (
+       |  SELECT c.qid, c.vec_id AS cid, CAST(SUM(qa.xq * qb.xq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN q qa ON qa.vec_id = c.qid
+       |  JOIN q qb ON qb.vec_id = c.vec_id AND qa.i = qb.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, lq.label AS q_label, d.cid, lc.label AS neg_label,
+       |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |  FROM dots d
+       |  JOIN norms na ON d.qid = na.vec_id JOIN norms nb ON d.cid = nb.vec_id
+       |  JOIN lab lq ON d.qid = lq.vec_id JOIN lab lc ON d.cid = lc.vec_id
+       |  WHERE lq.label <> lc.label),
+       |ranked AS (
+       |  SELECT qid, q_label, cid, neg_label, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+       |  FROM scored)
+       |SELECT qid, q_label, CAST(rank AS BIGINT) AS rank, cid, neg_label, cos
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   /** Per-label centroids, one row per (label, dim) — the class-mean
     * table behind nearest-centroid classifiers, cluster drift
     * monitoring, and IVF-style codebook seeding. Vectors quantize to
@@ -961,5 +1067,6 @@ object Similarity {
     CatalogEntry("q_sim_pq", pqAdc, Some(pqAdcSql)),
     CatalogEntry("q_sim_ivfpq", ivfPq, Some(ivfPqSql)),
     CatalogEntry("q_dedup_semantic", semanticDedup, Some(semanticDedupSql)),
+    CatalogEntry("q_emb_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     CatalogEntry("q_emb_centroid", labelCentroids, Some(labelCentroidsSql)))
 }

@@ -57,6 +57,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_sim_ivfpq",
     // semantic dedup clusters with the same trained ≤16-row codebook
     "q_dedup_semantic",
+    // hard-negative mining probes the same ≤16-row codebook
+    "q_emb_hard_negatives",
     // target encoding broadcasts its ONE-ROW global prior under every
     // label row — a scalar cross join is map-side by construction
     "q_feat_target_enc",
