@@ -305,6 +305,23 @@ object Graph {
     pagerankConvergedWithRounds(
       nodes, pairs, tolMicro, maxRounds, checkpointDir, checkpointEvery)._1
 
+  /** [[pagerankConverged]] / [[kcoreConverged]] over the catalog's LSH
+    * pair graph, with round counts — the production (convergence-
+    * driven) entries bench harnesses measure on the hub fixtures
+    * (PLANS.md); the catalog rows stay the fixed-round differential
+    * gates. */
+  def pagerankConvergedOnLsh(s: SparkSession, dir: String,
+      tolMicro: Long = 1000L): (DataFrame, Int) = {
+    val (nodes, pairs) = Dedup.lshPairGraph(s, dir)
+    pagerankConvergedWithRounds(nodes, pairs, tolMicro, 50, None, 5)
+  }
+
+  def kcoreConvergedOnLsh(s: SparkSession, dir: String,
+      k: Long = 3L): (DataFrame, Int) = {
+    val (_, pairs) = Dedup.lshPairGraph(s, dir)
+    kcoreConvergedWithRounds(pairs, k, 100, None, 5)
+  }
+
   private[ops] def pagerankConvergedWithRounds(
       nodes: DataFrame, pairs: DataFrame, tolMicro: Long, maxRounds: Int,
       checkpointDir: Option[String], checkpointEvery: Int): (DataFrame, Int) = {
