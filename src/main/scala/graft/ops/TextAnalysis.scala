@@ -1018,7 +1018,116 @@ object TextAnalysis {
       |FROM ch JOIN d USING (sig)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Merge rounds [[bpeMerges]]' gate row pins. Production runs pick
+    * the real vocabulary budget (30–100k merges); 6 keeps the DuckDB
+    * unroll a cheap chain while exercising multi-round interaction
+    * (later merges consume earlier merges' output symbols).
+    */
+  val bpeRounds = 6
+
+  /** Distributed BPE (byte-pair-encoding) merge training — the
+    * tokenizer-fitting step of a training-data pipeline, run as pure
+    * Spark relational algebra with NO driver-side loop over data:
+    *
+    *  1. The corpus collapses ONCE to a word-frequency table (the only
+    *     corpus-wide exchange, map-side combinable; by Heaps' law the
+    *     vocabulary is orders of magnitude smaller than 100 TB of
+    *     text). Each word is encoded as delimiter-bracketed symbols
+    *     (`"abc"` → `"<a><b><c>"`), so a plain (codegen'd, non-regex)
+    *     `replace` of `<l><r>` → `<lr>` applies one merge with exact
+    *     greedy left-to-right BPE semantics: each occurrence is two
+    *     COMPLETE symbols (the brackets assert both boundaries), and
+    *     leftmost non-overlapping replacement gives the standard
+    *     `floor(run/2)` behavior on self-pair runs (`aaa` → `<aa><a>`,
+    *     never `<a><aa>`).
+    *  2. Each merge round is: a map-side-combinable pair count over
+    *     the vocabulary (frequency-weighted adjacent symbol pairs), a
+    *     1-row TakeOrderedAndProject argmax (count desc, pair asc —
+    *     total order, engine-independent on the corpus' ASCII
+    *     alphabet), and a 1-row broadcast under a narrow `replace`
+    *     map. Per-round cost is vocabulary-sized, independent of
+    *     corpus size — exactly how map-reduce BPE trainers shard.
+    *
+    * Contract: the bracket characters must not occur in `text` (the
+    * op drops violating words; a deployment on arbitrary bytes picks
+    * unused control characters U+0001/U+0002). If the corpus exhausts
+    * its pairs before `rounds`, the remaining rounds emit no row.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesOn(s, Tables.t(s, dir, "documents"), bpeRounds)
+
+  /** [[bpeMerges]] over an explicit `documents` frame — the unit-test
+    * entry that pins the greedy-merge semantics on hand-computed
+    * fixtures.
+    */
+  def bpeMergesOn(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    var vocab = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0 && !$"w".contains("<") && !$"w".contains(">"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .select(regexp_replace($"w", "(.)", "<$1>").as("sym"), $"wc")
+      .persistScoped()
+    val merges = (1 to rounds).map { round =>
+      val syms = split(expr("substring(sym, 2, length(sym) - 2)"), "><")
+      val pairs = zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+      val top1 = vocab
+        .select($"wc", explode(filter(pairs, x => x.isNotNull)).as("pg"))
+        .select($"wc", element_at(split($"pg", " "), 1).as("l"),
+          element_at(split($"pg", " "), 2).as("r"))
+        .groupBy($"l", $"r").agg(sum($"wc").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r").limit(1)
+        .select(lit(round.toLong).as("merge_round"), $"l", $"r", $"cnt")
+        .persistScoped()
+      vocab = vocab
+        .crossJoin(broadcast(top1.select($"l".as("_l"), $"r".as("_r"))))
+        .select(expr(
+          "replace(sym, concat('<', _l, '><', _r, '>'), concat('<', _l, _r, '>'))")
+          .as("sym"), $"wc")
+        .persistScoped()
+      top1
+    }
+    merges.reduce(_ union _).orderBy($"merge_round")
+  }
+
+  private val bpeSql = {
+    val rounds = (1 to bpeRounds).map { n =>
+      val p = n - 1
+      // AS MATERIALIZED: each round references the previous vocab and
+      // its own top-1 several times; default CTE inlining would expand
+      // the chain exponentially (the ccStarSql lesson)
+      s"""sy$n AS MATERIALIZED (
+         |  SELECT string_split(sym[2:length(sym)-1], '><') AS syms, wc FROM v$p),
+         |pc$n AS MATERIALIZED (
+         |  SELECT string_split(pg, ' ')[1] AS l, string_split(pg, ' ')[2] AS r,
+         |         CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, unnest([syms[i] || ' ' || syms[i+1]
+         |                           FOR i IN generate_series(1, len(syms) - 1)]) AS pg
+         |        FROM sy$n)
+         |  GROUP BY 1, 2),
+         |t$n AS MATERIALIZED (
+         |  SELECT CAST($n AS BIGINT) AS merge_round, l, r, cnt FROM pc$n
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$n AS MATERIALIZED (
+         |  SELECT replace(sym,
+         |           '<' || (SELECT l FROM t$n) || '><' || (SELECT r FROM t$n) || '>',
+         |           '<' || (SELECT l FROM t$n) || (SELECT r FROM t$n) || '>') AS sym, wc
+         |  FROM v$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS sym, COUNT(*) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
+       |  GROUP BY 1),
+       |$rounds
+       |SELECT merge_round, l, r, cnt FROM (
+       |  ${(1 to bpeRounds).map(n => s"SELECT * FROM t$n").mkString(" UNION ALL ")})
+       |ORDER BY merge_round""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_bpe", bpeMerges, Some(bpeSql)),
     CatalogEntry("q_text_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     CatalogEntry("q_text_collocations", collocations, Some(collocationsSql)),
     CatalogEntry("q_text_drift", sourceDrift, Some(sourceDriftSql)),

@@ -90,4 +90,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L)._1 == 0L && out(4L)._2 == 0L)
     assert(out(4L)._3.contains("ALMOST@pii") && out(4L)._3.contains("+1-55-01"))
   }
+
+  test("bpeMerges reproduces hand-computed greedy BPE on the classic corpus") {
+    // word freqs: low:3 lower:2 newest:5 widest:3. Hand-derivation
+    // (cnt desc, then l asc, r asc on ties):
+    //   r1 (e,s,8)   — ties (e,s)/(s,t) at 8, 'e' < 's'
+    //   r2 (es,t,8)  — est completes in newest+widest
+    //   r3 (e,w,5)   — five-way tie at 5, 'e' smallest left symbol
+    //   r4 (ew,est,5) — "ew" < "l" < "n" < "o"
+    //   r5 (l,o,5)
+    //   r6 (lo,w,5)
+    val docs = Seq((1L,
+      ("low " * 3 + "lower " * 2 + "newest " * 5 + "widest " * 3).trim))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergesOn(spark, docs, 6)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "e", "s", 8L), (2L, "es", "t", 8L), (3L, "e", "w", 5L),
+      (4L, "ew", "est", 5L), (5L, "l", "o", 5L), (6L, "lo", "w", 5L)))
+  }
+
+  test("bpeMerges is greedy-leftmost on self-pair runs and stops when pairs exhaust") {
+    // "aaa" → pairs (a,a) counted twice; the merge must produce
+    // <aa><a> (leftmost non-overlapping), so round 2 merges (aa,a) —
+    // the reversed (a,aa) would prove a right-to-left scan. Round 3
+    // has no pairs left: no row, not a crash.
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergesOn(spark, docs, 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+  }
 }
