@@ -1040,13 +1040,17 @@ object TextAnalysis {
     *     leftmost non-overlapping replacement gives the standard
     *     `floor(run/2)` behavior on self-pair runs (`aaa` → `<aa><a>`,
     *     never `<a><aa>`).
-    *  2. Each merge round is: a map-side-combinable pair count over
-    *     the vocabulary (frequency-weighted adjacent symbol pairs), a
-    *     1-row TakeOrderedAndProject argmax (count desc, pair asc —
-    *     total order, engine-independent on the corpus' ASCII
-    *     alphabet), and a 1-row broadcast under a narrow `replace`
-    *     map. Per-round cost is vocabulary-sized, independent of
-    *     corpus size — exactly how map-reduce BPE trainers shard.
+    *  2. Each merge round is ONE vocabulary-sized job: a
+    *     map-side-combinable pair count (frequency-weighted adjacent
+    *     symbol pairs) under a 1-row TakeOrderedAndProject argmax
+    *     (count desc, pair asc — total order, engine-independent on
+    *     the corpus' ASCII alphabet), collected to the driver as the
+    *     round's merge decision — the same driver-side fixpoint
+    *     control convergence-mode pagerank uses, NOT a loop over
+    *     data. The merge itself is then a literal narrow `replace`
+    *     projection (no join, no shuffle, no broadcast exchange).
+    *     Per-round cost is vocabulary-sized, independent of corpus
+    *     size — exactly how map-reduce BPE trainers shard.
     *
     * Contract: the bracket characters must not occur in `text` (the
     * op drops violating words; a deployment on arbitrary bytes picks
@@ -1062,36 +1066,81 @@ object TextAnalysis {
     */
   def bpeMergesOn(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
+    bpeTrainOn(s, docs, rounds)._1.toDF("merge_round", "l", "r", "cnt")
+  }
+
+  /** The training loop shared by [[bpeMergesOn]] (returns the merge
+    * list) and [[bpeTokenCountsOn]] (returns the merged vocabulary).
+    * Early-stops when the vocabulary runs out of pairs.
+    */
+  private def bpeTrainOn(s: SparkSession, docs: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    import s.implicits._
     var vocab = docs
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0 && !$"w".contains("<") && !$"w".contains(">"))
       .groupBy($"w").agg(count(lit(1)).as("wc"))
       .select(regexp_replace($"w", "(.)", "<$1>").as("sym"), $"wc")
       .persistScoped()
-    val merges = (1 to rounds).map { round =>
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
       val syms = split(expr("substring(sym, 2, length(sym) - 2)"), "><")
       val pairs = zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
         (x, y) => concat(x, lit(" "), y))
-      val top1 = vocab
+      val top = vocab
         .select($"wc", explode(filter(pairs, x => x.isNotNull)).as("pg"))
         .select($"wc", element_at(split($"pg", " "), 1).as("l"),
           element_at(split($"pg", " "), 2).as("r"))
         .groupBy($"l", $"r").agg(sum($"wc").as("cnt"))
         .orderBy($"cnt".desc, $"l", $"r").limit(1)
-        .select(lit(round.toLong).as("merge_round"), $"l", $"r", $"cnt")
-        .persistScoped()
-      vocab = vocab
-        .crossJoin(broadcast(top1.select($"l".as("_l"), $"r".as("_r"))))
-        .select(expr(
-          "replace(sym, concat('<', _l, '><', _r, '>'), concat('<', _l, _r, '>'))")
-          .as("sym"), $"wc")
-        .persistScoped()
-      top1
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, r, cnt))
+        vocab = vocab
+          .select(replace($"sym", lit(s"<$l><$r>"), lit(s"<$l$r>")).as("sym"), $"wc")
+          .persistScoped()
+        round += 1
+      }
     }
-    merges.reduce(_ union _).orderBy($"merge_round")
+    (merges.result(), vocab)
   }
 
-  private val bpeSql = {
+  /** Token-budget accounting under the trained tokenizer — the encode
+    * half of [[bpeMerges]]: per-document word/token/char counts with
+    * the [[bpeRounds]]-merge vocabulary applied. Encoding a word is a
+    * LOOKUP, not a re-derivation: the training loop's final vocabulary
+    * already holds every distinct word's fully-merged symbol string,
+    * so the corpus-sized work is one word explode plus a broadcast
+    * join against the (Heaps-law-small) word→token-count map — the
+    * merge rounds themselves never touch corpus-scale data. `n_tokens`
+    * per word is just its bracket count.
+    */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    bpeTokenCountsOn(s, Tables.t(s, dir, "documents"), bpeRounds)
+
+  /** [[bpeTokenCounts]] over an explicit `documents` frame. */
+  def bpeTokenCountsOn(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    val vocab = bpeTrainOn(s, docs, rounds)._2
+    val wordTokens = vocab.select(
+      translate($"sym", "<>", "").as("w"),
+      (length($"sym") - length(regexp_replace($"sym", "<", ""))).cast("long")
+        .as("w_tokens"))
+    docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0 && !$"w".contains("<") && !$"w".contains(">"))
+      .join(broadcast(wordTokens), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"w_tokens").as("n_tokens"),
+        sum(length($"w")).cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  private val bpeChainSql = {
     val rounds = (1 to bpeRounds).map { n =>
       val p = n - 1
       // AS MATERIALIZED: each round references the previous vocab and
@@ -1120,14 +1169,32 @@ object TextAnalysis {
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
        |  GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeSql =
+    s"""$bpeChainSql
        |SELECT merge_round, l, r, cnt FROM (
        |  ${(1 to bpeRounds).map(n => s"SELECT * FROM t$n").mkString(" UNION ALL ")})
        |ORDER BY merge_round""".stripMargin
-  }
+
+  private val bpeEncodeSql =
+    s"""$bpeChainSql,
+       |wt AS MATERIALIZED (
+       |  SELECT replace(replace(sym, '<', ''), '>', '') AS w,
+       |         length(sym) - length(replace(sym, '<', '')) AS w_tokens
+       |  FROM v$bpeRounds)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(w_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(length(w)) AS BIGINT) AS n_chars
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |JOIN wt USING (w)
+       |WHERE length(w) > 0 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_text_bpe", bpeMerges, Some(bpeSql)),
+    CatalogEntry("q_text_bpe_encode", bpeTokenCounts, Some(bpeEncodeSql)),
     CatalogEntry("q_text_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     CatalogEntry("q_text_collocations", collocations, Some(collocationsSql)),
     CatalogEntry("q_text_drift", sourceDrift, Some(sourceDriftSql)),

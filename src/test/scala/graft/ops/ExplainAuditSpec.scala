@@ -74,11 +74,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_drift",
     // 1-row token-total broadcast under the bigram table — the same
     // scalar cross join as q_text_mixture
-    "q_text_collocations",
-    // each BPE merge round broadcasts its ONE-ROW argmax pair under
-    // the vocabulary-sized symbol table — a scalar cross join per
-    // round, map-side by construction
-    "q_text_bpe")
+    "q_text_collocations")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString

@@ -120,4 +120,21 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(got == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
   }
+
+  test("bpeTokenCounts encodes with the trained vocabulary, per document") {
+    // after the 6 hand-derived merges: low=1 token (<low>), lower=3
+    // (<low><e><r>), newest=2 (<n><ewest>), widest=4 (<w><i><d><est>)
+    val docs = Seq(
+      (1L, ("low " * 3 + "lower " * 2 + "newest " * 5 + "widest " * 3).trim),
+      (2L, "low newest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenCountsOn(spark, docs, 6)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // training runs on the UNION corpus (freqs low:4 lower:2 newest:6
+    // widest:3) — hand-rederived, the merge sequence is unchanged.
+    // doc1: 13 words, 3·1+2·3+5·2+3·4 = 31 tokens, 9+10+30+18 = 67 chars
+    val byDoc = got.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byDoc(1L) == ((13L, 31L, 67L)))
+    assert(byDoc(2L) == ((2L, 3L, 9L))) // low(1) + newest(2); 3+6 chars
+  }
 }
