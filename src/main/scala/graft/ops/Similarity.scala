@@ -472,19 +472,32 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
-  /** IVF-PQ — the composition [[graft.tools.PqRecall]]'s measurement
-    * demands and the pairing every public ANN serving stack (FAISS
-    * IndexIVFPQ) converged on: [[pqAdc]]'s sign-bucket candidate
-    * generation has a ~7 % recall CEILING vs global brute force at
-    * sf0.01 (the 6-bit buckets don't adapt to the data and the ceiling
-    * shrinks with corpus size), while its ADC quantization keeps 77 %
-    * of the exact-in-bucket ranking — so the fix is to swap the
-    * candidate generator, not the scorer. Here candidates come from
-    * the TRAINED coarse quantizer ([[ivf]]'s codebook, k=16, 2
-    * refinement rounds, nprobe=2 — the catalog constants), and scoring
-    * is TWO-STAGE: table-lookup ADC over [[pqM]] byte codes shortlists
+  /** IVF-PQ — the composition every public ANN serving stack (FAISS
+    * IndexIVFPQ) converged on, at a MEASURED operating point: the
+    * trained coarse quantizer ([[coarseFrontEnd]], the exact
+    * `q_sim_ivf` k-means arithmetic, but at its own catalog constants
+    * [[ivfPqK]]/[[ivfPqNprobe]] — k ≈ √N lists, probe fraction
+    * nprobe/k) generates candidates; scoring is TWO-STAGE: table-lookup
+    * ADC over [[pqM]] RESIDUAL byte codes shortlists
     * [[ivfPqShortlist]] candidates per query, then an exact
     * integer-dot rescore ranks only the shortlist.
+    *
+    * RESIDUAL encoding (the r8→r9 fix): PQ codes quantize
+    * `x − c(x)` — each vector's offset from its assigned coarse
+    * centroid — not `x` itself. Within one inverted list every member
+    * shares the same coarse centroid, so codes spent on the shared
+    * component are wasted; coding the residual is what makes the fine
+    * codes informative INSIDE a list (the standard FAISS IVFPQ
+    * composition). The query side mirrors it: ADC tables are built
+    * per (query, probed list) from the query's residual against THAT
+    * list's centroid, so ADC(q,v) = Σ_sub ‖(q−c)_sub − code(v)_sub‖²
+    * estimates ‖q − x_v‖² exactly as FAISS does. Measured at sf0.1
+    * (PLANS.md r9 "IVF-PQ operating envelope"): recall@3 vs brute
+    * force 0.26 (r8 constants) → 0.583 at the shipped
+    * (k=128, nprobe=32, R=64), with probe fraction nprobe/k = 25 %
+    * and the IVF candidate ceiling at 0.817 — on near-random
+    * synthetic embeddings, the hardest case for ANN; real corpora
+    * cluster, so the same probe fraction buys more.
     *
     * At 100 TB this is the index layout that actually serves: inverted
     * lists bound candidates to ~nprobe·N/k vectors, the stored index
@@ -492,46 +505,37 @@ object Similarity {
     * tables only, and the float corpus is hit for exactly R rows per
     * query (the shortlist rescore). Every training/encoding step
     * reuses the exact integer-grid arithmetic the `q_sim_ivf` and
-    * `q_sim_pq` gates already pin (deterministic seeds, integer L2,
-    * argmin ties by id, one IEEE division per centroid mean), so the
-    * composed row stays hash-identical to the DuckDB oracle.
+    * `q_sim_pq` gates already pin (deterministic seeds, integer L2 —
+    * residuals are exact long differences — argmin ties by id, one
+    * IEEE division per centroid mean), so the composed row stays
+    * hash-identical to the DuckDB oracle.
     */
-  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+  def ivfPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqWithParams(s, dir, ivfPqK, ivfIters, ivfPqNprobe, ivfPqShortlist)
+
+  /** [[ivfPq]] with explicit deployment knobs — graft.tools.PqRecall
+    * sweeps (k, nprobe, R) through this entry point; the catalog row
+    * pins the named constants so the oracle chain stays its twin.
+    */
+  private[graft] def ivfPqWithParams(s: SparkSession, dir: String,
+      k: Int, iters: Int, nprobe: Int, shortlist: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
     def sqDist(a: Column, b: Column): Column = call_function("sqdist64", a, b)
-    val e = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", quantize1e4($"embedding").as("xq"))
-      .withColumn("n2", dot64($"xq", $"xq"))
+    val (e, cents, assigned0) = coarseFrontEnd(s, dir, k, iters)
+    val assigned = assigned0.persistScoped() // read by residuals AND candidates
+    val centCols = cents.select($"cid".as("centroid"), $"cq".as("ccq"))
+    // residual per vector: x − c(x), exact long differences on the grid
+    val res = assigned.join(e.select($"vec_id", $"xq"), Seq("vec_id"))
+      .join(broadcast(centCols), Seq("centroid"))
+      .select($"vec_id", zip_with($"xq", $"ccq", (x, c) => x - c).as("rq"))
+    // residual subvector slices, map-side: (vec_id, sub, sxq[pqSub])
+    val subv = res.select($"vec_id", posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> slice(rq, s * $pqSub + 1, $pqSub))"))
+        .as(Seq("sub", "sxq")))
       .persistScoped()
-    // ---- coarse quantizer: the ivf training loop, verbatim ----
-    def assignC(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", sqDist($"xq", $"cq").as("d"))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("centroid"))
-    def updateC(assigned: DataFrame): DataFrame =
-      assigned.join(e.select($"vec_id", posexplode($"xq").as(Seq("pos", "v"))), Seq("vec_id"))
-        .groupBy($"centroid", $"pos")
-        .agg(round(sum($"v").cast("double") / count(lit(1))).cast("long").as("cq1"))
-        .groupBy($"centroid")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"cq1"))), p => p("cq1")).as("cq"))
-        .select($"centroid".as("cid"), $"cq")
-    var cents = e.filter($"vec_id" < ivfK).select($"vec_id".as("cid"), $"xq".as("cq"))
-    for (_ <- 1 to ivfIters) cents = updateC(assignC(cents))
-    cents = cents.persistScoped()
-    val assigned = assignC(cents).persistScoped()
-    val qScored = e.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
-      .crossJoin(broadcast(cents))
-      .select($"qid", $"cid", sqDist($"xq", $"cq").as("d"))
-    val wp = Window.partitionBy($"qid").orderBy($"d".asc, $"cid".asc)
-    val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= ivfNprobe)
-      .select($"qid", $"cid".as("centroid"))
-    // ---- PQ codebooks + codes: the pqAdc training, verbatim ----
-    val subv = e.select($"vec_id", posexplode(expr(
-      s"transform(sequence(0, ${pqM - 1}), s -> slice(xq, s * $pqSub + 1, $pqSub))"))
-      .as(Seq("sub", "sxq")))
-      .persistScoped()
+    // PQ codebook over residuals: seed = first pqK vectors' residual
+    // subvectors, one refinement round (the q_sim_pq convention)
     val c0 = subv.filter($"vec_id" < pqK)
       .select($"sub", $"vec_id".as("cid"), $"sxq".as("cq"))
     def assignP(cb: DataFrame): DataFrame =
@@ -547,42 +551,55 @@ object Similarity {
       .groupBy($"sub", $"cid")
       .agg(transform(array_sort(collect_list(struct($"spos", $"cq1"))), p => p("cq1")).as("cq"))
       .persistScoped()
-    val d2 = subv.join(broadcast(c1), Seq("sub"))
-      .select($"vec_id", $"sub", $"cid", sqDist($"sxq", $"cq").as("d"))
-      .persistScoped()
-    val codes = d2.groupBy($"vec_id", $"sub")
-      .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
-    val qd = d2.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("qid"), $"sub", $"cid".as("code"), $"d")
-    // ---- IVF candidates, ADC scoring ----
+    val codes = assignP(c1)
+    // query probes: nprobe nearest lists (same integer argmin as ivf)
+    val qScored = e.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
+      .crossJoin(broadcast(cents))
+      .select($"qid", $"cid", sqDist($"xq", $"cq").as("d"))
+    val wp = Window.partitionBy($"qid").orderBy($"d".asc, $"cid".asc)
+    val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= nprobe)
+      .select($"qid", $"cid".as("centroid"))
+    // per-(query, probed list) residual ADC tables: the query's
+    // residual is against THAT list's centroid — nprobe tables per
+    // query, each pqM·pqK entries (tiny, broadcast)
+    val qres = broadcast(probes)
+      .join(e.select($"vec_id".as("qid"), $"xq"), Seq("qid"))
+      .join(broadcast(centCols), Seq("centroid"))
+      .select($"qid", $"centroid", zip_with($"xq", $"ccq", (x, c) => x - c).as("rq"))
+    val qsub = qres.select($"qid", $"centroid", posexplode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> slice(rq, s * $pqSub + 1, $pqSub))"))
+        .as(Seq("sub", "sq")))
+    val qd = qsub.join(broadcast(c1), Seq("sub"))
+      .select($"qid", $"centroid", $"sub", $"cid".as("code"), sqDist($"sq", $"cq").as("d"))
+    // IVF candidates carry their list id so ADC joins the MATCHING
+    // per-list query table
     val cand = broadcast(probes).join(assigned, Seq("centroid"))
       .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id")
+      .select($"qid", $"centroid", $"vec_id")
     val adc = cand.join(codes, Seq("vec_id"))
-      .join(broadcast(qd), Seq("qid", "sub", "code"))
+      .join(broadcast(qd), Seq("qid", "centroid", "sub", "code"))
       .groupBy($"qid", $"vec_id")
       .agg(sum($"d").as("adc"))
     // stage 1 — ADC shortlist, scored in the FINAL metric: the ADC L2
     // estimate plus exact stored norms give 2·dot ≈ |q|² + |v|² − d
     // (polarization identity, exact longs), i.e. a cosine estimate.
-    // 4-byte codes are deliberately too coarse to ORDER intra-list
-    // neighbors (PqRecall measured recall@3 ≈ 0.1 ranking by ADC
-    // alone) but plenty to SHORTLIST them — so ADC prunes the probed
-    // lists to ivfPqShortlist candidates per query and only those R
-    // vectors are fetched for stage 2's exact rescore. That is the
-    // two-stage serving pattern: codes bound the scan, exact floats
-    // touch R rows per query, never the corpus.
+    // Codes are deliberately too coarse to ORDER intra-list neighbors
+    // but plenty to SHORTLIST them — ADC prunes the probed lists to
+    // `shortlist` candidates per query and only those R vectors are
+    // fetched for stage 2's exact rescore. That is the two-stage
+    // serving pattern: codes bound the scan, exact floats touch R
+    // rows per query, never the corpus.
     val scoredAdc = adc
       .join(e.select($"vec_id".as("qid"), $"n2".as("qn2")), Seq("qid"))
       .join(e.select($"vec_id", $"n2"), Seq("vec_id"))
       .select($"qid", $"vec_id",
         (cosineFromDots($"qn2" + $"n2" - $"adc", $"qn2", $"n2") / 2).as("cos_adc"))
     val wAdc = Window.partitionBy($"qid").orderBy($"cos_adc".desc, $"vec_id".asc)
-    val shortlist = scoredAdc.withColumn("rn", row_number().over(wAdc))
-      .filter($"rn" <= ivfPqShortlist)
+    val shortlistDf = scoredAdc.withColumn("rn", row_number().over(wAdc))
+      .filter($"rn" <= shortlist)
       .select($"qid", $"vec_id")
     // stage 2 — exact integer-dot rescore of the shortlist only
-    val rescored = shortlist
+    val rescored = shortlistDf
       .join(e.select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2")), Seq("qid"))
       .join(e.select($"vec_id", $"xq", $"n2"), Seq("vec_id"))
       .select($"qid", $"vec_id".as("cid"),
@@ -594,25 +611,31 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
-  /** ADC shortlist width R: stage-2 exact rescore touches R vectors
-    * per query — the knob trading code coarseness against fetches. */
-  val ivfPqShortlist = 20
+  /** IVF-PQ catalog constants — the r9 operating point (PLANS.md
+    * "IVF-PQ operating envelope"): k ≈ √N inverted lists, nprobe/k =
+    * 25 % probe fraction on the near-random synthetic fixture, ADC
+    * shortlist R = stage-2 exact fetches per query.
+    */
+  val ivfPqK = 128
+  val ivfPqNprobe = 32
+  val ivfPqShortlist = 64
 
-  /** Oracle: the ivf training CTE chain (coarse assignment + probes)
-    * composed with the pq chain (p-prefixed to avoid collisions) and
-    * the ADC scoring join — block-for-block the two proven oracles. */
-  private val ivfPqSql = {
+  /** Oracle: the ivf training CTE chain (at [[ivfPqK]]) composed with
+    * the RESIDUAL pq chain (p-prefixed) and per-(query, list) ADC
+    * tables — block-for-block the DataFrame plan above.
+    */
+  private def ivfPqSqlFor(k: Int, nprobe: Int, shortlist: Int): String = {
     val iters = (1 to ivfIters).map { it =>
       val prevC = if (it == 1) "c0" else s"c${it - 1}"
-      s"""d$it AS (
+      s"""d$it AS MATERIALIZED (
          |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
          |  FROM q v JOIN $prevC c ON v.i = c.i GROUP BY 1, 2),
-         |a$it AS (
+         |a$it AS MATERIALIZED (
          |  SELECT vec_id, cid AS centroid FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
          |    FROM d$it) t WHERE rn = 1),
-         |c$it AS (
+         |c$it AS MATERIALIZED (
          |  SELECT a.centroid AS cid, v.i,
          |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
          |  FROM a$it a JOIN q v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
@@ -620,26 +643,33 @@ object Similarity {
     val fin = ivfIters + 1
     s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |           unnest(embedding) AS x FROM embeddings),
-       |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM ex),
+       |q AS MATERIALIZED (SELECT vec_id, i,
+       |  CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM ex),
        |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
-       |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $ivfK),
+       |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $k),
        |$iters,
-       |d$fin AS (
+       |d$fin AS MATERIALIZED (
        |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
        |  FROM q v JOIN c$ivfIters c ON v.i = c.i GROUP BY 1, 2),
-       |a$fin AS (
+       |a$fin AS MATERIALIZED (
        |  SELECT vec_id, cid AS centroid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
        |    FROM d$fin) t WHERE rn = 1),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT vec_id AS qid, cid AS centroid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
-       |    FROM d$fin WHERE vec_id % 50 = 0) t WHERE rn <= $ivfNprobe),
-       |pq AS (SELECT vec_id, (i - 1) // $pqSub AS sub, (i - 1) % $pqSub AS spos, xq FROM q),
+       |    FROM d$fin WHERE vec_id % 50 = 0) t WHERE rn <= $nprobe),
+       |res AS MATERIALIZED (
+       |  SELECT v.vec_id, v.i, v.xq - c.cq AS rq
+       |  FROM q v JOIN a$fin a ON v.vec_id = a.vec_id
+       |       JOIN c$ivfIters c ON a.centroid = c.cid AND v.i = c.i),
+       |pq AS MATERIALIZED (
+       |  SELECT vec_id, (i - 1) // $pqSub AS sub, (i - 1) % $pqSub AS spos,
+       |         rq AS xq FROM res),
        |pc0 AS (SELECT sub, vec_id AS cid, spos, xq AS cq FROM pq WHERE vec_id < $pqK),
-       |pd1 AS (
+       |pd1 AS MATERIALIZED (
        |  SELECT v.vec_id, v.sub, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
        |  FROM pq v JOIN pc0 c ON v.sub = c.sub AND v.spos = c.spos GROUP BY 1, 2, 3),
        |pa1 AS (
@@ -647,27 +677,40 @@ object Similarity {
        |    SELECT vec_id, sub, cid,
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
        |    FROM pd1) t WHERE rn = 1),
-       |pc1 AS (
+       |pc1 AS MATERIALIZED (
        |  SELECT v.sub, a.code AS cid, v.spos,
        |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
        |  FROM pa1 a JOIN pq v ON a.vec_id = v.vec_id AND a.sub = v.sub
        |  GROUP BY 1, 2, 3),
-       |pd2 AS (
+       |pd2 AS MATERIALIZED (
        |  SELECT v.vec_id, v.sub, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
        |  FROM pq v JOIN pc1 c ON v.sub = c.sub AND v.spos = c.spos GROUP BY 1, 2, 3),
-       |pcodes AS (
+       |pcodes AS MATERIALIZED (
        |  SELECT vec_id, sub, cid AS code FROM (
        |    SELECT vec_id, sub, cid,
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
        |    FROM pd2) t WHERE rn = 1),
+       |qres AS MATERIALIZED (
+       |  SELECT p.qid, p.centroid, v.i, v.xq - c.cq AS rq
+       |  FROM probes p JOIN q v ON v.vec_id = p.qid
+       |       JOIN c$ivfIters c ON p.centroid = c.cid AND v.i = c.i),
+       |qsub AS (
+       |  SELECT qid, centroid, (i - 1) // $pqSub AS sub, (i - 1) % $pqSub AS spos,
+       |         rq FROM qres),
+       |qdt AS MATERIALIZED (
+       |  SELECT v.qid, v.centroid, v.sub, c.cid AS code,
+       |    SUM((v.rq - c.cq) * (v.rq - c.cq)) AS d
+       |  FROM qsub v JOIN pc1 c ON v.sub = c.sub AND v.spos = c.spos
+       |  GROUP BY 1, 2, 3, 4),
        |cand AS (
-       |  SELECT p.qid, a.vec_id
+       |  SELECT p.qid, p.centroid, a.vec_id
        |  FROM probes p JOIN a$fin a ON p.centroid = a.centroid AND a.vec_id <> p.qid),
-       |adc AS (
+       |adc AS MATERIALIZED (
        |  SELECT c.qid, c.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adc
        |  FROM cand c
        |  JOIN pcodes cv ON cv.vec_id = c.vec_id
-       |  JOIN pd2 qd ON qd.vec_id = c.qid AND qd.sub = cv.sub AND qd.cid = cv.code
+       |  JOIN qdt qd ON qd.qid = c.qid AND qd.centroid = c.centroid
+       |             AND qd.sub = cv.sub AND qd.code = cv.code
        |  GROUP BY 1, 2),
        |scored_adc AS (
        |  SELECT a.qid, a.vec_id,
@@ -677,7 +720,7 @@ object Similarity {
        |  SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id,
        |      row_number() OVER (PARTITION BY qid ORDER BY cos_adc DESC, vec_id ASC) AS rn
-       |    FROM scored_adc) t WHERE rn <= $ivfPqShortlist),
+       |    FROM scored_adc) t WHERE rn <= $shortlist),
        |dots AS (
        |  SELECT s.qid, s.vec_id AS cid, CAST(SUM(qa.xq * qb.xq) AS BIGINT) AS dot
        |  FROM sl s
@@ -695,6 +738,8 @@ object Similarity {
        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cos
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
+
+  private val ivfPqSql = ivfPqSqlFor(ivfPqK, ivfPqNprobe, ivfPqShortlist)
 
   /** Cosine threshold for [[semanticDedup]]. The synthetic fixture's
     * embeddings are near-random (top within-bucket cosine ≈ 0.4,

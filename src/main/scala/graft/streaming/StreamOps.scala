@@ -386,7 +386,12 @@ object StreamOps {
       .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
       .sorted(Ordering[Long].reverse)
     versions.iterator
-      .map(v => v -> readManifest(fs, new org.apache.hadoop.fs.Path(mdir, s"m$v")))
+      // Try: a manifest listed a moment ago may be deleted by a
+      // concurrent vacuum before we open it — treat a vanished file
+      // exactly like an incomplete one and fall through to the next
+      // older version instead of failing the read path
+      .map(v => v -> scala.util.Try(
+        readManifest(fs, new org.apache.hadoop.fs.Path(mdir, s"m$v"))).toOption.flatten)
       .collectFirst { case (v, Some((nb, m))) => (v, nb, m) }
       .getOrElse((-1L, 0, Map.empty))
   }
@@ -402,7 +407,19 @@ object StreamOps {
   /** The per-batch merge of [[upsertToParquetManifest]], callable
     * directly. Same merge semantics as the bucketed rename sink
     * (in-batch highest `versionCol` per key wins, last batch wins
-    * across batches); only the commit mechanism differs. */
+    * across batches); only the commit mechanism differs.
+    *
+    * SINGLE WRITER ASSUMPTION: version allocation is read-then-write
+    * (`nextVer = latest + 1`) with no lock — two concurrent committers
+    * would both claim m<N+1> and the second PUT wins, silently
+    * dropping the first's rows. Inside `foreachBatch` batches
+    * serialize per query, which is every supported deployment; a
+    * multi-driver setup needs an external lease (object stores offer
+    * no rename-if-absent to build one from). Because the race cannot
+    * be prevented here, it is DETECTED instead: after the commit PUT
+    * the manifest is read back and must match what was written —
+    * a conflicting writer's clobber (or interleaved later commit that
+    * dropped our buckets) raises instead of losing data silently. */
   private[graft] def mergeIntoManifestSnapshot(batch: DataFrame, keyCol: String,
       versionCol: String, targetDir: String, numBuckets: Int): Unit = {
     val spark = batch.sparkSession
@@ -447,6 +464,26 @@ object StreamOps {
     // overwrite=true: a crash may have left a PARTIAL m<nextVer> (no
     // END, ignored by readers) that this retry must replace
     Hfs.writeSmall(fs, new Path(root, s"manifests/m$nextVer"), body, overwrite = true)
+    verifyCommit(fs, root, nextVer, body)
+  }
+
+  /** Post-commit clobber detection (see the single-writer note on
+    * [[mergeIntoManifestSnapshot]]): re-reads the just-committed
+    * manifest and requires byte-identical content. A concurrent
+    * committer that also claimed this version (last-PUT-wins) or a
+    * vacuum that raced the commit shows up as a mismatch/missing file
+    * here — turning silent last-writer-wins data loss into a loud
+    * failure the caller can retry from the new latest snapshot. */
+  private[graft] def verifyCommit(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, ver: Long, expectedBody: String): Unit = {
+    import graft.connect.Hfs
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root, s"manifests/m$ver")
+    val got = scala.util.Try(Hfs.readSmall(fs, p)).toOption
+    require(got.contains(expectedBody),
+      s"manifest commit m$ver at $root was clobbered by a concurrent writer " +
+        s"(committed content does not match what this writer put) — the sink is " +
+        s"single-writer per target; re-run the batch against the current snapshot")
   }
 
   /** Current state of a [[upsertToParquetManifest]] target: the union
@@ -464,9 +501,22 @@ object StreamOps {
 
   /** Reclaim generations no manifest in the kept window references:
     * keeps the latest `keep` complete manifests (time travel window)
-    * and deletes every `data/v*` dir none of them cites, plus older
-    * manifest files. Never touches the latest version. Returns the
-    * deleted data-dir count. */
+    * and deletes every `data/v*` dir none of them cites, plus every
+    * manifest file — complete OR partial — below the kept window.
+    * Never touches the latest version.
+    *
+    * IN-FLIGHT COMMIT SAFETY: a writer creates its gen dir
+    * `data/v<N+1>` BEFORE committing manifest m<N+1>, so a gen whose
+    * version is above the newest complete manifest belongs to an
+    * uncommitted (possibly in-progress) commit and is never deleted —
+    * otherwise a vacuum racing the writer would delete the gen
+    * mid-write and the writer would go on to commit a manifest
+    * pointing at missing files. (Orphans from a writer that crashed
+    * before committing are reclaimed by the writer's own retry, which
+    * reuses the deterministic gen name; they are never reclaimed here.)
+    * Partial manifests at or above the kept window are likewise left
+    * for the writer's retry to overwrite. Returns the deleted
+    * data-dir count. */
   def vacuumManifestSnapshot(spark: SparkSession, targetDir: String,
       keep: Int = 2): Int = {
     require(keep >= 1, s"keep must be >= 1: $keep")
@@ -476,11 +526,12 @@ object StreamOps {
     val root = new Path(targetDir)
     val mdir = new Path(root, "manifests")
     if (!fs.exists(mdir)) return 0
-    val complete = fs.listStatus(mdir).toSeq
+    val all = fs.listStatus(mdir).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("m"))
       .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
       .sorted(Ordering[Long].reverse)
-      .filter(v => readManifest(fs, new Path(mdir, s"m$v")).isDefined)
+    val complete = all.filter(v => readManifest(fs, new Path(mdir, s"m$v")).isDefined)
+    val latestComplete = complete.headOption.getOrElse(-1L)
     val kept = complete.take(keep).toSet
     val referenced = kept.toSeq
       .flatMap(v => readManifest(fs, new Path(mdir, s"m$v")).toSeq)
@@ -490,11 +541,22 @@ object StreamOps {
     val dataDir = new Path(root, "data")
     var deleted = 0
     Hfs.listDirs(fs, dataDir).foreach { gen =>
-      if (!referenced.contains(s"data/${gen.getName}")) {
+      val genVer = scala.util.Try(gen.getName.drop(1).toLong).toOption
+      // skip gens above the newest complete manifest: in-flight commit
+      val inFlight = genVer.forall(_ > latestComplete)
+      if (!inFlight && !referenced.contains(s"data/${gen.getName}")) {
         Hfs.deleteIfExists(fs, gen); deleted += 1
       }
     }
-    complete.drop(keep).foreach(v => Hfs.deleteIfExists(fs, new Path(mdir, s"m$v")))
+    // reclaim manifests below the kept window whether or not they parse
+    // complete — a crash-orphaned partial below the window would
+    // otherwise accumulate forever. keptFloor ≤ latestComplete, so a
+    // partial ABOVE the newest complete manifest (an in-flight commit's
+    // half-written PUT) is never touched; with no complete manifest at
+    // all nothing is reclaimed.
+    val keptFloor = if (kept.isEmpty) -1L else kept.min
+    all.filter(v => !kept.contains(v) && v < keptFloor)
+      .foreach(v => Hfs.deleteIfExists(fs, new Path(mdir, s"m$v")))
     deleted
   }
 

@@ -41,6 +41,20 @@ object BpeProbe {
     time("encode") {
       TextAnalysis.bpeTokenCountsOn(spark, Tables.t(spark, sfDir, "documents"), 6).count()
     }
+    spark.sharedState.cacheManager.clearCache()
+    // batched-vs-unbatched training throughput (args: merge budget,
+    // then batch widths; default 24-merge budget at B=1 vs B=8)
+    val budget = args.headOption.map(_.toInt).getOrElse(24)
+    val widths = if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 8)
+    widths.foreach { b =>
+      graft.CacheScope.drain()
+      val t0 = System.nanoTime()
+      val merges = TextAnalysis.bpeTrainBatchedOn(
+        spark, Tables.t(spark, sfDir, "documents"), budget, b)._1
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache(); graft.CacheScope.drain()
+      println(f"""{"tool":"bpe_batch","batch":$b,"budget":$budget,"merges":${merges.size},"sec":$dt%.2f,"merges_per_sec":${merges.size / dt}%.2f,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

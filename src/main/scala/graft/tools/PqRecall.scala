@@ -59,16 +59,32 @@ object PqRecall {
     val ceiling = (bucketExact & bf).size.toDouble / math.max(1, bf.size)
     println(f"""{"tool":"pq_recall","recall_vs_bf":$vsBf%.4f,"recall_vs_bucket":$vsBucket%.4f,"bucket_ceiling_vs_bf":$ceiling%.4f,"queries":${pq.map(_._1).size},"adc_sec":$dt%.2f,"sf":"$sfDir"}""")
 
-    // the composition the decomposition motivates: same ADC scorer,
-    // trained-IVF candidate generation
-    val t1 = System.nanoTime()
-    val ivfpq = Similarity.ivfPq(spark, sfDir)
-      .select(col("qid"), col("cid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val dt1 = (System.nanoTime() - t1) / 1e9
-    spark.sharedState.cacheManager.clearCache(); graft.CacheScope.drain()
-    val ivfpqVsBf = (ivfpq & bf).size.toDouble / math.max(1, bf.size)
-    println(f"""{"tool":"ivfpq_recall","recall_vs_bf":$ivfpqVsBf%.4f,"queries":${ivfpq.map(_._1).size},"adc_sec":$dt1%.2f,"sf":"$sfDir"}""")
+    // the composition the decomposition motivates: trained-IVF
+    // candidate generation + residual-PQ ADC shortlist + exact
+    // rescore, swept over the (k, nprobe) operating grid. The shipped
+    // catalog constants are one of these points; the full table is the
+    // PLANS.md "IVF-PQ operating envelope".
+    val points: Seq[(Int, Int, Int)] =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        val Array(k, np, r) = a.split(":").map(_.toInt); (k, np, r)
+      }
+      else Seq(
+        // the r8 constants, for the before/after row
+        (Similarity.ivfK, Similarity.ivfNprobe, Similarity.ivfPqShortlist),
+        (64, 8, 24), (64, 16, 24), (128, 16, 24), (128, 24, 24),
+        (128, 24, 48), (128, 32, 48), (128, 32, 64))
+    points.foreach { case (k, np, r) =>
+      val t1 = System.nanoTime()
+      val ivfpq = Similarity
+        .ivfPqWithParams(spark, sfDir, k, Similarity.ivfIters, np, r)
+        .select(col("qid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      spark.sharedState.cacheManager.clearCache(); graft.CacheScope.drain()
+      val ivfpqVsBf = (ivfpq & bf).size.toDouble / math.max(1, bf.size)
+      val frac = np.toDouble / k
+      println(f"""{"tool":"ivfpq_recall","k":$k,"nprobe":$np,"probe_frac":$frac%.4f,"shortlist":$r,"recall_vs_bf":$ivfpqVsBf%.4f,"queries":${ivfpq.map(_._1).size},"sec":$dt1%.2f,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

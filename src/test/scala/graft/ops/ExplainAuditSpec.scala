@@ -43,7 +43,18 @@ class ExplainAuditSpec extends SparkSpec {
     "q_dedup_damerau", "q_sql_intervals", "q_feat_winsorize",
     "q_graph_clustering", "q_graph_kcore", "q3_shipping",
     "q_evt_paths", "q_evt_cumulative_users", "q_feat_mad",
-    "q_text_cdc_chunks", "q_sql_corr_matrix")
+    "q_text_cdc_chunks", "q_sql_corr_matrix",
+    // capped clustering coefficient joins only on equi-keys like its
+    // sibling q_graph_triangles_capped (broadcast ANTI joins for hub
+    // removal are hash joins, not BNLJ)
+    "q_graph_clustering_capped",
+    // BPE: the merge list itself is a driver-built LocalRelation, and
+    // the encode row's vocab lineage ends in one broadcast hash join —
+    // the 37-stage per-round broadcast-chain plan (the 4.7× r8 defect,
+    // killed by the driver argmax) would resurface here as BNLJ-free
+    // but exchange-heavy; the compile alone catches a rebuilt chain
+    // that no longer fits in a single-job materialization
+    "q_text_bpe", "q_text_bpe_batched", "q_text_bpe_encode")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook

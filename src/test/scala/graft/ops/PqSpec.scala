@@ -38,13 +38,15 @@ class PqSpec extends SparkSpec {
   }
 
   test("IVF-PQ: ADC over IVF candidates recovers most of the exact-rescore ranking") {
-    // ivf (exact rescore) and ivfPq (ADC scoring) share the SAME
-    // trained coarse quantizer, probes, and candidate lists — so their
-    // divergence is pure ADC quantization loss, the same bound the
-    // sign-bucket test above pins for pqAdc
+    // ivfWithParams at the ivfPq constants (exact rescore) and ivfPq
+    // (residual-ADC shortlist + exact rescore of R rows) share the
+    // SAME trained coarse quantizer, probes, and candidate lists — so
+    // their divergence is pure ADC/shortlist quantization loss, the
+    // same bound the sign-bucket test above pins for pqAdc
     val adcTop = top3(Similarity.ivfPq(spark, dir))
     spark.sharedState.cacheManager.clearCache()
-    val exactTop = top3(Similarity.ivf(spark, dir))
+    val exactTop = top3(Similarity.ivfWithParams(
+      spark, dir, Similarity.ivfPqK, Similarity.ivfIters, Similarity.ivfPqNprobe))
     spark.sharedState.cacheManager.clearCache()
     assert(adcTop.keySet == exactTop.keySet, "same probes → same query coverage")
     val qids = exactTop.keySet

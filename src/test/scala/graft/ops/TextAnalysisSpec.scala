@@ -121,6 +121,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
   }
 
+  test("batched BPE ≡ unbatched greedy on the classic corpus (any batch width)") {
+    // the strict-dominance acceptance rule must reproduce the exact
+    // sequential merge list — including through the (ew,est)-ties-(l,o)
+    // trap where a pair CREATED by an earlier in-batch merge ties a
+    // lower-ranked original pair at cnt 5 and wins lexically; plain
+    // symbol-disjoint batching reorders there, dominance must not
+    val docs = Seq((1L,
+      ("low " * 3 + "lower " * 2 + "newest " * 5 + "widest " * 3).trim))
+      .toDF("doc_id", "text")
+    val sequential = TextAnalysis.bpeMergesOn(spark, docs, 6)
+      .as[(Long, String, String, Long)].collect().toSeq
+    for (b <- Seq(2, 8, 16)) {
+      val batched = TextAnalysis.bpeTrainBatchedOn(spark, docs, 6, b)
+        ._1
+      assert(batched == sequential, s"batch=$b diverged from sequential greedy")
+    }
+  }
+
+  test("batched BPE ≡ unbatched prefix when the budget truncates mid-batch") {
+    val docs = Seq((1L,
+      ("low " * 3 + "lower " * 2 + "newest " * 5 + "widest " * 3).trim))
+      .toDF("doc_id", "text")
+    val sequential = TextAnalysis.bpeMergesOn(spark, docs, 6)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val batched = TextAnalysis.bpeTrainBatchedOn(spark, docs, 4, 16)._1
+    assert(batched == sequential.take(4))
+  }
+
+  test("batched BPE handles self-pair runs and pair exhaustion like unbatched") {
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val batched = TextAnalysis.bpeTrainBatchedOn(spark, docs, 3, 8)._1
+    assert(batched == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+  }
+
   test("bpeTokenCounts encodes with the trained vocabulary, per document") {
     // after the 6 hand-derived merges: low=1 token (<low>), lower=3
     // (<low><e><r>), newest=2 (<n><ewest>), widest=4 (<w><i><d><est>)

@@ -103,6 +103,73 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(manifests == 2, s"expected 2 kept manifests, got $manifests")
   }
 
+  test("a conflicting writer's clobber of the committed manifest is detected") {
+    val dir = tmpDir("graft-manifest-clobber").toString
+    StreamOps.mergeIntoManifestSnapshot(
+      Seq((1L, 1L, "a")).toDF("k", "v", "payload"), "k", "v", dir, 4)
+    val fs = Hfs.fs(spark, dir)
+    val (v1, _, _) = latest(fs, dir)
+    val body = Hfs.readSmall(fs, new Path(dir, s"manifests/m$v1"))
+    // identical content re-verifies fine (the normal commit path)
+    StreamOps.verifyCommit(fs, new Path(dir), v1, body)
+    // simulate the race the scaladoc documents: another writer's PUT
+    // landed on the same version AFTER ours — last-PUT-wins replaced
+    // our manifest with one that no longer cites our buckets
+    Hfs.writeSmall(fs, new Path(dir, s"manifests/m$v1"),
+      "numBuckets\t4\n0\tdata/v9/__bucket=0\nEND", overwrite = true)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.verifyCommit(fs, new Path(dir), v1, body)
+    }
+    assert(e.getMessage.contains("clobbered"))
+    // a vacuumed-away manifest (missing file) is the same loud failure
+    intercept[IllegalArgumentException] {
+      StreamOps.verifyCommit(fs, new Path(dir), v1 + 7, body)
+    }
+  }
+
+  test("vacuum never deletes a gen above the newest complete manifest (in-flight commit)") {
+    val dir = tmpDir("graft-manifest-inflight").toString
+    (1 to 3).foreach { i =>
+      StreamOps.mergeIntoManifestSnapshot(
+        Seq((1L, i.toLong, s"v$i")).toDF("k", "v", "payload"), "k", "v", dir, 4)
+    }
+    val fs = Hfs.fs(spark, dir)
+    val (vLatest, _, _) = latest(fs, dir)
+    // simulate an in-flight writer: its gen dir exists (data written),
+    // its manifest is not yet committed (or only partially PUT)
+    val inflightGen = new Path(dir, s"data/v${vLatest + 1}")
+    fs.mkdirs(inflightGen)
+    Hfs.writeSmall(fs, new Path(dir, s"manifests/m${vLatest + 1}"),
+      s"numBuckets\t4\n0\tdata/v${vLatest + 1}/__bucket=0", overwrite = true)
+    StreamOps.vacuumManifestSnapshot(spark, dir, keep = 1)
+    assert(fs.exists(inflightGen),
+      "vacuum deleted an in-flight commit's gen dir — data loss under a racing writer")
+    // the in-flight partial manifest is left for the writer's retry too
+    assert(fs.exists(new Path(dir, s"manifests/m${vLatest + 1}")))
+    // while committed state still reads fine
+    assert(snap(dir) == Map(1L -> ((3L, "v3"))))
+  }
+
+  test("vacuum reclaims partial manifests below the kept window") {
+    val dir = tmpDir("graft-manifest-partial-reclaim").toString
+    (1 to 3).foreach { i =>
+      StreamOps.mergeIntoManifestSnapshot(
+        Seq((1L, i.toLong, s"v$i")).toDF("k", "v", "payload"), "k", "v", dir, 4)
+    }
+    val fs = Hfs.fs(spark, dir)
+    // a crash-orphaned partial BELOW the kept window: overwrite the
+    // oldest committed manifest with an END-less body
+    Hfs.writeSmall(fs, new Path(dir, "manifests/m0"),
+      "numBuckets\t4\n0\tdata/v0/__bucket=0", overwrite = true)
+    StreamOps.vacuumManifestSnapshot(spark, dir, keep = 2)
+    assert(!fs.exists(new Path(dir, "manifests/m0")),
+      "partial manifest below the kept window must be reclaimed, not accumulate")
+    // kept window intact
+    assert(fs.exists(new Path(dir, "manifests/m1")))
+    assert(fs.exists(new Path(dir, "manifests/m2")))
+    assert(snap(dir) == Map(1L -> ((3L, "v3"))))
+  }
+
   test("streaming end-to-end through foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
