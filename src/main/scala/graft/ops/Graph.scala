@@ -311,15 +311,17 @@ object Graph {
     * (PLANS.md); the catalog rows stay the fixed-round differential
     * gates. */
   def pagerankConvergedOnLsh(s: SparkSession, dir: String,
-      tolMicro: Long = 1000L): (DataFrame, Int) = {
+      tolMicro: Long = 1000L,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val (nodes, pairs) = Dedup.lshPairGraph(s, dir)
-    pagerankConvergedWithRounds(nodes, pairs, tolMicro, 50, None, 5)
+    pagerankConvergedWithRounds(nodes, pairs, tolMicro, 50, checkpointDir, 5)
   }
 
   def kcoreConvergedOnLsh(s: SparkSession, dir: String,
-      k: Long = 3L): (DataFrame, Int) = {
+      k: Long = 3L,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val (_, pairs) = Dedup.lshPairGraph(s, dir)
-    kcoreConvergedWithRounds(pairs, k, 100, None, 5)
+    kcoreConvergedWithRounds(pairs, k, 100, checkpointDir, 5)
   }
 
   private[ops] def pagerankConvergedWithRounds(

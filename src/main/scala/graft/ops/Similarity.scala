@@ -854,6 +854,197 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Cluster-size caps for [[semanticCappedQuery]]. Binding cap:
+    * pigeonhole guarantees some cluster exceeds ⌈N/k⌉−1 = 31 at the
+    * sf0.01 gate (500 vectors / 16 lists), so the exclusion branch is
+    * always exercised there; at larger SFs it binds even harder. Loose
+    * cap: larger than the corpus at every test SF, so nothing is ever
+    * excluded and the branch must reproduce plain [[semanticDedup]].
+    */
+  val semanticCapBinding = 31L
+  val semanticCapLoose = 1000000L
+
+  /** [[semanticDedup]] with the oversized-cluster guard the uncapped
+    * scaladoc documents (the `q_graph_triangles_capped` pattern): a
+    * degenerate codebook can assign a huge fraction of the corpus to
+    * one list, making that cluster's self-join quadratic in N rather
+    * than (N/k)². Clusters with more than maxClusterSize members are
+    * EXCLUDED from the pair join and REPORTED (`excluded_cluster =
+    * true`, `kept = -1` sentinel — never a real value, which is 0/1)
+    * so the pipeline sees exactly what the cap dropped instead of
+    * silently keeping everything in a cluster it never scored.
+    *
+    * At 100 TB: the oversized list is tiny (few clusters exceed any
+    * sane cap), so the exclusion is two broadcast anti/semi-joins on
+    * the centroid id — no extra shuffle beyond the cluster-size
+    * aggregation, which is map-side combinable on the assignment.
+    */
+  def semanticDedupCapped(s: SparkSession, dir: String, maxClusterSize: Long): DataFrame = {
+    import s.implicits._
+    val (base, _, assigned0) = coarseFrontEnd(s, dir, ivfK, ivfIters)
+    val assigned = assigned0.persistScoped() // pair sides + roster + size agg
+    semanticCappedCore(assigned, base, maxClusterSize).orderBy($"vec_id")
+  }
+
+  /** Core of [[semanticDedupCapped]] over any (vec_id, centroid)
+    * assignment and quantized (vec_id, xq, n2) base — separated so the
+    * cap semantics are unit-testable on a hand-built degenerate
+    * codebook, not just the trained fixture. */
+  private[ops] def semanticCappedCore(
+      assigned: DataFrame, base: DataFrame, cap: Long): DataFrame = {
+    import assigned.sparkSession.implicits._
+    val oversized = assigned.groupBy($"centroid").agg(count(lit(1)).as("csize"))
+      .filter($"csize" > cap).select($"centroid").persistScoped()
+    val ok = assigned.join(broadcast(oversized), Seq("centroid"), "left_anti")
+    val okVec = ok.join(base, Seq("vec_id"))
+    val pairs = okVec.as("a").join(okVec.as("b"),
+        col("a.centroid") === col("b.centroid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        cosineFromDots(dot64(col("a.xq"), col("b.xq")),
+          col("a.n2"), col("b.n2")).as("cos"))
+    val dups = pairs.filter($"cos" >= semanticTau)
+      .groupBy($"v2").agg(min($"v1").as("dup_of"))
+      .withColumnRenamed("v2", "vec_id")
+    ok.join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"centroid",
+        when($"dup_of".isNull, 1L).otherwise(0L).as("kept"),
+        coalesce($"dup_of", $"vec_id").as("dup_of"),
+        lit(false).as("excluded_cluster"))
+      .unionByName(assigned.join(broadcast(oversized), Seq("centroid"), "left_semi")
+        .select($"vec_id", $"centroid", lit(-1L).as("kept"),
+          $"vec_id".as("dup_of"), lit(true).as("excluded_cluster")))
+  }
+
+  /** Gate row: [[semanticDedupCapped]] at BOTH a binding and a
+    * non-binding cap, tagged by `max_cluster` — one row differentially
+    * checks the exclusion branch, the oversized report, AND that the
+    * loose branch reproduces plain [[semanticDedup]] (the
+    * `q_graph_triangles_capped` differential shape).
+    *
+    * The trained assignment and the full within-cluster pair scores
+    * are cap-INDEPENDENT (exclusion is cluster-atomic — both endpoints
+    * of every pair share the centroid — so each cap's pair set is a
+    * FILTER of the full table, not a recompute); build and persist
+    * both once, then derive each cap by a broadcast anti-join on its
+    * oversized-centroid list. Without the sharing the k-means training
+    * and the quadratic-in-cluster pair scoring would run twice (the
+    * triangleCappedQuery lesson, measured ~2× there). The production
+    * entry point [[semanticDedupCapped]] applies the cap BEFORE the
+    * pair join — that is the point of the guard; the gate can share
+    * because its loose branch needs the full pair table anyway.
+    */
+  def semanticCappedQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (base, _, assigned0) = coarseFrontEnd(s, dir, ivfK, ivfIters)
+    val assigned = assigned0.persistScoped()
+    val withVec = assigned.join(base, Seq("vec_id"))
+    val pairs = withVec.as("a").join(withVec.as("b"),
+        col("a.centroid") === col("b.centroid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.centroid").as("centroid"),
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        cosineFromDots(dot64(col("a.xq"), col("b.xq")),
+          col("a.n2"), col("b.n2")).as("cos"))
+      .filter($"cos" >= semanticTau)
+      .persistScoped() // both caps filter this, never recompute it
+    val sizes = assigned.groupBy($"centroid").agg(count(lit(1)).as("csize"))
+      .persistScoped()
+    Seq(semanticCapBinding, semanticCapLoose).map { cap =>
+      val oversized = sizes.filter($"csize" > cap).select($"centroid")
+      val dups = pairs.join(broadcast(oversized), Seq("centroid"), "left_anti")
+        .groupBy($"v2").agg(min($"v1").as("dup_of"))
+        .withColumnRenamed("v2", "vec_id")
+      assigned.join(broadcast(oversized), Seq("centroid"), "left_anti")
+        .join(dups, Seq("vec_id"), "left")
+        .select($"vec_id", $"centroid",
+          when($"dup_of".isNull, 1L).otherwise(0L).as("kept"),
+          coalesce($"dup_of", $"vec_id").as("dup_of"),
+          lit(false).as("excluded_cluster"))
+        .unionByName(assigned.join(broadcast(oversized), Seq("centroid"), "left_semi")
+          .select($"vec_id", $"centroid", lit(-1L).as("kept"),
+            $"vec_id".as("dup_of"), lit(true).as("excluded_cluster")))
+        .withColumn("max_cluster", lit(cap))
+    }.reduce(_ unionByName _)
+      .select($"max_cluster", $"vec_id", $"centroid", $"kept", $"dup_of",
+        $"excluded_cluster")
+      .orderBy($"max_cluster", $"vec_id")
+  }
+
+  /** Oracle: the proven coarse-training chain, the full within-cluster
+    * pair scores once (centroid carried — exclusion is cluster-atomic),
+    * then one WHERE-filtered block per cap. NOT IN is NULL-safe here:
+    * centroid ids come from the assignment, never NULL. */
+  private val semanticCappedSql = {
+    val iters = (1 to ivfIters).map { it =>
+      val prevC = if (it == 1) "c0" else s"c${it - 1}"
+      s"""d$it AS (
+         |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+         |  FROM q v JOIN $prevC c ON v.i = c.i GROUP BY 1, 2),
+         |a$it AS (
+         |  SELECT vec_id, cid AS centroid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d$it) t WHERE rn = 1),
+         |c$it AS (
+         |  SELECT a.centroid AS cid, v.i,
+         |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+         |  FROM a$it a JOIN q v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin = ivfIters + 1
+    def capBlock(cap: Long) =
+      s"""ov$cap AS (SELECT centroid FROM sizes WHERE csize > $cap),
+         |dups$cap AS (
+         |  SELECT v2 AS vec_id, MIN(v1) AS dup_of FROM sim
+         |  WHERE centroid NOT IN (SELECT centroid FROM ov$cap) GROUP BY 1)""".stripMargin
+    def capSelect(cap: Long) =
+      s"""SELECT CAST($cap AS BIGINT) AS max_cluster, a.vec_id, a.centroid,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+         |  COALESCE(d.dup_of, a.vec_id) AS dup_of, FALSE AS excluded_cluster
+         |FROM a$fin a LEFT JOIN dups$cap d ON a.vec_id = d.vec_id
+         |WHERE a.centroid NOT IN (SELECT centroid FROM ov$cap)
+         |UNION ALL
+         |SELECT CAST($cap AS BIGINT), vec_id, centroid, CAST(-1 AS BIGINT),
+         |  vec_id, TRUE
+         |FROM a$fin WHERE centroid IN (SELECT centroid FROM ov$cap)""".stripMargin
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |           unnest(embedding) AS x FROM embeddings),
+       |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM ex),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
+       |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $ivfK),
+       |$iters,
+       |d$fin AS (
+       |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM q v JOIN c$ivfIters c ON v.i = c.i GROUP BY 1, 2),
+       |a$fin AS MATERIALIZED (
+       |  SELECT vec_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin) t WHERE rn = 1),
+       |sizes AS (SELECT centroid, COUNT(*) AS csize FROM a$fin GROUP BY 1),
+       |cand AS (
+       |  SELECT a.centroid, a.vec_id AS v1, b.vec_id AS v2
+       |  FROM a$fin a JOIN a$fin b
+       |    ON a.centroid = b.centroid AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT c.centroid, c.v1, c.v2, CAST(SUM(qa.xq * qb.xq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN q qa ON qa.vec_id = c.v1
+       |  JOIN q qb ON qb.vec_id = c.v2 AND qa.i = qb.i
+       |  GROUP BY 1, 2, 3),
+       |sim AS MATERIALIZED (
+       |  SELECT centroid, v1, v2 FROM (
+       |    SELECT d.centroid, d.v1, d.v2,
+       |      (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |    FROM dots d JOIN norms na ON d.v1 = na.vec_id
+       |                JOIN norms nb ON d.v2 = nb.vec_id) t
+       |  WHERE cos >= $semanticTau),
+       |${capBlock(semanticCapBinding)},
+       |${capBlock(semanticCapLoose)}
+       |${capSelect(semanticCapBinding)}
+       |UNION ALL
+       |${capSelect(semanticCapLoose)}
+       |ORDER BY max_cluster, vec_id""".stripMargin
+  }
+
   /** ANN-mined hard negatives — the contrastive-training data op
     * (public method: ANCE, Xiong et al. 2021, mines negatives from an
     * ANN index over the current embeddings; DPR's in-batch negatives
@@ -1112,6 +1303,7 @@ object Similarity {
     CatalogEntry("q_sim_pq", pqAdc, Some(pqAdcSql)),
     CatalogEntry("q_sim_ivfpq", ivfPq, Some(ivfPqSql)),
     CatalogEntry("q_dedup_semantic", semanticDedup, Some(semanticDedupSql)),
+    CatalogEntry("q_dedup_semantic_capped", semanticCappedQuery, Some(semanticCappedSql)),
     CatalogEntry("q_emb_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     CatalogEntry("q_emb_centroid", labelCentroids, Some(labelCentroidsSql)))
 }

@@ -26,13 +26,33 @@ import org.apache.spark.sql.streaming.Trigger
   * `checkpointLocation` is required and resolves against the
   * connection's basePath unless absolute — the checkpoint must live
   * with the target's storage so a restart anywhere in the cluster
-  * finds the same offsets.
+  * finds the same offsets. A STEP-level checkpointLocation is used
+  * as-is; a CONNECTION-level one is a shared base and is NAMESPACED
+  * by the step name — otherwise every streaming load on that
+  * connection would silently reuse the first load's committed offsets
+  * and drain nothing (no error, just missing data).
   */
 object StreamingLoad {
 
   private def resolve(base: Option[String], p: String): String =
     if (p.startsWith("/") || p.contains("://")) p
     else base.map(b => s"$b/$p").getOrElse(p)
+
+  /** Checkpoint resolution (see class doc; unit-tested directly):
+    * step-level value wins verbatim, connection-level value gets
+    * `/<step.name>` appended so distinct steps never collide. */
+  private[streaming] def resolveCheckpoint(
+      conn: ConnectionSpec, step: LoadStep): String = {
+    val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
+    step.options.get("checkpointLocation") match {
+      case Some(p) => resolve(base, p)
+      case None =>
+        val shared = conn.options.getOrElse("checkpointLocation",
+          throw new IllegalArgumentException(
+            s"load '${step.name}': streaming load needs option checkpointLocation"))
+        s"${resolve(base, shared)}/${step.name}"
+    }
+  }
 
   def write(df: DataFrame, conn: ConnectionSpec, step: LoadStep): Unit = {
     require(df.isStreaming, s"load '${step.name}': StreamingLoad needs a streaming frame")
@@ -41,9 +61,7 @@ object StreamingLoad {
     val path = step.path.orElse(step.table).getOrElse(
       throw new IllegalArgumentException(s"load '${step.name}': path required"))
     val full = resolve(base, path)
-    val checkpoint = resolve(base, merged.getOrElse("checkpointLocation",
-      throw new IllegalArgumentException(
-        s"load '${step.name}': streaming load needs option checkpointLocation")))
+    val checkpoint = resolveCheckpoint(conn, step)
     def req(k: String): String = merged.getOrElse(k,
       throw new IllegalArgumentException(s"load '${step.name}': upsert needs option $k"))
     val writer = step.mode match {

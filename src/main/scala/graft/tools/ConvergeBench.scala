@@ -11,13 +11,19 @@ import org.apache.spark.sql.SparkSession
   * hub fixtures to show convergence cost tracks graph difficulty, not
   * a hardcoded round count.
   *
-  * Usage: ConvergeBench <sfDir> [tolMicro=1000] [k=3]
+  * Usage: ConvergeBench <sfDir> [tolMicro=1000] [k=3] [checkpointDir]
+  *
+  * With a checkpointDir the every-5th-round RELIABLE checkpoint
+  * cadence is on — the production configuration whose replay bound
+  * the scaladoc claims; the published table runs this mode so the
+  * numbers include the checkpoint write cost.
   */
 object ConvergeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val tolMicro = if (args.length > 1) args(1).toLong else 1000L
     val k = if (args.length > 2) args(2).toLong else 3L
+    val ckDir = if (args.length > 3) Some(args(3)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,17 +37,18 @@ object ConvergeBench {
       val a = body
       (a, (System.nanoTime() - t0) / 1e9)
     }
+    val ck = ckDir.fold("null")(d => s""""$d"""")
     val ((prN, prRounds), prSec) = time {
-      val (df, r) = Graph.pagerankConvergedOnLsh(spark, sfDir, tolMicro)
+      val (df, r) = Graph.pagerankConvergedOnLsh(spark, sfDir, tolMicro, ckDir)
       (df.count(), r)
     }
-    println(f"""{"tool":"converge","alg":"pagerank","tol_micro":$tolMicro,"rounds":$prRounds,"rows":$prN,"sec":$prSec%.2f,"sf":"$sfDir"}""")
+    println(f"""{"tool":"converge","alg":"pagerank","tol_micro":$tolMicro,"rounds":$prRounds,"rows":$prN,"sec":$prSec%.2f,"checkpoint":$ck,"sf":"$sfDir"}""")
     spark.sharedState.cacheManager.clearCache(); graft.CacheScope.drain()
     val ((kcN, kcRounds), kcSec) = time {
-      val (df, r) = Graph.kcoreConvergedOnLsh(spark, sfDir, k)
+      val (df, r) = Graph.kcoreConvergedOnLsh(spark, sfDir, k, ckDir)
       (df.count(), r)
     }
-    println(f"""{"tool":"converge","alg":"kcore","k":$k,"rounds":$kcRounds,"rows":$kcN,"sec":$kcSec%.2f,"sf":"$sfDir"}""")
+    println(f"""{"tool":"converge","alg":"kcore","k":$k,"rounds":$kcRounds,"rows":$kcN,"sec":$kcSec%.2f,"checkpoint":$ck,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,6 +68,9 @@ class ExplainAuditSpec extends SparkSpec {
     "q_sim_ivfpq",
     // semantic dedup clusters with the same trained ≤16-row codebook
     "q_dedup_semantic",
+    // the capped variant trains with the same codebook; its cap
+    // machinery adds only broadcast anti/semi hash joins
+    "q_dedup_semantic_capped",
     // hard-negative mining probes the same ≤16-row codebook
     "q_emb_hard_negatives",
     // target encoding broadcasts its ONE-ROW global prior under every

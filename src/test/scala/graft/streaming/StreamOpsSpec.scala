@@ -502,4 +502,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(snap == Map(3L -> 3.0, 4L -> 4.0),
       "stranded bucket restored before merge, not dropped")
   }
+
+  test("connection-level checkpointLocation is namespaced per step; step-level wins verbatim") {
+    import graft.model.{ConnectionSpec, LoadStep}
+    // a shared connection checkpoint must NOT resolve identically for
+    // two different load steps — the second would silently reuse the
+    // first's committed offsets and drain nothing
+    val conn = ConnectionSpec("c1", "lake", "parquet",
+      Map("basePath" -> "/lake", "checkpointLocation" -> "ckpts"))
+    val a = LoadStep("loadA", 1, "c1", path = Some("ta"))
+    val b = LoadStep("loadB", 2, "c1", path = Some("tb"))
+    val (ckA, ckB) = (StreamingLoad.resolveCheckpoint(conn, a),
+      StreamingLoad.resolveCheckpoint(conn, b))
+    assert(ckA == "/lake/ckpts/loadA" && ckB == "/lake/ckpts/loadB")
+    assert(ckA != ckB)
+    // a step-level value is the user saying exactly where — verbatim
+    val own = LoadStep("loadC", 3, "c1", path = Some("tc"),
+      options = Map("checkpointLocation" -> "my/ck"))
+    assert(StreamingLoad.resolveCheckpoint(conn, own) == "/lake/my/ck")
+    // neither level present → fail fast, naming the option
+    val none = ConnectionSpec("c2", "lake2", "parquet", Map.empty)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingLoad.resolveCheckpoint(none, a)
+    }
+    assert(ex.getMessage.contains("checkpointLocation"))
+  }
 }
