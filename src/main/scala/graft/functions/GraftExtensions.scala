@@ -127,6 +127,38 @@ object GraftExtensions {
           children(1).eval(null).asInstanceOf[Number].intValue()
         else 1024
         KmvMerge(children.head, k).toAggregateExpression()
+      }),
+    (
+      new FunctionIdentifier("bks_quantile"),
+      new ExpressionInfo(classOf[BksQuantile].getCanonicalName, "bks_quantile"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3 || children.size == 4,
+          "bks_quantile(priority, value, p_permille[, k]) — bottom-k sample quantile")
+        def lit(i: Int) = children(i).eval(null).asInstanceOf[Number].intValue()
+        BksQuantile(children.head, children(1), lit(2),
+          if (children.size == 4) lit(3) else 256).toAggregateExpression()
+      }),
+    (
+      new FunctionIdentifier("bks_state"),
+      new ExpressionInfo(classOf[BksState].getCanonicalName, "bks_state"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "bks_state(priority, value[, k]) — serialized bottom-k sample")
+        BksState(children.head, children(1),
+          if (children.size == 3)
+            children(2).eval(null).asInstanceOf[Number].intValue()
+          else 256).toAggregateExpression()
+      }),
+    (
+      new FunctionIdentifier("bks_quantile_merge"),
+      new ExpressionInfo(
+        classOf[BksQuantileMerge].getCanonicalName, "bks_quantile_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "bks_quantile_merge(state, p_permille[, k]) — merges bks_state samples")
+        def lit(i: Int) = children(i).eval(null).asInstanceOf[Number].intValue()
+        BksQuantileMerge(children.head, lit(1),
+          if (children.size == 3) lit(2) else 256).toAggregateExpression()
       }))
 
   /** Register on an already-built session (tests, notebooks) via the

@@ -197,6 +197,85 @@ object Aggregates {
       |  TRUE AS merge_lossless, TRUE AS within_tol
       |FROM d GROUP BY wk ORDER BY wk""".stripMargin
 
+  /** Re-aggregatable QUANTILE rollup — the order-statistics sibling of
+    * [[sketchRollup]]: per (event_type, day) a
+    * [[graft.functions.BksState]] bottom-k row sample (k=256 pairs of
+    * longs, map-side combined), merged per event_type by
+    * [[graft.functions.BksQuantileMerge]] into p50/p90 estimates of
+    * the integer-bridged value — daily stored states answer later
+    * quantile queries without rescanning history, the same O(day) vs
+    * O(history) trade as the KMV row but for percentiles (bottom-k
+    * sketches: Cohen & Kaplan 2007; merging bottom-k samples is
+    * lossless, BkSampleSpec asserts merged ≡ single-shot ≡ exact-≤-k).
+    *
+    * Unlike the KMV row (whose xxhash64 forces a weaker TRUE-column
+    * oracle), the sample priority here is the catalog's cross-engine
+    * Knuth hash (`q_sample_weighted`'s reduce-before-multiply form,
+    * mod 2^40), so DuckDB rebuilds the SAME sample and the estimates
+    * gate EXACTLY — priority ties (birthday-rare at 2^40 but mirrored
+    * anyway) keep the smaller value in both engines. Estimator:
+    * lower quantile of the sampled values at index (n−1)·p div 1000 —
+    * exact when the group has ≤ k rows, √(p(1−p)/k)-order error
+    * beyond. At 100 TB the shuffle after the scan carries ≤ k pairs
+    * per (event_type, day), never rows — and a year of stored daily
+    * states re-aggregates to any window's percentiles in one
+    * metadata-sized job.
+    */
+  def quantileRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val e = Tables.t(s, dir, "events")
+      .select($"event_type",
+        expr("CAST(ts AS LONG) div 86400").as("day"),
+        expr("pmod(pmod(event_id, 2654435761) * 2654435761, 1099511627776)")
+          .as("prio"),
+        round($"value" * lit(1e4)).cast("long").as("mills"))
+    val daily = e.groupBy($"event_type", $"day")
+      .agg(expr("bks_state(prio, mills)").as("state"), count(lit(1)).as("n"))
+    daily.groupBy($"event_type")
+      .agg(expr("bks_quantile_merge(state, 500)").as("est_p50_mills"),
+        expr("bks_quantile_merge(state, 900)").as("est_p90_mills"),
+        count(lit(1)).as("n_days"), sum($"n").as("n_rows"))
+      .orderBy($"event_type")
+  }
+
+  /** Oracle: rebuild the deterministic bottom-k sample relationally —
+    * dedup priorities keeping the min value (the sketch's tie rule),
+    * keep the k smallest priorities per group (merge losslessness
+    * makes per-day-then-merge ≡ one global bottom-k), then pick the
+    * sampled value at 1-based rank (n−1)·p div 1000 + 1. */
+  private val quantileRollupSql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    ((event_id % 2654435761) * 2654435761) % 1099511627776 AS prio,
+      |    CAST(round(value * 1e4) AS BIGINT) AS mills
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, prio, MIN(mills) AS mills FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, prio, mills,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY prio) AS rn
+      |  FROM d),
+      |sv AS (
+      |  SELECT event_type, mills,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY mills) AS vr,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM r WHERE rn <= 256),
+      |q AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN vr = (n - 1) * 500 // 1000 + 1 THEN mills END) AS est_p50_mills,
+      |    MAX(CASE WHEN vr = (n - 1) * 900 // 1000 + 1 THEN mills END) AS est_p90_mills
+      |  FROM sv GROUP BY 1),
+      |meta AS (
+      |  SELECT event_type, COUNT(DISTINCT day) AS n_days,
+      |    COUNT(*) AS n_rows
+      |  FROM e GROUP BY 1)
+      |SELECT m.event_type, q.est_p50_mills, q.est_p90_mills,
+      |  CAST(m.n_days AS BIGINT) AS n_days, CAST(m.n_rows AS BIGINT) AS n_rows
+      |FROM meta m JOIN q ON m.event_type = q.event_type
+      |ORDER BY m.event_type""".stripMargin
+
   /** Heavy-hitters head per language — [[graft.functions.FreqTopK]]
     * (Misra–Gries) over the exploded token stream: top-5 tokens with
     * counts as one `item:count` string per language. The gate pins the
@@ -591,6 +670,7 @@ object Aggregates {
     CatalogEntry("q_agg_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     CatalogEntry("q_agg_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     CatalogEntry("q_agg_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
+    CatalogEntry("q_agg_quantile_rollup", quantileRollup, Some(quantileRollupSql)),
     CatalogEntry("q_agg_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     CatalogEntry("q_agg_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)),
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),

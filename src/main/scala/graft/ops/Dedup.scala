@@ -888,9 +888,11 @@ object Dedup {
     checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     // lineage cut per round: reliable on every checkpointEvery-th round
     // when a dir is configured, executor-local otherwise
+    // lineageCut (not raw localCheckpoint): also resets the leaf's size
+    // estimate, or per-round join-size products compound exponentially
+    // in the stats BigInt (driver hang past ~20 rounds; PLANS.md r9)
     def cut(df: DataFrame, round: Int): DataFrame =
-      if (checkpointDir.isDefined && round % checkpointEvery == 0) df.checkpoint()
-      else df.localCheckpoint()
+      lineageCut(df, checkpointDir.isDefined && round % checkpointEvery == 0)
     val sym = edges.select($"src", $"dst")
       .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
@@ -957,9 +959,11 @@ object Dedup {
       checkpointEvery: Int = 5): (DataFrame, Int) = {
     import s.implicits._
     checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    // lineageCut (not raw localCheckpoint): also resets the leaf's size
+    // estimate, or per-round join-size products compound exponentially
+    // in the stats BigInt (driver hang past ~20 rounds; PLANS.md r9)
     def cut(df: DataFrame, round: Int): DataFrame =
-      if (checkpointDir.isDefined && round % checkpointEvery == 0) df.checkpoint()
-      else df.localCheckpoint()
+      lineageCut(df, checkpointDir.isDefined && round % checkpointEvery == 0)
     var e = edges
       .select(greatest($"src", $"dst").as("hi"), least($"src", $"dst").as("lo"))
       .filter($"hi" =!= $"lo")

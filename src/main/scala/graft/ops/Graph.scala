@@ -330,9 +330,11 @@ object Graph {
     import nodes.sparkSession.implicits._
     val sc = nodes.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
+    // lineageCut (not raw localCheckpoint): also resets the leaf's size
+    // estimate, or per-round join-size products compound exponentially
+    // in the stats BigInt (driver hang past ~20 rounds; PLANS.md r9)
     def cut(df: DataFrame, round: Int): DataFrame =
-      if (checkpointDir.isDefined && round % checkpointEvery == 0) df.checkpoint()
-      else df.localCheckpoint()
+      lineageCut(df, checkpointDir.isDefined && round % checkpointEvery == 0)
     val edges = pairs.select($"src".as("u"), $"dst".as("v"))
       .unionAll(pairs.select($"dst".as("u"), $"src".as("v"))).localCheckpoint()
     val deg = edges.groupBy($"u".as("id")).agg(count(lit(1)).as("deg"))
@@ -628,9 +630,11 @@ object Graph {
     import pairs.sparkSession.implicits._
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
+    // lineageCut (not raw localCheckpoint): also resets the leaf's size
+    // estimate, or per-round join-size products compound exponentially
+    // in the stats BigInt (driver hang past ~20 rounds; PLANS.md r9)
     def cut(df: DataFrame, round: Int): DataFrame =
-      if (checkpointDir.isDefined && round % checkpointEvery == 0) df.checkpoint()
-      else df.localCheckpoint()
+      lineageCut(df, checkpointDir.isDefined && round % checkpointEvery == 0)
     def degrees(e: DataFrame): DataFrame =
       e.select($"src".as("id")).union(e.select($"dst".as("id")))
         .groupBy($"id").agg(count(lit(1)).as("d"))

@@ -43,4 +43,27 @@ package object ops {
   /** SQL-side twin of [[davg]]. */
   def davgSql(expr: String, scale: Int = 4): String =
     s"(${dsumSql(expr, scale)} / COUNT($expr))"
+
+  /** Lineage cut for iterate-until-converge loops: truncate the plan
+    * (reliable checkpoint, or executor-local blocks) AND rebuild the
+    * result as a fresh leaf so the origin plan's SIZE ESTIMATE is
+    * dropped along with its lineage. Without the rebuild,
+    * `LogicalRDD.fromDataset` carries the source plan's `sizeInBytes`
+    * forward — and size-only join estimation is a PRODUCT over
+    * children, so each round's estimate multiplies estimates that
+    * already contain every earlier round's: the BigInt digit count
+    * DOUBLES per round, and past ~20 rounds the driver spends minutes
+    * per cut inside `BigInteger.multiply` during stats visitation
+    * (hit for real: pagerankConverged on the 10× fixture, jstack'd
+    * mid-hang in ToomCook3 — PLANS.md r9). The rebuilt leaf reports
+    * the session-default size, so per-round stats work is constant
+    * forever. Data cost: one extra row decode/encode per consumption
+    * of the cut table — node-table-sized, paid once per round, far
+    * below the round's own shuffle.
+    */
+  def lineageCut(df: org.apache.spark.sql.DataFrame,
+      reliable: Boolean): org.apache.spark.sql.DataFrame = {
+    val ck = if (reliable) df.checkpoint() else df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
 }
