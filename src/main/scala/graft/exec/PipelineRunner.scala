@@ -75,8 +75,14 @@ final class PipelineRunner(
     repo.appendHistory(HistoryEvent(p.id, started, None, "running", "started"))
     try {
       val ordered = p.steps.sortBy(_.order) // ≅ core/engine.py:49
+      // per connection: how many loads would share its connection-level
+      // checkpoint — feeds StreamingLoad's sole-load legacy adoption
+      val sharedCkLoads = ordered
+        .collect { case l: LoadStep if !l.options.contains("checkpointLocation") =>
+          l.connectionId }
+        .groupBy(identity).view.mapValues(_.size).toMap
       ordered.foldLeft(Option.empty[DataFrame]) { (data, step) =>
-        runStep(data, step)
+        runStep(data, step, sharedCkLoads)
       }
       repo.appendHistory(HistoryEvent(p.id, started, Some(Instant.now()), "success",
         s"${ordered.size} steps"))
@@ -93,7 +99,8 @@ final class PipelineRunner(
     repo.getConnection(id).getOrElse(
       throw new IllegalArgumentException(s"unknown connection '$id'"))
 
-  private def runStep(data: Option[DataFrame], step: StepSpec): Option[DataFrame] =
+  private def runStep(data: Option[DataFrame], step: StepSpec,
+      sharedCkLoads: Map[String, Int] = Map.empty): Option[DataFrame] =
     step match {
       case e: ExtractStep =>
         Some(Sources.read(spark, connection(e.connectionId), e))
@@ -121,7 +128,8 @@ final class PipelineRunner(
         // AvailableNow incremental drain — bounded, so the scheduled
         // run still completes and writes its history row
         if (out.isStreaming)
-          graft.streaming.StreamingLoad.write(out, connection(l.connectionId), l)
+          graft.streaming.StreamingLoad.write(out, connection(l.connectionId), l,
+            soleConnectionLoad = sharedCkLoads.getOrElse(l.connectionId, 1) <= 1)
         else Sources.write(out, connection(l.connectionId), l)
         Some(df) // frame keeps flowing (a pipeline may load twice)
     }

@@ -113,6 +113,9 @@ case class BksQuantile(
     inputAggBufferOffset: Int = 0)
     extends BksAgg {
 
+  require(pPermille >= 0 && pPermille <= 1000,
+    s"bks_quantile: p_permille must be in [0, 1000], got $pPermille")
+
   override def children: Seq[Expression] = Seq(priority, value)
   override def dataType: DataType = LongType
   override def prettyName: String = "bks_quantile"
@@ -196,6 +199,9 @@ case class BksQuantileMerge(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends BksAgg {
+
+  require(pPermille >= 0 && pPermille <= 1000,
+    s"bks_quantile_merge: p_permille must be in [0, 1000], got $pPermille")
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = LongType

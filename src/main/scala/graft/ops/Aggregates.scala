@@ -248,7 +248,8 @@ object Aggregates {
     """WITH e AS (
       |  SELECT event_type,
       |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-      |    ((event_id % 2654435761) * 2654435761) % 1099511627776 AS prio,
+      |    ((((event_id % 2654435761) + 2654435761) % 2654435761)
+      |      * 2654435761) % 1099511627776 AS prio,
       |    CAST(round(value * 1e4) AS BIGINT) AS mills
       |  FROM events),
       |d AS (

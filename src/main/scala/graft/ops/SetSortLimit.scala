@@ -189,7 +189,10 @@ object SetSortLimit {
     // doc_id is reduced mod the Knuth constant BEFORE the multiply:
     // (c-1)·c ≈ 7.0e18 stays inside int64, where a raw 64-bit id times
     // c overflows (ANSI Spark throws, DuckDB errors). A no-op at
-    // fixture ids (< c), identical u either way there.
+    // fixture ids (< c), identical u either way there. The oracle's
+    // ((x % c) + c) % c mirrors pmod for NEGATIVE ids too — DuckDB %
+    // keeps the sign, pmod never does, so the plain form would build
+    // a different sample the day a fixture ships negative ids.
     Tables.t(s, dir, "documents")
       .select($"doc_id", $"lang", $"n_chars",
         (pmod(pmod($"doc_id", lit(2654435761L)) * lit(2654435761L),
@@ -204,7 +207,8 @@ object SetSortLimit {
   private val weightedSampleSql =
     """WITH p AS (
       |  SELECT doc_id, lang, n_chars,
-      |    (((doc_id % 2654435761) * 2654435761) % 1048576 + 1)
+      |    ((((doc_id % 2654435761) + 2654435761) % 2654435761
+      |       * 2654435761) % 1048576 + 1)
       |      * 1000000000 // n_chars AS priority
       |  FROM documents),
       |r AS (

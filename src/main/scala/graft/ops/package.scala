@@ -60,6 +60,14 @@ package object ops {
     * forever. Data cost: one extra row decode/encode per consumption
     * of the cut table — node-table-sized, paid once per round, far
     * below the round's own shuffle.
+    *
+    * Broadcast implication of the rebuilt leaf: session-default
+    * sizeInBytes is effectively "huge", so the STATIC planner will
+    * never size-based-broadcast a cut frame — join strategy for the
+    * per-round state inside the converge loops comes from AQE's
+    * runtime stats (on in every engine session). If AQE were disabled,
+    * hint small hot frames explicitly (`broadcast(...)`) instead of
+    * relying on the estimate this rebuild deliberately drops.
     */
   def lineageCut(df: org.apache.spark.sql.DataFrame,
       reliable: Boolean): org.apache.spark.sql.DataFrame = {

@@ -31,6 +31,17 @@ import org.apache.spark.sql.streaming.Trigger
   * by the step name — otherwise every streaming load on that
   * connection would silently reuse the first load's committed offsets
   * and drain nothing (no error, just missing data).
+  *
+  * Upgrade path: deployments from before the namespacing committed
+  * offsets at the connection-level path ITSELF. Renaming those out
+  * from under a running deployment would abandon the offsets — the
+  * stream reprocesses every source file from scratch and an append
+  * sink gets every historical row a second time. So when the step is
+  * the connection's ONLY checkpoint-less streaming load AND the
+  * legacy un-namespaced path already holds a committed checkpoint
+  * (an `offsets/` dir or `metadata` file), the legacy path is kept.
+  * With two or more loads sharing the connection the namespaced path
+  * always wins: the legacy layout was silently wrong for them anyway.
   */
 object StreamingLoad {
 
@@ -40,9 +51,13 @@ object StreamingLoad {
 
   /** Checkpoint resolution (see class doc; unit-tested directly):
     * step-level value wins verbatim, connection-level value gets
-    * `/<step.name>` appended so distinct steps never collide. */
+    * `/<step.name>` appended so distinct steps never collide —
+    * except the sole-load legacy adoption described in the class doc,
+    * probed via `legacyHasCheckpoint` (injected so tests need no FS). */
   private[streaming] def resolveCheckpoint(
-      conn: ConnectionSpec, step: LoadStep): String = {
+      conn: ConnectionSpec, step: LoadStep,
+      soleConnectionLoad: Boolean = false,
+      legacyHasCheckpoint: String => Boolean = _ => false): String = {
     val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
     step.options.get("checkpointLocation") match {
       case Some(p) => resolve(base, p)
@@ -50,18 +65,32 @@ object StreamingLoad {
         val shared = conn.options.getOrElse("checkpointLocation",
           throw new IllegalArgumentException(
             s"load '${step.name}': streaming load needs option checkpointLocation"))
-        s"${resolve(base, shared)}/${step.name}"
+        val legacy = resolve(base, shared)
+        if (soleConnectionLoad && legacyHasCheckpoint(legacy)) legacy
+        else s"$legacy/${step.name}"
     }
   }
 
-  def write(df: DataFrame, conn: ConnectionSpec, step: LoadStep): Unit = {
+  /** True when `path` holds a Structured Streaming checkpoint (its
+    * committed-offsets dir or metadata marker exists). */
+  private def hasCommittedCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = graft.connect.Hfs.fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.connect.Hfs.isDir(fs, new org.apache.hadoop.fs.Path(p, "offsets")) ||
+      graft.connect.Hfs.isFile(fs, new org.apache.hadoop.fs.Path(p, "metadata"))
+  }
+
+  def write(df: DataFrame, conn: ConnectionSpec, step: LoadStep,
+      soleConnectionLoad: Boolean = true): Unit = {
     require(df.isStreaming, s"load '${step.name}': StreamingLoad needs a streaming frame")
     val merged = conn.options ++ step.options
     val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
     val path = step.path.orElse(step.table).getOrElse(
       throw new IllegalArgumentException(s"load '${step.name}': path required"))
     val full = resolve(base, path)
-    val checkpoint = resolveCheckpoint(conn, step)
+    val checkpoint = resolveCheckpoint(conn, step, soleConnectionLoad,
+      legacy => hasCommittedCheckpoint(df.sparkSession, legacy))
     def req(k: String): String = merged.getOrElse(k,
       throw new IllegalArgumentException(s"load '${step.name}': upsert needs option $k"))
     val writer = step.mode match {

@@ -79,4 +79,25 @@ class BkSampleSpec extends SparkSpec {
     assert(merged == oneShot, s"round-tripped merge $merged != one-shot $oneShot")
     df.unpersist()
   }
+
+  test("p_permille outside [0, 1000] fails at plan time with a clear message") {
+    GraftExtensions.register(spark)
+    val df = Seq((1L, 10L)).toDF("p", "v")
+    // out-of-range permille used to index past the sample array and
+    // throw ArrayIndexOutOfBounds at aggregation EVAL time; it must
+    // fail when the expression is built, naming the bound
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(c => String.valueOf(c.getMessage)).mkString(" | ")
+    for (bad <- Seq("1500", "-1")) {
+      val ex = intercept[Exception] {
+        df.selectExpr(s"bks_quantile(p, v, $bad)").collect()
+      }
+      assert(chain(ex).contains("[0, 1000]"), s"permille $bad: got ${chain(ex)}")
+      val ex2 = intercept[Exception] {
+        df.selectExpr("bks_state(p, v) AS st")
+          .selectExpr(s"bks_quantile_merge(st, $bad)").collect()
+      }
+      assert(chain(ex2).contains("[0, 1000]"), s"merge permille $bad: got ${chain(ex2)}")
+    }
+  }
 }

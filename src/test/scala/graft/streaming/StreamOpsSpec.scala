@@ -527,4 +527,28 @@ class StreamOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("checkpointLocation"))
   }
+
+  test("sole load adopts a legacy un-namespaced checkpoint; siblings never do") {
+    import graft.model.{ConnectionSpec, LoadStep}
+    val conn = ConnectionSpec("c1", "lake", "parquet",
+      Map("basePath" -> "/lake", "checkpointLocation" -> "ckpts"))
+    val a = LoadStep("loadA", 1, "c1", path = Some("ta"))
+    val committed: String => Boolean = _ == "/lake/ckpts"
+    // pre-namespacing deployment: offsets live at the connection path —
+    // the sole load keeps them instead of reprocessing from scratch
+    assert(StreamingLoad.resolveCheckpoint(conn, a,
+      soleConnectionLoad = true, legacyHasCheckpoint = committed) == "/lake/ckpts")
+    // fresh deployment (no legacy checkpoint): namespaced even when sole
+    assert(StreamingLoad.resolveCheckpoint(conn, a,
+      soleConnectionLoad = true) == "/lake/ckpts/loadA")
+    // two loads share the connection: namespaced regardless — the
+    // legacy layout was silently wrong for them before the fix too
+    assert(StreamingLoad.resolveCheckpoint(conn, a,
+      soleConnectionLoad = false, legacyHasCheckpoint = committed) == "/lake/ckpts/loadA")
+    // a step-level value is never subject to adoption
+    val own = LoadStep("loadC", 3, "c1", path = Some("tc"),
+      options = Map("checkpointLocation" -> "my/ck"))
+    assert(StreamingLoad.resolveCheckpoint(conn, own,
+      soleConnectionLoad = true, legacyHasCheckpoint = _ => true) == "/lake/my/ck")
+  }
 }
