@@ -159,6 +159,43 @@ object GraftExtensions {
         def lit(i: Int) = children(i).eval(null).asInstanceOf[Number].intValue()
         BksQuantileMerge(children.head, lit(1),
           if (children.size == 3) lit(2) else 256).toAggregateExpression()
+      }),
+    // Bloom-filter membership, built on Spark's OWN sketch machinery
+    // (org.apache.spark.util.sketch.BloomFilter — the exact classes the
+    // engine's runtime row-level filtering injects, so the aggregate is
+    // codegen-compatible, merge-associative, and battle-tested). Exposed
+    // as SQL functions because BloomFilterMightContain requires its
+    // bloom side to be a constant or scalar subquery — the natural
+    // usage is `bloom_contains((SELECT bf FROM built), h)`, which plans
+    // the subquery once and broadcasts the filter as a literal to every
+    // probe site, the classic build-small/probe-huge asymmetry a 100 TB
+    // decontamination pass needs (the corpus never shuffles).
+    (
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getCanonicalName, "bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "bloom_agg(hash BIGINT, est_items BIGINT, num_bits BIGINT)")
+        // the sizing args must be BIGINT-typed foldables; SQL integer
+        // literals arrive as INT, so coerce here (Cast of a literal
+        // stays foldable, which BloomFilterAggregate requires)
+        def asLong(e: Expression) = org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.LongType)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, asLong(children(1)), asLong(children(2))).toAggregateExpression()
+      }),
+    (
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getCanonicalName, "bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "bloom_contains(bloom BINARY (constant or scalar subquery), hash BIGINT)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
 
   /** Register on an already-built session (tests, notebooks) via the

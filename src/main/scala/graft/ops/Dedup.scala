@@ -495,6 +495,93 @@ object Dedup {
        |FROM inter JOIN nb USING (bench_doc)
        |ORDER BY containment DESC, bench_doc, corpus_doc LIMIT 20""".stripMargin
 
+  /** Bloom sizing for [[bloomDecontamination]]. Estimated-items is a
+    * generous ceiling on the distinct benchmark shingle count at gate
+    * scale (sf0.1 ships ~50 benchmark docs ≈ tens of thousands of
+    * shingles); numBits ≈ 40 bits per estimated item drives the
+    * per-probe false-positive rate below ~1e-9, so even a document
+    * probing hundreds of shingles has a vanishing false-flag
+    * probability. At deployment, size from the measured distinct
+    * benchmark shingle count: bits ≈ n·ln(1/fpp)/ln(2)² with fpp chosen
+    * so fpp × (shingles per document) stays ≪ the tolerable false-flag
+    * rate. The filter itself stays kilobytes-to-megabytes — broadcast
+    * cost is trivial next to one corpus scan.
+    */
+  private val bloomEstItems = 100000L
+  private val bloomNumBits = 4000000L
+
+  /** Bloom-filter benchmark decontamination — the 100 TB shape of
+    * [[contamination]]. The exact shingle-join decontamination pass
+    * shuffles the full corpus on the shingle key; this one never
+    * shuffles the corpus at all: the (small) benchmark side is folded
+    * into a Bloom filter via Spark's own sketch aggregate
+    * (`BloomFilterAggregate`, the machinery behind runtime row-level
+    * filtering), planned as a scalar subquery so the built filter is
+    * broadcast as a literal to every probe site, and each corpus
+    * document is flagged map-side if ANY of its shingles might be in
+    * the benchmark set. Bloom filters have no false negatives, so every
+    * truly-contaminated document is flagged; false positives cost only
+    * wasted re-checks of clean documents (the gate bounds them at 0.5%
+    * of corpus docs + 1).
+    *
+    * The gate row is differential where the engines can agree and
+    * property-based where only this engine can look: exact counts
+    * (benchmark shingle vocabulary, exactly-contaminated docs) check
+    * value-for-value against DuckDB, while the Bloom-dependent facts —
+    * zero false negatives, bounded false-positive excess — are computed
+    * AGAINST the exact join inside the query and must come out true.
+    */
+  def bloomDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val sh = withShingles(
+      Tables.t(s, dir, "documents").select($"doc_id", $"lang", $"text"), "words")
+      .select($"doc_id", explode($"words").as("wd"), $"lang")
+      .select($"doc_id", concat($"lang", lit("|"), $"wd").as("sh"))
+      .withColumn("h", xxhash64($"sh"))
+    sh.filter($"doc_id" % 100 === 0).createOrReplaceTempView("graft_bloom_bench")
+    sh.filter($"doc_id" % 100 =!= 0).createOrReplaceTempView("graft_bloom_corpus")
+    s.sql(
+      s"""WITH bf AS (
+         |  SELECT bloom_agg(h, $bloomEstItems, $bloomNumBits) AS filter
+         |  FROM graft_bloom_bench),
+         |flagged AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN bloom_contains((SELECT filter FROM bf), h)
+         |        THEN 1 ELSE 0 END) AS hit
+         |  FROM graft_bloom_corpus GROUP BY doc_id),
+         |exact AS (
+         |  SELECT DISTINCT c.doc_id FROM graft_bloom_corpus c
+         |  WHERE EXISTS (SELECT 1 FROM graft_bloom_bench b WHERE b.sh = c.sh))
+         |SELECT
+         |  (SELECT COUNT(DISTINCT sh) FROM graft_bloom_bench) AS n_bench_shingles,
+         |  (SELECT COUNT(*) FROM exact) AS n_exact,
+         |  (SELECT COUNT(*) FROM exact e JOIN flagged f
+         |     ON e.doc_id = f.doc_id AND f.hit = 0) = 0 AS no_false_negatives,
+         |  (SELECT COUNT(*) FROM flagged WHERE hit = 1)
+         |    - (SELECT COUNT(*) FROM exact)
+         |    <= (SELECT COUNT(*) FROM flagged) DIV 200 + 1 AS fp_rate_ok
+         |""".stripMargin)
+  }
+
+  private val bloomDecontaminationSql =
+    s"""WITH w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |docs AS (SELECT doc_id, lang,
+       |  list_distinct([array_to_string(ws[i:i+2], ' ')
+       |                 FOR i IN generate_series(1, len(ws) - 2)]) AS words
+       |FROM w0),
+       |sh AS (SELECT doc_id, lang || '|' || wd AS sh
+       |       FROM (SELECT doc_id, lang, unnest(words) AS wd FROM docs) t),
+       |bench AS (SELECT * FROM sh WHERE doc_id % 100 = 0),
+       |corpus AS (SELECT * FROM sh WHERE doc_id % 100 <> 0),
+       |exact AS (SELECT DISTINCT c.doc_id FROM corpus c
+       |          WHERE EXISTS (SELECT 1 FROM bench b WHERE b.sh = c.sh))
+       |SELECT
+       |  (SELECT COUNT(DISTINCT sh) FROM bench) AS n_bench_shingles,
+       |  (SELECT COUNT(*) FROM exact) AS n_exact,
+       |  TRUE AS no_false_negatives,
+       |  TRUE AS fp_rate_ok""".stripMargin
+
   /** Embedding-cosine near-dup: top-20 candidate pairs by bridged
     * cosine, candidates = same label AND same 6-bit sign bucket (coarse
     * quantization). The bucket join is what bounds pairs at scale —
@@ -1282,5 +1369,6 @@ object Dedup {
     CatalogEntry("q_dedup_length_routed", lengthRoutedPairs, Some(lengthRoutedPairsSql)),
     CatalogEntry("q_dedup_cc_star", ccClustersStar, Some(ccStarSql)),
     CatalogEntry("q_text_contamination", contamination, Some(contaminationSql)),
+    CatalogEntry("q_dedup_bloom", bloomDecontamination, Some(bloomDecontaminationSql)),
     CatalogEntry("q_dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)))
 }

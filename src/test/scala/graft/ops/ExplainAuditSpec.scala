@@ -54,7 +54,11 @@ class ExplainAuditSpec extends SparkSpec {
     // killed by the driver argmax) would resurface here as BNLJ-free
     // but exchange-heavy; the compile alone catches a rebuilt chain
     // that no longer fits in a single-job materialization
-    "q_text_bpe", "q_text_bpe_batched", "q_text_bpe_encode")
+    "q_text_bpe", "q_text_bpe_batched", "q_text_bpe_encode",
+    // bloom decontamination: the bloom probe is a scalar-subquery
+    // literal broadcast (no join at all on the corpus side); the exact
+    // verification join inside the gate is a shingle-keyed hash join
+    "q_dedup_bloom")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
