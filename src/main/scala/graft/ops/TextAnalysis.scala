@@ -747,6 +747,195 @@ object TextAnalysis {
        |    ELSE 0 END AS BIGINT) AS final_share_permille
        |FROM c ORDER BY lang""".stripMargin
 
+  /** Per-source token budget for [[tokenBudgetSelect]] — binds at gate
+    * scale (each fixture source carries ~1.3k tokens of documents), so
+    * the greedy cut is exercised, not vacuous.
+    */
+  private val tokenBudgetPerSource = 600L
+
+  /** Greedy token-budget corpus selection — the assembly step of a
+    * training mix: each source contributes its highest-quality
+    * documents until a per-source TOKEN budget is exhausted (quality
+    * here = type-token ratio in exact permille integers; any integer
+    * quality key slots in). This is the mass-based sibling of
+    * [[sourceQuota]]'s count-based cap — budgets are what a real mix
+    * spec states ("N billion tokens of source X"), because document
+    * length varies by orders of magnitude.
+    *
+    * Greedy-by-quality needs a total order per source, i.e. one
+    * source-partitioned sort. At 100 TB with coarse sources that sort
+    * is the bottleneck; the deployment shape pre-bins quality with a
+    * percentile sketch and sorts only the boundary bin — the budget cut
+    * falls in exactly one bin, every other bin is kept or dropped
+    * wholesale. The gate runs the exact formulation; per-source output
+    * is a 4-number rollup so the differential check is tight.
+    */
+  def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", split($"text", " ").as("ws"))
+      .select($"doc_id", $"source",
+        size($"ws").cast("long").as("toks"),
+        size(array_distinct($"ws")).cast("long").as("nd"))
+      .withColumn("q", expr("(1000 * nd) div toks"))
+    val w = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
+    docs
+      .withColumn("cum", sum($"toks").over(w))
+      .withColumn("kept", $"cum" <= tokenBudgetPerSource)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"kept", 1)).as("n_kept"),
+        coalesce(sum(when($"kept", $"toks")), lit(0L)).as("kept_tokens"),
+        sum($"toks").as("total_tokens"))
+      .orderBy($"source")
+  }
+
+  private val tokenBudgetSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+       |  FROM documents),
+       |q AS (SELECT *, (1000 * nd) // toks AS q FROM d),
+       |c AS (SELECT *, CAST(SUM(toks) OVER (PARTITION BY source
+       |        ORDER BY q DESC, doc_id ASC) AS BIGINT) AS cum FROM q)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(CASE WHEN cum <= $tokenBudgetPerSource THEN 1 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN cum <= $tokenBudgetPerSource THEN toks END), 0) AS BIGINT) AS kept_tokens,
+       |  CAST(SUM(toks) AS BIGINT) AS total_tokens
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** Hashed-feature buckets for [[dsirSelect]] (md5-prefix — the same
+    * engine-portable bucketing every split/hash gate uses). 256 buckets
+    * is the gate scale; the published method uses ~10k, a constant a
+    * deployment raises with corpus size (bucket-table cost is |B| rows).
+    */
+  private val dsirBuckets = 256
+  private val dsirTargetSource = "src0"
+  private val dsirTopK = 20
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * pick raw-corpus documents whose hashed-n-gram profile looks like a
+    * small high-quality TARGET corpus. Features are hashed unigram +
+    * bigram counts; target and raw pools each fit a smoothed unigram
+    * bag model over the [[dsirBuckets]] buckets; a document's importance
+    * weight is Σ_b count_b · log(p_target[b]/p_raw[b]); selection is
+    * Gumbel-top-k on weight + Gumbel(0,1) noise — importance RESAMPLING,
+    * not argmax, so the tail gets probability mass.
+    *
+    * Every cross-engine float is bridged: the per-bucket log-ratio is
+    * computed from exact integer counts and quantized ONCE to integer
+    * micronats (⌊1e6·ln⌋), so document weights are exact BIGINT sums;
+    * the Gumbel draw derives from an md5 hash fraction (deterministic,
+    * replayable — the PRNG is part of the spec) and is quantized the
+    * same way. The ranking the gate checks is pure integer comparison.
+    *
+    * Scale shape: tokenization and weighting are map-side (the 256-row
+    * model rides in as a broadcast map; per-doc weight is one
+    * higher-order fold over the token array — the corpus NEVER
+    * shuffles); the only exchanges are two bucket-count rollups whose
+    * width is |B|, and the final top-k. At 100 TB this is one scan +
+    * two tiny aggregations.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dsirWeighted(s, dir)
+      .filter($"source" =!= dsirTargetSource)
+      .select($"doc_id", $"source", $"weight", ($"weight" + $"gq").as("skey"))
+      .orderBy($"skey".desc, $"doc_id".asc)
+      .limit(dsirTopK)
+  }
+
+  /** Per-document importance weights over the NON-TARGET pool (exact
+    * micronat BIGINTs) — [[dsirSelect]] without the resampling step,
+    * for diagnostics and spec-level distribution checks.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dsirWeighted(s, dir)
+      .filter($"source" =!= dsirTargetSource)
+      .select($"doc_id", $"source", $"weight")
+  }
+
+  private def dsirWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = (ws: org.apache.spark.sql.Column) =>
+      filter(
+        zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", split($"text", " ").as("ws"))
+      .withColumn("toks", concat($"ws", bigrams($"ws")))
+    val tok = docs
+      .select($"doc_id", $"source", explode($"toks").as("w"))
+      .withColumn("b", substring(md5($"w"), 1, 2))
+    val rawCnt = tok.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgtCnt = tok.filter($"source" === dsirTargetSource)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val totals = tok.agg(
+      count(lit(1)).as("nr"),
+      count(when($"source" === dsirTargetSource, 1)).as("nt"))
+    // raw-pool buckets are the support of every document's tokens, so a
+    // left join (absent target bucket → smoothed count 0) covers all
+    // buckets a weight can touch
+    val model = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select($"b", floor(lit(1e6) * log(
+        (($"ct" + 1L) * ($"nr" + lit(dsirBuckets.toLong))).cast("double") /
+          (($"cr" + 1L) * ($"nt" + lit(dsirBuckets.toLong))).cast("double")))
+        .cast("long").as("lrq"))
+    val modelMap = model.agg(
+      map_from_entries(collect_list(struct($"b", $"lrq"))).as("m"))
+    // deterministic Gumbel(0,1): u from a 16-bit md5 hash fraction of the
+    // doc id (u ∈ (0,1) strictly — the +0.5 offset keeps both lns finite)
+    val hv = conv(substring(md5(concat(lit("g:"), $"doc_id".cast("string"))), 1, 4),
+      16, 10).cast("long")
+    val u = (hv.cast("double") + lit(0.5)) / lit(65536.0)
+    docs.crossJoin(broadcast(modelMap))
+      .select($"doc_id", $"source",
+        aggregate($"toks", lit(0L),
+          (acc, w) => acc + coalesce(element_at($"m", substring(md5(w), 1, 2)), lit(0L)))
+          .as("weight"),
+        floor(lit(1e6) * -log(-log(u))).cast("long").as("gq"))
+  }
+
+  private val dsirSql = {
+    val hex = "0123456789abcdef"
+    def nib(i: Int) = s"(strpos('$hex', h[$i:$i]) - 1)"
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |tok0 AS (SELECT doc_id, source,
+       |  unnest(list_concat(ws,
+       |    [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)])) AS w
+       |FROM d),
+       |tb AS (SELECT doc_id, source, substr(md5(w), 1, 2) AS b FROM tok0),
+       |raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY 1),
+       |tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE source = '$dsirTargetSource' GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM tb) AS nr,
+       |               (SELECT COUNT(*) FROM tb WHERE source = '$dsirTargetSource') AS nt),
+       |model AS (SELECT r.b,
+       |  CAST(floor(1e6 * ln(
+       |    CAST((COALESCE(ct, 0) + 1) * (nr + $dsirBuckets) AS DOUBLE) /
+       |    CAST((cr + 1) * (nt + $dsirBuckets) AS DOUBLE))) AS BIGINT) AS lrq
+       |  FROM raw r LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |wt AS (SELECT t.doc_id, CAST(SUM(m.lrq) AS BIGINT) AS weight
+       |       FROM tb t JOIN model m USING (b) GROUP BY 1),
+       |gum AS (SELECT doc_id,
+       |  CAST(floor(1e6 * -ln(-ln(
+       |    (CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS DOUBLE)
+       |      + 0.5) / 65536.0))) AS BIGINT) AS gq
+       |  FROM (SELECT doc_id, substr(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+       |        FROM documents) t),
+       |sel AS (SELECT w.doc_id, dd.source, w.weight, w.weight + g.gq AS skey
+       |        FROM wt w JOIN gum g USING (doc_id) JOIN documents dd USING (doc_id)
+       |        WHERE dd.source <> '$dsirTargetSource')
+       |SELECT doc_id, source, weight, skey FROM sel
+       |ORDER BY skey DESC, doc_id LIMIT $dsirTopK""".stripMargin
+  }
+
   /** Corpus-level duplicate-span REMOVAL — the destructive sibling of
     * the [[dupNgramFrac]] signal, modeled on C4's "discard all but one
     * of any three-sentence span occurring more than once": the fixture
@@ -1306,6 +1495,8 @@ object TextAnalysis {
     CatalogEntry("q_text_span_dedup", spanDedup, Some(spanDedupSql)),
     CatalogEntry("q_text_dup_ngram", dupNgramFrac, Some(dupNgramFracSql)),
     CatalogEntry("q_text_mixture", languageMixture, Some(languageMixtureSql)),
+    CatalogEntry("q_text_dsir", dsirSelect, Some(dsirSql)),
+    CatalogEntry("q_text_token_budget", tokenBudgetSelect, Some(tokenBudgetSql)),
     CatalogEntry("q_text_pack", packChunks, Some(packChunksSql)),
     CatalogEntry("q_text_normalize", normalizeNfc, Some(normalizeNfcSql)),
     CatalogEntry("q_text_vocab", vocab, Some(vocabSql)),
