@@ -35,6 +35,7 @@ object Catalog {
       ops.Graph.entries ++
       ops.Similarity.entries ++
       ops.TextAnalysis.entries ++
+      ops.Sharding.entries ++
       multimodal.Multimodal.entries
 
   lazy val byName: Map[String, CatalogEntry] =

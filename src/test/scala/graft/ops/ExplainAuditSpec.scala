@@ -58,7 +58,9 @@ class ExplainAuditSpec extends SparkSpec {
     // bloom decontamination: the bloom probe is a scalar-subquery
     // literal broadcast (no join at all on the corpus side); the exact
     // verification join inside the gate is a shingle-keyed hash join
-    "q_dedup_bloom")
+    "q_dedup_bloom",
+    // join-free layouts: one hash rollup / one source-partitioned window
+    "q_shard_plan", "q_text_token_budget")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -92,7 +94,10 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_drift",
     // 1-row token-total broadcast under the bigram table — the same
     // scalar cross join as q_text_mixture
-    "q_text_collocations")
+    "q_text_collocations",
+    // DSIR rides its 1-row totals and 1-row 256-entry model map in as
+    // scalar cross joins — map-side by construction, corpus unshuffled
+    "q_text_dsir")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
