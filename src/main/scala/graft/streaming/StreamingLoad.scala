@@ -71,6 +71,36 @@ object StreamingLoad {
     }
   }
 
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksdbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val hdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  /** State-store provider for a streaming load's run.
+    *
+    * HDFS-backed state lives in executor heap — at deployment scale
+    * (dedup keys, join buffers over days of traffic) that caps state at
+    * memory and OOMs first; RocksDB spills to local disk and is the
+    * provider a 100 TB pipeline runs. But the provider is part of a
+    * checkpoint's on-disk state format, so it must never flip across a
+    * restart — Spark itself records providerClass in the offsets-log
+    * metadata and replays it when resuming. Resolution: an explicit
+    * `stateStore` option (`rocksdb` | `hdfs`) always wins; otherwise a
+    * FRESH checkpoint (no committed offsets yet) defaults to RocksDB,
+    * and an existing one sets nothing — the checkpoint's own recorded
+    * conf governs the restart.
+    */
+  private[streaming] def resolveStateStore(
+      merged: Map[String, String], checkpointExists: Boolean): Option[String] =
+    merged.get("stateStore") match {
+      case Some("rocksdb") => Some(rocksdbProvider)
+      case Some("hdfs") => Some(hdfsProvider)
+      case Some(other) => throw new IllegalArgumentException(
+        s"stateStore must be rocksdb | hdfs, got '$other'")
+      case None => if (checkpointExists) None else Some(rocksdbProvider)
+    }
+
   /** True when `path` holds a Structured Streaming checkpoint (its
     * committed-offsets dir or metadata marker exists). */
   private def hasCommittedCheckpoint(
@@ -91,6 +121,8 @@ object StreamingLoad {
     val full = resolve(base, path)
     val checkpoint = resolveCheckpoint(conn, step, soleConnectionLoad,
       legacy => hasCommittedCheckpoint(df.sparkSession, legacy))
+    val provider = resolveStateStore(merged,
+      hasCommittedCheckpoint(df.sparkSession, checkpoint))
     def req(k: String): String = merged.getOrElse(k,
       throw new IllegalArgumentException(s"load '${step.name}': upsert needs option $k"))
     val writer = step.mode match {
@@ -105,11 +137,21 @@ object StreamingLoad {
       case other => throw new IllegalArgumentException(
         s"load '${step.name}': streaming load supports append | upsert, got '$other'")
     }
-    val q = writer
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally if (q.isActive) q.stop()
+    // the provider conf is captured at query start; scope the override
+    // to this run and restore the session's setting afterwards
+    val session = df.sparkSession
+    val prevProvider = session.conf.getOption(providerKey)
+    provider.foreach(session.conf.set(providerKey, _))
+    try {
+      val q = writer
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    } finally if (provider.isDefined) prevProvider match {
+      case Some(v) => session.conf.set(providerKey, v)
+      case None => session.conf.unset(providerKey)
+    }
   }
 }

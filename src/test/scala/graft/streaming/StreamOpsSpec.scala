@@ -551,4 +551,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamingLoad.resolveCheckpoint(conn, own,
       soleConnectionLoad = true, legacyHasCheckpoint = _ => true) == "/lake/my/ck")
   }
+
+  test("state-store resolution: RocksDB for fresh checkpoints, never flipped under existing ones") {
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val hdfs = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    // fresh checkpoint → scale-safe default
+    assert(StreamingLoad.resolveStateStore(Map.empty, checkpointExists = false)
+      .contains(rocks))
+    // existing checkpoint, no explicit choice → leave the session alone
+    // (the provider is part of the checkpoint's state format)
+    assert(StreamingLoad.resolveStateStore(Map.empty, checkpointExists = true).isEmpty)
+    // explicit choice always wins, either way
+    assert(StreamingLoad.resolveStateStore(
+      Map("stateStore" -> "rocksdb"), checkpointExists = true).contains(rocks))
+    assert(StreamingLoad.resolveStateStore(
+      Map("stateStore" -> "hdfs"), checkpointExists = false).contains(hdfs))
+    val ex = intercept[IllegalArgumentException] {
+      StreamingLoad.resolveStateStore(Map("stateStore" -> "rocks"), checkpointExists = false)
+    }
+    assert(ex.getMessage.contains("rocksdb | hdfs"))
+  }
 }
