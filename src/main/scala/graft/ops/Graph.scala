@@ -687,6 +687,79 @@ object Graph {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Rounds for the label-propagation gate row — enough for the LSH
+    * pair graph's small communities to stabilize while keeping the
+    * unrolled oracle readable. Synchronous LPA can oscillate on
+    * bipartite-ish structures, which is WHY the gate pins a fixed round
+    * count instead of "until stable": both engines compute the same
+    * prefix of the same deterministic sequence.
+    */
+  private val lpaRounds = 3
+
+  /** Label-propagation community detection (Raghavan et al. 2007) —
+    * the near-linear community algorithm curation pipelines run to
+    * group near-dup families / domains before choosing representatives.
+    * Synchronous variant with a deterministic tie-break: every node
+    * adopts the most frequent label among its neighbors (ties → the
+    * SMALLEST label), isolated nodes keep their own id.
+    *
+    * Each round costs exactly one (edges ⋈ labels) equi-join on the
+    * node id, one (node, label) count rollup, and one argmax per node
+    * (max over a (count, -label) struct — no window, so the hot path is
+    * map-side combinable hash aggregation end-to-end). That is the same
+    * per-round exchange budget as [[pagerankOf]] and it scales the same
+    * way: label skew (a megacommunity's label on every edge) is
+    * absorbed by partial aggregation before the shuffle. The output is
+    * the community-size rollup, the form a curation report consumes.
+    */
+  def lpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, pairs) = Dedup.lshPairGraph(s, dir)
+    lpaOf(nodes, pairs)
+  }
+
+  private[ops] def lpaOf(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val edges = pairs.select($"src".as("u"), $"dst".as("v"))
+      .unionAll(pairs.select($"dst".as("u"), $"src".as("v"))).persistScoped()
+    val state0 = nodes.select($"id", $"id".as("lbl"))
+    val state = (1 to lpaRounds).foldLeft(state0) { (st, _) =>
+      val neigh = edges.join(st.select($"id".as("u"), $"lbl"), Seq("u"))
+        .groupBy($"v", $"lbl").agg(count(lit(1)).as("cnt"))
+      val winner = neigh
+        .groupBy($"v".as("id"))
+        .agg(max(struct($"cnt", (-$"lbl").as("nl"))).as("m"))
+        .select($"id", (-$"m.nl").as("new_lbl"))
+      st.join(winner, Seq("id"), "left")
+        .select($"id", coalesce($"new_lbl", $"lbl").as("lbl"))
+    }
+    state.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min($"id").as("min_doc"))
+      .orderBy($"community")
+  }
+
+  private val lpaSql = {
+    val rounds = (1 to lpaRounds).map { r =>
+      s"""c$r AS (SELECT e.v, x.lbl, COUNT(*) AS cnt
+         |  FROM edges e JOIN l${r - 1} x ON e.u = x.doc_id GROUP BY 1, 2),
+         |w$r AS (SELECT v, lbl FROM (
+         |  SELECT v, lbl, row_number() OVER (PARTITION BY v
+         |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c$r) t WHERE rn = 1),
+         |l$r AS (SELECT p.doc_id, COALESCE(w.lbl, p.lbl) AS lbl
+         |  FROM l${r - 1} p LEFT JOIN w$r w ON p.doc_id = w.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.bandsCteSql},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+       |$rounds
+       |SELECT lbl AS community, COUNT(*) AS n_nodes, MIN(doc_id) AS min_doc
+       |FROM l$lpaRounds GROUP BY 1 ORDER BY community""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_graph_clustering", clusteringCoefficient, Some(clusteringCoefficientSql)),
     CatalogEntry("q_graph_clustering_capped", clusteringCappedQuery, Some(clusteringCappedSql)),
@@ -694,5 +767,6 @@ object Graph {
     CatalogEntry("q_graph_degree", degreeDist, Some(degreeDistSql)),
     CatalogEntry("q_graph_triangles", triangleCounts, Some(triangleCountsSql)),
     CatalogEntry("q_graph_triangles_capped", triangleCappedQuery, Some(triangleCappedSql)),
-    CatalogEntry("q_graph_pagerank", pagerank, Some(pagerankSql)))
+    CatalogEntry("q_graph_pagerank", pagerank, Some(pagerankSql)),
+    CatalogEntry("q_graph_lpa", lpaCommunities, Some(lpaSql)))
 }

@@ -60,7 +60,9 @@ class ExplainAuditSpec extends SparkSpec {
     // verification join inside the gate is a shingle-keyed hash join
     "q_dedup_bloom",
     // join-free layouts: one hash rollup / one source-partitioned window
-    "q_shard_plan", "q_text_token_budget")
+    "q_shard_plan", "q_text_token_budget",
+    // LPA: per-round (edges ⋈ labels) equi-joins + hash rollups only
+    "q_graph_lpa")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook

@@ -107,6 +107,19 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> 1741625L, 2L -> 629187L, 3L -> 629187L))
   }
 
+  test("lpa: two bridged triangles resolve to two communities, isolated keeps its id") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4, isolated 7. Hand-run
+    // sync-LPA with min-label ties: after round 3 the labels are
+    // 1,1,1 / 3,3,3 / 7 → communities (1, n=3, min 1), (3, n=3, min 4),
+    // (7, n=1, min 7)
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.lpaOf(nodes, edges).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 3L, 1L), (3L, 3L, 4L), (7L, 1L, 7L)))
+  }
+
   test("hub anti-join side is broadcast — no shuffle added for the cap") {
     val plan = Graph.cappedTriangles(fixture, maxDegree = 5)
       .queryExecution.executedPlan.toString
