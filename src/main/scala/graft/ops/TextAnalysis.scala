@@ -832,12 +832,14 @@ object TextAnalysis {
     * replayable — the PRNG is part of the spec) and is quantized the
     * same way. The ranking the gate checks is pure integer comparison.
     *
-    * Scale shape: tokenization and weighting are map-side (the 256-row
-    * model rides in as a broadcast map; per-doc weight is one
-    * higher-order fold over the token array — the corpus NEVER
-    * shuffles); the only exchanges are two bucket-count rollups whose
-    * width is |B|, and the final top-k. At 100 TB this is one scan +
-    * two tiny aggregations.
+    * Scale shape: the token stream is materialized once (explode +
+    * md5 bucket, all codegen — a higher-order fold variant was 20×
+    * slower because array lambdas evaluate interpreted, one
+    * MessageDigest call per element); the 256-row model broadcasts
+    * onto it and per-doc weights are one doc-keyed rollup whose
+    * map-side combine collapses the token stream to one row per
+    * document before the wire. Exchanges: two |B|-wide bucket-count
+    * rollups, one doc-count-sized weight rollup, the final top-k.
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -869,9 +871,13 @@ object TextAnalysis {
     val docs = Tables.t(s, dir, "documents")
       .select($"doc_id", $"source", split($"text", " ").as("ws"))
       .withColumn("toks", concat($"ws", bigrams($"ws")))
+    // the bucketed token stream feeds both model fits AND the weight
+    // rollup — materialize it once
     val tok = docs
       .select($"doc_id", $"source", explode($"toks").as("w"))
       .withColumn("b", substring(md5($"w"), 1, 2))
+      .drop("w")
+      .persistScoped()
     val rawCnt = tok.groupBy($"b").agg(count(lit(1)).as("cr"))
     val tgtCnt = tok.filter($"source" === dsirTargetSource)
       .groupBy($"b").agg(count(lit(1)).as("ct"))
@@ -888,19 +894,15 @@ object TextAnalysis {
         (($"ct" + 1L) * ($"nr" + lit(dsirBuckets.toLong))).cast("double") /
           (($"cr" + 1L) * ($"nt" + lit(dsirBuckets.toLong))).cast("double")))
         .cast("long").as("lrq"))
-    val modelMap = model.agg(
-      map_from_entries(collect_list(struct($"b", $"lrq"))).as("m"))
     // deterministic Gumbel(0,1): u from a 16-bit md5 hash fraction of the
     // doc id (u ∈ (0,1) strictly — the +0.5 offset keeps both lns finite)
     val hv = conv(substring(md5(concat(lit("g:"), $"doc_id".cast("string"))), 1, 4),
       16, 10).cast("long")
     val u = (hv.cast("double") + lit(0.5)) / lit(65536.0)
-    docs.crossJoin(broadcast(modelMap))
-      .select($"doc_id", $"source",
-        aggregate($"toks", lit(0L),
-          (acc, w) => acc + coalesce(element_at($"m", substring(md5(w), 1, 2)), lit(0L)))
-          .as("weight"),
-        floor(lit(1e6) * -log(-log(u))).cast("long").as("gq"))
+    val weights = tok.join(broadcast(model), Seq("b"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"lrq").as("weight"))
+    weights.withColumn("gq", floor(lit(1e6) * -log(-log(u))).cast("long"))
   }
 
   private val dsirSql = {
