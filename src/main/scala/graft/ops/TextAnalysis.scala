@@ -807,6 +807,61 @@ object TextAnalysis {
        |  CAST(SUM(toks) AS BIGINT) AS total_tokens
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** The deployment shape of [[tokenBudgetSelect]], gated to produce
+    * the IDENTICAL kept set: quality is an integer permille, so
+    * pre-aggregate token mass per (source, quality) BIN (≤ 1001 bins
+    * per source — bounded, map-side combinable), run the cumulative
+    * budget walk over the bins, and only the one BOUNDARY bin per
+    * source — where the budget line falls — ever sorts its documents.
+    * Every higher bin is kept wholesale, every lower bin dropped
+    * wholesale. The corpus pays no per-source full sort: one bounded
+    * bin rollup, two broadcast joins of bin verdicts back onto the
+    * docs, and a window over boundary-bin docs only.
+    *
+    * Equivalence argument (why the gate can share [[tokenBudgetSql]]):
+    * greedy admits docs in (q DESC, doc_id ASC) order while the
+    * running token sum stays ≤ budget, and the sum is monotone, so
+    * admission is a prefix — whole bins above the boundary (their
+    * inclusive cumulative ≤ budget), then boundary-bin docs in doc_id
+    * order against the remaining budget, nothing below.
+    */
+  def tokenBudgetSelectBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = tokenBudgetPerSource
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", split($"text", " ").as("ws"))
+      .select($"doc_id", $"source",
+        size($"ws").cast("long").as("toks"),
+        size(array_distinct($"ws")).cast("long").as("nd"))
+      .withColumn("q", expr("(1000 * nd) div toks"))
+      .persistScoped()
+    val wb = Window.partitionBy($"source").orderBy($"q".desc)
+    val bins = docs.groupBy($"source", $"q").agg(sum($"toks").as("btoks"))
+      .withColumn("cum", sum($"btoks").over(wb))
+      .withColumn("cum_before", $"cum" - $"btoks")
+    val whole = bins.filter($"cum" <= b).select($"source", $"q")
+    val boundary = bins.filter($"cum_before" < b && $"cum" > b)
+      .select($"source", $"q", (lit(b) - $"cum_before").as("rem"))
+    val keptWhole = docs.join(broadcast(whole), Seq("source", "q"))
+      .select($"source", $"toks")
+    val wd = Window.partitionBy($"source").orderBy($"doc_id".asc)
+    val keptBoundary = docs.join(broadcast(boundary), Seq("source", "q"))
+      .withColumn("bcum", sum($"toks").over(wd))
+      .filter($"bcum" <= $"rem")
+      .select($"source", $"toks")
+    val kept = keptWhole.unionByName(keptBoundary)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"toks").as("kept_tokens"))
+    docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("total_tokens"))
+      .join(kept, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        $"total_tokens")
+      .orderBy($"source")
+  }
+
   /** Hashed-feature buckets for [[dsirSelect]] (md5-prefix — the same
     * engine-portable bucketing every split/hash gate uses). 256 buckets
     * is the gate scale; the published method uses ~10k, a constant a
@@ -1499,6 +1554,7 @@ object TextAnalysis {
     CatalogEntry("q_text_mixture", languageMixture, Some(languageMixtureSql)),
     CatalogEntry("q_text_dsir", dsirSelect, Some(dsirSql)),
     CatalogEntry("q_text_token_budget", tokenBudgetSelect, Some(tokenBudgetSql)),
+    CatalogEntry("q_text_token_budget_binned", tokenBudgetSelectBinned, Some(tokenBudgetSql)),
     CatalogEntry("q_text_pack", packChunks, Some(packChunksSql)),
     CatalogEntry("q_text_normalize", normalizeNfc, Some(normalizeNfcSql)),
     CatalogEntry("q_text_vocab", vocab, Some(vocabSql)),

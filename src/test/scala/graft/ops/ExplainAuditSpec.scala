@@ -61,6 +61,8 @@ class ExplainAuditSpec extends SparkSpec {
     "q_dedup_bloom",
     // join-free layouts: one hash rollup / one source-partitioned window
     "q_shard_plan", "q_text_token_budget",
+    // binned variant adds only broadcast bin-verdict hash joins
+    "q_text_token_budget_binned",
     // LPA: per-round (edges ⋈ labels) equi-joins + hash rollups only
     "q_graph_lpa")
 

@@ -171,4 +171,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(1L) == ((13L, 31L, 67L)))
     assert(byDoc(2L) == ((2L, 3L, 9L))) // low(1) + newest(2); 3+6 chars
   }
+
+  test("binned token-budget selection equals the exact greedy at two scale factors") {
+    // the binned path sorts ONLY the boundary bin — the gate's claim is
+    // bit-equality with the full-sort greedy, not approximation
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val exact = TextAnalysis.tokenBudgetSelect(spark, dir).collect().toSeq
+      graft.CacheScope.drain()
+      val binned = TextAnalysis.tokenBudgetSelectBinned(spark, dir).collect().toSeq
+      graft.CacheScope.drain()
+      assert(binned == exact, s"binned != exact at $dir")
+    }
+  }
 }
