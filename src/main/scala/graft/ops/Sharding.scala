@@ -95,6 +95,34 @@ object Sharding {
     counts
   }
 
+  /** Incremental append: hash placement is a pure function of the doc
+    * id, so new documents land in their shard WITHOUT touching any
+    * existing file — the property that lets a daily ingest extend a
+    * 100 TB shard layout with work proportional to the increment, not
+    * the corpus. Existing part-files are never rewritten (parquet
+    * append adds files); the manifest is recomputed from the result.
+    */
+  def appendToShards(
+      df: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.withColumn("shard", shardId(col(docId), n))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col(docId))
+      .write.mode("append").partitionBy("shard").parquet(outDir)
+    val counts = s.read.parquet(outDir)
+      .groupBy($"shard").agg(count(lit(1)).as("n_rows"))
+      .orderBy($"shard")
+    val manifest = counts.collect()
+      .map(r => s"""{"shard": ${r.get(0)}, "n_rows": ${r.getLong(1)}}""")
+      .mkString("[\n", ",\n", "\n]")
+    val fs = graft.connect.Hfs.fs(s, outDir)
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(outDir, "_shards.json"), manifest,
+      overwrite = true)
+    counts
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_shard_plan", shardPlan, Some(shardPlanSql)))
 }

@@ -25,6 +25,33 @@ class ShardSpec extends SparkSpec {
     assert(manifest.values.forall(_ <= 2 * mean), manifest.toString)
   }
 
+  test("incremental append extends shards without touching existing files") {
+    import spark.implicits._
+    val out = tmpDir("shards").toString + "/inc"
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val first = docs.filter($"doc_id" < 250)
+    val second = docs.filter($"doc_id" >= 250)
+    Sharding.writeTrainingShards(first, "doc_id", out, 16)
+    def files(): Map[String, Long] = {
+      val base = new java.io.File(out)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = files()
+    val manifest = Sharding.appendToShards(second, "doc_id", out, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val after = files()
+    // every pre-append file survives byte-identical; only new files added
+    assert(before.toSet.subsetOf(after.toSet), "append rewrote existing files")
+    assert(after.size > before.size)
+    // combined layout = full corpus, placed exactly as a fresh build would
+    val plan = Sharding.shardPlan(spark, dir)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    assert(manifest == plan)
+  }
+
   test("shard assignment and intra-shard order are deterministic across runs") {
     import spark.implicits._
     val out1 = tmpDir("shards").toString + "/a"
