@@ -564,6 +564,49 @@ object Dedup {
          |""".stripMargin)
   }
 
+  /** Library API for [[bloomDecontamination]]'s production half.
+    *
+    * [[benchmarkBloom]] folds a benchmark frame's (lang|shingle) set
+    * into one serialized Bloom filter — the single driver-side collect
+    * is ONE bounded binary (the filter, kB–MB for any real eval suite),
+    * the same control-flow-not-data budget as the BPE argmax.
+    * [[bloomClean]] then drops every corpus document with a possible
+    * shingle hit entirely map-side: the filter rides along as a
+    * literal, flags roll up per doc with map-side combine, and the
+    * corpus is never shuffled on content.
+    */
+  def benchmarkBloom(bench: DataFrame): Array[Byte] = {
+    val s = bench.sparkSession
+    graft.functions.GraftExtensions.register(s)
+    withShingles(bench.select(col("doc_id"), col("lang"), col("text")), "words")
+      .select(explode(col("words")).as("wd"), col("lang"))
+      .select(xxhash64(concat(col("lang"), lit("|"), col("wd"))).as("h"))
+      .createOrReplaceTempView("graft_bloom_build")
+    s.sql(s"SELECT bloom_agg(h, $bloomEstItems, $bloomNumBits) AS f FROM graft_bloom_build")
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Remove every document from `corpus` whose shingles might overlap
+    * the benchmark set captured in `bloom` (see [[benchmarkBloom]]).
+    * No false negatives: every truly-contaminated document is dropped;
+    * false positives cost a vanishing fraction of clean docs (sizing
+    * note at [[bloomEstItems]]).
+    */
+  def bloomClean(corpus: DataFrame, bloom: Array[Byte]): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val flagged = withShingles(corpus.select($"doc_id", $"lang", $"text"), "words")
+      .select($"doc_id", explode($"words").as("wd"), $"lang")
+      .select($"doc_id",
+        call_function("bloom_contains", lit(bloom),
+          xxhash64(concat($"lang", lit("|"), $"wd"))).as("hit"))
+      .groupBy($"doc_id").agg(max($"hit").as("hit"))
+      .filter($"hit")
+      .select($"doc_id")
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   private val bloomDecontaminationSql =
     s"""WITH w0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
        |docs AS (SELECT doc_id, lang,
