@@ -575,15 +575,32 @@ object Dedup {
     * literal, flags roll up per doc with map-side combine, and the
     * corpus is never shuffled on content.
     */
-  def benchmarkBloom(bench: DataFrame): Array[Byte] = {
+  /** @param estItems expected distinct (lang|shingle) count of the
+    *   benchmark — size from a measured `COUNT(DISTINCT …)` at
+    *   deployment; the default is the gate-scale ceiling.
+    * @param numBits filter size in bits; ≈ estItems·ln(1/fpp)/ln(2)²
+    *   for a target per-probe fpp (the default is ~40 bits/item,
+    *   fpp < 1e-9 at the default estItems).
+    */
+  def benchmarkBloom(
+      bench: DataFrame,
+      estItems: Long = bloomEstItems,
+      numBits: Long = bloomNumBits): Array[Byte] = {
     val s = bench.sparkSession
     graft.functions.GraftExtensions.register(s)
     withShingles(bench.select(col("doc_id"), col("lang"), col("text")), "words")
       .select(explode(col("words")).as("wd"), col("lang"))
       .select(xxhash64(concat(col("lang"), lit("|"), col("wd"))).as("h"))
       .createOrReplaceTempView("graft_bloom_build")
-    s.sql(s"SELECT bloom_agg(h, $bloomEstItems, $bloomNumBits) AS f FROM graft_bloom_build")
+    val f = s.sql(s"SELECT bloom_agg(h, $estItems, $numBits) AS f FROM graft_bloom_build")
       .head().getAs[Array[Byte]](0)
+    // bloom_agg over ZERO rows yields SQL NULL; passing that on would
+    // make bloom_contains return null, the flag roll-up drop every
+    // row, and cleaning silently become a no-op. Fail loudly instead.
+    require(f != null,
+      "benchmarkBloom: benchmark frame produced no shingles (empty or " +
+        "all-short texts) — refusing to build an empty filter")
+    f
   }
 
   /** Remove every document from `corpus` whose shingles might overlap
@@ -593,6 +610,9 @@ object Dedup {
     * note at [[bloomEstItems]]).
     */
   def bloomClean(corpus: DataFrame, bloom: Array[Byte]): DataFrame = {
+    require(bloom != null && bloom.nonEmpty,
+      "bloomClean: null/empty filter — build one with benchmarkBloom " +
+        "(which rejects empty benchmarks) rather than passing null through")
     val s = corpus.sparkSession
     import s.implicits._
     graft.functions.GraftExtensions.register(s)

@@ -67,32 +67,75 @@ object Sharding {
        |FROM d GROUP BY shard ORDER BY shard""".stripMargin
   }
 
-  /** Materialize the shard layout: one exchange hash-partitioned on the
-    * shard id, documents sorted by `doc_id` inside each shard (stable
-    * replay order for the trainer), hive-style `shard=K/` output dirs,
-    * and a `_shards.json` manifest with per-shard row counts. Returns
-    * the manifest as a DataFrame for inspection.
+  /** Per-shard row counts of `df` (the increment or the full corpus) —
+    * one map-side-combined aggregation, ≤ n rows back to the driver.
     */
-  def writeTrainingShards(
-      df: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
-    val s = df.sparkSession
+  private def shardCounts(df: DataFrame, docId: String, n: Int): Map[Long, Long] =
+    df.select(shardId(col(docId), n).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Serialize + write `_shards.json`, and return the manifest as a
+    * DataFrame (shard, n_rows) for inspection.
+    */
+  private def writeManifest(
+      s: SparkSession, outDir: String, counts: Map[Long, Long]): DataFrame = {
     import s.implicits._
-    val planned = df
-      .withColumn("shard", shardId(col(docId), n))
-      .repartition(n, col("shard"))
-      .sortWithinPartitions(col(docId))
-    planned.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val counts = s.read.parquet(outDir)
-      .groupBy($"shard").agg(count(lit(1)).as("n_rows"))
-      .orderBy($"shard")
-    val manifest = counts.collect() // ≤ n rows — bounded driver traffic
-      .map(r => s"""{"shard": ${r.get(0)}, "n_rows": ${r.getLong(1)}}""")
+    val rows = counts.toSeq.sortBy(_._1)
+    val manifest = rows
+      .map { case (sh, c) => s"""{"shard": $sh, "n_rows": $c}""" }
       .mkString("[\n", ",\n", "\n]")
     val fs = graft.connect.Hfs.fs(s, outDir)
     graft.connect.Hfs.writeSmall(fs,
       new org.apache.hadoop.fs.Path(outDir, "_shards.json"), manifest,
       overwrite = true)
-    counts
+    // (shard int, n_rows long) — same shape a partition-discovery read
+    // of the layout would give, so callers can compare either way.
+    rows.map { case (sh, c) => (sh.toInt, c) }.toDF("shard", "n_rows")
+  }
+
+  /** Parse a previously written `_shards.json` back to counts. The
+    * format is our own (flat objects, two integer fields), so a line
+    * regex is exact — no JSON library needed.
+    */
+  private def readManifest(
+      s: SparkSession, outDir: String): Option[Map[Long, Long]] = {
+    val fs = graft.connect.Hfs.fs(s, outDir)
+    val p = new org.apache.hadoop.fs.Path(outDir, "_shards.json")
+    if (!fs.exists(p)) None
+    else {
+      val text = graft.connect.Hfs.readSmall(fs, p)
+      val entry = """\{\s*"shard":\s*(\d+)\s*,\s*"n_rows":\s*(\d+)\s*\}""".r
+      Some(entry.findAllMatchIn(text)
+        .map(m => m.group(1).toLong -> m.group(2).toLong).toMap)
+    }
+  }
+
+  /** Materialize the shard layout: one exchange hash-partitioned on the
+    * shard id, documents sorted by `doc_id` inside each shard (stable
+    * replay order for the trainer), hive-style `shard=K/` output dirs,
+    * and a `_shards.json` manifest with per-shard row counts. Returns
+    * the manifest as a DataFrame for inspection.
+    *
+    * The intra-partition sort leads with the PARTITION column: the
+    * dynamic-partition file writer requires its input ordered by the
+    * partition column, and if that requirement is not already met Spark
+    * inserts its own Sort(shard) — at which point the optimizer drops
+    * any child sort as redundant and intra-shard `doc_id` order is
+    * lost. Sorting `(shard, doc_id)` satisfies the writer's requirement
+    * up front, so no sort is injected and the `doc_id` order survives
+    * into every part-file (asserted per-file by ShardSpec).
+    */
+  def writeTrainingShards(
+      df: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
+    val s = df.sparkSession
+    val planned = df
+      .withColumn("shard", shardId(col(docId), n))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col(docId))
+    planned.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    writeManifest(s, outDir, shardCounts(df, docId, n))
   }
 
   /** Incremental append: hash placement is a pure function of the doc
@@ -100,27 +143,32 @@ object Sharding {
     * existing file — the property that lets a daily ingest extend a
     * 100 TB shard layout with work proportional to the increment, not
     * the corpus. Existing part-files are never rewritten (parquet
-    * append adds files); the manifest is recomputed from the result.
+    * append adds files), and the manifest is updated by ADDING the
+    * increment's per-shard counts to the prior `_shards.json` —
+    * placement is deterministic, so counts are additive and the corpus
+    * is never rescanned. (If the prior manifest is missing we fall back
+    * to one full count, loudly assuming a legacy layout.)
     */
   def appendToShards(
       df: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
     val s = df.sparkSession
-    import s.implicits._
+    val incr = shardCounts(df, docId, n) // count BEFORE write: df may be lazy over outDir-unrelated input
     df.withColumn("shard", shardId(col(docId), n))
       .repartition(n, col("shard"))
-      .sortWithinPartitions(col(docId))
+      .sortWithinPartitions(col("shard"), col(docId))
       .write.mode("append").partitionBy("shard").parquet(outDir)
-    val counts = s.read.parquet(outDir)
-      .groupBy($"shard").agg(count(lit(1)).as("n_rows"))
-      .orderBy($"shard")
-    val manifest = counts.collect()
-      .map(r => s"""{"shard": ${r.get(0)}, "n_rows": ${r.getLong(1)}}""")
-      .mkString("[\n", ",\n", "\n]")
-    val fs = graft.connect.Hfs.fs(s, outDir)
-    graft.connect.Hfs.writeSmall(fs,
-      new org.apache.hadoop.fs.Path(outDir, "_shards.json"), manifest,
-      overwrite = true)
-    counts
+    val merged = readManifest(s, outDir) match {
+      case Some(prior) =>
+        (prior.keySet ++ incr.keySet).map { k =>
+          k -> (prior.getOrElse(k, 0L) + incr.getOrElse(k, 0L))
+        }.toMap
+      case None =>
+        import s.implicits._
+        s.read.parquet(outDir)
+          .groupBy($"shard").agg(count(lit(1)).as("n_rows"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    writeManifest(s, outDir, merged)
   }
 
   def entries: Seq[CatalogEntry] = Seq(

@@ -46,4 +46,32 @@ class CurationFlowSpec extends SparkSpec {
     assert(manifest.agg(sum($"n_rows")).head().getLong(0) == nClean)
     clean.unpersist()
   }
+
+  test("empty benchmark fails loudly instead of silently cleaning nothing") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val empty = docs.filter($"doc_id" < 0)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.benchmarkBloom(empty)
+    }
+    assert(e.getMessage.contains("no shingles"))
+    intercept[IllegalArgumentException] {
+      Dedup.bloomClean(docs, null)
+    }
+  }
+
+  test("benchmarkBloom sizing is caller-controllable (deployment-scale filters)") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val bench = docs.filter($"doc_id" % 100 === 0)
+    // a bigger filter must still have no false negatives; size scales with bits
+    val small = Dedup.benchmarkBloom(bench, estItems = 10000L, numBits = 400000L)
+    val big = Dedup.benchmarkBloom(bench, estItems = 1000000L, numBits = 40000000L)
+    assert(big.length > small.length)
+    val corpus = docs.filter($"doc_id" % 100 =!= 0)
+    val cleanBig = Dedup.bloomClean(corpus, big)
+    val cleanSmall = Dedup.bloomClean(corpus, small)
+    // bigger filter ⇒ fewer false positives ⇒ at least as many survivors
+    assert(cleanBig.count() >= cleanSmall.count())
+  }
 }

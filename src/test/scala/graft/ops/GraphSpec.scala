@@ -120,6 +120,51 @@ class GraphSpec extends SparkSpec {
     assert(r == Set((1L, 3L, 1L), (3L, 3L, 4L), (7L, 1L, 7L)))
   }
 
+  test("converged lpa: stable graph reaches the fixed-round labeling and stops") {
+    // same fixture as the fixed-round case: after round 3 labels are
+    // 1,1,1 / 3,3,3 / 7; round 4 changes nothing → converged, rounds=4
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val (df, rounds) = Graph.lpaConvergedWithRounds(nodes, edges, 50, None, 5)
+    val r = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 3L, 1L), (3L, 3L, 4L), (7L, 1L, 7L)))
+    assert(rounds == 4, s"expected stop at round 4, got $rounds")
+  }
+
+  test("converged lpa: single-edge 2-cycle is detected and min-label resolved") {
+    // sync LPA on one edge swaps labels forever: (1,2)→(2,1)→(1,2)→…
+    // the guard sees lbl == prev2 with changed > 0 at round 3 and
+    // resolves both nodes to min(lbl, prev) = 1 — one community of 2
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val (df, rounds) = Graph.lpaConvergedWithRounds(nodes, edges, 50, None, 5)
+    val r = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 2L, 1L)))
+    assert(rounds <= 3, s"2-cycle should resolve within 3 rounds, took $rounds")
+  }
+
+  test("converged lpa: bipartite square oscillates, guard collapses to one community") {
+    // 4-cycle 1-2-3-4-1: labels walk (1,2,3,4)→(2,1,2,1)→(1,2,1,2)→
+    // (2,1,2,1) — period 2; resolution least(lbl, prev) = all 1s
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val (df, rounds) = Graph.lpaConvergedWithRounds(nodes, edges, 50, None, 5)
+    val r = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 4L, 1L)))
+    assert(rounds <= 4, s"square 2-cycle should resolve within 4 rounds, took $rounds")
+  }
+
+  test("converged lpa errors at maxRounds instead of returning a partial labeling") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.lpaConverged(nodes, edges, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("hub anti-join side is broadcast — no shuffle added for the cap") {
     val plan = Graph.cappedTriangles(fixture, maxDegree = 5)
       .queryExecution.executedPlan.toString

@@ -69,4 +69,62 @@ class ShardSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(out1, "_shards.json"))
     assert(m.linesIterator.count(_.contains("\"shard\"")) == 16)
   }
+
+  test("doc_id order holds WITHIN each part-file (writer injects no re-sort)") {
+    import spark.implicits._
+    // The dynamic-partition writer requires input ordered by the
+    // partition column; if we only sorted by doc_id, Spark would
+    // inject Sort(shard) and drop our sort as redundant. Leading the
+    // sortWithinPartitions with `shard` keeps doc_id order in every
+    // file — assert it per physical file, with no re-sort on read.
+    val out = tmpDir("shards").toString + "/order"
+    val docs = graft.Tables.t(spark, dir, "documents")
+    Sharding.writeTrainingShards(docs, "doc_id", out, 16)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val parts = walk(new java.io.File(out))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select($"doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"unsorted doc_id in ${f.getName}")
+    }
+  }
+
+  test("append merges the prior manifest additively (no corpus rescan)") {
+    import spark.implicits._
+    val out = tmpDir("shards").toString + "/merge"
+    val docs = graft.Tables.t(spark, dir, "documents")
+    Sharding.writeTrainingShards(docs.filter($"doc_id" < 100), "doc_id", out, 16)
+    // Plant a sentinel in the prior manifest: if append RESCANNED the
+    // corpus the sentinel would be overwritten by the true count; an
+    // additive merge must carry it forward as (sentinel + increment).
+    val fs = graft.connect.Hfs.fs(spark, out)
+    val p = new org.apache.hadoop.fs.Path(out, "_shards.json")
+    val prior = graft.connect.Hfs.readSmall(fs, p)
+    val entry = """\{\s*"shard":\s*(\d+)\s*,\s*"n_rows":\s*(\d+)\s*\}""".r
+    val priorCounts = entry.findAllMatchIn(prior)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    val sentinel = priorCounts.map { case (k, v) =>
+      k -> (if (k == 0) v + 1000L else v)
+    }
+    graft.connect.Hfs.writeSmall(fs, p,
+      sentinel.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""{"shard": $k, "n_rows": $v}""" }
+        .mkString("[\n", ",\n", "\n]"),
+      overwrite = true)
+    val incr = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+    val incrCounts = incr
+      .select(graft.ops.Sharding.shardId($"doc_id", 16).as("shard"))
+      .groupBy($"shard").count()
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val merged = Sharding.appendToShards(incr, "doc_id", out, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val expected = (sentinel.keySet ++ incrCounts.keySet).map { k =>
+      k -> (sentinel.getOrElse(k, 0L) + incrCounts.getOrElse(k, 0L))
+    }.toMap
+    assert(merged == expected, "append did not merge prior manifest additively")
+    assert(merged(0) >= 1000L, "sentinel lost — manifest was recomputed by rescan")
+  }
 }
