@@ -496,8 +496,12 @@ object Similarity {
     * force 0.26 (r8 constants) → 0.583 at the shipped
     * (k=128, nprobe=32, R=64), with probe fraction nprobe/k = 25 %
     * and the IVF candidate ceiling at 0.817 — on near-random
-    * synthetic embeddings, the hardest case for ANN; real corpora
-    * cluster, so the same probe fraction buys more.
+    * synthetic embeddings, the hardest case for ANN. On clustered
+    * corpora the same path needs only a 1.6–4.7 % probe fraction for
+    * recall@3 0.98–1.0 — MEASURED on mixture-of-Gaussians fixtures at
+    * three separations (`tools/ClusteredFixture` + `tools/PqRecall`;
+    * PLANS.md r11 table), vs 0.24–0.41 at those fractions on the
+    * isotropic fixture.
     *
     * At 100 TB this is the index layout that actually serves: inverted
     * lists bound candidates to ~nprobe·N/k vectors, the stored index
