@@ -88,20 +88,40 @@ object Sources {
           throw new IllegalArgumentException(s"load '${step.name}': path required"))
         val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
         val full = base.map(b => s"$b/$path").getOrElse(path)
-        // "partitionBy": comma-separated columns → hive-style directory
-        // layout (…/col=value/…). The scale feature of the loader: a
-        // reader filtering on a layout column prunes whole directories
-        // (PartitionFilters) instead of scanning and filtering rows.
-        val partCols = step.options.get("partitionBy").toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        val w0 = df.write.mode(saveMode(step.mode))
-          .options(step.options - "partitionBy")
-        val w = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
-        f match {
-          case "csv" => w.option("header", "true").csv(full)
-          case "json" => w.json(full)
-          case "orc" => w.orc(full)
-          case _ => w.parquet(full)
+        // "shardBy" + "shards": the training-shard layout as a
+        // declarative load step — deterministic md5 placement into N
+        // equal-mass shards with a _shards.json manifest
+        // (ops.Sharding). `mode: append` extends an existing layout
+        // additively (work ∝ increment); any other mode rebuilds it.
+        // Only meaningful for parquet (the trainer-facing format).
+        (step.options.get("shardBy"), step.options.get("shards")) match {
+          case (Some(key), Some(nStr)) =>
+            require(f == "parquet",
+              s"load '${step.name}': shardBy layout requires parquet, got '$f'")
+            val n = nStr.toInt
+            if (step.mode == "append")
+              graft.ops.Sharding.appendToShards(df, key, full, n)
+            else graft.ops.Sharding.writeTrainingShards(df, key, full, n)
+          case (Some(_), None) | (None, Some(_)) =>
+            throw new IllegalArgumentException(
+              s"load '${step.name}': shardBy and shards must be set together")
+          case _ =>
+            // "partitionBy": comma-separated columns → hive-style
+            // directory layout (…/col=value/…). The scale feature of the
+            // loader: a reader filtering on a layout column prunes whole
+            // directories (PartitionFilters) instead of scanning and
+            // filtering rows.
+            val partCols = step.options.get("partitionBy").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            val w0 = df.write.mode(saveMode(step.mode))
+              .options(step.options - "partitionBy")
+            val w = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
+            f match {
+              case "csv" => w.option("header", "true").csv(full)
+              case "json" => w.json(full)
+              case "orc" => w.orc(full)
+              case _ => w.parquet(full)
+            }
         }
       case "jdbc" =>
         val table = step.table.getOrElse(throw new IllegalArgumentException(

@@ -1,0 +1,59 @@
+package graft.exec
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registers the LLM-curation operators as NAMED pipeline transforms,
+  * so the full decontaminate → select → shard chain is expressible in
+  * the reference-shaped declarative surface (A10 named dispatch, A11
+  * history fold) — a JSON `PipelineSpec` instead of hand-chained
+  * library calls. The shard write is the matching declarative LOAD
+  * step (`shardBy`/`shards` options, `connect.Sources.write`).
+  *
+  * Registration closes over the configuration (benchmark path, sizing)
+  * because the transform registry is deliberately name → function with
+  * no parameter channel: extension = registered Scala code, never an
+  * eval of config strings (the registry's contract, PipelineRunner).
+  */
+object CurationTransforms {
+
+  /** Register `bloom_decontaminate`: drop every corpus document whose
+    * shingles might overlap the benchmark at `benchPath` (no false
+    * negatives; fp sizing per [[Dedup.benchmarkBloom]]'s knobs). The
+    * filter is built ONCE at first use per run and broadcast — the
+    * corpus is never shuffled on content.
+    */
+  def registerBloomDecontaminate(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      benchPath: String,
+      estItems: Option[Long] = None,
+      numBits: Option[Long] = None): Unit =
+    registry.register("bloom_decontaminate", { corpus: DataFrame =>
+      val bench = spark.read.parquet(benchPath)
+      val bloom = (estItems, numBits) match {
+        case (Some(e), Some(b)) => Dedup.benchmarkBloom(bench, e, b)
+        case (Some(e), None) => Dedup.benchmarkBloom(bench, estItems = e)
+        case (None, Some(b)) => Dedup.benchmarkBloom(bench, numBits = b)
+        case _ => Dedup.benchmarkBloom(bench)
+      }
+      Dedup.bloomClean(corpus, bloom)
+    })
+
+  /** Register `quality_filter`: keep documents whose type-token-ratio
+    * clears `minTtrPermille` — the same integer permille-grid quality
+    * score the token-budget selectors rank by, as a standalone
+    * declarative gate (map-side only: no shuffle, no window).
+    */
+  def registerQualityFilter(
+      registry: TransformRegistry, minTtrPermille: Long): Unit =
+    registry.register("quality_filter", { docs: DataFrame =>
+      docs
+        .withColumn("__ws", split(col("text"), " "))
+        .withColumn("__q", expr(
+          "(1000 * cast(size(array_distinct(__ws)) as long)) div cast(size(__ws) as long)"))
+        .filter(col("__q") >= minTtrPermille)
+        .drop("__ws", "__q")
+    })
+}

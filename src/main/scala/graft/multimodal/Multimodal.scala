@@ -55,6 +55,12 @@ object Multimodal {
   /** Feature extraction over a media frame: binary payload → fixed-width
     * float features, per-partition batched (mapPartitions so per-batch
     * setup — codec init, model load — is amortized).
+    *
+    * A production codec replacing [[decodeStub]] must honor the codec
+    * contract in PLANS.md ("Multimodal codec contract"): per-PARTITION
+    * init before the row loop, streaming row-at-a-time consumption (no
+    * iterator drain — payloads are MBs), null/corrupt payload → defined
+    * value not a throw, and a fixed-width deterministic feature layout.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -164,8 +164,11 @@ object Sharding {
         }.toMap
       case None =>
         import s.implicits._
+        // partition discovery infers `shard` as INT from the dir names —
+        // cast before getLong or the legacy path class-casts
         s.read.parquet(outDir)
-          .groupBy($"shard").agg(count(lit(1)).as("n_rows"))
+          .groupBy($"shard".cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_rows"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     writeManifest(s, outDir, merged)

