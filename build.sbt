@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // heap-exhaustion experiments (tools.StateStress) must fail fast and
+  // unambiguously instead of GC-thrashing for minutes
+  "-XX:+ExitOnOutOfMemoryError",
 )
