@@ -1235,6 +1235,110 @@ object Similarity {
       |  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS l1
       |FROM c ORDER BY vec_id""".stripMargin
 
+  private[graft] val pcaRounds = 3
+
+  def pcaPower(s: SparkSession, dir: String): DataFrame =
+    pcaPowerOn(s, Tables.t(s, dir, "embeddings"), pcaRounds)
+
+  /** Top principal direction of the embedding corpus by DISTRIBUTED
+    * power iteration — the PCA/whitening preprocessing step embedding
+    * pipelines run before ANN indexing or drift monitoring (dominant
+    * directions hurt inner-product search; projecting them out is the
+    * standard fix, cf. the all-but-the-top observation for word
+    * vectors). The full covariance never materializes: each round is
+    * two matvecs expressed as aggregations — s_i = xᵢ·v (a per-vector
+    * rollup) and u = Σᵢ xᵢ·sᵢ (a per-dim rollup), both map-side
+    * combinable; only the 64-component MODEL crosses the driver per
+    * round (k-means-style control flow), so the shape is unchanged at
+    * any corpus size.
+    *
+    * Exactness: everything is integers. Vectors quantize to the 1e4
+    * grid, center against the integer mean (sign-decomposed division,
+    * so Spark-truncate and DuckDB-floor agree), then coarsen to a
+    * ~2e2 grid — the deterministic precision/capacity trade that
+    * keeps every later product in int64: |x| ≤ 200, |s| ≤ 64·200·1000,
+    * |u| ≤ N·200·|s| ⇒ safe to N ≈ 3.6e9 vectors (past that, shard
+    * the u rollup and merge, or accept double precision off the gate
+    * path). Renormalization is L∞ on a 1e3 grid —
+    * sign(u)·min(1000, |u| div max(maxabs div 1000, 1)) — division-
+    * free of floats; the sign is canonicalized per round (flip so the
+    * first dim attaining max |u| is positive), fixing the eigenvector
+    * sign ambiguity deterministically. Fixed [[pcaRounds]] rounds —
+    * the differential gate needs a pinned prefix, and 3 rounds from
+    * the all-ones start already separate a dominant direction (spec:
+    * anisotropic fixture converges to the planted axis).
+    */
+  def pcaPowerOn(s: SparkSession, embeddings: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    import graft.CacheScope._
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e0 = embeddings
+      .select($"vec_id", posexplode(quantize1e4($"embedding")).as(Seq("dim0", "q")))
+      .select($"vec_id", ($"dim0" + 1).cast("long").as("dim"), $"q")
+    val stats = e0.groupBy($"dim").agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+    // center on the integer mean, then coarsen to the ~2e2 grid; both
+    // divisions sign-decomposed so truncate (Spark) ≡ floor (DuckDB)
+    val cx = e0.join(broadcast(stats), Seq("dim"))
+      .withColumn("c", expr(
+        "q - (CASE WHEN sq < 0 THEN -1L ELSE 1L END) * (abs(sq) div n)"))
+      .select($"vec_id", $"dim", expr(
+        "(CASE WHEN c < 0 THEN -1L ELSE 1L END) * (abs(c) div 100)").as("x"))
+      .persistScoped()
+    val dims = stats.select($"dim").collect().map(_.getLong(0)).sorted
+    var v: Map[Long, Long] = dims.map(_ -> 1000L).toMap
+    for (_ <- 1 to rounds) {
+      val vDf = broadcast(v.toSeq.toDF("dim", "v"))
+      val si = cx.join(vDf, Seq("dim"))
+        .groupBy($"vec_id").agg(sum($"x" * $"v").as("si"))
+      val u = cx.join(si, Seq("vec_id"))
+        .groupBy($"dim").agg(sum($"x" * $"si").as("u"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val maxabs = u.values.map(math.abs).max
+      val jstar = u.filter { case (_, x) => math.abs(x) == maxabs }.keys.min
+      val fl = if (u(jstar) < 0) -1L else 1L
+      val denom = math.max(maxabs / 1000L, 1L)
+      v = u.map { case (j, x) =>
+        j -> fl * (if (x < 0) -1L else 1L) * math.min(1000L, math.abs(x) / denom)
+      }
+    }
+    v.toSeq.sortBy(_._1).toDF("dim", "v").orderBy($"dim")
+  }
+
+  private val pcaPowerSql = {
+    // one unrolled power-iteration round: (cx ⋈ v_prev) per-vec rollup,
+    // per-dim rollup, L∞ renormalize + canonical sign
+    def round(i: Int, prevV: String): String =
+      s"""s$i AS (SELECT vec_id, CAST(SUM(x * v) AS BIGINT) AS si
+         |        FROM cx JOIN $prevV USING (dim) GROUP BY 1),
+         |u$i AS (SELECT dim, CAST(SUM(x * si) AS BIGINT) AS u
+         |        FROM cx JOIN s$i USING (vec_id) GROUP BY 1),
+         |n$i AS (SELECT MAX(ABS(u)) AS ma FROM u$i),
+         |f$i AS (SELECT CASE WHEN (SELECT u FROM u$i CROSS JOIN n$i
+         |                          WHERE ABS(u) = ma ORDER BY dim LIMIT 1) < 0
+         |               THEN -1 ELSE 1 END AS fl,
+         |               GREATEST(ma // 1000, 1) AS dn FROM n$i),
+         |v$i AS (SELECT dim, fl * (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+         |               * LEAST(1000, ABS(u) // dn) AS v
+         |        FROM u$i CROSS JOIN f$i)""".stripMargin
+    val rounds = (1 to pcaRounds)
+      .map(i => round(i, if (i == 1) "v0" else s"v${i - 1}")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT) AS q
+       |  FROM embeddings),
+       |st AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS n
+       |       FROM e GROUP BY 1),
+       |c0 AS (SELECT vec_id, dim,
+       |         q - (CASE WHEN sq < 0 THEN -1 ELSE 1 END) * (ABS(sq) // n) AS c
+       |       FROM e JOIN st USING (dim)),
+       |cx AS (SELECT vec_id, dim,
+       |         (CASE WHEN c < 0 THEN -1 ELSE 1 END) * (ABS(c) // 100) AS x
+       |       FROM c0),
+       |v0 AS (SELECT dim, 1000 AS v FROM st),
+       |$rounds
+       |SELECT dim, CAST(v AS BIGINT) AS v FROM v$pcaRounds ORDER BY dim""".stripMargin
+  }
+
   /** Embedding outlier detection — the "noisy / mislabeled vector"
     * curation pass: for every vector, its squared distance to its own
     * label's centroid, top-3 farthest flagged per label. Division-free
@@ -1299,6 +1403,7 @@ object Similarity {
       |FROM r WHERE rn <= 3 ORDER BY label, rn""".stripMargin
 
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_emb_pca", pcaPower, Some(pcaPowerSql)),
     CatalogEntry("q_emb_outlier", embOutliers, Some(embOutliersSql)),
     CatalogEntry("q_emb_quantize", int8Quantize, Some(int8QuantizeSql)),
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),

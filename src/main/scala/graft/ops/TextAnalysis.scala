@@ -1542,7 +1542,129 @@ object TextAnalysis {
       ._1.toDF("merge_round", "l", "r", "cnt")
   }
 
+  /** Positive-class sources for the trained quality classifier — the
+    * "curated corpus" proxy (CCNet/GPT-3-style quality filtering
+    * trains a linear classifier on curated-vs-crawl labels; here the
+    * first four fixture sources stand in for the curated side).
+    */
+  private[graft] val perceptronPosSources = Seq("src0", "src1", "src2", "src3")
+  private[graft] val perceptronRounds = 3
+
+  def perceptronClassifier(s: SparkSession, dir: String): DataFrame =
+    perceptronOn(s, Tables.t(s, dir, "documents"),
+      perceptronPosSources, perceptronRounds)
+
+  /** TRAIN a discriminative quality classifier, distributed — batch
+    * perceptron over hashed bag-of-words features. This is the
+    * catalog's one trained *discriminative* curation model (DSIR is
+    * generative importance weighting): the fasttext-shaped quality
+    * filter every large pretraining pipeline runs (classify each
+    * document curated-vs-crawl, keep high scorers), expressed so that
+    * training itself is a Spark job over the full corpus.
+    *
+    * Model + math are exact integers end to end, so the DuckDB gate
+    * checks the TRAINED WEIGHTS' effect value-for-value:
+    * features are per-document counts of md5-prefix word buckets (256
+    * buckets + a bias pseudo-bucket, the same engine-portable hashing
+    * as DSIR), labels y = ±1 from the source, and each round does the
+    * batch-perceptron update w += Σ_{misclassified} y·x with the
+    * classic y·margin ≤ 0 rule (w₀ = 0 ⇒ round 1 updates on every
+    * document). No learning rate, no floats, no ties to break.
+    *
+    * Scale shape (the reason a perceptron and not SGD-with-floats):
+    * the corpus is featurized ONCE — one explode + one
+    * (doc, bucket) hash rollup, persisted; each round is then one
+    * broadcast join of the ≤257-row model + a map-side-combinable
+    * per-doc margin rollup + a ≤257-row delta rollup collected to the
+    * driver (k-means-style control flow: the MODEL crosses the
+    * driver, never data). Rounds are a fixed small constant; corpus
+    * passes are O(rounds), each embarrassingly parallel with
+    * bounded-width shuffles. At 100 TB nothing about this changes —
+    * the model is still 257 rows.
+    */
+  def perceptronOn(s: SparkSession, docsIn: DataFrame,
+      posSources: Seq[String], rounds: Int): DataFrame = {
+    import s.implicits._
+    import graft.CacheScope._
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val labeled = docsIn.select($"doc_id", $"source",
+      when($"source".isin(posSources: _*), 1L).otherwise(-1L).as("y"),
+      split($"text", " ").as("ws"))
+    val f = labeled
+      .select($"doc_id", $"y", explode($"ws").as("w"))
+      .withColumn("b", substring(md5($"w"), 1, 2))
+      .groupBy($"doc_id", $"y", $"b").agg(count(lit(1)).as("c"))
+      .unionAll(labeled.select($"doc_id", $"y", lit("__bias").as("b"),
+        lit(1L).as("c")))
+      .persistScoped()
+    def marginsUnder(wts: Map[String, Long]): DataFrame = {
+      val wDf = broadcast(wts.toSeq.toDF("b", "w"))
+      f.join(wDf, Seq("b"))
+        .groupBy($"doc_id", $"y").agg(sum($"c" * $"w").as("m"))
+    }
+    // round 1: w = 0, every margin is 0, y·0 ≤ 0 — update over ALL docs
+    var weights: Map[String, Long] = f.groupBy($"b")
+      .agg(sum($"y" * $"c").as("dw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (_ <- 2 to rounds) {
+      val mis = marginsUnder(weights)
+        .filter($"y" * $"m" <= 0).select($"doc_id")
+      val delta = f.join(mis, Seq("doc_id"), "left_semi")
+        .groupBy($"b").agg(sum($"y" * $"c").as("dw")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      weights = weights.map { case (b, w) =>
+        b -> (w + delta.getOrElse(b, 0L))
+      }
+    }
+    marginsUnder(weights)
+      .join(labeled.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"m" > 0L, 1)).as("n_pred_pos"),
+        count(when($"y" * $"m" > 0L, 1)).as("n_correct"),
+        sum($"m").as("sum_margin"))
+      .orderBy($"source")
+  }
+
+  private val perceptronSql = {
+    val pos = perceptronPosSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, source,
+       |  CASE WHEN source IN ($pos) THEN 1 ELSE -1 END AS y,
+       |  string_split(text, ' ') AS ws FROM documents),
+       |tb AS (SELECT doc_id, y, substr(md5(w), 1, 2) AS b
+       |       FROM (SELECT doc_id, y, unnest(ws) AS w FROM d) t),
+       |f AS (SELECT doc_id, y, b, CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM tb GROUP BY 1, 2, 3
+       |      UNION ALL SELECT doc_id, y, '__bias', 1 FROM d),
+       |w1 AS (SELECT b, CAST(SUM(y * c) AS BIGINT) AS w FROM f GROUP BY 1),
+       |m1 AS (SELECT f.doc_id, f.y, CAST(SUM(f.c * w1.w) AS BIGINT) AS m
+       |       FROM f JOIN w1 USING (b) GROUP BY 1, 2),
+       |u2 AS (SELECT b, CAST(SUM(y * c) AS BIGINT) AS dw FROM f
+       |       WHERE doc_id IN (SELECT doc_id FROM m1 WHERE y * m <= 0)
+       |       GROUP BY 1),
+       |w2 AS (SELECT w1.b, w1.w + COALESCE(u2.dw, 0) AS w
+       |       FROM w1 LEFT JOIN u2 USING (b)),
+       |m2 AS (SELECT f.doc_id, f.y, CAST(SUM(f.c * w2.w) AS BIGINT) AS m
+       |       FROM f JOIN w2 USING (b) GROUP BY 1, 2),
+       |u3 AS (SELECT b, CAST(SUM(y * c) AS BIGINT) AS dw FROM f
+       |       WHERE doc_id IN (SELECT doc_id FROM m2 WHERE y * m <= 0)
+       |       GROUP BY 1),
+       |w3 AS (SELECT w2.b, w2.w + COALESCE(u3.dw, 0) AS w
+       |       FROM w2 LEFT JOIN u3 USING (b)),
+       |m3 AS (SELECT f.doc_id, f.y, CAST(SUM(f.c * w3.w) AS BIGINT) AS m
+       |       FROM f JOIN w3 USING (b) GROUP BY 1, 2)
+       |SELECT dd.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(CASE WHEN m > 0 THEN 1 END) AS BIGINT) AS n_pred_pos,
+       |  CAST(COUNT(CASE WHEN y * m > 0 THEN 1 END) AS BIGINT) AS n_correct,
+       |  CAST(SUM(m) AS BIGINT) AS sum_margin
+       |FROM m3 JOIN (SELECT doc_id, source FROM documents) dd USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_perceptron", perceptronClassifier, Some(perceptronSql)),
     CatalogEntry("q_text_bpe", bpeMerges, Some(bpeSql)),
     CatalogEntry("q_text_bpe_batched", bpeMergesBatched, Some(bpeSql)),
     CatalogEntry("q_text_bpe_encode", bpeTokenCounts, Some(bpeEncodeSql)),

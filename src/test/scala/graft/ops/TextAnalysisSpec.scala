@@ -183,4 +183,50 @@ class TextAnalysisSpec extends SparkSpec {
       assert(binned == exact, s"binned != exact at $dir")
     }
   }
+
+  test("batch perceptron learns a separable curated-vs-crawl split") {
+    // synthetic separable corpus: curated sources emit 'alpha'-family
+    // tokens, crawl sources 'zeta'-family — linearly separable in the
+    // hashed bag space, so the trained weights must classify every doc
+    // correctly by the final round (perceptron convergence theorem:
+    // finitely many mistakes on separable data)
+    val rows = (0 until 120).map { i =>
+      val src = s"src${i % 6}"
+      val curated = (i % 6) < 3
+      val words =
+        if (curated) Seq("alpha", "beta", "gamma", s"tok${i % 7}")
+        else Seq("zeta", "eta", "theta", s"tok${i % 7}")
+      (i.toLong, words.mkString(" "), "en", src, 20L)
+    }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.perceptronOn(spark, docs,
+      posSources = Seq("src0", "src1", "src2"), rounds = 3).collect()
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val nCorrect = out.map(_.getAs[Long]("n_correct")).sum
+    assert(nDocs == 120L)
+    assert(nCorrect == 120L,
+      s"separable data must reach 100% train accuracy, got $nCorrect/120")
+    out.foreach { r =>
+      val pos = Set("src0", "src1", "src2").contains(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_pred_pos") ==
+        (if (pos) r.getAs[Long]("n_docs") else 0L))
+    }
+  }
+
+  test("perceptron round-1 weights are the class-conditional count difference") {
+    // w₀ = 0 makes every doc misclassified in round 1, so the 1-round
+    // model is exactly Σ_d y_d·count_d(bucket) — checkable by hand:
+    // buckets x (c=2 in doc1), y (1 in each), z (1 in doc2), bias 1 each
+    // w1: x=+2, y=1-1=0, z=-1, bias=1-1=0
+    // margin(doc1) = 2·2 + 1·0 + 0 = 4 ; margin(doc2) = 1·0 + 1·(-1) + 0 = -1
+    val docs = Seq(
+      (1L, "x x y", "en", "pos", 5L),
+      (2L, "y z", "en", "neg", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.perceptronOn(spark, docs, Seq("pos"), rounds = 1)
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("sum_margin")).toMap
+    assert(out("pos") == 4L)
+    assert(out("neg") == -1L)
+  }
 }
