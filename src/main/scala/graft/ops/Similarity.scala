@@ -203,31 +203,43 @@ object Similarity {
     * Identical op-for-op to the loop the `q_sim_ivf` oracle unrolls
     * ([[ivfPq]] inlines the same loop alongside its PQ training).
     */
-  private[graft] def coarseFrontEnd(s: SparkSession, dir: String, k: Int, iters: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** Quantized corpus base frame — (vec_id, xq grid-1e4 longs, n2
+    * exact squared norm), persisted (read by every k-means pass, the
+    * probes, and the rescore).
+    */
+  private[graft] def embBase(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
-    val base = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", quantize1e4($"embedding").as("xq"))
+    emb.select($"vec_id", quantize1e4($"embedding").as("xq"))
       .withColumn("n2", dot64($"xq", $"xq"))
-      .persistScoped() // read by every k-means pass, the probes, and the rescore
-    // custom codegen expression: fused integer loop (see SqDist64)
-    def sqDist(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
-    // (rescore below is dot64 over the same quantized vectors — scale
-    // (1e4)^2 = 1e8, so cosineFromDots is unchanged)
-    // nearest centroid per vector (exact integer L2, ties by cid):
-    // min_by over the (d, cid) pair ≡ the former row_number window's
-    // ORDER BY d, cid LIMIT 1, but as a HASH aggregate with map-side
-    // partial min — no sort, no full shuffle of the k·N scored rows
-    // (the scored table is map-side from the broadcast, so the only
-    // exchange is the partial-aggregated per-vector minima)
-    def assign(cents: DataFrame): DataFrame = {
-      base.select($"vec_id", $"xq").crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", sqDist($"xq", $"cq").as("d"))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("centroid"))
-    }
-    // per-dimension member means, re-quantized to the 1e4 grid
+      .persistScoped()
+  }
+
+  // custom codegen expression: fused integer loop (see SqDist64)
+  private def sqd(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
+
+  /** Nearest centroid per vector (exact integer L2, ties by cid):
+    * min_by over the (d, cid) pair ≡ a row_number window's ORDER BY
+    * d, cid LIMIT 1, but as a HASH aggregate with map-side partial
+    * min — no sort, no full shuffle of the k·N scored rows (the
+    * scored table is map-side from the broadcast, so the only
+    * exchange is the partial-aggregated per-vector minima).
+    */
+  private def coarseAssign(base: DataFrame, cents: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    base.select($"vec_id", $"xq").crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", sqd($"xq", $"cq").as("d"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cid", struct($"d", $"cid")).as("centroid"))
+  }
+
+  /** Deterministic k-means codebook: seed = first k vectors, `iters`
+    * (assign, per-dimension member mean re-quantized to the grid)
+    * rounds. Returns the persisted ≤k-row codebook (cid, cq).
+    */
+  private def kmeansTrain(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    import base.sparkSession.implicits._
+    import graft.CacheScope._
     def update(assigned: DataFrame): DataFrame = {
       val dims = assigned.join(
         base.select($"vec_id", posexplode($"xq").as(Seq("pos", "v"))), Seq("vec_id"))
@@ -238,12 +250,20 @@ object Similarity {
         .select($"centroid".as("cid"), $"cq")
     }
     var cents = base.filter($"vec_id" < k).select($"vec_id".as("cid"), $"xq".as("cq"))
-    for (_ <- 1 to iters) cents = update(assign(cents))
-    // persist the trained codebook (≤16 tiny rows): the final list
-    // assignment AND the query probes both read it — without the cache
-    // each reference re-executes the whole training DAG
-    cents = cents.persistScoped()
-    (base, cents, assign(cents))
+    for (_ <- 1 to iters) cents = update(coarseAssign(base, cents))
+    // persist the trained codebook (tiny): the final list assignment
+    // AND the query probes both read it — without the cache each
+    // reference re-executes the whole training DAG
+    cents.persistScoped()
+  }
+
+  private[graft] def coarseFrontEnd(s: SparkSession, dir: String, k: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = embBase(s, Tables.t(s, dir, "embeddings"))
+    // (rescore is dot64 over the same quantized vectors — scale
+    // (1e4)^2 = 1e8, so cosineFromDots is unchanged)
+    val cents = kmeansTrain(base, k, iters)
+    (base, cents, coarseAssign(base, cents))
   }
 
   private[graft] def ivfWithParams(
@@ -524,42 +544,73 @@ object Similarity {
   private[graft] def ivfPqWithParams(s: SparkSession, dir: String,
       k: Int, iters: Int, nprobe: Int, shortlist: Int): DataFrame = {
     import s.implicits._
-    graft.functions.GraftExtensions.register(s)
-    def sqDist(a: Column, b: Column): Column = call_function("sqdist64", a, b)
     val (e, cents, assigned0) = coarseFrontEnd(s, dir, k, iters)
     val assigned = assigned0.persistScoped() // read by residuals AND candidates
+    val subv = residualSubv(e, cents, assigned).persistScoped()
+    val c1 = pqTrain(subv).persistScoped()
+    val codes = pqAssign(subv, c1)
+    val queries = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"xq", $"n2")
+    ivfPqProbe(e, cents, c1, assigned, codes, queries, nprobe, shortlist)
+  }
+
+  /** Residual subvector slices, map-side: (vec_id, sub, sxq[pqSub]).
+    * The residual x − c(x) is an exact long difference on the grid.
+    */
+  private def residualSubv(e: DataFrame, cents: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val centCols = cents.select($"cid".as("centroid"), $"cq".as("ccq"))
-    // residual per vector: x − c(x), exact long differences on the grid
-    val res = assigned.join(e.select($"vec_id", $"xq"), Seq("vec_id"))
+    assigned.join(e.select($"vec_id", $"xq"), Seq("vec_id"))
       .join(broadcast(centCols), Seq("centroid"))
       .select($"vec_id", zip_with($"xq", $"ccq", (x, c) => x - c).as("rq"))
-    // residual subvector slices, map-side: (vec_id, sub, sxq[pqSub])
-    val subv = res.select($"vec_id", posexplode(expr(
+      .select($"vec_id", posexplode(expr(
         s"transform(sequence(0, ${pqM - 1}), s -> slice(rq, s * $pqSub + 1, $pqSub))"))
         .as(Seq("sub", "sxq")))
-      .persistScoped()
-    // PQ codebook over residuals: seed = first pqK vectors' residual
-    // subvectors, one refinement round (the q_sim_pq convention)
+  }
+
+  /** PQ encoding: per-(vector, subspace) argmin code against a
+    * codebook, ties by code id — hash aggregate, no window.
+    */
+  private def pqAssign(subv: DataFrame, cb: DataFrame): DataFrame = {
+    import subv.sparkSession.implicits._
+    subv.join(broadcast(cb), Seq("sub"))
+      .select($"vec_id", $"sub", $"cid", sqd($"sxq", $"cq").as("d"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
+  }
+
+  /** PQ codebook over residual subvectors: seed = first pqK vectors'
+    * residual subvectors, one refinement round (the q_sim_pq
+    * convention).
+    */
+  private def pqTrain(subv: DataFrame): DataFrame = {
+    import subv.sparkSession.implicits._
     val c0 = subv.filter($"vec_id" < pqK)
       .select($"sub", $"vec_id".as("cid"), $"sxq".as("cq"))
-    def assignP(cb: DataFrame): DataFrame =
-      subv.join(broadcast(cb), Seq("sub"))
-        .select($"vec_id", $"sub", $"cid", sqDist($"sxq", $"cq").as("d"))
-        .groupBy($"vec_id", $"sub")
-        .agg(min_by($"cid", struct($"d", $"cid")).as("code"))
-    val c1 = assignP(c0)
+    pqAssign(subv, c0)
       .join(subv, Seq("vec_id", "sub"))
       .select($"sub", $"code".as("cid"), posexplode($"sxq").as(Seq("spos", "v")))
       .groupBy($"sub", $"cid", $"spos")
       .agg(round(sum($"v").cast("double") / count(lit(1))).cast("long").as("cq1"))
       .groupBy($"sub", $"cid")
       .agg(transform(array_sort(collect_list(struct($"spos", $"cq1"))), p => p("cq1")).as("cq"))
-      .persistScoped()
-    val codes = assignP(c1)
+  }
+
+  /** The IVF-PQ serving path over a trained model and an encoded
+    * corpus: probe → per-(query, list) residual ADC tables → ADC
+    * shortlist → exact rescore of the shortlist only. `e` is the
+    * corpus base (vec_id, xq, n2); `queries` is (qid, xq, n2).
+    */
+  private def ivfPqProbe(e: DataFrame, cents: DataFrame, c1: DataFrame,
+      assigned: DataFrame, codes: DataFrame, queries: DataFrame,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val centCols = cents.select($"cid".as("centroid"), $"cq".as("ccq"))
     // query probes: nprobe nearest lists (same integer argmin as ivf)
-    val qScored = e.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"xq")
+    val qScored = queries.select($"qid", $"xq")
       .crossJoin(broadcast(cents))
-      .select($"qid", $"cid", sqDist($"xq", $"cq").as("d"))
+      .select($"qid", $"cid", sqd($"xq", $"cq").as("d"))
     val wp = Window.partitionBy($"qid").orderBy($"d".asc, $"cid".asc)
     val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= nprobe)
       .select($"qid", $"cid".as("centroid"))
@@ -567,14 +618,14 @@ object Similarity {
     // residual is against THAT list's centroid — nprobe tables per
     // query, each pqM·pqK entries (tiny, broadcast)
     val qres = broadcast(probes)
-      .join(e.select($"vec_id".as("qid"), $"xq"), Seq("qid"))
+      .join(queries.select($"qid", $"xq"), Seq("qid"))
       .join(broadcast(centCols), Seq("centroid"))
       .select($"qid", $"centroid", zip_with($"xq", $"ccq", (x, c) => x - c).as("rq"))
     val qsub = qres.select($"qid", $"centroid", posexplode(expr(
         s"transform(sequence(0, ${pqM - 1}), s -> slice(rq, s * $pqSub + 1, $pqSub))"))
         .as(Seq("sub", "sq")))
     val qd = qsub.join(broadcast(c1), Seq("sub"))
-      .select($"qid", $"centroid", $"sub", $"cid".as("code"), sqDist($"sq", $"cq").as("d"))
+      .select($"qid", $"centroid", $"sub", $"cid".as("code"), sqd($"sq", $"cq").as("d"))
     // IVF candidates carry their list id so ADC joins the MATCHING
     // per-list query table
     val cand = broadcast(probes).join(assigned, Seq("centroid"))
@@ -594,7 +645,7 @@ object Similarity {
     // serving pattern: codes bound the scan, exact floats touch R
     // rows per query, never the corpus.
     val scoredAdc = adc
-      .join(e.select($"vec_id".as("qid"), $"n2".as("qn2")), Seq("qid"))
+      .join(queries.select($"qid", $"n2".as("qn2")), Seq("qid"))
       .join(e.select($"vec_id", $"n2"), Seq("vec_id"))
       .select($"qid", $"vec_id",
         (cosineFromDots($"qn2" + $"n2" - $"adc", $"qn2", $"n2") / 2).as("cos_adc"))
@@ -604,7 +655,7 @@ object Similarity {
       .select($"qid", $"vec_id")
     // stage 2 — exact integer-dot rescore of the shortlist only
     val rescored = shortlistDf
-      .join(e.select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2")), Seq("qid"))
+      .join(queries.select($"qid", $"xq".as("qxq"), $"n2".as("qn2")), Seq("qid"))
       .join(e.select($"vec_id", $"xq", $"n2"), Seq("vec_id"))
       .select($"qid", $"vec_id".as("cid"),
         cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
@@ -613,6 +664,75 @@ object Similarity {
       .filter($"rank" <= 3)
       .select($"qid", $"rank", $"cid", $"cos")
       .orderBy($"qid", $"rank")
+  }
+
+  /** Persistable IVF-PQ model: the two tiny trained codebooks —
+    * `coarse` (cid, cq) inverted-list centroids and `pq` (sub, cid,
+    * cq) residual subspace codes. Together a few KB: the entire
+    * serving-side artifact besides the per-vector codes.
+    */
+  final case class IvfPqModel(coarse: DataFrame, pq: DataFrame)
+
+  /** OFFLINE codebook training — the production split of the
+    * [[ivfPq]] gate row (whose in-row training cost is a gate
+    * artifact; a deployment trains once on a sample, then indexes and
+    * serves any number of corpora/batches with the frozen model).
+    * Same deterministic arithmetic as the gate: train → index →
+    * probe with the same constants reproduces the gate row EXACTLY
+    * (IvfPqModelSpec pins it, including through a parquet
+    * save/load round-trip).
+    */
+  def trainIvfPq(s: SparkSession, emb: DataFrame,
+      k: Int = ivfPqK, iters: Int = ivfIters): IvfPqModel = {
+    import s.implicits._
+    import graft.CacheScope._
+    val base = embBase(s, emb)
+    val cents = kmeansTrain(base, k, iters)
+    val assigned = coarseAssign(base, cents).persistScoped()
+    val subv = residualSubv(base, cents, assigned).persistScoped()
+    IvfPqModel(cents, pqTrain(subv))
+  }
+
+  /** Persist a trained model (two parquet dirs under `path`). */
+  def saveIvfPqModel(model: IvfPqModel, path: String): Unit = {
+    model.coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    model.pq.write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  def loadIvfPqModel(s: SparkSession, path: String): IvfPqModel =
+    IvfPqModel(s.read.parquet(s"$path/coarse"), s.read.parquet(s"$path/pq"))
+
+  /** Encode a corpus against a FROZEN model: inverted-list assignment
+    * + residual PQ codes — (vec_id, centroid, sub, code), the
+    * persistable serving index (4 B of codes per vector at the
+    * catalog constants). One broadcast of each codebook; the corpus
+    * never shuffles.
+    */
+  def indexIvfPq(s: SparkSession, emb: DataFrame, model: IvfPqModel): DataFrame = {
+    import s.implicits._
+    import graft.CacheScope._
+    val base = embBase(s, emb)
+    val assigned = coarseAssign(base, model.coarse).persistScoped()
+    val subv = residualSubv(base, model.coarse, assigned).persistScoped()
+    assigned.join(pqAssign(subv, model.pq), Seq("vec_id"))
+      .select($"vec_id", $"centroid", $"sub", $"code")
+  }
+
+  /** Serve ANN queries over a frozen model + prebuilt index: the
+    * two-stage ADC-shortlist/exact-rescore path of the gate row, with
+    * the corpus and query frames supplied by the caller. `index` is
+    * [[indexIvfPq]]'s output (possibly read back from parquet).
+    */
+  def probeIvfPq(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      model: IvfPqModel, index: DataFrame,
+      nprobe: Int = ivfPqNprobe, shortlist: Int = ivfPqShortlist): DataFrame = {
+    import s.implicits._
+    val base = embBase(s, corpus)
+    val qbase = embBase(s, queries).select($"vec_id".as("qid"), $"xq", $"n2")
+    val assigned = index.select($"vec_id", $"centroid").distinct()
+    val codes = index.select($"vec_id", $"sub", $"code")
+    ivfPqProbe(base, model.coarse, model.pq, assigned, codes, qbase,
+      nprobe, shortlist)
   }
 
   /** IVF-PQ catalog constants — the r9 operating point (PLANS.md
@@ -1270,6 +1390,16 @@ object Similarity {
     */
   def pcaPowerOn(s: SparkSession, embeddings: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
+    val (_, v) = pcaCore(s, embeddings, rounds)
+    v.toSeq.sortBy(_._1).toDF("dim", "v").orderBy($"dim")
+  }
+
+  /** Shared power-iteration core: returns the persisted centered
+    * integer matrix (vec_id, dim, x) and the trained component map.
+    */
+  private def pcaCore(s: SparkSession, embeddings: DataFrame,
+      rounds: Int): (DataFrame, Map[Long, Long]) = {
+    import s.implicits._
     import graft.CacheScope._
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val e0 = embeddings
@@ -1301,10 +1431,33 @@ object Similarity {
         j -> fl * (if (x < 0) -1L else 1L) * math.min(1000L, math.abs(x) / denom)
       }
     }
-    v.toSeq.sortBy(_._1).toDF("dim", "v").orderBy($"dim")
+    (cx, v)
   }
 
-  private val pcaPowerSql = {
+  def pcaScores(s: SparkSession, dir: String): DataFrame =
+    pcaScoresOn(s, Tables.t(s, dir, "embeddings"), pcaRounds)
+
+  /** Principal-component SCORES — [[pcaPowerOn]]'s downstream use:
+    * each vector's exact integer projection onto the trained top
+    * direction, ranked by magnitude. This is the whitening/drift
+    * primitive ("all-but-the-top"): the top-|proj| vectors are the
+    * ones the dominant direction explains most — candidates for
+    * projection-removal before ANN indexing, or the drift monitor's
+    * watchlist. One extra map-side-combinable per-vector rollup after
+    * training; the ranking is a global top-k (TakeOrdered), not a
+    * full sort.
+    */
+  def pcaScoresOn(s: SparkSession, embeddings: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    val (cx, v) = pcaCore(s, embeddings, rounds)
+    val vDf = broadcast(v.toSeq.toDF("dim", "v"))
+    cx.join(vDf, Seq("dim"))
+      .groupBy($"vec_id").agg(sum($"x" * $"v").as("proj"))
+      .orderBy(abs($"proj").desc, $"vec_id".asc)
+      .limit(20)
+  }
+
+  private val pcaCtes = {
     // one unrolled power-iteration round: (cx ⋈ v_prev) per-vec rollup,
     // per-dim rollup, L∞ renormalize + canonical sign
     def round(i: Int, prevV: String): String =
@@ -1322,7 +1475,7 @@ object Similarity {
          |        FROM u$i CROSS JOIN f$i)""".stripMargin
     val rounds = (1 to pcaRounds)
       .map(i => round(i, if (i == 1) "v0" else s"v${i - 1}")).mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT) AS q
        |  FROM embeddings),
@@ -1335,9 +1488,19 @@ object Similarity {
        |         (CASE WHEN c < 0 THEN -1 ELSE 1 END) * (ABS(c) // 100) AS x
        |       FROM c0),
        |v0 AS (SELECT dim, 1000 AS v FROM st),
-       |$rounds
-       |SELECT dim, CAST(v AS BIGINT) AS v FROM v$pcaRounds ORDER BY dim""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private val pcaPowerSql =
+    s"""WITH $pcaCtes
+       |SELECT dim, CAST(v AS BIGINT) AS v FROM v$pcaRounds ORDER BY dim""".stripMargin
+
+  private val pcaScoresSql =
+    s"""WITH $pcaCtes,
+       |sc AS (SELECT vec_id, CAST(SUM(x * v) AS BIGINT) AS proj
+       |       FROM cx JOIN v$pcaRounds USING (dim) GROUP BY 1)
+       |SELECT vec_id, proj FROM sc
+       |ORDER BY ABS(proj) DESC, vec_id LIMIT 20""".stripMargin
 
   /** Embedding outlier detection — the "noisy / mislabeled vector"
     * curation pass: for every vector, its squared distance to its own
@@ -1404,6 +1567,7 @@ object Similarity {
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_emb_pca", pcaPower, Some(pcaPowerSql)),
+    CatalogEntry("q_emb_pca_scores", pcaScores, Some(pcaScoresSql)),
     CatalogEntry("q_emb_outlier", embOutliers, Some(embOutliersSql)),
     CatalogEntry("q_emb_quantize", int8Quantize, Some(int8QuantizeSql)),
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),

@@ -24,7 +24,8 @@ object ExplainAudit {
       "q_dedup_cc", "q_dedup_cc_star", "q_dedup_editdist", "q_dedup_length_routed",
       "q_evt_attribution_capped", "q_text_pii", "q_text_boilerplate",
       "q_text_bigram_lm", "q_evt_retention", "q_evt_transitions", "q_evt_wau",
-      "q_feat_zscore", "q_feat_ntile")
+      "q_feat_zscore", "q_feat_ntile",
+      "q_text_perceptron", "q_emb_pca")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** The offline IVF-PQ split (train → save → load → index → probe)
+  * must reproduce the in-row gate row EXACTLY — the gate's fused
+  * training is a differential-test artifact, and this spec is the
+  * proof that a deployment can train once, freeze the model on disk,
+  * and serve with bit-identical results.
+  */
+class IvfPqModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("offline train/save/load/index/probe == the q_sim_ivfpq gate row") {
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val gate = Similarity.ivfPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.CacheScope.drain()
+
+    val model = Similarity.trainIvfPq(spark, emb)
+    val modelPath = tmpDir("ivfpq-model").toString
+    Similarity.saveIvfPqModel(model, modelPath)
+    graft.CacheScope.drain()
+
+    val loaded = Similarity.loadIvfPqModel(spark, modelPath)
+    val index = Similarity.indexIvfPq(spark, emb, loaded)
+    val indexPath = tmpDir("ivfpq-index").toString
+    index.write.mode("overwrite").parquet(indexPath)
+    graft.CacheScope.drain()
+
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val served = Similarity.probeIvfPq(spark, emb, queries, loaded,
+        spark.read.parquet(indexPath))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.CacheScope.drain()
+
+    assert(served.length == gate.length && served.length > 0)
+    assert(served.toSeq == gate.toSeq,
+      "offline-served top-3 must be bit-identical to the gate row")
+  }
+
+  test("index encodes every corpus vector with full code coverage") {
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val index = Similarity.indexIvfPq(spark, emb, model)
+    val n = emb.count()
+    // pqM code rows per vector, one list assignment each
+    assert(index.count() == n * Similarity.pqM)
+    assert(index.select($"vec_id").distinct().count() == n)
+    graft.CacheScope.drain()
+  }
+}
