@@ -41,6 +41,28 @@ object CurationTransforms {
       Dedup.bloomClean(corpus, bloom)
     })
 
+  /** Register `classifier_filter`: the CCNet/GPT-3-shaped quality
+    * gate — TRAIN the batch-perceptron classifier on the in-flight
+    * corpus (curated-vs-crawl labels from `posSources`) and keep the
+    * documents the trained model scores above `minMargin`. Training is
+    * the [[graft.ops.TextAnalysis.perceptronMarginsOn]] distributed
+    * loop (≤257-row model, integer-exact); the filter is a left-semi
+    * join of the corpus against the passing doc ids.
+    */
+  def registerClassifierFilter(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      posSources: Seq[String],
+      rounds: Int = 3,
+      minMargin: Long = 0L): Unit =
+    registry.register("classifier_filter", { corpus: DataFrame =>
+      val (_, margins) =
+        graft.ops.TextAnalysis.perceptronMarginsOn(spark, corpus, posSources, rounds)
+      corpus.join(
+        margins.filter(col("m") > minMargin).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    })
+
   /** Register `quality_filter`: keep documents whose type-token-ratio
     * clears `minTtrPermille` — the same integer permille-grid quality
     * score the token-budget selectors rank by, as a standalone

@@ -1585,6 +1585,27 @@ object TextAnalysis {
   def perceptronOn(s: SparkSession, docsIn: DataFrame,
       posSources: Seq[String], rounds: Int): DataFrame = {
     import s.implicits._
+    val (labeled, margins) = perceptronMarginsOn(s, docsIn, posSources, rounds)
+    margins
+      .join(labeled.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"m" > 0L, 1)).as("n_pred_pos"),
+        count(when($"y" * $"m" > 0L, 1)).as("n_correct"),
+        sum($"m").as("sum_margin"))
+      .orderBy($"source")
+  }
+
+  /** Training core of [[perceptronOn]]: returns the labeled frame and
+    * the per-document margins under the final trained weights —
+    * (doc_id, y, m). The margin IS the classifier score a pipeline
+    * filters on ([[perceptronOn]] rolls it up per source for the
+    * differential gate).
+    */
+  def perceptronMarginsOn(s: SparkSession, docsIn: DataFrame,
+      posSources: Seq[String], rounds: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
     import graft.CacheScope._
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val labeled = docsIn.select($"doc_id", $"source",
@@ -1616,15 +1637,7 @@ object TextAnalysis {
         b -> (w + delta.getOrElse(b, 0L))
       }
     }
-    marginsUnder(weights)
-      .join(labeled.select($"doc_id", $"source"), Seq("doc_id"))
-      .groupBy($"source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        count(when($"m" > 0L, 1)).as("n_pred_pos"),
-        count(when($"y" * $"m" > 0L, 1)).as("n_correct"),
-        sum($"m").as("sum_margin"))
-      .orderBy($"source")
+    (labeled, marginsUnder(weights))
   }
 
   private val perceptronSql = {

@@ -118,6 +118,24 @@ class CurationFlowSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/shards").count() == expected.count() + incr)
   }
 
+  test("classifier_filter transform keeps exactly the positively-scored docs") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val registry = new TransformRegistry
+    val pos = Seq("src0", "src1", "src2", "src3")
+    CurationTransforms.registerClassifierFilter(registry, spark, pos)
+    val kept = registry("classifier_filter")(docs)
+    graft.CacheScope.drain()
+    val (_, margins) = TextAnalysis.perceptronMarginsOn(spark, docs, pos, 3)
+    val expected = margins.filter($"m" > 0L).select($"doc_id")
+    assert(kept.count() == expected.count())
+    assert(kept.select($"doc_id").except(expected).count() == 0)
+    // the filter must keep the full document schema
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    graft.CacheScope.drain()
+  }
+
   test("empty benchmark fails loudly instead of silently cleaning nothing") {
     import spark.implicits._
     val docs = graft.Tables.t(spark, dir, "documents")
