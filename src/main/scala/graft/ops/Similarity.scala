@@ -729,7 +729,10 @@ object Similarity {
     import s.implicits._
     val base = embBase(s, corpus)
     val qbase = embBase(s, queries).select($"vec_id".as("qid"), $"xq", $"n2")
-    val assigned = index.select($"vec_id", $"centroid").distinct()
+    // every code row of a vector carries the same list assignment, so
+    // sub=0 projects it without a distinct (which would shuffle the
+    // full pqM·N index)
+    val assigned = index.filter($"sub" === 0).select($"vec_id", $"centroid")
     val codes = index.select($"vec_id", $"sub", $"code")
     ivfPqProbe(base, model.coarse, model.pq, assigned, codes, qbase,
       nprobe, shortlist)
