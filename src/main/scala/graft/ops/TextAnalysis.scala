@@ -1542,6 +1542,66 @@ object TextAnalysis {
       ._1.toDF("merge_round", "l", "r", "cnt")
   }
 
+  /** Low-entropy threshold in nats·10 (28 ⇒ 2.8 nats): below it a
+    * document's word distribution is concentrated on few types — the
+    * information-theoretic signature of boilerplate/repetition. On the
+    * fixture the corpus spans 1.6–3.4 nats (median 3.09), so 2.8
+    * flags the repetitive ~15–20 % tail.
+    */
+  private[graft] val entropyLowNats10 = 28L
+
+  /** Per-document word-distribution ENTROPY — the information-theoretic
+    * quality signal alongside the ratio ones ([[quality]]'s TTR,
+    * [[repetition]], [[dupNgramFrac]]): H = ln n − (1/n)Σ c·ln c over
+    * the doc's word counts; low entropy = few types dominate =
+    * boilerplate. Kept exact end to end by the DSIR micronat trick:
+    * L(x) = floor(1e6·ln x) on exact integer counts, and the per-doc
+    * entropy MASS nh = n·L(n) − Σ_w c_w·L(c_w) (n·H in micronats)
+    * never divides — the low-entropy test is the integer
+    * cross-multiply nh·10 < threshold·n. One explode + one
+    * (doc, word) rollup + one doc rollup, all map-side combinable; the
+    * per-source report is a 20-row rollup on top.
+    */
+  def wordEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"source", $"w").agg(count(lit(1)).as("c"))
+    val h = cc.groupBy($"doc_id", $"source")
+      .agg(
+        sum($"c").as("n"),
+        sum($"c" * floor(lit(1e6) * log($"c")).cast("long")).as("sc"))
+      .select($"doc_id", $"source", $"n",
+        ($"n" * floor(lit(1e6) * log($"n")).cast("long") - $"sc").as("nh"))
+    h.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"nh" * 10L < lit(entropyLowNats10 * 1000000L) * $"n", 1))
+          .as("n_low_entropy"),
+        sum($"n").as("total_words"),
+        sum($"nh").as("entropy_mass"))
+      .orderBy($"source")
+  }
+
+  private val wordEntropySql =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |cc AS (SELECT doc_id, source, w, COUNT(*) AS c
+       |       FROM (SELECT doc_id, source, unnest(ws) AS w FROM d) t
+       |       GROUP BY 1, 2, 3),
+       |h AS (SELECT doc_id, source,
+       |        CAST(SUM(c) AS BIGINT) AS n,
+       |        CAST(SUM(c * CAST(floor(1e6 * ln(c)) AS BIGINT)) AS BIGINT) AS sc
+       |      FROM cc GROUP BY 1, 2),
+       |e AS (SELECT doc_id, source, n,
+       |        n * CAST(floor(1e6 * ln(n)) AS BIGINT) - sc AS nh
+       |      FROM h)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(COUNT(CASE WHEN nh * 10 < ${entropyLowNats10 * 1000000L} * n THEN 1 END) AS BIGINT)
+       |    AS n_low_entropy,
+       |  CAST(SUM(n) AS BIGINT) AS total_words,
+       |  CAST(SUM(nh) AS BIGINT) AS entropy_mass
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Positive-class sources for the trained quality classifier — the
     * "curated corpus" proxy (CCNet/GPT-3-style quality filtering
     * trains a linear classifier on curated-vs-crawl labels; here the
@@ -1678,6 +1738,7 @@ object TextAnalysis {
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_text_perceptron", perceptronClassifier, Some(perceptronSql)),
+    CatalogEntry("q_text_entropy", wordEntropy, Some(wordEntropySql)),
     CatalogEntry("q_text_bpe", bpeMerges, Some(bpeSql)),
     CatalogEntry("q_text_bpe_batched", bpeMergesBatched, Some(bpeSql)),
     CatalogEntry("q_text_bpe_encode", bpeTokenCounts, Some(bpeEncodeSql)),
