@@ -63,6 +63,25 @@ object CurationTransforms {
         Seq("doc_id"), "left_semi")
     })
 
+  /** Register `model_filter`: the frozen-model sibling of
+    * `classifier_filter` — load a [[graft.ops.TextAnalysis.QualityModel]]
+    * trained offline (and saved with `saveQualityModel`) and keep
+    * documents it scores above `minMargin`. Scoring is the stateless
+    * per-row fold ([[graft.ops.TextAnalysis.scoreDocs]]): no join, no
+    * shuffle — works unchanged on streaming extracts too.
+    */
+  def registerModelFilter(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      modelPath: String,
+      minMargin: Long = 0L): Unit =
+    registry.register("model_filter", { corpus: DataFrame =>
+      val model = graft.ops.TextAnalysis.loadQualityModel(spark, modelPath)
+      graft.ops.TextAnalysis.scoreDocs(corpus, model)
+        .filter(col("margin") > minMargin)
+        .drop("margin")
+    })
+
   /** Register `quality_filter`: keep documents whose type-token-ratio
     * clears `minTtrPermille` — the same integer permille-grid quality
     * score the token-budget selectors rank by, as a standalone

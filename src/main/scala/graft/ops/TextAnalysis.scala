@@ -1666,6 +1666,17 @@ object TextAnalysis {
   def perceptronMarginsOn(s: SparkSession, docsIn: DataFrame,
       posSources: Seq[String], rounds: Int): (DataFrame, DataFrame) = {
     import s.implicits._
+    val (labeled, f, weights) = perceptronTrain(s, docsIn, posSources, rounds)
+    val wDf = broadcast(weights.toSeq.toDF("b", "w"))
+    val margins = f.join(wDf, Seq("b"))
+      .groupBy($"doc_id", $"y").agg(sum($"c" * $"w").as("m"))
+    (labeled, margins)
+  }
+
+  private def perceptronTrain(s: SparkSession, docsIn: DataFrame,
+      posSources: Seq[String], rounds: Int)
+      : (DataFrame, DataFrame, Map[String, Long]) = {
+    import s.implicits._
     import graft.CacheScope._
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val labeled = docsIn.select($"doc_id", $"source",
@@ -1697,7 +1708,51 @@ object TextAnalysis {
         b -> (w + delta.getOrElse(b, 0L))
       }
     }
-    (labeled, marginsUnder(weights))
+    (labeled, f, weights)
+  }
+
+  /** Frozen quality-classifier model: the trained bucket → weight map
+    * (≤257 entries, KBs). The deployable artifact of
+    * [[trainQualityModel]]; [[scoreDocs]] serves it STATELESS — no
+    * join, no shuffle, no streaming state.
+    */
+  final case class QualityModel(weights: Map[String, Long])
+
+  def trainQualityModel(s: SparkSession, docs: DataFrame,
+      posSources: Seq[String], rounds: Int = perceptronRounds): QualityModel = {
+    val (_, _, w) = perceptronTrain(s, docs, posSources, rounds)
+    QualityModel(w)
+  }
+
+  def saveQualityModel(s: SparkSession, model: QualityModel, path: String): Unit = {
+    import s.implicits._
+    model.weights.toSeq.toDF("b", "w").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadQualityModel(s: SparkSession, path: String): QualityModel =
+    QualityModel(s.read.parquet(path).collect()
+      .map(r => r.getString(r.fieldIndex("b")) -> r.getLong(r.fieldIndex("w"))).toMap)
+
+  /** Score documents against a FROZEN model as a pure per-row fold —
+    * margin = bias + Σ_words weight(md5-bucket(word)) — via a literal
+    * weight map inside a higher-order `aggregate`. No explode, no
+    * join, no shuffle, and therefore no streaming STATE: the same
+    * column works on a batch frame and on a readStream frame
+    * unchanged (stateless map-side model serving — the
+    * train-offline/serve-in-stream split). Identical by construction
+    * to the join-based training margins: a bucket absent from the
+    * trained support contributes 0 on both paths.
+    */
+  def scoreDocs(docs: DataFrame, model: QualityModel): DataFrame = {
+    val bias = model.weights.getOrElse("__bias", 0L)
+    val entries = model.weights.view.filterKeys(_ != "__bias").toSeq
+      .flatMap { case (b, w) => Seq(lit(b), lit(w)) }
+    val wmap = map(entries: _*)
+    docs.withColumn("margin",
+      aggregate(split(col("text"), " "), lit(bias),
+        (acc, w) => acc +
+          coalesce(element_at(wmap, substring(md5(w), 1, 2)), lit(0L))))
   }
 
   private val perceptronSql = {

@@ -213,6 +213,46 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("frozen quality model: stateless scoring == training margins, incl. parquet round-trip and a stream") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val pos = Seq("src0", "src1", "src2", "src3")
+    val model = TextAnalysis.trainQualityModel(spark, docs, pos)
+    graft.CacheScope.drain()
+    val path = tmpDir("quality-model").toString
+    TextAnalysis.saveQualityModel(spark, model, path)
+    val loaded = TextAnalysis.loadQualityModel(spark, path)
+    assert(loaded.weights == model.weights)
+
+    // batch: the per-row fold must equal the join-based training margins
+    val scored = TextAnalysis.scoreDocs(docs, loaded)
+      .select($"doc_id", $"margin")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (_, margins) = TextAnalysis.perceptronMarginsOn(spark, docs, pos, 3)
+    val expected = margins.select($"doc_id", $"m")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.drain()
+    assert(scored == expected)
+
+    // stream: same column over a readStream frame, no state, no shuffle
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    val name = s"qscore_${System.nanoTime()}"
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val q = TextAnalysis.scoreDocs(streamDocs, loaded)
+      .select($"doc_id", $"margin")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(rows.take(50)); q.processAllAvailable()
+      mem.addData(rows.drop(50)); q.processAllAvailable()
+      val streamed = spark.table(name)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("perceptron round-1 weights are the class-conditional count difference") {
     // w₀ = 0 makes every doc misclassified in round 1, so the 1-round
     // model is exactly Σ_d y_d·count_d(bucket) — checkable by hand:
