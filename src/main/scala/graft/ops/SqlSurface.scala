@@ -39,6 +39,43 @@ object SqlSurface {
        |  ${dsumSql("total")} AS seg_total
        |FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** WITH RECURSIVE (Spark 4.x UnionLoop): a decimal-forest walk over
+    * `documents` — parent(d) = d div 10, roots = doc_id < 10 — depth
+    * per node via the anchor ∪ recursive-step fixpoint, rolled up per
+    * depth. The recursion terminates structurally (each step moves one
+    * decimal digit, so depth ≤ ⌈log₁₀ max_id⌉); Spark plans it as an
+    * iterated union with the per-step child join, DuckDB as its own
+    * recursive CTE — agreeing exactly because the arithmetic is
+    * integer division on non-negative ids. The depth rollup keeps the
+    * gate row small at any scale factor.
+    */
+  def recursiveCte(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "documents")
+    s.sql(
+      """WITH RECURSIVE r(doc_id, depth) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT c.doc_id, r.depth + 1
+        |  FROM documents c JOIN r ON c.doc_id div 10 = r.doc_id
+        |  WHERE c.doc_id >= 10)
+        |SELECT depth, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+        |FROM r GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE r(doc_id, depth) AS (
+      |  SELECT doc_id, 0 FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT c.doc_id, r.depth + 1
+      |  FROM documents c JOIN r ON c.doc_id // 10 = r.doc_id
+      |  WHERE c.doc_id >= 10)
+      |SELECT depth, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+      |FROM r GROUP BY depth ORDER BY depth""".stripMargin
+
   /** Correlated EXISTS + uncorrelated IN subqueries (Catalyst
     * decorrelates to semi-joins).
     */
@@ -549,6 +586,7 @@ object SqlSurface {
     CatalogEntry("q_sql_datespine", dateSpine, Some(dateSpineSql)),
     CatalogEntry("q_sql_lateral", lateral, Some(lateralSql)),
     CatalogEntry("q_sql_cte", cte, Some(cteSql)),
+    CatalogEntry("q_sql_recursive", recursiveCte, Some(recursiveCteSql)),
     CatalogEntry("q_sql_subquery_in", subqueryIn, Some(subqueryInSql)),
     CatalogEntry("q_sql_subquery_scalar", subqueryScalar, Some(subqueryScalarSql)),
     CatalogEntry("q_sql_pivot", pivot, Some(pivotSql)),
