@@ -73,6 +73,21 @@ object CurationBench {
     }
     val (clean, nClean) = clean0
     drop()
+    // trained-classifier gate (r11): train on the full corpus, freeze,
+    // score with the stateless per-row fold, keep positive margins
+    val ((nClassKept, tTrain), tClassify) = {
+      val (model, tT) = timed(
+        TextAnalysis.trainQualityModel(spark, corpus,
+          Seq("src0", "src1", "src2", "src3")))
+      drop()
+      val (n, tC) = timed(
+        TextAnalysis.scoreDocs(corpus, model).filter($"margin" > 0L).count())
+      ((n, tT), tC)
+    }
+    drop()
+    // entropy gate (r11): per-source low-entropy report
+    val (_, tEntropy) = timed(TextAnalysis.wordEntropy(spark, sfDir).collect())
+    drop()
     val (_, tDsir) = timed(TextAnalysis.dsirSelect(spark, sfDir).collect())
     drop()
     val (_, tBudget) = timed(TextAnalysis.tokenBudgetSelectBinned(spark, sfDir).collect())
@@ -85,7 +100,7 @@ object CurationBench {
     val nSharded = manifest.agg(sum($"n_rows")).head().getLong(0)
 
     println(
-      f"""{"tool":"curation_bench","sf":"$sfDir","n_corpus":$nCorpus,"n_bench_shingles":$nShingles,"bloom_bits":$numBits,"n_clean":$nClean,"n_sharded":$nSharded,"sec":{"size":$tSize%.2f,"bloom":$tBloom%.2f,"clean":$tClean%.2f,"dsir":$tDsir%.2f,"token_budget_binned":$tBudget%.2f,"shard_plan":$tPlan%.2f,"shard_write":$tWrite%.2f}}""")
+      f"""{"tool":"curation_bench","sf":"$sfDir","n_corpus":$nCorpus,"n_bench_shingles":$nShingles,"bloom_bits":$numBits,"n_clean":$nClean,"n_class_kept":$nClassKept,"n_sharded":$nSharded,"sec":{"size":$tSize%.2f,"bloom":$tBloom%.2f,"clean":$tClean%.2f,"classifier_train":$tTrain%.2f,"classifier_score":$tClassify%.2f,"entropy":$tEntropy%.2f,"dsir":$tDsir%.2f,"token_budget_binned":$tBudget%.2f,"shard_plan":$tPlan%.2f,"shard_write":$tWrite%.2f}}""")
     spark.stop()
   }
 }
