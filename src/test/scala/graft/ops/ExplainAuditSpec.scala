@@ -64,7 +64,12 @@ class ExplainAuditSpec extends SparkSpec {
     // binned variant adds only broadcast bin-verdict hash joins
     "q_text_token_budget_binned",
     // LPA: per-round (edges ⋈ labels) equi-joins + hash rollups only
-    "q_graph_lpa")
+    "q_graph_lpa",
+    // round 11: perceptron is broadcast-model hash joins + rollups;
+    // entropy is two rollups; PCA matvecs join equi on dim/vec_id;
+    // the recursive CTE's step join is an equi-join on the parent id
+    "q_text_perceptron", "q_text_entropy", "q_emb_pca",
+    "q_emb_pca_scores", "q_sql_recursive")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Seeded randomized invariants for the deterministic primitives the
+  * gates lean on — property-style sweeps (fixed seeds, so failures
+  * reproduce) over inputs the fixture-bound gates never vary.
+  */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shardId matches an independent JVM md5 reimplementation on 500 random ids") {
+    // the differential gate checks shardId against DuckDB at fixture
+    // ids; this pins it against a THIRD implementation across the id
+    // space (huge ids, zero) so an md5/conv/pmod drift can't hide
+    val rnd = new scala.util.Random(42)
+    val ids = (Seq(0L, 1L, Long.MaxValue) ++
+      Seq.fill(497)(math.abs(rnd.nextLong()))).distinct
+    def jvmShard(id: Long, n: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      java.lang.Long.parseLong(hex, 16) % n
+    }
+    val got = ids.toDF("doc_id")
+      .select($"doc_id", Sharding.shardId($"doc_id", 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == jvmShard(id, 16), s"shard mismatch for id $id")
+    }
+    // and every shard lands in range with all 16 shards populated
+    assert(got.values.forall(s => s >= 0 && s < 16))
+    assert(got.values.toSet.size == 16)
+  }
+
+  test("perceptron reaches 100% train accuracy on randomized separable corpora (3 seeds)") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val posVocab = (0 until 20).map(i => s"p${seed}_$i")
+      val negVocab = (0 until 20).map(i => s"n${seed}_$i")
+      val shared = (0 until 10).map(i => s"s${seed}_$i")
+      val rows = (0 until 80).map { i =>
+        val pos = i % 2 == 0
+        val vocab = if (pos) posVocab else negVocab
+        val words = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))) ++
+          Seq.fill(3)(shared(rnd.nextInt(shared.size)))
+        (i.toLong, words.mkString(" "), "en",
+          if (pos) "cur" else "crawl", 30L)
+      }
+      val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = TextAnalysis.perceptronOn(spark, docs, Seq("cur"), rounds = 5)
+        .collect()
+      val correct = out.map(_.getAs[Long]("n_correct")).sum
+      assert(correct == 80L, s"seed $seed: $correct/80 correct")
+      graft.CacheScope.drain()
+    }
+  }
+
+  test("PCA finds the planted axis wherever it is planted (3 random axes)") {
+    for (seed <- Seq(3, 11, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val d = 8
+      val axis = rnd.nextInt(d)
+      val rows = (0 until 150).map { i =>
+        val big = if (i % 2 == 0) 1.0f else -1.0f
+        (i.toLong, (0 until d).map { j =>
+          if (j == axis) big else (rnd.nextInt(5) - 2) * 0.002f
+        })
+      }
+      val out = Similarity.pcaPowerOn(spark, rows.toDF("vec_id", "embedding"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(math.abs(out(axis + 1L)) == 1000L,
+        s"seed $seed axis $axis: component ${out(axis + 1L)}")
+      (1 to d).filter(_ != axis + 1).foreach { j =>
+        assert(math.abs(out(j.toLong)) < 200L,
+          s"seed $seed: off-axis dim $j = ${out(j.toLong)}")
+      }
+      graft.CacheScope.drain()
+    }
+  }
+}
