@@ -41,6 +41,38 @@ class IvfPqModelSpec extends SparkSpec {
       "offline-served top-3 must be bit-identical to the gate row")
   }
 
+  test("incremental index append == full rebuild (frozen model, per-row encoding)") {
+    // encoding against a FROZEN model is a pure per-row function, so a
+    // daily increment parquet-appends to the serving index without
+    // touching existing files — the ANN sibling of appendToShards
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val incr = emb.filter($"vec_id" % 5 === 0)
+    val path = tmpDir("ivfpq-incr-index").toString
+    Similarity.indexIvfPq(spark, old, model)
+      .write.mode("overwrite").parquet(path)
+    graft.CacheScope.drain()
+    Similarity.indexIvfPq(spark, incr, model)
+      .write.mode("append").parquet(path)
+    graft.CacheScope.drain()
+    val full = Similarity.indexIvfPq(spark, emb, model)
+    val appended = spark.read.parquet(path)
+    assert(appended.count() == full.count())
+    assert(appended.exceptAll(full).count() == 0 &&
+      full.exceptAll(appended).count() == 0,
+      "appended index must equal the full rebuild row-for-row")
+    graft.CacheScope.drain()
+    // and probing the appended index equals probing the rebuilt one
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val a = Similarity.probeIvfPq(spark, emb, queries, model, appended).collect().toSeq
+    graft.CacheScope.drain()
+    val b = Similarity.probeIvfPq(spark, emb, queries, model, full).collect().toSeq
+    assert(a == b)
+    graft.CacheScope.drain()
+  }
+
   test("index encodes every corpus vector with full code coverage") {
     val emb = graft.Tables.t(spark, dir, "embeddings")
     val model = Similarity.trainIvfPq(spark, emb)
