@@ -73,6 +73,46 @@ class IvfPqModelSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("partitioned index layout: probes prune unprobed list directories at the scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val index = Similarity.indexIvfPq(spark, emb, model)
+    val flat = tmpDir("ivfpq-flat").toString
+    val part = tmpDir("ivfpq-part").toString
+    index.write.mode("overwrite").parquet(flat)
+    Similarity.saveIvfPqIndex(index, part)
+    graft.CacheScope.drain()
+
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    // results identical across layouts (and to the in-row gate row)
+    val gate = Similarity.ivfPq(spark, dir).collect().toSeq
+    graft.CacheScope.drain()
+    val onFlat = Similarity.probeIvfPq(spark, emb, queries, model,
+      spark.read.parquet(flat)).collect().toSeq
+    graft.CacheScope.drain()
+    val onPart = Similarity.probeIvfPq(spark, emb, queries, model,
+      spark.read.parquet(part)).collect().toSeq
+    graft.CacheScope.drain()
+    assert(onFlat == gate && onPart == gate)
+
+    // and the partition layout actually prunes: scanning only a probed
+    // subset of lists reads a fraction of the full layout's bytes
+    val someLists = index.select(col("centroid")).distinct()
+      .collect().map(_.getLong(0)).sorted.take(3)
+    val (_, mFull) = graft.exec.SparkMetrics.measure(spark) {
+      spark.read.parquet(part).count()
+    }
+    val (_, mPruned) = graft.exec.SparkMetrics.measure(spark) {
+      spark.read.parquet(part)
+        .filter(col("centroid").isin(someLists: _*)).count()
+    }
+    assert(mPruned.inputBytes * 2 < mFull.inputBytes,
+      s"pruned=${mPruned.inputBytes}B full=${mFull.inputBytes}B — " +
+        "directory pruning must skip unprobed lists")
+    graft.CacheScope.drain()
+  }
+
   test("index encodes every corpus vector with full code coverage") {
     val emb = graft.Tables.t(spark, dir, "embeddings")
     val model = Similarity.trainIvfPq(spark, emb)
