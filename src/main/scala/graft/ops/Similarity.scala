@@ -737,6 +737,16 @@ object Similarity {
   def saveIvfPqIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("centroid").parquet(path)
 
+  /** Extend a [[saveIvfPqIndex]] layout with newly-encoded vectors —
+    * existing list directories gain files, none are rewritten (the
+    * same append-only property as `Sharding.appendToShards`; encoding
+    * against a frozen model is a pure per-row function, so append ≡
+    * full rebuild — IvfPqModelSpec pins it). The streaming shape is
+    * `foreachBatch { (b, _) => appendIvfPqIndex(indexIvfPq(s, b, m), path) }`.
+    */
+  def appendIvfPqIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("append").partitionBy("centroid").parquet(path)
+
   /** Serve ANN queries over a frozen model + prebuilt index: the
     * two-stage ADC-shortlist/exact-rescore path of the gate row, with
     * the corpus and query frames supplied by the caller. `index` is

@@ -113,6 +113,44 @@ class IvfPqModelSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("streaming ANN ingest: foreachBatch index-append, probes see every arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val path = tmpDir("ivfpq-stream-index").toString + "/index"
+    // bootstrap with 3/5 of the corpus, stream the rest in two batches
+    Similarity.saveIvfPqIndex(
+      Similarity.indexIvfPq(spark, emb.filter($"vec_id" % 5 > 1), model), path)
+    graft.CacheScope.drain()
+    val rows = emb.filter($"vec_id" % 5 <= 1)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendIvfPqIndex(
+          Similarity.indexIvfPq(spark, b.withColumn(
+            "embedding", col("embedding").cast("array<float>")), model), path)
+      }
+      .option("checkpointLocation", tmpDir("ivfpq-stream-ck").toString)
+      .start()
+    try {
+      mem.addData(rows.take(rows.length / 2)); q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    graft.CacheScope.drain()
+    // the streamed-in index must serve identically to a full rebuild
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val streamed = Similarity.probeIvfPq(spark, emb, queries, model,
+      spark.read.parquet(path)).collect().toSeq
+    graft.CacheScope.drain()
+    val rebuilt = Similarity.probeIvfPq(spark, emb, queries, model,
+      Similarity.indexIvfPq(spark, emb, model)).collect().toSeq
+    assert(streamed == rebuilt)
+    graft.CacheScope.drain()
+  }
+
   test("index encodes every corpus vector with full code coverage") {
     val emb = graft.Tables.t(spark, dir, "embeddings")
     val model = Similarity.trainIvfPq(spark, emb)
