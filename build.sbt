@@ -27,7 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // heap-exhaustion experiments (tools.StateStress) must fail fast and
-  // unambiguously instead of GC-thrashing for minutes
-  "-XX:+ExitOnOutOfMemoryError",
+) ++ (
+  // opt-in (SPARK_GRAFT_OOM_EXIT=1): heap-exhaustion experiments
+  // (tools.StateStress) must fail fast and unambiguously instead of
+  // GC-thrashing — but a test-suite JVM should die with a normal
+  // OutOfMemoryError stack trace, not an attribution-free exit
+  if (sys.env.contains("SPARK_GRAFT_OOM_EXIT"))
+    Seq("-XX:+ExitOnOutOfMemoryError")
+  else Nil
 )

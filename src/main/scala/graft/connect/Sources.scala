@@ -99,9 +99,20 @@ object Sources {
             require(f == "parquet",
               s"load '${step.name}': shardBy layout requires parquet, got '$f'")
             val n = nStr.toInt
-            if (step.mode == "append")
-              graft.ops.Sharding.appendToShards(df, key, full, n)
-            else graft.ops.Sharding.writeTrainingShards(df, key, full, n)
+            // mode semantics must match the plain sink's exactly: an
+            // unknown mode throws (saveMode), errorIfExists refuses an
+            // existing layout instead of silently overwriting it
+            saveMode(step.mode) match {
+              case SaveMode.Append =>
+                graft.ops.Sharding.appendToShards(df, key, full, n)
+              case SaveMode.ErrorIfExists
+                  if Hfs.fs(df.sparkSession, full)
+                    .exists(new org.apache.hadoop.fs.Path(full)) =>
+                throw new IllegalStateException(
+                  s"load '${step.name}': shard layout already exists at $full (mode=errorIfExists)")
+              case _ =>
+                graft.ops.Sharding.writeTrainingShards(df, key, full, n)
+            }
           case (Some(_), None) | (None, Some(_)) =>
             throw new IllegalArgumentException(
               s"load '${step.name}': shardBy and shards must be set together")

@@ -29,17 +29,24 @@ object CurationTransforms {
       spark: SparkSession,
       benchPath: String,
       estItems: Option[Long] = None,
-      numBits: Option[Long] = None): Unit =
-    registry.register("bloom_decontaminate", { corpus: DataFrame =>
+      numBits: Option[Long] = None): Unit = {
+    // the filter is built lazily on FIRST use and memoized for the
+    // registration's lifetime — a pipeline applying the transform
+    // twice (or per micro-batch inside foreachBatch) pays the
+    // benchmark read + bloom fold once
+    lazy val bloom: Array[Byte] = {
       val bench = spark.read.parquet(benchPath)
-      val bloom = (estItems, numBits) match {
+      (estItems, numBits) match {
         case (Some(e), Some(b)) => Dedup.benchmarkBloom(bench, e, b)
         case (Some(e), None) => Dedup.benchmarkBloom(bench, estItems = e)
         case (None, Some(b)) => Dedup.benchmarkBloom(bench, numBits = b)
         case _ => Dedup.benchmarkBloom(bench)
       }
+    }
+    registry.register("bloom_decontaminate", { corpus: DataFrame =>
       Dedup.bloomClean(corpus, bloom)
     })
+  }
 
   /** Register `classifier_filter`: the CCNet/GPT-3-shaped quality
     * gate — TRAIN the batch-perceptron classifier on the in-flight
@@ -90,11 +97,7 @@ object CurationTransforms {
   def registerQualityFilter(
       registry: TransformRegistry, minTtrPermille: Long): Unit =
     registry.register("quality_filter", { docs: DataFrame =>
-      docs
-        .withColumn("__ws", split(col("text"), " "))
-        .withColumn("__q", expr(
-          "(1000 * cast(size(array_distinct(__ws)) as long)) div cast(size(__ws) as long)"))
-        .filter(col("__q") >= minTtrPermille)
-        .drop("__ws", "__q")
+      docs.filter(expr(
+        s"${graft.ops.TextAnalysis.ttrPermilleSql("text")} >= $minTtrPermille"))
     })
 }

@@ -67,14 +67,40 @@ object Sharding {
        |FROM d GROUP BY shard ORDER BY shard""".stripMargin
   }
 
-  /** Per-shard row counts of `df` (the increment or the full corpus) —
-    * one map-side-combined aggregation, ≤ n rows back to the driver.
+  /** Per-shard row counts read back from WRITTEN files — the manifest
+    * must describe the files, not the input plan (an input-side count
+    * both re-executes the upstream pipeline a second time and can
+    * drift from the files if the input is nondeterministic). Grouping
+    * on the partition column alone touches no data pages: counts come
+    * from parquet row-group metadata + directory names.
     */
-  private def shardCounts(df: DataFrame, docId: String, n: Int): Map[Long, Long] =
-    df.select(shardId(col(docId), n).as("shard"))
-      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  private def writtenCounts(
+      s: SparkSession, outDir: String, files: Seq[String]): Map[Long, Long] = {
+    import s.implicits._
+    val df =
+      if (files.isEmpty) s.read.parquet(outDir)
+      else s.read.option("basePath", outDir).parquet(files: _*)
+    df.groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Recursive parquet part-file listing of a shard layout. */
+  private def listPartFiles(
+      s: SparkSession, outDir: String): Set[String] = {
+    val fs = graft.connect.Hfs.fs(s, outDir)
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f.toString
+      }
+      b.result()
+    }
+  }
 
   /** Serialize + write `_shards.json`, and return the manifest as a
     * DataFrame (shard, n_rows) for inspection.
@@ -135,7 +161,10 @@ object Sharding {
       .repartition(n, col("shard"))
       .sortWithinPartitions(col("shard"), col(docId))
     planned.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    writeManifest(s, outDir, shardCounts(df, docId, n))
+    // manifest from the WRITTEN layout (partition-column-only count:
+    // row-group metadata, no data pages) — never a second execution of
+    // the input plan
+    writeManifest(s, outDir, writtenCounts(s, outDir, Nil))
   }
 
   /** Incremental append: hash placement is a pure function of the doc
@@ -152,24 +181,30 @@ object Sharding {
   def appendToShards(
       df: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
     val s = df.sparkSession
-    val incr = shardCounts(df, docId, n) // count BEFORE write: df may be lazy over outDir-unrelated input
+    // snapshot the file listing so the increment's counts come from
+    // exactly the files THIS append wrote — no second execution of the
+    // input plan, no drift if the input is nondeterministic, and work
+    // proportional to the increment's files
+    val before = listPartFiles(s, outDir)
     df.withColumn("shard", shardId(col(docId), n))
       .repartition(n, col("shard"))
       .sortWithinPartitions(col("shard"), col(docId))
       .write.mode("append").partitionBy("shard").parquet(outDir)
+    val newFiles = (listPartFiles(s, outDir) -- before).toSeq.sorted
     val merged = readManifest(s, outDir) match {
       case Some(prior) =>
+        // an empty increment writes no files — counts unchanged
+        // (writtenCounts(…, Nil) would mean "the whole layout")
+        val incr =
+          if (newFiles.isEmpty) Map.empty[Long, Long]
+          else writtenCounts(s, outDir, newFiles)
         (prior.keySet ++ incr.keySet).map { k =>
           k -> (prior.getOrElse(k, 0L) + incr.getOrElse(k, 0L))
         }.toMap
       case None =>
-        import s.implicits._
-        // partition discovery infers `shard` as INT from the dir names —
-        // cast before getLong or the legacy path class-casts
-        s.read.parquet(outDir)
-          .groupBy($"shard".cast("long").as("shard"))
-          .agg(count(lit(1)).as("n_rows"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // legacy layout without a manifest: one full (metadata-only)
+        // recount, loudly assumed
+        writtenCounts(s, outDir, Nil)
     }
     writeManifest(s, outDir, merged)
   }

@@ -618,10 +618,12 @@ object Similarity {
 
   private def ivfPqProbe(e: DataFrame, cents: DataFrame, c1: DataFrame,
       assigned: DataFrame, codes: DataFrame, queries: DataFrame,
-      nprobe: Int, shortlist: Int): DataFrame = {
+      nprobe: Int, shortlist: Int,
+      probesOpt: Option[DataFrame] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     import e.sparkSession.implicits._
     val centCols = cents.select($"cid".as("centroid"), $"cq".as("ccq"))
-    val probes = probeLists(cents, queries, nprobe)
+    val probes = probesOpt.getOrElse(probeLists(cents, queries, nprobe))
     // per-(query, probed list) residual ADC tables: the query's
     // residual is against THAT list's centroid — nprobe tables per
     // query, each pqM·pqK entries (tiny, broadcast)
@@ -635,9 +637,12 @@ object Similarity {
     val qd = qsub.join(broadcast(c1), Seq("sub"))
       .select($"qid", $"centroid", $"sub", $"cid".as("code"), sqd($"sq", $"cq").as("d"))
     // IVF candidates carry their list id so ADC joins the MATCHING
-    // per-list query table
-    val cand = broadcast(probes).join(assigned, Seq("centroid"))
-      .filter($"vec_id" =!= $"qid")
+    // per-list query table. Self-match exclusion is only meaningful
+    // when queries ARE corpus rows (the gate's corpus-self-query
+    // shape) — an external query batch in its own id space must NOT
+    // drop the corpus vector that happens to share an id.
+    val cand0 = broadcast(probes).join(assigned, Seq("centroid"))
+    val cand = (if (excludeSelf) cand0.filter($"vec_id" =!= $"qid") else cand0)
       .select($"qid", $"centroid", $"vec_id")
     val adc = cand.join(codes, Seq("vec_id"))
       .join(broadcast(qd), Seq("qid", "centroid", "sub", "code"))
@@ -752,10 +757,19 @@ object Similarity {
     * the corpus and query frames supplied by the caller. `index` is
     * [[indexIvfPq]]'s output (possibly read back from parquet).
     */
+  /** @param excludeSelf drop the corpus vector whose `vec_id` equals a
+    *   query's id — the right semantics when the queries ARE corpus
+    *   rows (near-duplicate / hard-negative mining; the gate's shape).
+    *   Pass false for an external query batch in its own id space, or
+    *   the corpus vector sharing an id would be silently dropped from
+    *   that query's candidates.
+    */
   def probeIvfPq(s: SparkSession, corpus: DataFrame, queries: DataFrame,
       model: IvfPqModel, index: DataFrame,
-      nprobe: Int = ivfPqNprobe, shortlist: Int = ivfPqShortlist): DataFrame = {
+      nprobe: Int = ivfPqNprobe, shortlist: Int = ivfPqShortlist,
+      excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
+    import graft.CacheScope._
     val base = embBase(s, corpus)
     val qbase = embBase(s, queries).select($"vec_id".as("qid"), $"xq", $"n2")
     // LIST PRUNING: resolve the batch's probed-list union up front
@@ -764,8 +778,10 @@ object Similarity {
     // isin on the PARTITION column prunes whole list directories at
     // the scan; the unprobed (k − |union|)/k of the index is never
     // read. On a flat layout it is still a pushed data filter.
-    val probed = probeLists(model.coarse, qbase, nprobe)
-      .select($"centroid").distinct().collect().map(_.getLong(0))
+    // The probes frame is persisted and reused by the serving path so
+    // the queries×k scoring pass runs ONCE per batch.
+    val probes = probeLists(model.coarse, qbase, nprobe).persistScoped()
+    val probed = probes.select($"centroid").distinct().collect().map(_.getLong(0))
     val pruned = index.filter($"centroid".isin(probed: _*))
     // every code row of a vector carries the same list assignment, so
     // sub=0 projects it without a distinct (which would shuffle the
@@ -773,7 +789,7 @@ object Similarity {
     val assigned = pruned.filter($"sub" === 0).select($"vec_id", $"centroid")
     val codes = pruned.select($"vec_id", $"sub", $"code")
     ivfPqProbe(base, model.coarse, model.pq, assigned, codes, qbase,
-      nprobe, shortlist)
+      nprobe, shortlist, Some(probes), excludeSelf)
   }
 
   /** IVF-PQ catalog constants — the r9 operating point (PLANS.md
@@ -1456,6 +1472,8 @@ object Similarity {
         "(CASE WHEN c < 0 THEN -1L ELSE 1L END) * (abs(c) div 100)").as("x"))
       .persistScoped()
     val dims = stats.select($"dim").collect().map(_.getLong(0)).sorted
+    require(dims.nonEmpty,
+      "pcaPower: embeddings frame is empty — nothing to train a component on")
     var v: Map[Long, Long] = dims.map(_ -> 1000L).toMap
     for (_ <- 1 to rounds) {
       val vDf = broadcast(v.toSeq.toDF("dim", "v"))

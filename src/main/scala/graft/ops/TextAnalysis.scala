@@ -1542,6 +1542,18 @@ object TextAnalysis {
       ._1.toDF("merge_round", "l", "r", "cnt")
   }
 
+  /** THE integer type-token-ratio permille grid, as SQL over a text
+    * column — the single definition of the quality score shared by the
+    * declarative `quality_filter` transform and asserted against by
+    * CurationFlowSpec. [[tokenBudgetSelect]] / [[tokenBudgetSelectBinned]]
+    * compute the same `(1000·distinct) div total` from their exploded
+    * token counts; any change to the grid must change all of them
+    * together (this constant is the contract).
+    */
+  def ttrPermilleSql(textCol: String): String =
+    s"(1000 * cast(size(array_distinct(split($textCol, ' '))) as long))" +
+      s" div cast(size(split($textCol, ' ')) as long)"
+
   /** Low-entropy threshold in nats·10 (28 ⇒ 2.8 nats): below it a
     * document's word distribution is concentrated on few types — the
     * information-theoretic signature of boilerplate/repetition. On the

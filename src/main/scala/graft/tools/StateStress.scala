@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *
   * One JSON line per micro-batch: state rows so far, provider-reported
   * state bytes, cumulative ingest rows/s. Final line `"done"` with
-  * totals — its absence + nonzero exit IS the OOM result (the JVM runs
-  * with -XX:+ExitOnOutOfMemoryError so the failure is fast and clean).
+  * totals — its absence + nonzero exit IS the OOM result (run with
+  * SPARK_GRAFT_OOM_EXIT=1 so the forked JVM gets
+  * -XX:+ExitOnOutOfMemoryError and the failure is fast and clean
+  * instead of a GC thrash; the flag is opt-in so ordinary test JVMs
+  * keep their normal OutOfMemoryError stack traces).
   *
-  * Usage: StateStress <hdfs|rocksdb> <nKeys> [batch=250000] [keyLen=80]
+  * Usage: SPARK_GRAFT_OOM_EXIT=1 SPARK_DRIVER_MEM=700m
+  *        sbt "runMain graft.tools.StateStress <hdfs|rocksdb> <nKeys> [batch=250000] [keyLen=80]"
   */
 object StateStress {
   def main(args: Array[String]): Unit = {

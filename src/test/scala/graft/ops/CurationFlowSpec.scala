@@ -87,9 +87,7 @@ class CurationFlowSpec extends SparkSpec {
     // the declarative run must agree with the library-API chain exactly
     val corpus = docs.filter($"doc_id" % 100 =!= 0)
     val expected = Dedup.bloomClean(corpus, Dedup.benchmarkBloom(spark.read.parquet(benchPath)))
-      .filter(expr(
-        "(1000 * cast(size(array_distinct(split(text, ' '))) as long))" +
-          " div cast(size(split(text, ' ')) as long)") >= 500L)
+      .filter(expr(TextAnalysis.ttrPermilleSql("text")) >= 500L)
     val written = spark.read.parquet(s"$root/shards")
     assert(written.count() == expected.count())
     assert(written.select($"doc_id").except(expected.select($"doc_id")).count() == 0)
@@ -116,6 +114,30 @@ class CurationFlowSpec extends SparkSpec {
     val incr = docs.filter($"doc_id" % 100 === 50).count()
     assert(manifestTotal() == expected.count() + incr)
     assert(spark.read.parquet(s"$root/shards").count() == expected.count() + incr)
+  }
+
+  test("shard load step honors mode semantics: errorIfExists refuses, bad modes throw") {
+    import graft.exec.PipelineRunner
+    import graft.model.{ConnectionSpec, PipelineJson}
+    import graft.store.Repository
+    val root = tmpDir("shard-modes")
+    val repo = new Repository(root)
+    repo.saveConnection(ConnectionSpec("docs", "fixtures", "parquet",
+      Map("basePath" -> dir)))
+    repo.saveConnection(ConnectionSpec("out", "outputs", "parquet",
+      Map("basePath" -> root.toString)))
+    def spec(id: String, mode: String) = PipelineJson.parsePipeline(
+      s"""{"id":"$id","name":"m","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+         |{"stepType":"load","name":"sh","order":2,"connectionId":"out","path":"sh","mode":"$mode",
+         | "options":{"shardBy":"doc_id","shards":"16"}}
+         |]}""".stripMargin)
+    val runner = new PipelineRunner(spark, repo)
+    assert(runner.run(spec("m1", "errorIfExists")).status == "success") // fresh: fine
+    val e = intercept[IllegalStateException] { runner.run(spec("m2", "errorIfExists")) }
+    assert(e.getMessage.contains("already exists"))
+    intercept[IllegalArgumentException] { runner.run(spec("m3", "apend")) } // typo ≠ overwrite
+    assert(runner.run(spec("m4", "replace")).status == "success") // explicit replace ok
   }
 
   test("classifier_filter transform keeps exactly the positively-scored docs") {

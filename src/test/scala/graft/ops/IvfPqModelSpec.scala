@@ -151,6 +151,27 @@ class IvfPqModelSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("external query batch with clashing ids: excludeSelf=false keeps the true neighbor") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val index = Similarity.indexIvfPq(spark, emb, model)
+    // a fresh query batch in its OWN id space: vector 100's embedding
+    // arrives labeled qid=3 — its true nearest corpus neighbor is
+    // vec_id=100 (cosine 1.0), and corpus vec_id=3 must not be dropped
+    // for merely sharing the id
+    val queries = emb.filter($"vec_id" === 100L)
+      .select(org.apache.spark.sql.functions.lit(3L).as("vec_id"), $"embedding")
+    val served = Similarity.probeIvfPq(spark, emb, queries, model, index,
+        excludeSelf = false)
+      .filter(col("rank") === 1L).collect()
+    assert(served.length == 1)
+    assert(served.head.getAs[Long]("cid") == 100L,
+      s"rank-1 must be the identical corpus vector, got ${served.head}")
+    assert(math.abs(served.head.getAs[Double]("cos") - 1.0) < 1e-9)
+    graft.CacheScope.drain()
+  }
+
   test("index encodes every corpus vector with full code coverage") {
     val emb = graft.Tables.t(spark, dir, "embeddings")
     val model = Similarity.trainIvfPq(spark, emb)
