@@ -132,6 +132,23 @@ object StreamingLoad {
           StreamOps.upsertToParquetManifest(df, req("keyCol"), req("versionCol"), full, nb)
         else
           StreamOps.upsertToParquetBucketed(df, req("keyCol"), req("versionCol"), full, nb)
+      case "append" if merged.contains("shardBy") || merged.contains("shards") =>
+        // streaming curation endpoint: each drained micro-batch extends
+        // the deterministic training-shard layout additively
+        // (Sharding.appendToShards — placement is a pure function, so
+        // arrival order never changes membership). Semantics across a
+        // crash-and-retry are AT-LEAST-ONCE (a replayed batch appends
+        // again, like any non-idempotent foreachBatch sink); use the
+        // manifest-committed upsert mode when exactly-once matters.
+        val key = merged.getOrElse("shardBy", throw new IllegalArgumentException(
+          s"load '${step.name}': shardBy and shards must be set together"))
+        val n = merged.getOrElse("shards", throw new IllegalArgumentException(
+          s"load '${step.name}': shardBy and shards must be set together")).toInt
+        require(conn.format == "parquet",
+          s"load '${step.name}': shard layout requires parquet, got '${conn.format}'")
+        df.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          graft.ops.Sharding.appendToShards(b, key, full, n); ()
+        }.outputMode("append")
       case "append" =>
         df.writeStream.format(conn.format).option("path", full).outputMode("append")
       case other => throw new IllegalArgumentException(

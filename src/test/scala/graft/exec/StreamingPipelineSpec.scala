@@ -89,6 +89,72 @@ class StreamingPipelineSpec extends SparkSpec {
       (1L, 1L, "A", 20.0), (2L, 3L, "B2", 198.0), (3L, 1L, "C", 60.0), (4L, 1L, "D", 80.0)))
   }
 
+  test("streaming curation: frozen-model filter + shard-append load across two ticks") {
+    import graft.ops.TextAnalysis
+    val dataDir = tmpDir("graft-stream-curate").toString
+    val repo = new Repository(tmpDir("graft-stream-curate-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    // separable corpus: curated sources speak the alpha vocabulary
+    def mk(ids: Range) = ids.map { i =>
+      val curated = i % 2 == 0
+      val words = if (curated) Seq("alpha", "beta", "gamma") else Seq("zeta", "eta", "theta")
+      (i.toLong, (words :+ s"tok${i % 5}").mkString(" "), "en",
+        if (curated) "cur" else "crawl", 20L)
+    }
+    val all = mk(0 until 80)
+    val allDf = all.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // train offline on the full corpus, freeze, register the filter
+    val modelPath = s"$dataDir/qmodel"
+    TextAnalysis.saveQualityModel(spark,
+      TextAnalysis.trainQualityModel(spark, allDf, Seq("cur")), modelPath)
+    graft.CacheScope.drain()
+    val registry = new TransformRegistry
+    CurationTransforms.registerModelFilter(registry, spark, modelPath)
+
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"curate-stream","name":"landing-to-shards","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"transform","name":"filter","order":2,"kind":"named","transformName":"model_filter"},
+         |{"stepType":"load","name":"shards","order":3,"connectionId":"local",
+         | "path":"shards","mode":"append",
+         | "options":{"shardBy":"doc_id","shards":"8","checkpointLocation":"ck"}}
+         |]}""".stripMargin))
+
+    def manifestTotal(): Long = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dataDir/shards/_shards.json")))
+      """"n_rows":\s*(\d+)""".r.findAllMatchIn(text).map(_.group(1).toLong).sum
+    }
+
+    // tick 1 drains the first 50 docs
+    all.take(50).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-02T08:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    now = Instant.parse("2026-03-02T08:15:05Z")
+    assert(sched.tick() == Seq("curate-stream"))
+    // tick 2 drains the remaining 30
+    all.drop(50).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-02T08:30:05Z")
+    assert(sched.tick() == Seq("curate-stream"))
+    sched.stop()
+
+    assert(repo.history("curate-stream").map(_.status) ==
+      Seq("running", "success", "running", "success"))
+    // the shard layout holds EXACTLY the model-approved (curated) docs,
+    // accumulated across both drains, and the manifest accounts for them
+    val written = spark.read.parquet(s"$dataDir/shards")
+    val expected = all.filter(_._1 % 2 == 0).map(_._1).toSet
+    assert(written.select($"doc_id").as[Long].collect().toSet == expected)
+    assert(manifestTotal() == expected.size.toLong)
+  }
+
   test("streaming load without checkpointLocation fails fast") {
     val dataDir = tmpDir("graft-stream-nockpt").toString
     val repo = new Repository(tmpDir("graft-stream-repo2"))
