@@ -35,6 +35,17 @@ object Sharding {
     pmod(conv(substring(md5(concat(lit("shard:"), docId.cast("string"))), 1, 2),
       16, 10).cast("long"), lit(n.toLong))
 
+  /** Driver-side twin of [[shardId]] for routing single ids (deletion
+    * requests, debugging) — InvariantSpec pins the two identical
+    * across the id space.
+    */
+  private[graft] def shardIdOf(id: Long, n: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 2)
+    java.lang.Long.parseLong(hex, 16) % n
+  }
+
   /** Catalog gate: the shard PLAN — per-shard document count, token
     * mass, and id range. Differential against DuckDB recomputing the
     * same md5 placement; near-equal `n_docs`/`bytes` across shards IS
@@ -207,6 +218,65 @@ object Sharding {
         writtenCounts(s, outDir, Nil)
     }
     writeManifest(s, outDir, merged)
+  }
+
+  /** Targeted deletion from a shard layout — the right-to-be-forgotten
+    * operation at corpus scale: because placement is a pure function
+    * of the doc id, a deletion request maps to a KNOWN set of shards,
+    * and only those shards' files are read and rewritten — work is
+    * proportional to the affected shards, never the corpus. Each
+    * affected shard is rewritten through a temp-dir + rename swap
+    * (the compactParquet discipline: readers never observe a
+    * half-written directory, and a crash mid-swap leaves either the
+    * old or the new directory intact), with intra-file doc_id order
+    * preserved. Shards whose id set has no actual matches are left
+    * byte-untouched. The manifest is updated from the REWRITTEN
+    * files' counts (partition-metadata-only reads), prior counts kept
+    * for untouched shards. Returns the updated manifest.
+    *
+    * `ids` is the deletion request — GDPR batches are small, so it is
+    * collected to the driver for shard routing and broadcast into the
+    * anti-joins; for multi-million-row purges run several batches.
+    */
+  def deleteFromShards(
+      ids: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val fs = graft.connect.Hfs.fs(s, outDir)
+    require(fs.exists(new Path(outDir)), s"no shard layout at $outDir")
+    val idRows = ids.select(col(docId).cast("long").as("__id")).distinct()
+      .withColumn("__shard", shardId($"__id", n))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byShard = idRows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val prior = readManifest(s, outDir).getOrElse(
+      writtenCounts(s, outDir, Nil))
+    val updated = scala.collection.mutable.Map(prior.toSeq: _*)
+    byShard.foreach { case (shard, toDrop) =>
+      val dir = new Path(outDir, s"shard=$shard")
+      if (fs.exists(dir)) {
+        val cur = s.read.parquet(dir.toString)
+        val hits = cur.filter(col(docId).isin(toDrop.toSeq: _*)).count()
+        if (hits > 0) {
+          val tmp = new Path(outDir, s".shard=$shard.delete-tmp")
+          graft.connect.Hfs.deleteIfExists(fs, tmp)
+          cur.filter(!col(docId).isin(toDrop.toSeq: _*))
+            .sortWithinPartitions(col(docId))
+            .write.mode("overwrite").parquet(tmp.toString)
+          val old = new Path(outDir, s".shard=$shard.delete-old")
+          graft.connect.Hfs.deleteIfExists(fs, old)
+          graft.connect.Hfs.renameChecked(fs, dir, old, s"delete swap (data->old) shard=$shard")
+          try graft.connect.Hfs.renameChecked(fs, tmp, dir, s"delete swap (tmp->data) shard=$shard")
+          catch { case e: Throwable =>
+            if (!fs.exists(dir)) { val _ = fs.rename(old, dir) }
+            throw e
+          }
+          graft.connect.Hfs.deleteIfExists(fs, old)
+          updated(shard) = updated.getOrElse(shard, hits) - hits
+        }
+      }
+    }
+    writeManifest(s, outDir, updated.toMap)
   }
 
   def entries: Seq[CatalogEntry] = Seq(

@@ -17,12 +17,7 @@ class InvariantSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val ids = (Seq(0L, 1L, Long.MaxValue) ++
       Seq.fill(497)(math.abs(rnd.nextLong()))).distinct
-    def jvmShard(id: Long, n: Int): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 2)
-      java.lang.Long.parseLong(hex, 16) % n
-    }
+    def jvmShard(id: Long, n: Int): Long = Sharding.shardIdOf(id, n)
     val got = ids.toDF("doc_id")
       .select($"doc_id", Sharding.shardId($"doc_id", 16).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -127,4 +127,57 @@ class ShardSpec extends SparkSpec {
     assert(merged == expected, "append did not merge prior manifest additively")
     assert(merged(0) >= 1000L, "sentinel lost — manifest was recomputed by rescan")
   }
+
+  test("deleteFromShards: targeted rows gone, untouched shards byte-identical, manifest updated") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val out = tmpDir("shard-delete").toString + "/shards"
+    Sharding.writeTrainingShards(docs, "doc_id", out, 16)
+    val n0 = spark.read.parquet(out).count()
+    // snapshot every part-file's (path, mtime, size) before deletion
+    def snapshot(): Map[String, (Long, Long)] = {
+      val fs = graft.connect.Hfs.fs(spark, out)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.toString -> ((f.getModificationTime, f.getLen))
+      }
+      b.result()
+    }
+    val before = snapshot()
+    // delete 3 existing ids + 1 absent id (absent must be a no-op)
+    val victims = Seq(3L, 57L, 220L)
+    val req = (victims :+ 999999L).toDF("doc_id")
+    val manifest = Sharding.deleteFromShards(req, "doc_id", out, 16)
+    val after = spark.read.parquet(out)
+    assert(after.count() == n0 - victims.length)
+    assert(after.filter($"doc_id".isin(victims: _*)).count() == 0)
+    // manifest agrees with the files exactly
+    val fromFiles = after.groupBy($"shard".cast("int").as("shard"))
+      .count().collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val fromManifest = manifest.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).filter(_._2 > 0).toMap
+    assert(fromManifest == fromFiles)
+    // shards not hosting a victim are untouched on disk
+    val victimShards = victims
+      .map(id => Sharding.shardIdOf(id, 16)).toSet
+    val afterSnap = snapshot()
+    val untouched = before.filter { case (p, _) =>
+      !victimShards.exists(sh => p.contains(s"shard=$sh/"))
+    }
+    untouched.foreach { case (p, meta) =>
+      assert(afterSnap.get(p).contains(meta), s"untouched file changed: $p")
+    }
+    // rewritten shards keep per-file doc_id order
+    victimShards.foreach { sh =>
+      spark.read.parquet(s"$out/shard=$sh")
+        .select(org.apache.spark.sql.functions.input_file_name().as("f"), $"doc_id")
+        .collect().groupBy(_.getString(0)).foreach { case (_, rows) =>
+          val idsInFile = rows.map(_.getLong(1)).toSeq
+          assert(idsInFile == idsInFile.sorted, s"file order broken in shard=$sh")
+        }
+    }
+  }
 }
