@@ -1493,6 +1493,52 @@ object Similarity {
     (cx, v)
   }
 
+  /** Top-k principal directions by power iteration WITH DEFLATION —
+    * the multi-component extension of [[pcaPowerOn]] (whose single
+    * component is the differential gate row). After component c is
+    * trained, every vector is deflated in integer space:
+    * r = x·S − v(x·v) with S = Σ v_j² (exact longs; r/S is x minus
+    * its projection), then re-coarsened to x's grid by the integer
+    * division r div S — deterministic, at the cost of ~1-unit grid
+    * rounding per deflation, so later components are progressively
+    * coarser estimates (documented, spec-bounded). Returns
+    * (component, dim, v) for components 1..k. Per component the cost
+    * is one [[pcaCore]] run plus one map-side deflation pass; nothing
+    * about the shape changes with corpus size.
+    */
+  def pcaTopKOn(s: SparkSession, embeddings: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    import s.implicits._
+    import graft.CacheScope._
+    require(k >= 1 && k <= 16, s"k components must be in [1,16]: $k")
+    var frame = embeddings.select($"vec_id", $"embedding")
+    val comps = Seq.newBuilder[(Long, Long, Long)]
+    for (c <- 1 to k) {
+      val (cx, v) = pcaCore(s, frame, rounds)
+      comps ++= v.toSeq.map { case (dim, w) => (c.toLong, dim, w) }
+      if (c < k) {
+        val sNorm = v.values.map(w => w * w).sum.max(1L)
+        val vDf = broadcast(v.toSeq.toDF("dim", "v"))
+        // r = x·S − v·(x·v); re-coarsen by div S back onto x's grid.
+        // pcaCore re-centers and re-quantizes (÷100) its input, so the
+        // deflated frame is handed back as a float "embedding" on the
+        // original 1e-4 scale: r/S · 100 (the cx grid is 1e-2 of it).
+        val proj = cx.join(vDf, Seq("dim"))
+          .groupBy($"vec_id").agg(sum($"x" * $"v").as("xv"))
+        val defl = cx.join(vDf, Seq("dim")).join(proj, Seq("vec_id"))
+          .select($"vec_id", $"dim",
+            ($"x" * sNorm - $"v" * $"xv").as("r"))
+          .select($"vec_id", $"dim", expr(
+            s"(CASE WHEN r < 0 THEN -1L ELSE 1L END) * (abs(r) div $sNorm)").as("rx"))
+          .groupBy($"vec_id")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"rx"))),
+            p => p("rx").cast("float") / lit(100.0f)).as("embedding"))
+        frame = defl.persistScoped()
+      }
+    }
+    comps.result().toDF("component", "dim", "v").orderBy($"component", $"dim")
+  }
+
   def pcaScores(s: SparkSession, dir: String): DataFrame =
     pcaScoresOn(s, Tables.t(s, dir, "embeddings"), pcaRounds)
 
