@@ -72,6 +72,32 @@ object Demo {
     println("[demo] graph: 2-core of the near-dup candidate graph")
     ops.Graph.kcore(spark, sfDir).show(3)
 
+    // round-11 surface: trained models as frozen artifacts
+    println("[demo] classifier: train on the corpus, freeze, score statelessly")
+    val docs = Tables.t(spark, sfDir, "documents")
+    val modelPath = work.resolve("qmodel").toString
+    ops.TextAnalysis.saveQualityModel(spark,
+      ops.TextAnalysis.trainQualityModel(spark, docs,
+        Seq("src0", "src1", "src2", "src3")), modelPath)
+    ops.TextAnalysis.scoreDocs(docs,
+        ops.TextAnalysis.loadQualityModel(spark, modelPath))
+      .select("doc_id", "source", "margin").show(3)
+    println("[demo] ANN lifecycle: train IVF-PQ offline, index, list-pruned probe")
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val annModel = ops.Similarity.trainIvfPq(spark, emb)
+    val indexPath = work.resolve("ann-index").toString
+    ops.Similarity.saveIvfPqIndex(
+      ops.Similarity.indexIvfPq(spark, emb, annModel), indexPath)
+    ops.Similarity.probeIvfPq(spark, emb,
+      emb.filter("vec_id % 50 = 0"), annModel,
+      spark.read.parquet(indexPath)).show(3)
+    println("[demo] shards: deterministic layout + targeted deletion")
+    val shardPath = work.resolve("shards").toString
+    ops.Sharding.writeTrainingShards(docs, "doc_id", shardPath, 16).show(3)
+    import spark.implicits._
+    ops.Sharding.deleteFromShards(
+      Seq(1L, 2L).toDF("doc_id"), "doc_id", shardPath, 16).show(3)
+
     spark.stop()
   }
 }
