@@ -579,28 +579,43 @@ object Aggregates {
       |    AS disc_weighted_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** max_by / min_by ≙ DuckDB arg_max / arg_min. Ordering by the raw
-    * double measure — deterministic because o_totalprice is continuous
-    * (no exact ties in the fixture; a production variant would order by
-    * a (measure, key) struct, which DuckDB 1.0's arg_max can't compare).
+  /** argmax/argmin with a DETERMINISTIC tie-break: smallest key among
+    * the rows attaining the extreme. A bare max_by/arg_max orders by
+    * the raw measure alone, which is only deterministic while no two
+    * rows tie — true at the gate fixture, FALSE the moment data
+    * replicates (the 10× ScaleUp fixture creates exact price ties
+    * across replicas and the engines then legitimately disagree).
+    * Neither engine can tie-break portably in one aggregate (DuckDB
+    * 1.0 arg_max can't compare structs), so the deterministic form is
+    * extreme-then-resolve: a ≤|groups|-row extremes table broadcast
+    * back over the scan, keys resolved by min(CASE WHEN measure =
+    * extreme). Two passes over the scan, one broadcast — the shape
+    * survives any tie structure at any scale.
     */
   def argMax(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.t(s, dir, "orders")
+    val o = Tables.t(s, dir, "orders")
+    val ext = o.groupBy($"o_orderpriority")
+      .agg(max($"o_totalprice").as("mx"), min($"o_totalprice").as("mn"))
+    o.join(broadcast(ext), Seq("o_orderpriority"))
       .groupBy($"o_orderpriority")
       .agg(
-        max_by($"o_orderkey", $"o_totalprice").as("biggest_order"),
-        min_by($"o_orderkey", $"o_totalprice").as("smallest_order"),
+        min(when($"o_totalprice" === $"mx", $"o_orderkey")).as("biggest_order"),
+        min(when($"o_totalprice" === $"mn", $"o_orderkey")).as("smallest_order"),
         max($"o_totalprice").as("max_price"))
       .orderBy($"o_orderpriority")
   }
 
   private val argMaxSql =
-    """SELECT o_orderpriority,
-      |  arg_max(o_orderkey, o_totalprice) AS biggest_order,
-      |  arg_min(o_orderkey, o_totalprice) AS smallest_order,
+    """WITH ext AS (
+      |  SELECT o_orderpriority, max(o_totalprice) AS mx, min(o_totalprice) AS mn
+      |  FROM orders GROUP BY 1)
+      |SELECT o.o_orderpriority,
+      |  min(CASE WHEN o_totalprice = mx THEN o_orderkey END) AS biggest_order,
+      |  min(CASE WHEN o_totalprice = mn THEN o_orderkey END) AS smallest_order,
       |  max(o_totalprice) AS max_price
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      |FROM orders o JOIN ext USING (o_orderpriority)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Numeric histogram via width_bucket: order totals into 20 equal
     * bins over [0, 600000) plus the under/overflow buckets — the
