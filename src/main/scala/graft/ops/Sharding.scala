@@ -39,12 +39,8 @@ object Sharding {
     * requests, debugging) — InvariantSpec pins the two identical
     * across the id space.
     */
-  private[graft] def shardIdOf(id: Long, n: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 2)
-    java.lang.Long.parseLong(hex, 16) % n
-  }
+  private[graft] def shardIdOf(id: Long, n: Int): Long =
+    shardIdOfStr(id.toString, n)
 
   /** Catalog gate: the shard PLAN — per-shard document count, token
     * mass, and id range. Differential against DuckDB recomputing the
@@ -225,30 +221,39 @@ object Sharding {
     * of the doc id, a deletion request maps to a KNOWN set of shards,
     * and only those shards' files are read and rewritten — work is
     * proportional to the affected shards, never the corpus. Each
-    * affected shard is rewritten through a temp-dir + rename swap
-    * (the compactParquet discipline: readers never observe a
-    * half-written directory, and a crash mid-swap leaves either the
-    * old or the new directory intact), with intra-file doc_id order
-    * preserved. Shards whose id set has no actual matches are left
-    * byte-untouched. The manifest is updated from the REWRITTEN
-    * files' counts (partition-metadata-only reads), prior counts kept
-    * for untouched shards. Returns the updated manifest.
+    * affected shard pays ONE data pass (the filtered rewrite into a
+    * temp dir; hit detection is the column-less before/after row
+    * count — no column decodes) and is swapped in via rename (the
+    * compactParquet discipline — a crash mid-swap leaves the data
+    * recoverable in the `.delete-old` dir; a concurrent reader racing
+    * the two renames can momentarily miss the shard, the same window
+    * compactParquet has — deployments with concurrent readers should
+    * front the layout with the manifest-committed snapshot pattern).
+    * Intra-file doc_id order is preserved; shards with no actual
+    * matches are left byte-untouched. The manifest entry for every
+    * TARGETED shard is recounted from the files afterwards (metadata
+    * only), so a retry after a crash between swap and manifest write
+    * heals the stale count instead of preserving it. Returns the
+    * updated manifest.
     *
     * `ids` is the deletion request — GDPR batches are small, so it is
-    * collected to the driver for shard routing and broadcast into the
-    * anti-joins; for multi-million-row purges run several batches.
+    * collected to the driver for shard routing; routing hashes the
+    * id's STRING form exactly as [[shardId]] does (no lossy cast), and
+    * null ids are rejected loudly — a malformed request must never
+    * become a silent no-op.
     */
   def deleteFromShards(
       ids: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
     val s = ids.sparkSession
-    import s.implicits._
     import org.apache.hadoop.fs.Path
     val fs = graft.connect.Hfs.fs(s, outDir)
     require(fs.exists(new Path(outDir)), s"no shard layout at $outDir")
-    val idRows = ids.select(col(docId).cast("long").as("__id")).distinct()
-      .withColumn("__shard", shardId($"__id", n))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val byShard = idRows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    require(ids.filter(col(docId).isNull).isEmpty,
+      s"deleteFromShards: null $docId in the deletion request")
+    val idStrs = ids.select(col(docId).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val byShard = idStrs.groupBy(shardIdOfStr(_, n))
+      .view.mapValues(_.toSet).toMap
     val prior = readManifest(s, outDir).getOrElse(
       writtenCounts(s, outDir, Nil))
     val updated = scala.collection.mutable.Map(prior.toSeq: _*)
@@ -256,13 +261,19 @@ object Sharding {
       val dir = new Path(outDir, s"shard=$shard")
       if (fs.exists(dir)) {
         val cur = s.read.parquet(dir.toString)
-        val hits = cur.filter(col(docId).isin(toDrop.toSeq: _*)).count()
-        if (hits > 0) {
-          val tmp = new Path(outDir, s".shard=$shard.delete-tmp")
-          graft.connect.Hfs.deleteIfExists(fs, tmp)
-          cur.filter(!col(docId).isin(toDrop.toSeq: _*))
-            .sortWithinPartitions(col(docId))
-            .write.mode("overwrite").parquet(tmp.toString)
+        val before = cur.count() // column-less scan: row counts from row-group headers
+        val tmp = new Path(outDir, s".shard=$shard.delete-tmp")
+        graft.connect.Hfs.deleteIfExists(fs, tmp)
+        // null-SAFE keep predicate: a NULL doc_id row is never a match
+        // and must survive the rewrite (bare NOT IN would drop it)
+        cur.filter(!coalesce(
+            col(docId).cast("string").isin(toDrop.toSeq: _*), lit(false)))
+          .sortWithinPartitions(col(docId))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val after = s.read.parquet(tmp.toString).count()
+        if (after == before) {
+          graft.connect.Hfs.deleteIfExists(fs, tmp) // no matches: untouched
+        } else {
           val old = new Path(outDir, s".shard=$shard.delete-old")
           graft.connect.Hfs.deleteIfExists(fs, old)
           graft.connect.Hfs.renameChecked(fs, dir, old, s"delete swap (data->old) shard=$shard")
@@ -272,11 +283,23 @@ object Sharding {
             throw e
           }
           graft.connect.Hfs.deleteIfExists(fs, old)
-          updated(shard) = updated.getOrElse(shard, hits) - hits
         }
+        // recount from the files (heals a stale manifest on retry)
+        updated(shard) = s.read.parquet(dir.toString).count()
       }
     }
     writeManifest(s, outDir, updated.toMap)
+  }
+
+  /** String-form routing twin of [[shardId]]: md5("shard:" + id) hex
+    * prefix folded onto n — identical to the column form for any id
+    * whose Spark string cast equals this string (longs, strings).
+    */
+  private[graft] def shardIdOfStr(id: String, n: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 2)
+    java.lang.Long.parseLong(hex, 16) % n
   }
 
   def entries: Seq[CatalogEntry] = Seq(

@@ -1512,6 +1512,7 @@ object Similarity {
     import graft.CacheScope._
     require(k >= 1 && k <= 16, s"k components must be in [1,16]: $k")
     var frame = embeddings.select($"vec_id", $"embedding")
+    var prevFrame: Option[DataFrame] = None
     val comps = Seq.newBuilder[(Long, Long, Long)]
     for (c <- 1 to k) {
       val (cx, v) = pcaCore(s, frame, rounds)
@@ -1533,7 +1534,17 @@ object Similarity {
           .groupBy($"vec_id")
           .agg(transform(array_sort(collect_list(struct($"dim", $"rx"))),
             p => p("rx").cast("float") / lit(100.0f)).as("embedding"))
-        frame = defl.persistScoped()
+          .persistScoped()
+        // materialize the deflated frame, then release the frames it
+        // was derived from — live cache stays O(1) corpus copies at
+        // any k instead of accumulating 2k persisted frames
+        defl.count()
+        cx.unpersist()
+        prevFrame.foreach(_.unpersist())
+        prevFrame = Some(defl)
+        frame = defl
+      } else {
+        cx.unpersist()
       }
     }
     comps.result().toDF("component", "dim", "v").orderBy($"component", $"dim")

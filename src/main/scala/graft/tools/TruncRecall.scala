@@ -61,14 +61,18 @@ object TruncRecall {
     val nTruth = truth.count()
 
     for (d <- Seq(8, 16, 32, 64)) {
-      val pq = slice($"qxq", 1, d)
-      val pv = slice($"xq", 1, d)
-      val stage1 = queries.crossJoin(e.filter($"vec_id" % 50 =!= 0))
-        .select($"qid", $"vec_id", $"qn2", $"n2",
+      // prefix + its self-norm computed ONCE per row on each side —
+      // inside the crossJoin they would be recomputed per PAIR
+      val qd = queries.select($"qid",
+        slice($"qxq", 1, d).as("pq"))
+        .withColumn("pn2", call_function("dot64", $"pq", $"pq"))
+      val ed = e.filter($"vec_id" % 50 =!= 0).select($"vec_id",
+        slice($"xq", 1, d).as("pv"))
+        .withColumn("vn2", call_function("dot64", $"pv", $"pv"))
+      val stage1 = qd.crossJoin(ed)
+        .select($"qid", $"vec_id",
           Similarity.cosineFromDots(
-            call_function("dot64", pq, pv),
-            call_function("dot64", pq, pq),
-            call_function("dot64", pv, pv)).as("cos"))
+            call_function("dot64", $"pq", $"pv"), $"pn2", $"vn2").as("cos"))
       val w1 = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)
       val cand = stage1.withColumn("rk", row_number().over(w1))
         .filter($"rk" <= shortlist).select($"qid", $"vec_id")
