@@ -289,13 +289,26 @@ object Aggregates {
     * exact vocabulary head would pay, the same state-not-rows trade as
     * [[kmvDistinct]].
     */
-  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(s, Tables.t(s, dir, "documents"), 5, 64)
+
+  /** [[heavyHitters]] with the deployment knobs exposed — the same
+    * sizing contract [[graft.ops.Dedup.benchmarkBloom]] gained:
+    * `capacity` ≥ the measured per-group distinct count keeps every
+    * counter EXACT (the 10× fixture pushes per-language vocabulary to
+    * ~600, past the gate's 64 — re-running there with capacity 1024
+    * matches the exact oracle again, PLANS.md r11); below it the
+    * sketch degrades gracefully within the Misra–Gries
+    * N/(capacity+1) bound FreqTopKSpec asserts.
+    */
+  def heavyHittersOn(s: SparkSession, docs: DataFrame,
+      k: Int, capacity: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftExtensions.register(s)
-    Tables.t(s, dir, "documents")
+    docs
       .select($"lang", explode(split($"text", " ")).as("term"))
       .groupBy($"lang")
-      .agg(expr("freq_topk(term, 5, 64)").as("top_terms"),
+      .agg(expr(s"freq_topk(term, $k, $capacity)").as("top_terms"),
         count(lit(1)).as("n_tokens"))
       .orderBy($"lang")
   }
