@@ -1574,9 +1574,12 @@ object TextAnalysis {
     * (doc, word) rollup + one doc rollup, all map-side combinable; the
     * per-source report is a 20-row rollup on top.
     */
-  def wordEntropy(s: SparkSession, dir: String): DataFrame = {
+  def wordEntropy(s: SparkSession, dir: String): DataFrame =
+    wordEntropyOn(s, Tables.t(s, dir, "documents"))
+
+  def wordEntropyOn(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val cc = Tables.t(s, dir, "documents")
+    val cc = docs
       .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
       .groupBy($"doc_id", $"source", $"w").agg(count(lit(1)).as("c"))
     val h = cc.groupBy($"doc_id", $"source")
