@@ -89,6 +89,22 @@ object CurationTransforms {
         .drop("margin")
     })
 
+  /** Register `entropy_filter`: keep documents whose word-distribution
+    * entropy clears `minNats10` tenths of a nat (the
+    * [[graft.ops.TextAnalysis.wordEntropy]] signal as a gate —
+    * concentrated-vocabulary boilerplate drops). The test is the exact
+    * integer cross-multiply nh·10 ≥ minNats10·1e6·n; the filter is a
+    * left-semi join against the passing doc ids.
+    */
+  def registerEntropyFilter(
+      registry: TransformRegistry, minNats10: Long): Unit =
+    registry.register("entropy_filter", { docs: DataFrame =>
+      val pass = graft.ops.TextAnalysis.docEntropy(docs)
+        .filter(col("nh") * 10L >= lit(minNats10 * 1000000L) * col("n"))
+        .select(col("doc_id"))
+      docs.join(pass, Seq("doc_id"), "left_semi")
+    })
+
   /** Register `quality_filter`: keep documents whose type-token-ratio
     * clears `minTtrPermille` — the same integer permille-grid quality
     * score the token-budget selectors rank by, as a standalone

@@ -1577,18 +1577,27 @@ object TextAnalysis {
   def wordEntropy(s: SparkSession, dir: String): DataFrame =
     wordEntropyOn(s, Tables.t(s, dir, "documents"))
 
-  def wordEntropyOn(s: SparkSession, docs: DataFrame): DataFrame = {
-    import s.implicits._
-    val cc = docs
+  /** Per-document entropy mass — (doc_id, source, n, nh) with
+    * nh = n·L(n) − Σ c·L(c) in micronats·n (exact longs; see
+    * [[wordEntropy]]). The frame both the per-source report and the
+    * declarative `entropy_filter` build on.
+    */
+  def docEntropy(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
       .groupBy($"doc_id", $"source", $"w").agg(count(lit(1)).as("c"))
-    val h = cc.groupBy($"doc_id", $"source")
+      .groupBy($"doc_id", $"source")
       .agg(
         sum($"c").as("n"),
         sum($"c" * floor(lit(1e6) * log($"c")).cast("long")).as("sc"))
       .select($"doc_id", $"source", $"n",
         ($"n" * floor(lit(1e6) * log($"n")).cast("long") - $"sc").as("nh"))
-    h.groupBy($"source")
+  }
+
+  def wordEntropyOn(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docEntropy(docs).groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
         count(when($"nh" * 10L < lit(entropyLowNats10 * 1000000L) * $"n", 1))

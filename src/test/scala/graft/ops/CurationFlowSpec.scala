@@ -158,6 +158,21 @@ class CurationFlowSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("entropy_filter keeps exactly the docs above the nat threshold") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val registry = new TransformRegistry
+    CurationTransforms.registerEntropyFilter(registry, minNats10 = 28L)
+    val kept = registry("entropy_filter")(docs)
+    val expected = TextAnalysis.docEntropy(docs)
+      .filter($"nh" * 10L >= lit(28000000L) * $"n").select($"doc_id")
+    assert(kept.count() == expected.count() && kept.count() > 0)
+    assert(kept.count() < docs.count()) // the threshold actually bites
+    assert(kept.select($"doc_id").except(expected).count() == 0)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("empty benchmark fails loudly instead of silently cleaning nothing") {
     import spark.implicits._
     val docs = graft.Tables.t(spark, dir, "documents")
