@@ -31,6 +31,21 @@ class CoverageSpec extends AnyFunSuite {
       s"COVERAGE.md header count != $n live catalog entries — update the header")
   }
 
+  test("header cites the NEWEST driver gate file (r10 and r11 both went stale)") {
+    val rounds = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      .toArray.map(_.toString)
+      .flatMap("""CORRECTNESS_r(\d+)\.json$""".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+    assume(rounds.nonEmpty, "no driver CORRECTNESS files present (fresh checkout)")
+    val newest = rounds.max
+    val cited = """CORRECTNESS_r(\d+)\.json""".r.findAllMatchIn(coverage)
+      .map(_.group(1).toInt).toSeq
+    assert(cited.nonEmpty, "COVERAGE.md cites no CORRECTNESS file")
+    assert(cited.contains(newest),
+      s"COVERAGE.md header cites round(s) ${cited.mkString(",")} but the newest " +
+        s"driver gate on disk is CORRECTNESS_r$newest.json — refresh the header")
+  }
+
   test("catalog names are unique (duplicate entries would shadow in byName)") {
     val dupes = Catalog.entries.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate catalog names: ${dupes.mkString(", ")}")

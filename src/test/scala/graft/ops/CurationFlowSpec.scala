@@ -158,6 +158,89 @@ class CurationFlowSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("signal-bearing corpus: declarative classifier_filter keeps a NONZERO subset and the model generalizes held-out") {
+    // the driver soup carries no source signal, so the test above can
+    // pass with an EMPTY kept set — this corpus plants the
+    // graft.tools.SignalFixture distribution gap (shared noise in
+    // every doc, ~30% of positions drawn from a per-class vocabulary)
+    // so the filter's EFFECT is exercised: a nonzero, proper subset
+    // survives the declarative path, and the decision generalizes to
+    // documents the training never saw
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, PipelineRunner, TransformRegistry}
+    import graft.model.{ConnectionSpec, PipelineJson}
+    import graft.store.Repository
+
+    // mirror the fixture layout (20 sources, src0-3 curated — a 1:4
+    // class imbalance like the real bench) with a per-doc seeded RNG:
+    // half the positions draw from the class vocabulary, half from a
+    // 120-word shared soup (a structured multiplicative hash here
+    // skews the vocab slice for the held-out sources — RNG avoids it)
+    val pos = Seq("src0", "src1", "src2", "src3")
+    val rows = (0 until 240).map { i =>
+      val rng = new scala.util.Random(i)
+      val src = s"src${i % 20}"
+      val curated = (i % 20) < 4
+      val words = (0 until 40).map { _ =>
+        if (rng.nextInt(100) < 50) (if (curated) "cw" else "kw") + rng.nextInt(40)
+        else "n" + rng.nextInt(120)
+      }
+      (i.toLong, words.mkString(" "), "en", src, 200L)
+    }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val root = tmpDir("signal-pipe")
+    docs.write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val repo = new Repository(root)
+    repo.saveConnection(ConnectionSpec("docs", "fixtures", "parquet",
+      Map("basePath" -> root.toString)))
+    repo.saveConnection(ConnectionSpec("out", "outputs", "parquet",
+      Map("basePath" -> root.toString)))
+    val registry = new TransformRegistry
+    CurationTransforms.registerClassifierFilter(registry, spark, pos)
+    val spec = PipelineJson.parsePipeline(
+      s"""{"id":"sig","name":"signal classifier gate","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+         |{"stepType":"transform","name":"classify","order":2,"kind":"named","transformName":"classifier_filter"},
+         |{"stepType":"load","name":"kept","order":3,"connectionId":"out","path":"kept","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
+    assert(repo.history("sig").map(_.status) == Seq("running", "success"))
+    graft.CacheScope.drain()
+
+    // the declarative kept set IS the margin>0 predicate — and it bites
+    // in BOTH directions (nonzero, proper subset)
+    val written = spark.read.parquet(s"$root/kept")
+    val (_, margins) = TextAnalysis.perceptronMarginsOn(spark, docs, pos, 3)
+    val expected = margins.filter($"m" > 0L).select($"doc_id")
+    val nExpected = expected.count()
+    graft.CacheScope.drain()
+    assert(nExpected > 0L, "signal corpus must keep a nonzero set")
+    assert(nExpected < docs.count(), "the filter must also drop something")
+    assert(written.count() == nExpected)
+    assert(written.select($"doc_id").except(expected).count() == 0)
+    // a curated-majority kept set: the filter tracks the planted signal
+    val keptPos = written.filter($"source".isin(pos: _*)).count()
+    assert(keptPos * 10L >= written.count() * 9L,
+      s"kept set should be >=90% curated, got $keptPos/${written.count()}")
+
+    // held-out generalization: train WITHOUT the doc_id%5==0 slice,
+    // then the frozen model must classify that unseen slice correctly
+    val model = TextAnalysis.trainQualityModel(
+      spark, docs.filter($"doc_id" % 5 =!= 0), pos)
+    graft.CacheScope.drain()
+    val held = TextAnalysis.scoreDocs(docs.filter($"doc_id" % 5 === 0), model)
+      .select(($"margin" > 0L).as("pred"), $"source".isin(pos: _*).as("label"))
+    val (nHeld, nOk) = {
+      val r = held.agg(count(lit(1)), count(when($"pred" === $"label", 1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(nHeld > 0L)
+    assert(nOk * 10L >= nHeld * 9L,
+      s"held-out accuracy must be >=90%, got $nOk/$nHeld")
+  }
+
   test("entropy_filter keeps exactly the docs above the nat threshold") {
     import spark.implicits._
     import graft.exec.{CurationTransforms, TransformRegistry}
