@@ -32,7 +32,8 @@ object Sources {
           // a run is an incremental batch, not a rescan). File streams
           // need an explicit schema: pass DDL via option "schema", or
           // we infer once from the files already present.
-          val opts = merged - "streaming" - "schema" - "basePath" - "baseDir"
+          val opts = admissionDefaults(
+            merged - "streaming" - "schema" - "basePath" - "baseDir")
           val schema = merged.get("schema")
             .map(org.apache.spark.sql.types.StructType.fromDDL)
             .getOrElse {
@@ -74,6 +75,35 @@ object Sources {
         throw new IllegalArgumentException(s"unsupported source format '$other'")
     }
 
+  /** Default micro-batch admission bound for streaming file extracts.
+    * Unbounded drains are the measured OOM path: state-stress runs
+    * showed a 1 M-row micro-batch killing a 700 MB heap in plain batch
+    * processing, before any state was involved — and a landing
+    * directory that accumulated a weekend of files would hand
+    * AvailableNow exactly that. So a drain is bounded BY DEFAULT:
+    * unless the caller sets `maxFilesPerTrigger`/`maxBytesPerTrigger`
+    * (their sizing wins, at connection or step scope) or explicitly
+    * opts out with `admission=unbounded`, the extract gets
+    * `maxFilesPerTrigger=1000` and AvailableNow drains the backlog as
+    * a SEQUENCE of bounded batches with the same exactly-once offsets
+    * — slower only in batch count, never in data, and it cannot OOM on
+    * backlog size. Any other `admission` value is rejected loudly.
+    */
+  private[connect] val defaultMaxFilesPerTrigger = 1000
+
+  private[connect] def admissionDefaults(opts: Map[String, String]): Map[String, String] = {
+    val optOut = opts.get("admission") match {
+      case Some("unbounded") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"admission must be 'unbounded' (bounded is the default), got '$other'")
+      case None => false
+    }
+    val cleaned = opts - "admission"
+    if (optOut || opts.contains("maxFilesPerTrigger") || opts.contains("maxBytesPerTrigger"))
+      cleaned
+    else cleaned + ("maxFilesPerTrigger" -> defaultMaxFilesPerTrigger.toString)
+  }
+
   private def saveMode(mode: String): SaveMode = mode match {
     case "append" => SaveMode.Append // ≅ A7
     case "replace" | "overwrite" => SaveMode.Overwrite // ≅ A8
@@ -99,10 +129,20 @@ object Sources {
             require(f == "parquet",
               s"load '${step.name}': shardBy layout requires parquet, got '$f'")
             val n = nStr.toInt
+            // mode "delete": declarative right-to-be-forgotten — the
+            // in-flight frame IS the deletion request (its shardBy
+            // column holds the ids to forget), routed to only the
+            // affected shards with rename-swap atomicity and a
+            // manifest recount (ops.Sharding.deleteFromShards). Runs
+            // under the same A11 history contract as any load step: a
+            // malformed request (null ids) throws, the pipeline
+            // records running→error and reraises.
             // mode semantics must match the plain sink's exactly: an
             // unknown mode throws (saveMode), errorIfExists refuses an
             // existing layout instead of silently overwriting it
-            saveMode(step.mode) match {
+            if (step.mode == "delete") {
+              graft.ops.Sharding.deleteFromShards(df, key, full, n); ()
+            } else saveMode(step.mode) match {
               case SaveMode.Append =>
                 graft.ops.Sharding.appendToShards(df, key, full, n)
               case SaveMode.ErrorIfExists

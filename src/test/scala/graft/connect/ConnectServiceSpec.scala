@@ -21,6 +21,27 @@ class ConnectServiceSpec extends SparkSpec {
       ConnectionSpec("m", "m", "mongo", Map()))._1) // declared-but-unsupported
   }
 
+  test("streaming extracts are admission-bounded by default (opt-out explicit)") {
+    // nothing set -> the default file cap is injected; the measured
+    // failure this guards: an unbounded AvailableNow drain of a large
+    // backlog OOMs in batch processing before state is even involved
+    val injected = Sources.admissionDefaults(Map("other" -> "x"))
+    assert(injected("maxFilesPerTrigger") == Sources.defaultMaxFilesPerTrigger.toString)
+    assert(injected("other") == "x")
+    // caller sizing wins, either knob
+    assert(Sources.admissionDefaults(Map("maxFilesPerTrigger" -> "7")) ==
+      Map("maxFilesPerTrigger" -> "7"))
+    assert(Sources.admissionDefaults(Map("maxBytesPerTrigger" -> "1g")) ==
+      Map("maxBytesPerTrigger" -> "1g"))
+    // explicit opt-out removes the bound (and the marker option)
+    assert(Sources.admissionDefaults(Map("admission" -> "unbounded")) == Map.empty)
+    // anything else is a loud error, not a silent unbounded drain
+    val e = intercept[IllegalArgumentException] {
+      Sources.admissionDefaults(Map("admission" -> "bounded?"))
+    }
+    assert(e.getMessage.contains("admission"))
+  }
+
   test("csv source/sink round-trip with header") {
     val dir = tmpDir("graft-csv")
     val conn = ConnectionSpec("c", "c", "csv", Map("basePath" -> dir.toString))

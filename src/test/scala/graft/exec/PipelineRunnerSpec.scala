@@ -106,6 +106,51 @@ class PipelineRunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](new PipelineRunner(spark, repo).run(spec))
   }
 
+  test("declarative right-to-be-forgotten: delete-mode shard load, manifest recount, null-id error path") {
+    val (repo, dataDir) = setup()
+    // a shard layout to forget from, plus the deletion request as its
+    // own extractable table — the GDPR batch arrives as data, so the
+    // whole flow is one JSON pipeline, history rows included
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    graft.ops.Sharding.writeTrainingShards(docs, "doc_id", s"$dataDir/shards", 8)
+    Seq(3L, 77L, 123L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$dataDir/forget")
+
+    val spec = pipeline(
+      s"""{"id":"gdpr","name":"forget","steps":[
+         |{"stepType":"extract","name":"request","order":1,"connectionId":"local","path":"forget"},
+         |{"stepType":"load","name":"purge","order":2,"connectionId":"local","path":"shards","mode":"delete",
+         | "options":{"shardBy":"doc_id","shards":"8"}}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    assert(new PipelineRunner(spark, repo).run(spec).status == "success")
+    assert(repo.history("gdpr").map(_.status) == Seq("running", "success"))
+
+    val remaining = spark.read.parquet(s"$dataDir/shards")
+    assert(remaining.count() == 197)
+    assert(remaining.filter($"doc_id".isin(3L, 77L, 123L)).isEmpty)
+    // manifest recounted from the written files
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dataDir/shards/_shards.json")))
+    val total = """"n_rows":\s*(\d+)""".r.findAllMatchIn(manifest).map(_.group(1).toLong).sum
+    assert(total == 197)
+
+    // a malformed request (null id) must be running→error, not a
+    // silent no-op — and must leave the layout untouched
+    Seq(Some(5L), None).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$dataDir/forget_bad")
+    val bad = pipeline(
+      s"""{"id":"gdpr2","name":"bad forget","steps":[
+         |{"stepType":"extract","name":"request","order":1,"connectionId":"local","path":"forget_bad"},
+         |{"stepType":"load","name":"purge","order":2,"connectionId":"local","path":"shards","mode":"delete",
+         | "options":{"shardBy":"doc_id","shards":"8"}}
+         |]}""".stripMargin)
+    repo.savePipeline(bad)
+    intercept[IllegalArgumentException](new PipelineRunner(spark, repo).run(bad))
+    assert(repo.history("gdpr2").map(_.status) == Seq("running", "error"))
+    assert(spark.read.parquet(s"$dataDir/shards").count() == 197)
+  }
+
   test("sanitize load applies reference null semantics (SURVEY §1.3)") {
     val (repo, dataDir) = setup()
     Seq(

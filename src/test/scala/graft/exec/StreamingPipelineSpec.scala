@@ -155,6 +155,33 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(manifestTotal() == expected.size.toLong)
   }
 
+  test("landing-dir drain is admission-bounded: the backlog splits into capped micro-batches") {
+    // five files land before the first run — an unbounded AvailableNow
+    // drain would hand all five to ONE micro-batch (the measured OOM
+    // path at deployment backlog sizes). A connection-level
+    // maxFilesPerTrigger=2 is the deployment sizing; the drain must
+    // still deliver every row, as ceil(5/2)=3 bounded batches.
+    val dataDir = tmpDir("graft-stream-adm").toString
+    val repo = new Repository(tmpDir("graft-stream-adm-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir, "maxFilesPerTrigger" -> "2")))
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"f$i")).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    }
+    val p = PipelineSpec("adm", "bounded drain", None, enabled = true, steps = List(
+      ExtractStep("e", 1, "local", path = Some("landing"),
+        options = Map("streaming" -> "true")),
+      LoadStep("l", 2, "local", path = Some("out"), mode = "append",
+        options = Map("checkpointLocation" -> "ckpt"))))
+    repo.savePipeline(p)
+    assert(new PipelineRunner(spark, repo).run(p).status == "success")
+    assert(spark.read.parquet(s"$dataDir/out").count() == 5)
+    val batches = new java.io.File(s"$dataDir/ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches == 3, s"5 files at maxFilesPerTrigger=2 must drain as 3 batches, got $batches")
+  }
+
   test("streaming load without checkpointLocation fails fast") {
     val dataDir = tmpDir("graft-stream-nockpt").toString
     val repo = new Repository(tmpDir("graft-stream-repo2"))
