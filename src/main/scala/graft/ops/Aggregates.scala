@@ -313,6 +313,41 @@ object Aggregates {
       .orderBy($"lang")
   }
 
+  /** Capacity auto-sizing for [[heavyHittersOn]] — the r11 sizing
+    * decision (capacity ≥ vocabulary ⇒ every Misra–Gries counter
+    * exact) folded INTO the operator instead of left to hand-tuning:
+    * one cheap pre-pass estimates the largest per-group distinct-term
+    * count with HLL++ (rsd 2%, constant state per group — the same
+    * token stream the sketch pass reads, so at 100 TB this is one
+    * extra map-side-combinable rollup, not a new data shape), then
+    * capacity = the next power of two ≥ 1.5× the estimate — headroom
+    * that makes an HLL underestimate ever exceeding it a >25σ event.
+    * Bounded to [64, 2^20]: past a ~1M-counter summary per group the
+    * honest tool is the exact (group, term) rollup, and the cap makes
+    * that switch a loud size decision instead of silent memory creep.
+    */
+  private[graft] def heavyHittersAutoCapacity(s: SparkSession, docs: DataFrame): Int = {
+    import s.implicits._
+    val est = docs
+      .select($"lang", explode(split($"text", " ")).as("term"))
+      .groupBy($"lang").agg(approx_count_distinct($"term", 0.02).as("nv"))
+      .agg(coalesce(max($"nv"), lit(0L))).head().getLong(0)
+    val target = math.min(1L << 20, math.max(64L, est + (est >> 1)))
+    java.lang.Integer.highestOneBit((2 * target - 1).toInt)
+  }
+
+  /** [[heavyHittersOn]] with the capacity chosen by
+    * [[heavyHittersAutoCapacity]] — exact whenever the measured
+    * vocabulary fits the auto-chosen power of two (the 10× fixture
+    * that broke the hand-set 64 is exact again here with no tuning),
+    * degrading within the documented Misra–Gries bound beyond it.
+    */
+  def heavyHittersAutoSized(s: SparkSession, docs: DataFrame, k: Int): DataFrame =
+    heavyHittersOn(s, docs, k, heavyHittersAutoCapacity(s, docs))
+
+  def heavyHittersAuto(s: SparkSession, dir: String): DataFrame =
+    heavyHittersAutoSized(s, Tables.t(s, dir, "documents"), 5)
+
   private val heavyHittersSql =
     """WITH toks AS (
       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -701,6 +736,7 @@ object Aggregates {
     CatalogEntry("q_agg_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
     CatalogEntry("q_agg_quantile_rollup", quantileRollup, Some(quantileRollupSql)),
     CatalogEntry("q_agg_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    CatalogEntry("q_agg_heavy_hitters_auto", heavyHittersAuto, Some(heavyHittersSql)),
     CatalogEntry("q_agg_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)),
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),
     CatalogEntry("q_agg_rollup", rollupAgg, Some(rollupAggSql)),

@@ -60,6 +60,44 @@ class FreqTopKSpec extends SparkSpec {
     assert(out.split(" ").length <= 5)
   }
 
+  test("auto-sized capacity covers a vocabulary the hand-set default missed") {
+    import graft.ops.Aggregates
+    // a corpus whose vocabulary (600 distinct terms/group) blows past
+    // the gate's hand-set capacity 64 — the r11 10x non-match's shape.
+    // heavyHittersAutoSized must pick a power of two with >=1.5x
+    // headroom over the measured vocabulary and come back EXACT.
+    val docs = (0 until 600).flatMap { t =>
+      // term t appears (t % 7) + 1 times -> exact head is knowable
+      Seq.fill(t % 7 + 1)((t.toLong, f"t$t%04d w${t % 13}", "en", "src0", 10L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cap = Aggregates.heavyHittersAutoCapacity(spark, docs)
+    assert(cap >= 64 && (cap & (cap - 1)) == 0, s"capacity must be a pow2 >= 64: $cap")
+    assert(cap >= 613 * 3 / 2 - 64, s"headroom too small for ~613 vocab: $cap") // 600 t-terms + 13 w-terms, HLL rsd slack
+    val auto = Aggregates.heavyHittersAutoSized(spark, docs, 5)
+      .select($"lang", $"top_terms").as[(String, String)].head()
+    // exact oracle computed directly: count every term, head by
+    // (count desc, term asc)
+    val exact = docs.select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term".asc).limit(5)
+      .as[(String, Long)].collect().map { case (t, n) => s"$t:$n" }.mkString(" ")
+    assert(auto == (("en", exact)), s"auto-sized head must be exact: $auto vs $exact")
+    // the old hand-set 64 is NOT exact on this corpus - the auto-sizing
+    // is doing real work, not restating the default
+    val hand = Aggregates.heavyHittersOn(spark, docs, 5, 64)
+      .select($"top_terms").as[String].head()
+    assert(hand != exact, "capacity 64 should leave the exact regime on 613 terms")
+  }
+
+  test("auto capacity bounds: floor 64 on tiny vocab, ceiling 2^20") {
+    import graft.ops.Aggregates
+    val tiny = Seq((1L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Aggregates.heavyHittersAutoCapacity(spark, tiny) == 64)
+    val empty = tiny.filter($"doc_id" < 0)
+    assert(Aggregates.heavyHittersAutoCapacity(spark, empty) == 64)
+  }
+
   test("count ties break in UTF-8 byte order, not UTF-16 code-unit order") {
     // U+E000 (private use, 3 UTF-8 bytes 0xEE..) vs U+10000 (4 bytes
     // 0xF0..): UTF-16 compareTo puts the surrogate pair (0xD800..)

@@ -15,7 +15,10 @@ class IvfPqModelSpec extends SparkSpec {
 
   test("offline train/save/load/index/probe == the q_sim_ivfpq gate row") {
     val emb = graft.Tables.t(spark, dir, "embeddings")
-    val gate = Similarity.ivfPq(spark, dir)
+    // ivfPqFused = the in-row fused training the DuckDB oracle mirrors
+    // (the catalog's ivfPq now serves from frozen artifacts itself, so
+    // the equivalence must be asserted against the FUSED form)
+    val gate = Similarity.ivfPqFused(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     graft.CacheScope.drain()
 
@@ -39,6 +42,14 @@ class IvfPqModelSpec extends SparkSpec {
     assert(served.length == gate.length && served.length > 0)
     assert(served.toSeq == gate.toSeq,
       "offline-served top-3 must be bit-identical to the gate row")
+
+    // and the catalog row itself (train-once artifact cache + probe,
+    // whatever its cache state) must equal the fused form too
+    val catalogRow = Similarity.ivfPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.CacheScope.drain()
+    assert(catalogRow.toSeq == gate.toSeq,
+      "served catalog row must be bit-identical to the fused training row")
   }
 
   test("incremental index append == full rebuild (frozen model, per-row encoding)") {
