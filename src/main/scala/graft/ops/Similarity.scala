@@ -1577,15 +1577,17 @@ object Similarity {
           .groupBy($"vec_id")
           .agg(transform(array_sort(collect_list(struct($"dim", $"rx"))),
             p => p("rx").cast("float") / lit(100.0f)).as("embedding"))
-          .persistScoped()
-        // materialize the deflated frame, then release the frames it
-        // was derived from — live cache stays O(1) corpus copies at
-        // any k instead of accumulating 2k persisted frames
-        defl.count()
+        // lineageCut (localCheckpoint), not persist+count: each
+        // deflation nests another join+rollup level onto the plan, and
+        // by k=16 the driver OOMs just STRINGIFYING the accumulated
+        // lineage (hit in the r12 truncation study) — the cut
+        // materializes the frame AND truncates the plan, so per-round
+        // driver work stays constant like the converge loops'
+        val cut = lineageCut(defl, reliable = false)
         cx.unpersist()
         prevFrame.foreach(_.unpersist())
-        prevFrame = Some(defl)
-        frame = defl
+        prevFrame = Some(cut)
+        frame = cut
       } else {
         cx.unpersist()
       }
