@@ -89,6 +89,25 @@ object CurationTransforms {
         .drop("margin")
     })
 
+  /** Register `bpe_token_stats`: annotate every document with
+    * word/token/char counts under a FROZEN tokenizer model (trained
+    * with [[graft.ops.TextAnalysis.trainBpeModel]], saved with
+    * `saveBpeModel`) — the token-budget accounting step of a curation
+    * chain, served statelessly
+    * ([[graft.ops.TextAnalysis.bpeServeDocs]]: one higher-order fold,
+    * no explode, no vocab join, no shuffle — identical on batch and
+    * streaming extracts, and OOV words are encoded by the merge rules
+    * instead of dropped).
+    */
+  def registerBpeTokenStats(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      modelPath: String): Unit =
+    registry.register("bpe_token_stats", { docs: DataFrame =>
+      val model = graft.ops.TextAnalysis.loadBpeModel(spark, modelPath)
+      graft.ops.TextAnalysis.bpeServeDocs(docs, model)
+    })
+
   /** Register `entropy_filter`: keep documents whose word-distribution
     * entropy clears `minNats10` tenths of a nat (the
     * [[graft.ops.TextAnalysis.wordEntropy]] signal as a gate —

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{CatalogEntry, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.CacheScope.Scoped
@@ -1540,6 +1540,87 @@ object TextAnalysis {
     import s.implicits._
     bpeTrainBatchedOn(s, Tables.t(s, dir, "documents"), bpeRounds, bpeBatch)
       ._1.toDF("merge_round", "l", "r", "cnt")
+  }
+
+  /** Frozen tokenizer model: the trained merge list in RANK ORDER —
+    * the deployable artifact of BPE training, completing the engine's
+    * model-as-artifact lifecycle (perceptron → [[QualityModel]],
+    * IVF-PQ → [[graft.ops.Similarity.IvfPqModel]], BPE → this). Rank
+    * order IS the model: applying the same merges in a different
+    * order produces a different tokenizer.
+    */
+  final case class BpeModel(merges: Seq[(String, String)])
+
+  def trainBpeModel(s: SparkSession, docs: DataFrame,
+      rounds: Int = bpeRounds): BpeModel =
+    BpeModel(bpeTrainOn(s, docs, rounds)._1.map { case (_, l, r, _) => (l, r) })
+
+  def saveBpeModel(s: SparkSession, model: BpeModel, path: String): Unit = {
+    import s.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r) }
+      .toDF("rank", "l", "r").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadBpeModel(s: SparkSession, path: String): BpeModel =
+    BpeModel(s.read.parquet(path).orderBy("rank").collect()
+      .map(r => (r.getString(r.fieldIndex("l")), r.getString(r.fieldIndex("r")))).toSeq)
+
+  /** Encode ONE word against a frozen model: bracket every character,
+    * then fold the merge list in rank order as literal `replace`s —
+    * character-for-character the training semantics (greedy leftmost,
+    * complete-symbol brackets), so in-vocabulary words reproduce the
+    * training tokenization exactly and OUT-OF-VOCABULARY words — the
+    * case the training-vocab lookup join cannot serve at all — get
+    * the standard BPE fallback tokenization. Pure codegen'd string
+    * work, no lookup state.
+    */
+  private def bpeEncodeWord(model: BpeModel, word: Column): Column =
+    model.merges.foldLeft(regexp_replace(word, "(.)", "<$1>")) {
+      case (c, (l, r)) => replace(c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+
+  /** Serve a frozen tokenizer over any frame — per-document
+    * word/token/char counts like [[bpeTokenCountsOn]], but STATELESS:
+    * the whole computation is one higher-order fold over the split
+    * array (no explode, no vocabulary join, no shuffle, no streaming
+    * state), so the same column runs unchanged on a batch frame and a
+    * readStream frame, and words the training corpus never saw are
+    * encoded by the merge rules instead of silently dropped by a
+    * vocab join. The train-offline/serve-anywhere split of
+    * [[scoreDocs]], for the tokenizer.
+    *
+    * Scale note: the fold chains one `replace` per merge, so it fits
+    * expression codegen at catalog-sized budgets (≤ ~1k merges —
+    * enforced loudly). A 30–100k-merge production tokenizer serves
+    * the Heaps-law HEAD through the broadcast word→tokens dictionary
+    * ([[bpeTokenCountsOn]]'s join) and only the OOV tail through this
+    * fold — the two paths agree on every shared word by the exactness
+    * above.
+    */
+  def bpeServeDocs(docs: DataFrame, model: BpeModel,
+      textCol: String = "text"): DataFrame = {
+    require(model.merges.size <= 1024,
+      s"bpeServeDocs folds one replace per merge (${model.merges.size}): " +
+        "past ~1k merges serve the vocabulary head via the dictionary join " +
+        "and keep the fold for the OOV tail")
+    // the same word guard as training (bracket chars + line
+    // terminators - see bpeTrainBatchedOn engine-parity note)
+    val words = filter(split(col(textCol), " "), w =>
+      length(w) > 0 && !w.contains("<") && !w.contains(">") &&
+        !w.rlike("[\n\r\u0085\u2028\u2029]"))
+    val toks = (w: Column) => {
+      val enc = bpeEncodeWord(model, w)
+      (length(enc) - length(translate(enc, "<", ""))).cast("long")
+    }
+    // bpe_-prefixed so annotation never silently REPLACES a source
+    // column (the fixture's documents table already carries n_chars)
+    docs
+      .withColumn("bpe_words", size(words).cast("long"))
+      .withColumn("bpe_tokens", aggregate(words, lit(0L), (acc, w) => acc + toks(w)))
+      .withColumn("bpe_chars", aggregate(words, lit(0L),
+        (acc, w) => acc + length(w).cast("long")))
   }
 
   /** THE integer type-token-ratio permille grid, as SQL over a text

@@ -241,6 +241,25 @@ class CurationFlowSpec extends SparkSpec {
       s"held-out accuracy must be >=90%, got $nOk/$nHeld")
   }
 
+  test("bpe_token_stats transform annotates docs from a frozen tokenizer model") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val modelPath = tmpDir("bpe-pipe-model").toString
+    TextAnalysis.saveBpeModel(spark,
+      TextAnalysis.trainBpeModel(spark, docs), modelPath)
+    graft.CacheScope.drain()
+    val registry = new TransformRegistry
+    CurationTransforms.registerBpeTokenStats(registry, spark, modelPath)
+    val out = registry("bpe_token_stats")(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq ++ Seq("bpe_words", "bpe_tokens", "bpe_chars"))
+    val expected = TextAnalysis.bpeServeDocs(docs,
+      TextAnalysis.loadBpeModel(spark, modelPath))
+    assert(out.select($"doc_id", $"bpe_tokens").except(
+      expected.select($"doc_id", $"bpe_tokens")).count() == 0)
+    assert(out.agg(org.apache.spark.sql.functions.sum($"bpe_tokens")).head().getLong(0) > 0)
+  }
+
   test("entropy_filter keeps exactly the docs above the nat threshold") {
     import spark.implicits._
     import graft.exec.{CurationTransforms, TransformRegistry}

@@ -253,6 +253,69 @@ class TextAnalysisSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen BPE model: stateless serve == lookup encode, parquet round-trip, stream") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val model = TextAnalysis.trainBpeModel(spark, docs)
+    graft.CacheScope.drain()
+    assert(model.merges.size == TextAnalysis.bpeRounds)
+    val path = tmpDir("bpe-model").toString
+    TextAnalysis.saveBpeModel(spark, model, path)
+    val loaded = TextAnalysis.loadBpeModel(spark, path)
+    assert(loaded.merges == model.merges, "rank ORDER must survive the round-trip")
+
+    // serving fold == the training-vocab lookup join on every doc of
+    // the corpus the model was trained on (all words in-vocabulary)
+    val served = TextAnalysis.bpeServeDocs(docs, loaded)
+      .select($"doc_id", $"bpe_words", $"bpe_tokens", $"bpe_chars")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val lookup = TextAnalysis.bpeTokenCountsOn(spark, docs, TextAnalysis.bpeRounds)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    graft.CacheScope.drain()
+    assert(served == lookup)
+
+    // stream: the same stateless columns over a readStream frame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val name = s"bpeserve_${System.nanoTime()}"
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val q = TextAnalysis.bpeServeDocs(mem.toDF().toDF("doc_id", "text"), loaded)
+      .select($"doc_id", $"bpe_words", $"bpe_tokens", $"bpe_chars")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(rows.take(30)); q.processAllAvailable()
+      mem.addData(rows.drop(30)); q.processAllAvailable()
+      val streamed = spark.table(name).as[(Long, Long, Long, Long)]
+        .collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(streamed == served)
+    } finally q.stop()
+  }
+
+  test("frozen BPE model encodes OUT-OF-VOCABULARY words by the merge rules") {
+    // train on 'lolo' x4: round 1 pair counts lo=8, ol=4 -> merge (l,o);
+    // round 2 vocab <lo><lo> -> merge (lo,lo). Hand-derived model.
+    val train = Seq((1L, "lolo lolo lolo lolo", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model = TextAnalysis.trainBpeModel(spark, train, rounds = 2)
+    assert(model.merges == Seq(("l", "o"), ("lo", "lo")))
+    // OOV doc: 'lol' -> <lo><l> (2 tokens; the (lo,lo) merge cannot
+    // apply), 'ooo' -> no merge applies (3 tokens). The lookup join
+    // would DROP both words (never seen in training); the fold serves
+    // them with the standard BPE fallback.
+    val oov = Seq((9L, "lol ooo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeServeDocs(oov, model)
+      .select($"bpe_words", $"bpe_tokens", $"bpe_chars")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((2L, 5L, 6L)))
+    // guard: a production-budget merge list must be refused loudly
+    val big = TextAnalysis.BpeModel((1 to 1025).map(i => (s"a$i", s"b$i")))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeServeDocs(oov, big)
+    }
+    assert(e.getMessage.contains("dictionary join"))
+  }
+
   test("perceptron round-1 weights are the class-conditional count difference") {
     // w₀ = 0 makes every doc misclassified in round 1, so the 1-round
     // model is exactly Σ_d y_d·count_d(bucket) — checkable by hand:
