@@ -94,6 +94,99 @@ object Similarity {
       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  /** Prefix-truncation dims / stage-2 shortlist — the r12 study's
+    * operating point: 16 of 64 dims (4× candidate-side compression)
+    * with R=64 exact rescores per query recovered 0.99+ recall on the
+    * clustered corpus (tools/trunc_recall_r12.jsonl). */
+  val prefixDims = 16
+  val prefixShortlist = 64
+
+  /** Matryoshka-style prefix-truncation ANN, two-stage: shortlist
+    * [[prefixShortlist]] candidates per query by cosine over only the
+    * FIRST [[prefixDims]] dims, then exact full-dim rescore → top-3.
+    * The productized form of the r12 truncation study: the candidate
+    * representation is d·8 bytes instead of 512, and only R rows per
+    * query ever touch full vectors.
+    *
+    * Scale shape and when to use it: stage 1 compresses BYTES, not
+    * CANDIDATES — it still scans every corpus prefix per query batch
+    * (queries broadcast, corpus streams; one shuffle for the
+    * per-query head). That is the right trade when the candidate set
+    * is already bounded (per-shard search, re-ranking a batch) or the
+    * corpus is cache-resident at d·8 B/row; for open-corpus ANN the
+    * probed-list pruning of [[ivfPq]] is the 100 TB path (reads
+    * nprobe/k of the index instead of all of it). Rotate onto PCA
+    * components first when the corpus is clustered — the study
+    * measured prefix recall 0.573 → 0.633 (R=16, d=16) from the
+    * rotation alone; raw order is kept here because the GATE needs an
+    * engine-portable oracle and the rotation is the composition
+    * `pcaTopKOn` already covers.
+    */
+  def prefixTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.CacheScope._
+    val e = embBase(s, Tables.t(s, dir, "embeddings"))
+    val ep = e
+      .withColumn("pq", slice($"xq", 1, prefixDims))
+      .withColumn("pn2", dot64($"pq", $"pq"))
+      .persistScoped() // stage 1 and both stage-2 joins read it
+    val q = ep.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2"),
+        $"pq".as("qpq"), $"pn2".as("qpn2"))
+    val stage1 = broadcast(q.select($"qid", $"qpq", $"qpn2"))
+      .join(ep.select($"vec_id", $"pq", $"pn2"), $"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id".as("cid"),
+        cosineFromDots(dot64($"qpq", $"pq"), $"qpn2", $"pn2").as("pcos"))
+    val w1 = Window.partitionBy($"qid").orderBy($"pcos".desc, $"cid".asc)
+    val cand = stage1.withColumn("rn", row_number().over(w1))
+      .filter($"rn" <= prefixShortlist).select($"qid", $"cid")
+    val rescored = cand
+      .join(ep.select($"vec_id".as("cid"), $"xq", $"n2"), Seq("cid"))
+      .join(broadcast(q.select($"qid", $"qxq", $"qn2")), Seq("qid"))
+      .select($"qid", $"cid",
+        cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
+    val w2 = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    rescored.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter($"rank" <= 3)
+      .orderBy($"qid", $"rank")
+  }
+
+  private val prefixTopKSql =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |           unnest(embedding) AS x FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id, i,
+       |  CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM e),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
+       |pnorms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS pn2
+       |           FROM q WHERE i <= $prefixDims GROUP BY 1),
+       |pdots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot
+       |  FROM q a JOIN q b ON a.i = b.i AND a.i <= $prefixDims
+       |       AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |pscored AS (
+       |  SELECT qid, cid, (dot / 1e8) / (sqrt(pa.pn2 / 1e8) * sqrt(pb.pn2 / 1e8)) AS pcos
+       |  FROM pdots JOIN pnorms pa ON qid = pa.vec_id JOIN pnorms pb ON cid = pb.vec_id),
+       |cand AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, cid ASC) AS rn
+       |    FROM pscored) t WHERE rn <= $prefixShortlist),
+       |fdots AS (
+       |  SELECT c.qid, c.cid, CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot
+       |  FROM cand c JOIN q a ON a.vec_id = c.qid
+       |       JOIN q b ON b.vec_id = c.cid AND a.i = b.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, cid, (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |  FROM fdots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   /** Sign-LSH bucket for the first `bits` dimensions (coarse quantizer):
     * bucket = Σ [x_i > 0]·2^(i-1). Deterministic — no RNG needed.
     */
@@ -1733,6 +1826,7 @@ object Similarity {
     CatalogEntry("q_emb_quantize", int8Quantize, Some(int8QuantizeSql)),
     CatalogEntry("q_sim_topk", bruteForceTopK, Some(bruteForceTopKSql)),
     CatalogEntry("q_sim_lsh_bucketed", lshBucketed, Some(lshBucketedSql)),
+    CatalogEntry("q_sim_prefix", prefixTopK, Some(prefixTopKSql)),
     CatalogEntry("q_sim_ivf", ivf, Some(ivfSql)),
     CatalogEntry("q_sim_pq", pqAdc, Some(pqAdcSql)),
     CatalogEntry("q_sim_ivfpq", ivfPq, Some(ivfPqSql)),
