@@ -1711,6 +1711,112 @@ object Similarity {
       .limit(20)
   }
 
+  /** Frozen PCA model — the deployable artifact that completes the
+    * model-as-artifact lifecycle for the last trained model without
+    * one (perceptron → QualityModel, IVF-PQ → IvfPqModel, BPE →
+    * BpeModel, and now power-iteration PCA). Contents: the per-dim
+    * integer MEANS of the training corpus (the centering statistic —
+    * frozen so serving-corpus drift cannot silently shift the basis)
+    * plus the k trained components on the 1e3 grid. ≤ 64 + 16·64
+    * longs — KBs, model-sized driver traffic only.
+    */
+  final case class PcaModel(means: Vector[Long], components: Vector[Vector[Long]]) {
+    def dims: Int = means.length
+    def k: Int = components.length
+  }
+
+  /** Train a frozen [[PcaModel]]: the original corpus's integer dim
+    * means (same sign-decomposed division as [[pcaCore]]'s centering,
+    * so served component-1 projections are bit-identical to the
+    * gate-pinned training path) + [[pcaTopKOn]]'s deflated top-k
+    * components.
+    */
+  def trainPcaModel(s: SparkSession, embeddings: DataFrame, k: Int,
+      rounds: Int = pcaRounds): PcaModel = {
+    import s.implicits._
+    val stats = embeddings
+      .select(posexplode(quantize1e4($"embedding")).as(Seq("dim0", "q")))
+      .groupBy(($"dim0" + 1).cast("long").as("dim"))
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "(CASE WHEN sq < 0 THEN -1L ELSE 1L END) * (abs(sq) div n)"))
+      .select($"dim", $"m")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(stats.nonEmpty, "trainPcaModel: embeddings frame is empty")
+    val d = stats.keys.max.toInt
+    val means = Vector.tabulate(d)(j => stats(j + 1L))
+    val comps = pcaTopKOn(s, embeddings, k, rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        val byDim = rows.map(t => t._2 -> t._3).toMap
+        Vector.tabulate(d)(j => byDim.getOrElse(j + 1L, 0L))
+      }.toVector
+    PcaModel(means, comps)
+  }
+
+  /** Freeze to parquet: rows (component, dim, v), component 0 = the
+    * centering means. One file; rank order is explicit in the rows so
+    * the round-trip is bit-identical regardless of read order.
+    */
+  def savePcaModel(s: SparkSession, model: PcaModel, path: String): Unit = {
+    import s.implicits._
+    val rows = model.means.zipWithIndex
+      .map { case (m, j) => (0L, (j + 1).toLong, m) } ++
+      model.components.zipWithIndex.flatMap { case (vs, c) =>
+        vs.zipWithIndex.map { case (v, j) => ((c + 1).toLong, (j + 1).toLong, v) }
+      }
+    rows.toDF("component", "dim", "v").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadPcaModel(s: SparkSession, path: String): PcaModel = {
+    val rows = s.read.parquet(path).collect().map(r =>
+      (r.getLong(r.fieldIndex("component")), r.getLong(r.fieldIndex("dim")),
+        r.getLong(r.fieldIndex("v"))))
+    val byComp = rows.groupBy(_._1)
+    require(byComp.contains(0L), s"no component-0 (means) rows in PCA model at $path")
+    def vec(c: Long): Vector[Long] = {
+      val byDim = byComp(c).map(t => t._2 -> t._3).toMap
+      Vector.tabulate(byDim.keys.max.toInt)(j => byDim.getOrElse(j + 1L, 0L))
+    }
+    PcaModel(vec(0L), byComp.keys.filter(_ > 0L).toSeq.sorted.map(vec).toVector)
+  }
+
+  /** Project a frame onto a FROZEN model as a pure per-row fold —
+    * appends `pca_proj1..pca_projK` (exact integer projections of the
+    * centered, 1e-2-coarsened vector onto each component) with the
+    * model as LITERAL arrays inside zip_with/aggregate. No explode,
+    * no join, no shuffle, and therefore no streaming STATE: the same
+    * columns run unchanged on batch and readStream frames (the
+    * train-offline/serve-in-stream split the other three models
+    * already have). Component 1 is bit-identical by construction to
+    * [[pcaScoresOn]]'s gate-pinned training projections (same
+    * quantize → frozen-mean center → div-100 coarsen → dot chain);
+    * spec-pinned in PcaModelSpec. Input vectors must have exactly
+    * `model.dims` dims — zip_with null-pads a mismatch into null
+    * projections rather than silently truncating. Columns are
+    * `pca_`-prefixed (annotation transforms must never shadow source
+    * columns).
+    */
+  def pcaServeOn(frame: DataFrame, model: PcaModel): DataFrame = {
+    require(model.k >= 1, "pcaServeOn: model has no components")
+    val meansSql = model.means.map(_ + "L").mkString("array(", ",", ")")
+    val withCx = frame
+      .withColumn("_pca_xq", quantize1e4(col("embedding")))
+      .withColumn("_pca_cx", expr(
+        s"""zip_with(_pca_xq, $meansSql, (q, m) ->
+           |  (CASE WHEN q < m THEN -1L ELSE 1L END) * (abs(q - m) div 100))"""
+          .stripMargin))
+    val served = model.components.zipWithIndex.foldLeft(withCx) {
+      case (f, (vs, i)) =>
+        val vSql = vs.map(_ + "L").mkString("array(", ",", ")")
+        f.withColumn(s"pca_proj${i + 1}", expr(
+          s"aggregate(zip_with(_pca_cx, $vSql, (x, v) -> x * v), 0L, (a, p) -> a + p)"))
+    }
+    served.drop("_pca_xq", "_pca_cx")
+  }
+
   private val pcaCtes = {
     // one unrolled power-iteration round: (cx ⋈ v_prev) per-vec rollup,
     // per-dim rollup, L∞ renormalize + canonical sign
