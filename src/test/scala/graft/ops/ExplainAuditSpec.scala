@@ -78,6 +78,10 @@ class ExplainAuditSpec extends SparkSpec {
     * is a conscious decision.
     */
   private val allowedNestedLoop = Seq("q_sim_topk", "q_sim_ivf",
+    // prefix-truncation stage 1 scans every corpus PREFIX per query by
+    // design (it compresses bytes, not candidates — scaladoc on
+    // prefixTopK); stage 2 must stay hash joins, pinned below
+    "q_sim_prefix",
     // IVF-PQ reuses ivf's ≤16-row codebook cross joins (training
     // assignment + query probing) — map-side by construction
     "q_sim_ivfpq",
@@ -136,6 +140,17 @@ class ExplainAuditSpec extends SparkSpec {
       val plan = planOf(name)
       assert(!plan.contains("Expand"), s"$name plans an Expand:\n$plan")
     }
+  }
+
+  test("q_sim_prefix: exactly one nested-loop (the prefix scan); rescore joins are hash") {
+    // stage 1's all-candidates prefix scan is the operator's job; the
+    // stage-2 shortlist rescore is two EQUI-joins (on cid, on qid) and
+    // must never degrade to a second nested loop or cartesian
+    val plan = planOf("q_sim_prefix")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1, s"expected exactly 1 BNLJ (prefix stage), got $bnlj:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), s"rescore lost its hash joins:\n$plan")
   }
 
   test("q_join_range joins hash-style on the band bucket") {
