@@ -45,6 +45,38 @@ class PcaModelSpec extends SparkSpec {
     }
   }
 
+  test("all k served projections equal an independent explode-join computation") {
+    // the serving fold (literal arrays, zip_with/aggregate) vs the
+    // relational shape the tools use (posexplode → center join →
+    // component join → rollup): same integers for every vector and
+    // every component, so the frozen model can drive the rotated
+    // prefix representation of the truncation study byte-for-byte
+    val e0 = emb
+      .select($"vec_id", posexplode(Similarity.quantize1e4($"embedding"))
+        .as(Seq("dim0", "q")))
+      .select($"vec_id", ($"dim0" + 1).cast("long").as("dim"), $"q")
+    val stats = e0.groupBy($"dim").agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+    val cx = e0.join(broadcast(stats), Seq("dim"))
+      .withColumn("c", expr(
+        "q - (CASE WHEN sq < 0 THEN -1L ELSE 1L END) * (abs(sq) div n)"))
+      .select($"vec_id", $"dim", expr(
+        "(CASE WHEN c < 0 THEN -1L ELSE 1L END) * (abs(c) div 100)").as("x"))
+    val comps = model.components.zipWithIndex.flatMap { case (vs, c) =>
+      vs.zipWithIndex.map { case (v, j) => ((c + 1).toLong, (j + 1).toLong, v) }
+    }.toDF("component", "dim", "v")
+    val joined = cx.join(broadcast(comps), Seq("dim"))
+      .groupBy($"vec_id", $"component").agg(sum($"x" * $"v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val served = Similarity.pcaServeOn(emb, model)
+      .select($"vec_id", $"pca_proj1", $"pca_proj2", $"pca_proj3")
+      .collect().flatMap(r => (1 to 3).map(c =>
+        (r.getLong(0), c.toLong) -> r.getLong(c))).toMap
+    assert(served.size == joined.size)
+    served.foreach { case (k, p) =>
+      assert(joined(k) == p, s"$k: served $p != join-based ${joined(k)}")
+    }
+  }
+
   test("components are mutually distinct and the model is deterministic to retrain") {
     assert(model.components.distinct.size == model.k,
       "deflation produced duplicate components")
