@@ -108,6 +108,26 @@ object CurationTransforms {
       graft.ops.TextAnalysis.bpeServeDocs(docs, model)
     })
 
+  /** Register `pca_project`: annotate every embedding row with its
+    * exact integer projections `pca_proj1..k` onto a FROZEN PCA basis
+    * (trained with [[graft.ops.Similarity.trainPcaModel]], saved with
+    * `savePcaModel`) — the whitening/drift-monitor step of an
+    * embedding-curation chain, served statelessly
+    * ([[graft.ops.Similarity.pcaServeOn]]: literal-array folds, no
+    * join, no shuffle, no streaming state — identical on batch and
+    * streaming extracts). The model is loaded lazily on first use and
+    * memoized for the registration's lifetime, like the bloom filter.
+    */
+  def registerPcaProject(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      modelPath: String): Unit = {
+    lazy val model = graft.ops.Similarity.loadPcaModel(spark, modelPath)
+    registry.register("pca_project", { frame: DataFrame =>
+      graft.ops.Similarity.pcaServeOn(frame, model)
+    })
+  }
+
   /** Register `entropy_filter`: keep documents whose word-distribution
     * entropy clears `minNats10` tenths of a nat (the
     * [[graft.ops.TextAnalysis.wordEntropy]] signal as a gate —

@@ -260,6 +260,26 @@ class CurationFlowSpec extends SparkSpec {
     assert(out.agg(org.apache.spark.sql.functions.sum($"bpe_tokens")).head().getLong(0) > 0)
   }
 
+  test("pca_project transform annotates embeddings from a frozen PCA model") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val modelPath = tmpDir("pca-pipe-model").toString
+    Similarity.savePcaModel(spark,
+      Similarity.trainPcaModel(spark, emb, k = 2), modelPath)
+    graft.CacheScope.drain()
+    val registry = new TransformRegistry
+    CurationTransforms.registerPcaProject(registry, spark, modelPath)
+    val out = registry("pca_project")(emb)
+    assert(out.columns.toSeq == emb.columns.toSeq ++ Seq("pca_proj1", "pca_proj2"))
+    val expected = Similarity.pcaServeOn(emb,
+      Similarity.loadPcaModel(spark, modelPath))
+    assert(out.select($"vec_id", $"pca_proj1", $"pca_proj2").except(
+      expected.select($"vec_id", $"pca_proj1", $"pca_proj2")).count() == 0)
+    // projections carry signal, not a degenerate all-zero column
+    assert(out.filter($"pca_proj1" =!= 0L).count() > 0)
+  }
+
   test("entropy_filter keeps exactly the docs above the nat threshold") {
     import spark.implicits._
     import graft.exec.{CurationTransforms, TransformRegistry}
