@@ -29,6 +29,21 @@ class MetricsSpec extends SparkSpec {
     assert(m.inputRecords >= 500L) // it did actually read the corpus
   }
 
+  test("frozen-PCA projection shuffles ZERO records (stateless map-side serving)") {
+    // same contract as the quality model: the literal-array fold must
+    // never grow an exchange (an explode+join rewrite would)
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = graft.ops.Similarity.trainPcaModel(spark, emb, k = 2)
+    graft.CacheScope.drain()
+    val (_, m) = SparkMetrics.measure(spark) {
+      graft.ops.Similarity.pcaServeOn(emb, model)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(m.shuffleWriteRecords == 0L,
+      s"projection shuffled ${m.shuffleWriteRecords} records — must be map-side only")
+    assert(m.inputRecords >= 500L)
+  }
+
   test("shard writer moves each row once (one exchange), manifest adds only bounded rows") {
     val docs = graft.Tables.t(spark, dir, "documents")
     val n = docs.count()
