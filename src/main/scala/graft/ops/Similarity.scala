@@ -187,6 +187,77 @@ object Similarity {
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  /** Materialized prefix INDEX — the serving split of [[prefixTopK]],
+    * making the byte-compression claim physical: (vec_id, pq, pn2)
+    * where `pq` is the quantized [[prefixDims]]-dim prefix. Building
+    * is one map-side pass over the corpus (zero shuffle — encoding
+    * against a fixed dim count is a pure per-row function, so append
+    * ≡ full rebuild, same property as [[appendIvfPqIndex]]; the
+    * streaming shape is `foreachBatch { (b, _) =>
+    * appendPrefixIndex(buildPrefixIndex(s, b), path) }`). A probe
+    * then scans ONLY the index — dims/64 of the vector bytes — and
+    * touches full vectors for shortlist rows per query via the
+    * rescore join. Unlike the IVF-PQ layout there is no list pruning:
+    * every index ROW is still read per batch (stage 1 compresses
+    * bytes, not candidates — [[prefixTopK]]'s scaladoc trade).
+    */
+  def buildPrefixIndex(s: SparkSession, emb: DataFrame,
+      dims: Int = prefixDims): DataFrame = {
+    import s.implicits._
+    embBase(s, emb)
+      .withColumn("pq", slice($"xq", 1, dims))
+      .withColumn("pn2", dot64($"pq", $"pq"))
+      .select($"vec_id", $"pq", $"pn2")
+  }
+
+  def savePrefixIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def appendPrefixIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("append").parquet(path)
+
+  /** Serve prefix-shortlist ANN over a prebuilt index: stage 1 scores
+    * query prefixes against the INDEX (broadcast queries, index
+    * streams — the corpus's full vectors are not read), stage 2
+    * exact-rescores the per-query shortlist against `corpus`.
+    * Bit-identical to the fused [[prefixTopK]] on the same frames
+    * (PrefixIndexSpec pins it, including through a parquet
+    * round-trip of the index).
+    *
+    * @param excludeSelf drop the corpus vector whose `vec_id` equals
+    *   a query's id — the gate's shape (queries ARE corpus rows).
+    *   Pass false for an external query batch in its own id space.
+    */
+  def probePrefixIndex(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      index: DataFrame, dims: Int = prefixDims,
+      shortlist: Int = prefixShortlist, k: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
+    import s.implicits._
+    import graft.CacheScope._
+    val qbase = embBase(s, queries)
+      .select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2"))
+      .withColumn("qpq", slice($"qxq", 1, dims))
+      .withColumn("qpn2", dot64($"qpq", $"qpq"))
+      .persistScoped()
+    val selfFilter = if (excludeSelf) $"qid" =!= $"vec_id" else lit(true)
+    val stage1 = broadcast(qbase.select($"qid", $"qpq", $"qpn2"))
+      .join(index, selfFilter)
+      .select($"qid", $"vec_id".as("cid"),
+        cosineFromDots(dot64($"qpq", $"pq"), $"qpn2", $"pn2").as("pcos"))
+    val w1 = Window.partitionBy($"qid").orderBy($"pcos".desc, $"cid".asc)
+    val cand = stage1.withColumn("rn", row_number().over(w1))
+      .filter($"rn" <= shortlist).select($"qid", $"cid")
+    val rescored = cand
+      .join(embBase(s, corpus).select($"vec_id".as("cid"), $"xq", $"n2"), Seq("cid"))
+      .join(broadcast(qbase.select($"qid", $"qxq", $"qn2")), Seq("qid"))
+      .select($"qid", $"cid",
+        cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
+    val w2 = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    rescored.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Sign-LSH bucket for the first `bits` dimensions (coarse quantizer):
     * bucket = Σ [x_i > 0]·2^(i-1). Deterministic — no RNG needed.
     */
