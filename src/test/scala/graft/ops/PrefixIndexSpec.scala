@@ -50,6 +50,37 @@ class PrefixIndexSpec extends SparkSpec {
     assert(rows(inc) == rows(full))
   }
 
+  test("streaming ingest: foreachBatch index-append, probes see every arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmpDir("prefix-stream-index").toString + "/index"
+    // bootstrap with 3/5 of the corpus, stream the rest in two batches
+    Similarity.savePrefixIndex(
+      Similarity.buildPrefixIndex(spark, emb.filter($"vec_id" % 5 > 1)), path)
+    graft.CacheScope.drain()
+    val rows = emb.filter($"vec_id" % 5 <= 1)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendPrefixIndex(Similarity.buildPrefixIndex(
+          spark, b.withColumn("embedding", col("embedding").cast("array<float>"))), path)
+      }
+      .option("checkpointLocation", tmpDir("prefix-stream-ck").toString)
+      .start()
+    try {
+      mem.addData(rows.take(rows.length / 2)); q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    graft.CacheScope.drain()
+    val streamed = asTuples(Similarity.probePrefixIndex(
+      spark, emb, queries, spark.read.parquet(path)))
+    graft.CacheScope.drain()
+    val rebuilt = asTuples(Similarity.probePrefixIndex(
+      spark, emb, queries, Similarity.buildPrefixIndex(spark, emb)))
+    assert(streamed == rebuilt && streamed.nonEmpty)
+  }
+
   test("scanning the index reads a fraction of the corpus bytes") {
     // the 500-row fixture is footer-dominated; the byte claim needs a
     // corpus where data pages dominate — 20k incompressible vectors
