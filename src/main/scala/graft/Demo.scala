@@ -91,6 +91,30 @@ object Demo {
     ops.Similarity.probeIvfPq(spark, emb,
       emb.filter("vec_id % 50 = 0"), annModel,
       spark.read.parquet(indexPath)).show(3)
+    // round-12 surface: the PCA basis and prefix indexes join the
+    // frozen-artifact family; BPE serves from its frozen merge list
+    println("[demo] PCA: freeze the basis, project statelessly, rotated-prefix ANN")
+    val pcaPath = work.resolve("pca-model").toString
+    ops.Similarity.savePcaModel(spark,
+      ops.Similarity.trainPcaModel(spark, emb, k = 4), pcaPath)
+    val pcaModel = ops.Similarity.loadPcaModel(spark, pcaPath)
+    ops.Similarity.pcaServeOn(emb, pcaModel)
+      .select("vec_id", "pca_proj1", "pca_proj2").show(3)
+    val rotIdxPath = work.resolve("rot-index").toString
+    ops.Similarity.savePrefixIndex(
+      ops.Similarity.buildRotatedPrefixIndex(spark, emb, pcaModel, dims = 4),
+      rotIdxPath)
+    ops.Similarity.probeRotatedPrefixIndex(spark, emb,
+      emb.filter("vec_id % 50 = 0"), pcaModel,
+      spark.read.parquet(rotIdxPath), dims = 4).show(3)
+    println("[demo] tokenizer: freeze BPE merges, stateless token accounting")
+    val bpePath = work.resolve("bpe-model").toString
+    ops.TextAnalysis.saveBpeModel(spark,
+      ops.TextAnalysis.trainBpeModel(spark, docs), bpePath)
+    ops.TextAnalysis.bpeServeDocs(docs,
+        ops.TextAnalysis.loadBpeModel(spark, bpePath))
+      .select("doc_id", "bpe_words", "bpe_tokens", "bpe_chars").show(3)
+
     println("[demo] shards: deterministic layout + targeted deletion")
     val shardPath = work.resolve("shards").toString
     ops.Sharding.writeTrainingShards(docs, "doc_id", shardPath, 16).show(3)

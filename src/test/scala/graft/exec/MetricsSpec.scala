@@ -44,6 +44,21 @@ class MetricsSpec extends SparkSpec {
     assert(m.inputRecords >= 500L)
   }
 
+  test("prefix-index build shuffles ZERO records (pure per-row encoding)") {
+    // the append ≡ rebuild property rests on encoding being a pure
+    // map — an exchange appearing here would break it silently
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    graft.CacheScope.drain()
+    val (_, m) = SparkMetrics.measure(spark) {
+      graft.ops.Similarity.buildPrefixIndex(spark, emb)
+        .write.format("noop").mode("overwrite").save()
+    }
+    graft.CacheScope.drain()
+    assert(m.shuffleWriteRecords == 0L,
+      s"index build shuffled ${m.shuffleWriteRecords} records — must be map-side only")
+    assert(m.inputRecords >= 500L)
+  }
+
   test("shard writer moves each row once (one exchange), manifest adds only bounded rows") {
     val docs = graft.Tables.t(spark, dir, "documents")
     val n = docs.count()
