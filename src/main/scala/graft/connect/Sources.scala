@@ -118,6 +118,44 @@ object Sources {
           throw new IllegalArgumentException(s"load '${step.name}': path required"))
         val base = conn.options.get("basePath").orElse(conn.options.get("baseDir"))
         val full = base.map(b => s"$b/$path").getOrElse(path)
+        // "annIndex": maintain an ANN serving index as a declarative
+        // load step — the in-flight frame (vec_id, embedding) is
+        // encoded with the frozen artifacts and written/appended as
+        // the index layout, so a streaming pipeline keeps a search
+        // index fresh the same way it keeps shards fresh. `prefix`
+        // writes the byte-compressed prefix index (ops.Similarity);
+        // with a `pcaModel` path the index is built in the ROTATED
+        // space (the model is frozen — serving drift can't move the
+        // basis). Encoding is a pure per-row map, so mode `append`
+        // extends the layout with work ∝ increment and append ≡
+        // rebuild (PrefixIndexSpec); `delete` is rejected loudly —
+        // removing vectors means rebuilding from the source of truth.
+        if (step.options.contains("annIndex")) {
+          require(f == "parquet",
+            s"load '${step.name}': annIndex layout requires parquet, got '$f'")
+          val kind = step.options("annIndex")
+          require(kind == "prefix",
+            s"load '${step.name}': unknown annIndex kind '$kind' (supported: prefix)")
+          val s = df.sparkSession
+          val dims = step.options.get("dims").map(_.toInt)
+          val idx = step.options.get("pcaModel") match {
+            case Some(mp) =>
+              val m = graft.ops.Similarity.loadPcaModel(s, mp)
+              graft.ops.Similarity.buildRotatedPrefixIndex(
+                s, df, m, dims.getOrElse(m.k))
+            case None => graft.ops.Similarity.buildPrefixIndex(
+              s, df, dims.getOrElse(graft.ops.Similarity.prefixDims))
+          }
+          saveMode(step.mode) match {
+            case SaveMode.Append =>
+              graft.ops.Similarity.appendPrefixIndex(idx, full)
+            case SaveMode.ErrorIfExists
+                if Hfs.fs(s, full).exists(new org.apache.hadoop.fs.Path(full)) =>
+              throw new IllegalStateException(
+                s"load '${step.name}': ann index already exists at $full (mode=errorIfExists)")
+            case _ => graft.ops.Similarity.savePrefixIndex(idx, full)
+          }
+        } else
         // "shardBy" + "shards": the training-shard layout as a
         // declarative load step — deterministic md5 placement into N
         // equal-mass shards with a _shards.json manifest

@@ -151,6 +151,67 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dataDir/shards").count() == 197)
   }
 
+  test("declarative ANN index maintenance: build, append == rebuild, rotated, error paths") {
+    val (repo, dataDir) = setup()
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 300L)
+      .map(id => (id, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    emb.filter($"vec_id" < 200).write.parquet(s"$dataDir/emb_b1")
+    emb.filter($"vec_id" >= 200).write.parquet(s"$dataDir/emb_b2")
+    emb.write.parquet(s"$dataDir/emb_all")
+    val runner = new PipelineRunner(spark, repo)
+
+    def annStep(id: String, src: String, mode: String, extra: String = "") = pipeline(
+      s"""{"id":"$id","name":"$id","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"$src"},
+         |{"stepType":"load","name":"idx","order":2,"connectionId":"local","path":"annidx","mode":"$mode",
+         | "options":{"annIndex":"prefix","dims":"4"$extra}}
+         |]}""".stripMargin)
+    // bootstrap on the first batch, stream the second in via append
+    repo.savePipeline(annStep("ann1", "emb_b1", "replace"))
+    repo.savePipeline(annStep("ann2", "emb_b2", "append"))
+    assert(runner.runById("ann1").status == "success")
+    assert(runner.runById("ann2").status == "success")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", concat_ws(",", $"pq".cast("array<string>")), $"pn2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val rebuilt = rows(graft.ops.Similarity.buildPrefixIndex(spark, emb, dims = 4))
+    graft.CacheScope.drain()
+    assert(rows(spark.read.parquet(s"$dataDir/annidx")) == rebuilt)
+
+    // rotated variant: frozen basis steers the index
+    val pcaPath = s"$dataDir/pcam"
+    graft.ops.Similarity.savePcaModel(spark,
+      graft.ops.Similarity.trainPcaModel(spark, emb, k = 2), pcaPath)
+    graft.CacheScope.drain()
+    val rot = pipeline(
+      s"""{"id":"ann3","name":"rot","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"emb_all"},
+         |{"stepType":"load","name":"idx","order":2,"connectionId":"local","path":"rotidx","mode":"replace",
+         | "options":{"annIndex":"prefix","pcaModel":"$pcaPath"}}
+         |]}""".stripMargin)
+    repo.savePipeline(rot)
+    assert(runner.runById("ann3").status == "success")
+    val rotRebuilt = rows(graft.ops.Similarity.buildRotatedPrefixIndex(
+      spark, emb, graft.ops.Similarity.loadPcaModel(spark, pcaPath), dims = 2))
+    graft.CacheScope.drain()
+    assert(rows(spark.read.parquet(s"$dataDir/rotidx")) == rotRebuilt)
+
+    // error paths: unknown kind, and delete mode is rejected loudly
+    val badKind = pipeline(
+      s"""{"id":"ann4","name":"bad","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"emb_b1"},
+         |{"stepType":"load","name":"idx","order":2,"connectionId":"local","path":"annidx","mode":"replace",
+         | "options":{"annIndex":"ivfpq"}}
+         |]}""".stripMargin)
+    repo.savePipeline(badKind)
+    intercept[IllegalArgumentException](runner.run(badKind))
+    assert(repo.history("ann4").map(_.status) == Seq("running", "error"))
+    repo.savePipeline(annStep("ann5", "emb_b1", "delete"))
+    intercept[IllegalArgumentException](runner.runById("ann5"))
+  }
+
   test("sanitize load applies reference null semantics (SURVEY §1.3)") {
     val (repo, dataDir) = setup()
     Seq(
