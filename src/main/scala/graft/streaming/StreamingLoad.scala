@@ -132,6 +132,37 @@ object StreamingLoad {
           StreamOps.upsertToParquetManifest(df, req("keyCol"), req("versionCol"), full, nb)
         else
           StreamOps.upsertToParquetBucketed(df, req("keyCol"), req("versionCol"), full, nb)
+      case "append" if merged.contains("annIndex") =>
+        // streaming ANN-index maintenance: each drained micro-batch is
+        // encoded against the frozen artifacts (pcaModel → rotated
+        // space) and appended to the index layout. Encoding is a pure
+        // per-row map, so append ≡ rebuild and arrival order never
+        // changes the index contents; crash-and-retry semantics are
+        // AT-LEAST-ONCE like the shard sink (a replayed batch appends
+        // its rows again — dedup by vec_id at probe time or rebuild).
+        val kind = merged("annIndex")
+        require(kind == "prefix",
+          s"load '${step.name}': unknown annIndex kind '$kind' (supported: prefix)")
+        require(conn.format == "parquet",
+          s"load '${step.name}': annIndex layout requires parquet, got '${conn.format}'")
+        val dims = merged.get("dims").map(_.toInt)
+        // the model is loaded ONCE (plain data, session-independent);
+        // the index columns must build against the MICRO-BATCH's
+        // session — streaming runs batches on a cloned session, and a
+        // function registered only on the outer session after the
+        // clone was taken does not resolve there
+        val model = merged.get("pcaModel")
+          .map(mp => graft.ops.Similarity.loadPcaModel(df.sparkSession, mp))
+        df.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          val bs = b.sparkSession
+          val idx = model match {
+            case Some(m) => graft.ops.Similarity.buildRotatedPrefixIndex(
+              bs, b, m, dims.getOrElse(m.k))
+            case None => graft.ops.Similarity.buildPrefixIndex(
+              bs, b, dims.getOrElse(graft.ops.Similarity.prefixDims))
+          }
+          graft.ops.Similarity.appendPrefixIndex(idx, full); ()
+        }.outputMode("append")
       case "append" if merged.contains("shardBy") || merged.contains("shards") =>
         // streaming curation endpoint: each drained micro-batch extends
         // the deterministic training-shard layout additively

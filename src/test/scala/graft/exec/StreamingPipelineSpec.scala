@@ -155,6 +155,72 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(manifestTotal() == expected.size.toLong)
   }
 
+  test("streaming ANN maintenance: landing embeddings -> rotated index append across two ticks") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.concat_ws
+    val dataDir = tmpDir("graft-stream-ann").toString
+    val repo = new Repository(tmpDir("graft-stream-ann-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 120L).map(id =>
+      (id, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val allDf = all.toDF("vec_id", "embedding")
+    // freeze the basis offline on the full corpus, like a deployment
+    val pcaPath = s"$dataDir/pcam"
+    Similarity.savePcaModel(spark,
+      Similarity.trainPcaModel(spark, allDf, k = 2), pcaPath)
+    graft.CacheScope.drain()
+
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"ann-stream","name":"landing-to-index","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"index","order":2,"connectionId":"local",
+         | "path":"annidx","mode":"append",
+         | "options":{"annIndex":"prefix","pcaModel":"$pcaPath","checkpointLocation":"ck"}}
+         |]}""".stripMargin))
+
+    // tick 1 drains the first 70 vectors, tick 2 the remaining 50
+    all.take(70).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-03T08:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    now = Instant.parse("2026-03-03T08:15:05Z")
+    assert(sched.tick() == Seq("ann-stream"))
+    all.drop(70).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-03T08:30:05Z")
+    assert(sched.tick() == Seq("ann-stream"))
+    sched.stop()
+
+    assert(repo.history("ann-stream").map(_.status) ==
+      Seq("running", "success", "running", "success"))
+    // the streamed index equals a full offline rebuild, row for row,
+    // and probes serve identically from it
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", concat_ws(",", $"pq".cast("array<string>")), $"pn2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val model = Similarity.loadPcaModel(spark, pcaPath)
+    val rebuilt = rows(Similarity.buildRotatedPrefixIndex(spark, allDf, model, dims = 2))
+    graft.CacheScope.drain()
+    assert(rows(spark.read.parquet(s"$dataDir/annidx")) == rebuilt)
+    val queries = allDf.filter($"vec_id" % 50 === 0)
+    val servedStream = Similarity.probeRotatedPrefixIndex(spark, allDf, queries,
+      model, spark.read.parquet(s"$dataDir/annidx"), dims = 2, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    graft.CacheScope.drain()
+    val servedRebuild = Similarity.probeRotatedPrefixIndex(spark, allDf, queries,
+      model, Similarity.buildRotatedPrefixIndex(spark, allDf, model, dims = 2),
+      dims = 2, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    graft.CacheScope.drain()
+    assert(servedStream == servedRebuild && servedStream.nonEmpty)
+  }
+
   test("landing-dir drain is admission-bounded: the backlog splits into capped micro-batches") {
     // five files land before the first run — an unbounded AvailableNow
     // drain would hand all five to ONE micro-batch (the measured OOM
