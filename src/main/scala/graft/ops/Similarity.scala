@@ -194,7 +194,10 @@ object Similarity {
     * against a fixed dim count is a pure per-row function, so append
     * ≡ full rebuild, same property as [[appendIvfPqIndex]]; the
     * streaming shape is `foreachBatch { (b, _) =>
-    * appendPrefixIndex(buildPrefixIndex(s, b), path) }`). A probe
+    * appendPrefixIndex(buildPrefixIndex(b.sparkSession, b), path) }` —
+    * pass the BATCH's session: foreachBatch analyzes against a cloned
+    * session where later outer-session registrations don't resolve).
+    * A probe
     * then scans ONLY the index — dims/64 of the vector bytes — and
     * touches full vectors for shortlist rows per query via the
     * rescore join. Unlike the IVF-PQ layout there is no list pruning:
@@ -296,6 +299,7 @@ object Similarity {
     require(dims >= 1 && dims <= model.k,
       s"dims must be in [1, model.k=${model.k}]: $dims")
     graft.functions.GraftExtensions.register(s)
+    graft.functions.GraftExtensions.register(emb.sparkSession) // see embBase
     val projCols = (1 to dims).map(c => col(s"pca_proj$c"))
     pcaServeOn(emb, model)
       .select($"vec_id", array(projCols: _*).as("pq"))
@@ -318,6 +322,7 @@ object Similarity {
     require(dims >= 1 && dims <= model.k,
       s"dims must be in [1, model.k=${model.k}]: $dims")
     graft.functions.GraftExtensions.register(s)
+    graft.functions.GraftExtensions.register(queries.sparkSession) // see embBase
     val projCols = (1 to dims).map(c => col(s"pca_proj$c"))
     val qbase = pcaServeOn(queries, model)
       .select($"vec_id".as("qid"), quantize1e4($"embedding").as("qxq"),
@@ -443,7 +448,13 @@ object Similarity {
     */
   private[graft] def embBase(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
+    // register on the FRAME's session, not (only) the passed one:
+    // inside foreachBatch the micro-batch analyzes against a cloned
+    // session, and a function registered on the outer session after
+    // the clone was taken does not resolve there (caught live by
+    // StreamingPipelineSpec's ANN-maintenance case)
     graft.functions.GraftExtensions.register(s)
+    graft.functions.GraftExtensions.register(emb.sparkSession)
     emb.select($"vec_id", quantize1e4($"embedding").as("xq"))
       .withColumn("n2", dot64($"xq", $"xq"))
       .persistScoped()
@@ -1024,7 +1035,10 @@ object Similarity {
     * same append-only property as `Sharding.appendToShards`; encoding
     * against a frozen model is a pure per-row function, so append ≡
     * full rebuild — IvfPqModelSpec pins it). The streaming shape is
-    * `foreachBatch { (b, _) => appendIvfPqIndex(indexIvfPq(s, b, m), path) }`.
+    * `foreachBatch { (b, _) =>
+    * appendIvfPqIndex(indexIvfPq(b.sparkSession, b, m), path) }` —
+    * pass the BATCH's session (cloned-session function resolution;
+    * see [[embBase]]).
     */
   def appendIvfPqIndex(index: DataFrame, path: String): Unit =
     index.write.mode("append").partitionBy("centroid").parquet(path)
