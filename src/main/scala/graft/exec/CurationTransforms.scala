@@ -128,6 +128,53 @@ object CurationTransforms {
     })
   }
 
+  /** Register `ann_neighbors`: annotate every embedding row of the
+    * in-flight frame with its top-k nearest corpus neighbors served
+    * from a FROZEN prefix index (`graft.ops.Similarity`
+    * buildPrefixIndex / buildRotatedPrefixIndex layouts; pass
+    * `pcaModelPath` iff the index was built rotated) — the
+    * consumption half of the declarative ANN story (the `annIndex`
+    * load step is the maintenance half). Neighbors arrive as a
+    * rank-ordered comma-joined id string in `ann_neighbors` (string,
+    * not array: annotation columns must stay hashable downstream);
+    * rows without neighbors keep an empty string. The frame is the
+    * QUERY side in its own id space, so self-matches are NOT excluded
+    * — identical ids on both sides mean the corpus row is a true
+    * (distance-0) neighbor, exactly what dedup-shaped consumers want.
+    */
+  def registerAnnNeighbors(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      corpusPath: String,
+      indexPath: String,
+      pcaModelPath: Option[String] = None,
+      dims: Option[Int] = None,
+      shortlist: Int = 64,
+      k: Int = 3): Unit = {
+    import graft.ops.Similarity
+    lazy val corpus = spark.read.parquet(corpusPath)
+    lazy val index = spark.read.parquet(indexPath)
+    lazy val model = pcaModelPath.map(Similarity.loadPcaModel(spark, _))
+    registry.register("ann_neighbors", { frame: DataFrame =>
+      val s = frame.sparkSession
+      val probed = model match {
+        case Some(m) => Similarity.probeRotatedPrefixIndex(
+          s, corpus, frame, m, index, dims.getOrElse(m.k), shortlist, k,
+          excludeSelf = false)
+        case None => Similarity.probePrefixIndex(
+          s, corpus, frame, index, dims.getOrElse(Similarity.prefixDims),
+          shortlist, k, excludeSelf = false)
+      }
+      val byQuery = probed
+        .groupBy(col("qid").as("vec_id"))
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("rank"), col("cid")))),
+          p => p("cid").cast("string"))).as("ann_neighbors"))
+      frame.join(byQuery, Seq("vec_id"), "left")
+        .withColumn("ann_neighbors", coalesce(col("ann_neighbors"), lit("")))
+    })
+  }
+
   /** Register `entropy_filter`: keep documents whose word-distribution
     * entropy clears `minNats10` tenths of a nat (the
     * [[graft.ops.TextAnalysis.wordEntropy]] signal as a gate —

@@ -280,6 +280,39 @@ class CurationFlowSpec extends SparkSpec {
     assert(out.filter($"pca_proj1" =!= 0L).count() > 0)
   }
 
+  test("ann_neighbors transform annotates queries from a frozen prefix index") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val idxPath = tmpDir("ann-pipe-index").resolve("idx").toString
+    Similarity.savePrefixIndex(Similarity.buildPrefixIndex(spark, emb), idxPath)
+    graft.CacheScope.drain()
+    val registry = new TransformRegistry
+    CurationTransforms.registerAnnNeighbors(registry, spark,
+      s"$dir/embeddings.parquet", idxPath, k = 3)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val out = registry("ann_neighbors")(queries)
+    assert(out.columns.toSeq == queries.columns.toSeq :+ "ann_neighbors")
+    val got = out.select($"vec_id", $"ann_neighbors")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the frame is its own id space against the same corpus, so each
+    // query's nearest neighbor is itself (cos=1, excludeSelf=false)
+    assert(got.nonEmpty)
+    got.foreach { case (id, s) =>
+      assert(s.nonEmpty && s.split(",").head.toLong == id,
+        s"query $id: expected self as rank-1 neighbor, got '$s'")
+    }
+    // rank order matches a direct probe
+    val expected = Similarity.probePrefixIndex(spark, emb, queries,
+        Similarity.buildPrefixIndex(spark, emb), excludeSelf = false)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).mkString(",")
+      }
+    graft.CacheScope.drain()
+    assert(got == expected)
+  }
+
   test("entropy_filter keeps exactly the docs above the nat threshold") {
     import spark.implicits._
     import graft.exec.{CurationTransforms, TransformRegistry}
