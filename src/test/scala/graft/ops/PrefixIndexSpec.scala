@@ -50,6 +50,28 @@ class PrefixIndexSpec extends SparkSpec {
     assert(rows(inc) == rows(full))
   }
 
+  test("full-dim index (no truncation) equals brute force even with a tiny shortlist") {
+    // dims = the corpus dimension → stage-1 cosine IS the exact
+    // cosine, so the top-shortlist head necessarily contains the true
+    // top-k and the rescore returns exactly brute force. Pins the
+    // rescore machinery's correctness independent of truncation loss.
+    val dir = tmpDir("prefix-fulldim").toString
+    val rnd = new scala.util.Random(29)
+    (0L until 150L).map(id => (id, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val corpus = graft.Tables.t(spark, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(spark, dir).filter($"rank" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    graft.CacheScope.drain()
+    val got = asTuples(Similarity.probePrefixIndex(
+      spark, corpus, corpus.filter($"vec_id" % 50 === 0),
+      Similarity.buildPrefixIndex(spark, corpus, dims = 64),
+      dims = 64, shortlist = 4))
+    assert(exact.nonEmpty && got == exact,
+      s"missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+  }
+
   test("streaming ingest: foreachBatch index-append, probes see every arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
