@@ -128,6 +128,26 @@ object CurationTransforms {
     })
   }
 
+  /** Register `semantic_decontaminate`: drop every embedding row of
+    * the in-flight frame within cosine `tauMilli/1000` of ANY vector
+    * in the benchmark set at `benchPath` — the embedding-space sibling
+    * of `bloom_decontaminate` (paraphrased test leakage that n-gram
+    * overlap misses). Exact full-dim comparison, bench side broadcast:
+    * no false negatives within the threshold, corpus never shuffles on
+    * content ([[graft.ops.Similarity.semanticDecontaminate]]). The
+    * bench frame is read against the IN-FLIGHT frame's session so the
+    * transform works inside foreachBatch (cloned-session rule).
+    */
+  def registerSemanticDecontaminate(
+      registry: TransformRegistry,
+      benchPath: String,
+      tauMilli: Long): Unit =
+    registry.register("semantic_decontaminate", { corpus: DataFrame =>
+      val s = corpus.sparkSession
+      graft.ops.Similarity.semanticDecontaminate(
+        s, corpus, s.read.parquet(benchPath), tauMilli)
+    })
+
   /** Register `ann_neighbors`: annotate every embedding row of the
     * in-flight frame with its top-k nearest corpus neighbors served
     * from a FROZEN prefix index (`graft.ops.Similarity`

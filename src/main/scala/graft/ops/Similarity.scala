@@ -1249,6 +1249,40 @@ object Similarity {
     * the graph hub cap: an oversized cluster (degenerate codebook)
     * can be excluded and reported rather than joined.
     */
+  /** Semantic DECONTAMINATION — the embedding-space sibling of the
+    * shingle-space `Dedup.bloomClean`/`q_text_contamination` family:
+    * drop every corpus row whose embedding lies within cosine
+    * `tauMilli/1000` of ANY benchmark vector. N-gram overlap misses
+    * paraphrased test leakage; this catches it at the representation
+    * level (standard practice before LLM evals). The comparison is
+    * EXACT full-dim cosine (no recall loss — a decontamination pass
+    * must not have false negatives within its threshold), which is
+    * affordable precisely because benchmarks are small: the bench side
+    * broadcasts (bench·dims longs), the corpus streams map-side
+    * through one fused integer-dot scan, and the only shuffle is the
+    * anti-join against the flagged id set — contamination-sized, which
+    * AQE broadcasts in practice. The corpus frame's own columns pass
+    * through untouched.
+    *
+    * Ids are never compared across the two frames — a corpus row
+    * identical to a bench row is exactly what must be dropped, even
+    * (especially) if they share an id.
+    */
+  def semanticDecontaminate(s: SparkSession, corpus: DataFrame,
+      bench: DataFrame, tauMilli: Long): DataFrame = {
+    import s.implicits._
+    require(tauMilli >= -1000L && tauMilli <= 1000L,
+      s"tauMilli is cosine·1000, must be in [-1000, 1000]: $tauMilli")
+    val cb = embBase(s, corpus)
+    val bb = embBase(s, bench)
+      .select($"xq".as("bxq"), $"n2".as("bn2"))
+    val flagged = broadcast(bb).join(cb,
+        cosineFromDots(dot64($"bxq", $"xq"), $"bn2", $"n2")
+          >= lit(tauMilli.toDouble / 1000.0))
+      .select($"vec_id").distinct()
+    corpus.join(flagged, Seq("vec_id"), "left_anti")
+  }
+
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (base, _, assigned0) = coarseFrontEnd(s, dir, ivfK, ivfIters)
