@@ -2114,7 +2114,39 @@ object Similarity {
       |  CAST(sqn // (n * n) AS BIGINT) AS dist
       |FROM r WHERE rn <= 3 ORDER BY label, rn""".stripMargin
 
+  /** Gate row for [[semanticDecontaminate]]: the %50 query subset
+    * plays the benchmark, τ = 0.95 — bench members drop themselves
+    * (cos = 1 against their own corpus row; ids are never compared)
+    * plus any genuine near-dup, and the surviving id list is the
+    * deterministic output the oracle re-derives pair-for-pair.
+    */
+  def embDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    semanticDecontaminate(s, emb, emb.filter($"vec_id" % 50 === 0), tauMilli = 950L)
+      .select($"vec_id").orderBy($"vec_id")
+  }
+
+  private val embDecontamSql =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |           unnest(embedding) AS x FROM embeddings),
+      |q AS MATERIALIZED (SELECT vec_id, i,
+      |  CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM e),
+      |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
+      |dots AS (
+      |  SELECT b.vec_id AS bid, c.vec_id AS cid, CAST(SUM(b.xq * c.xq) AS BIGINT) AS dot
+      |  FROM q b JOIN q c ON b.i = c.i AND b.vec_id % 50 = 0
+      |  GROUP BY 1, 2),
+      |flagged AS (
+      |  SELECT DISTINCT cid FROM dots
+      |  JOIN norms nb ON bid = nb.vec_id JOIN norms nc ON cid = nc.vec_id
+      |  WHERE (dot / 1e8) / (sqrt(nb.n2 / 1e8) * sqrt(nc.n2 / 1e8)) >= 0.95)
+      |SELECT vec_id FROM embeddings
+      |WHERE vec_id NOT IN (SELECT cid FROM flagged)
+      |ORDER BY vec_id""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_emb_decontam", embDecontam, Some(embDecontamSql)),
     CatalogEntry("q_emb_pca", pcaPower, Some(pcaPowerSql)),
     CatalogEntry("q_emb_pca_scores", pcaScores, Some(pcaScoresSql)),
     CatalogEntry("q_emb_outlier", embOutliers, Some(embOutliersSql)),
