@@ -222,4 +222,29 @@ object CurationTransforms {
       docs.filter(expr(
         s"${graft.ops.TextAnalysis.ttrPermilleSql("text")} >= $minTtrPermille"))
     })
+
+  /** Register `score_quantile_filter`: keep the ties-inclusive top
+    * `keepPermille`‰ of the in-flight frame by the shared TTR
+    * permille score — the distribution-RELATIVE sibling of
+    * `quality_filter`'s fixed threshold (the cut adapts to whatever
+    * corpus the pipeline is currently processing). `perSource = true`
+    * applies the cut within each `source` instead of globally.
+    * Original columns pass through unchanged; the score is an
+    * internal projection dropped on the way out.
+    */
+  def registerScoreQuantileFilter(
+      registry: TransformRegistry, keepPermille: Long,
+      perSource: Boolean = false): Unit =
+    registry.register("score_quantile_filter", { docs: DataFrame =>
+      val scored = docs.withColumn("__sqf_q",
+        expr(graft.ops.TextAnalysis.ttrPermilleSql("text")))
+      val kept =
+        if (perSource)
+          graft.ops.TextAnalysis.quantileFilterBy(
+            scored, "source", "__sqf_q", keepPermille)
+        else
+          graft.ops.TextAnalysis.quantileFilterOn(
+            scored, "__sqf_q", keepPermille)
+      kept.drop("__sqf_q").select(docs.columns.map(col).toSeq: _*)
+    })
 }

@@ -1896,7 +1896,193 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Keep fractions for the two quantile-filter gate rows (permille of
+    * the corpus / of each source): binding values so the threshold
+    * falls strictly inside the score distribution at every fixture
+    * scale, not at an endpoint.
+    */
+  private[graft] val quantileKeepPermille = 250L
+  private[graft] val quantileKeepPerSourcePermille = 400L
+
+  /** Distribution-relative selection threshold — the third member of
+    * the selection family next to [[sourceQuota]] (count cap) and
+    * [[tokenBudgetSelect]] (token-mass cap): "keep the top p‰ of
+    * documents BY SCORE", the cut a quality-classifier curation run
+    * states (FineWeb-style: threshold the score at a corpus quantile,
+    * not at a fixed value chosen before seeing the data).
+    *
+    * Semantics are ties-INCLUSIVE and need no document order at all:
+    * t = max score s with count(score ≥ s) ≥ ⌈p·n/1000⌉, kept =
+    * {score ≥ t}. Deterministic for any integer score grid, and —
+    * unlike a rank cut — independent of doc-id tie-breaks, so the
+    * kept set is a pure predicate on the score column.
+    *
+    * Scale shape (why this beats the rank/window formulation at
+    * 100 TB): scores live on a bounded integer grid (TTR permille →
+    * ≤ 1001 values), so the distribution is ONE map-side-combinable
+    * histogram rollup; the cumulative walk and the threshold pick run
+    * on that ≤|grid|-row frame; the filter is score ≥ t with the
+    * 1-row threshold broadcast. No global sort, no per-source window,
+    * no data-sized shuffle anywhere — the corpus is touched by
+    * exactly two codegen map passes (histogram feed + filter). The
+    * integer guard `1000·cum ≥ p·n` is the ceiling test without a
+    * division (cum integer ⇒ cum ≥ ⌈p·n/1000⌉ ⟺ 1000·cum ≥ p·n).
+    *
+    * p = 0 keeps the top tie group (the guard is vacuously true at
+    * every prefix, so t = max score); p = 1000 keeps everything.
+    * Returns a 1-row frame (`q_thresh`) so the threshold composes
+    * into plans without a driver round-trip.
+    */
+  def scoreQuantileThresholdOn(
+      scored: DataFrame, scoreCol: String, keepPermille: Long): DataFrame = {
+    require(keepPermille >= 0L && keepPermille <= 1000L,
+      s"keepPermille must be in [0, 1000], got $keepPermille")
+    val hist = scored.groupBy(col(scoreCol).cast("long").as("__q"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.orderBy(col("__q").desc)
+    val wAll = Window.partitionBy(lit(1))
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .filter(col("__cum") * 1000L >= lit(keepPermille) * col("__n"))
+      .agg(max(col("__q")).as("q_thresh"))
+  }
+
+  /** Per-group twin of [[scoreQuantileThresholdOn]]: each key keeps
+    * its own top p‰ (the per-source form a mix spec states so a large
+    * high-scoring source cannot crowd every other source out of the
+    * cut). Same bounded shape — the histogram is (key × grid)-sized,
+    * the windows partition by key over that tiny frame, and the
+    * result is one row per key to broadcast-join back.
+    */
+  def scoreQuantileThresholdBy(
+      scored: DataFrame, keyCol: String, scoreCol: String,
+      keepPermille: Long): DataFrame = {
+    require(keepPermille >= 0L && keepPermille <= 1000L,
+      s"keepPermille must be in [0, 1000], got $keepPermille")
+    val hist = scored.groupBy(col(keyCol), col(scoreCol).cast("long").as("__q"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("__q").desc)
+    val wAll = Window.partitionBy(col(keyCol))
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .filter(col("__cum") * 1000L >= lit(keepPermille) * col("__n"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__q")).as("q_thresh"))
+  }
+
+  /** Filter to the ties-inclusive top p‰ by `scoreCol`. The scored
+    * frame feeds both the histogram and the filter — callers whose
+    * score projection is expensive should `.persistScoped()` it
+    * (references recompute their projection otherwise).
+    */
+  def quantileFilterOn(
+      scored: DataFrame, scoreCol: String, keepPermille: Long): DataFrame =
+    scored
+      .crossJoin(broadcast(scoreQuantileThresholdOn(scored, scoreCol, keepPermille)))
+      .filter(col(scoreCol) >= col("q_thresh"))
+      .drop("q_thresh")
+
+  /** Per-key [[quantileFilterOn]]: broadcast the per-key thresholds
+    * back onto the corpus (inner join — every key with rows has a
+    * threshold, and at least its top tie group always survives).
+    */
+  def quantileFilterBy(
+      scored: DataFrame, keyCol: String, scoreCol: String,
+      keepPermille: Long): DataFrame =
+    scored
+      .join(broadcast(scoreQuantileThresholdBy(scored, keyCol, scoreCol, keepPermille)),
+        Seq(keyCol))
+      .filter(col(scoreCol) >= col("q_thresh"))
+      .drop("q_thresh")
+
+  /** Gate row: global top-[[quantileKeepPermille]]‰ cut on the TTR
+    * permille grid ([[ttrPermilleSql]] — the shared quality score),
+    * reported as a per-source rollup plus the threshold itself, so
+    * the differential check pins the threshold, the ties-inclusive
+    * kept set, AND its score mass in one row set.
+    */
+  def quantileSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", expr(ttrPermilleSql("text")).as("q"))
+      .persistScoped()
+    val th = scoreQuantileThresholdOn(scored, "q", quantileKeepPermille)
+    val keptAgg = scored.crossJoin(broadcast(th))
+      .filter($"q" >= $"q_thresh")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"q").as("sum_kept_q"))
+    scored.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(keptAgg, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept", "sum_kept_q"))
+      .crossJoin(broadcast(th))
+      .select($"source", $"n_docs", $"n_kept", $"sum_kept_q", $"q_thresh")
+      .orderBy($"source")
+  }
+
+  private val quantileSelectSql =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    (1000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+       |  FROM documents),
+       |h AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+       |c AS (SELECT q,
+       |    CAST(SUM(cnt) OVER (ORDER BY q DESC) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h),
+       |t AS (SELECT MAX(q) AS qt FROM c WHERE cum * 1000 >= $quantileKeepPermille * n)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(CASE WHEN q >= (SELECT qt FROM t) THEN 1 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN q >= (SELECT qt FROM t) THEN q END), 0) AS BIGINT)
+       |    AS sum_kept_q,
+       |  (SELECT qt FROM t) AS q_thresh
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Gate row: per-source top-[[quantileKeepPerSourcePermille]]‰ cut —
+    * every source gets its own threshold, so the rollup pins one
+    * independent quantile computation per source in a single row set.
+    */
+  def quantileSelectBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", expr(ttrPermilleSql("text")).as("q"))
+      .persistScoped()
+    val th = scoreQuantileThresholdBy(
+      scored, "source", "q", quantileKeepPerSourcePermille)
+    val keptAgg = scored.join(broadcast(th), Seq("source"))
+      .filter($"q" >= $"q_thresh")
+      .groupBy($"source", $"q_thresh")
+      .agg(count(lit(1)).as("n_kept"), sum($"q").as("sum_kept_q"))
+    scored.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(keptAgg, Seq("source"))
+      .select($"source", $"n_docs", $"n_kept", $"sum_kept_q", $"q_thresh")
+      .orderBy($"source")
+  }
+
+  private val quantileBySourceSql =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    (1000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+       |  FROM documents),
+       |h AS (SELECT source, q, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+       |c AS (SELECT source, q,
+       |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY q DESC) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM h),
+       |t AS (SELECT source, MAX(q) AS q_thresh FROM c
+       |      WHERE cum * 1000 >= $quantileKeepPerSourcePermille * n GROUP BY 1)
+       |SELECT d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(CASE WHEN d.q >= t.q_thresh THEN 1 END) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN d.q >= t.q_thresh THEN d.q END), 0) AS BIGINT)
+       |    AS sum_kept_q,
+       |  t.q_thresh AS q_thresh
+       |FROM d JOIN t USING (source) GROUP BY d.source, t.q_thresh ORDER BY 1""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_text_quantile_filter", quantileSelect, Some(quantileSelectSql)),
+    CatalogEntry("q_text_quantile_by_source", quantileSelectBySource,
+      Some(quantileBySourceSql)),
     CatalogEntry("q_text_perceptron", perceptronClassifier, Some(perceptronSql)),
     CatalogEntry("q_text_entropy", wordEntropy, Some(wordEntropySql)),
     CatalogEntry("q_text_bpe", bpeMerges, Some(bpeSql)),
