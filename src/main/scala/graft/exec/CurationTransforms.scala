@@ -89,6 +89,37 @@ object CurationTransforms {
         .drop("margin")
     })
 
+  /** Register `model_quantile_filter`: the distribution-RELATIVE form
+    * of `model_filter` — score the in-flight corpus with a FROZEN
+    * quality model and keep the ties-inclusive top `keepPermille`‰ BY
+    * MARGIN (the FineWeb recipe: the classifier ranks, the corpus
+    * quantile decides the cut, so the kept fraction is stable across
+    * corpora while a fixed `minMargin` is not). Margins are unbounded
+    * integers, so unlike the permille-grid score the histogram
+    * cardinality is data-dependent; `granularity` buckets margins by
+    * truncating division (monotone, so the cut stays a pure
+    * threshold on margin) to bound the rollup — g = 1 is exact, a
+    * deployment sets g from the observed margin range the way the
+    * binned token budget sizes its bins. Model loaded lazily,
+    * memoized; original columns pass through.
+    */
+  def registerModelQuantileFilter(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      modelPath: String,
+      keepPermille: Long,
+      granularity: Long = 1L): Unit = {
+    require(granularity >= 1L, s"granularity must be >= 1, got $granularity")
+    lazy val model = graft.ops.TextAnalysis.loadQualityModel(spark, modelPath)
+    registry.register("model_quantile_filter", { corpus: DataFrame =>
+      val scored = graft.ops.TextAnalysis.scoreDocs(corpus, model)
+        .withColumn("__mq_b", expr(s"margin div $granularity"))
+      graft.ops.TextAnalysis.quantileFilterOn(scored, "__mq_b", keepPermille)
+        .drop("margin", "__mq_b")
+        .select(corpus.columns.map(col).toSeq: _*)
+    })
+  }
+
   /** Register `bpe_token_stats`: annotate every document with
     * word/token/char counts under a FROZEN tokenizer model (trained
     * with [[graft.ops.TextAnalysis.trainBpeModel]], saved with

@@ -93,6 +93,51 @@ class QuantileFilterSpec extends SparkSpec {
     assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  test("model_quantile_filter: frozen-model margins, distribution-relative cut") {
+    // separable vocabularies: the trained model puts curated docs at
+    // positive margins, crawl at negative (round-1 weights ±4 per
+    // bucket, 4 words per doc ⇒ margins ±16, no later updates)
+    val docs = Seq(
+      (1L, "cur", "alpha beta gamma alpha"),
+      (2L, "cur", "beta gamma alpha beta"),
+      (3L, "cur", "gamma alpha beta gamma"),
+      (4L, "crawl", "zz yy xx zz"),
+      (5L, "crawl", "yy xx zz yy"),
+      (6L, "crawl", "xx zz yy xx")).toDF("doc_id", "source", "text")
+    val model = TextAnalysis.trainQualityModel(spark, docs, Seq("cur"))
+    val path = tmpDir("mqf").resolve("model").toString
+    TextAnalysis.saveQualityModel(spark, model, path)
+
+    val registry = new TransformRegistry
+    CurationTransforms.registerModelQuantileFilter(
+      registry, spark, path, keepPermille = 500L)
+    val out = registry("model_quantile_filter")(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    // the declarative cut == the library chain (score → quantile)
+    val expected = {
+      val s = TextAnalysis.scoreDocs(docs, model)
+      TextAnalysis.quantileFilterOn(s, "margin", 500L)
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    assert(out.select($"doc_id").as[Long].collect().toSet == expected)
+
+    // margin bucketing (granularity) coarsens the histogram but the
+    // cut is still a pure margin threshold: ±16 ⇒ buckets ±2 at g=8
+    val reg2 = new TransformRegistry
+    CurationTransforms.registerModelQuantileFilter(
+      reg2, spark, path, keepPermille = 500L, granularity = 8L)
+    assert(reg2("model_quantile_filter")(docs)
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    // p=1000 keeps everything regardless of margins
+    val reg3 = new TransformRegistry
+    CurationTransforms.registerModelQuantileFilter(
+      reg3, spark, path, keepPermille = 1000L)
+    assert(reg3("model_quantile_filter")(docs).count() == 6L)
+  }
+
   test("per-source transform variant cuts within each source") {
     val docs = Seq(
       (1L, "srcA", "a b c d"),          // ttr 1000
