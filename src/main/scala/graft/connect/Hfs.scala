@@ -58,6 +58,15 @@ object Hfs {
       st.getPath.getName.endsWith(".parquet") &&
       !st.getPath.getName.startsWith("_")).toLong
 
+  /** [[countParquetFiles]] through partition subdirectories (hive
+    * layouts: data files live under `col=value/` dirs, the top level
+    * holds none).
+    */
+  def countParquetFilesRecursive(fs: FileSystem, p: Path): Long =
+    if (!fs.exists(p)) 0L
+    else countParquetFiles(fs, p) +
+      listDirs(fs, p).map(countParquetFilesRecursive(fs, _)).sum
+
   /** Write a small control file (pointer/marker) in one stream. With
     * overwrite=true this is a single-object PUT on object stores. */
   def writeSmall(fs: FileSystem, p: Path, content: String,

@@ -250,6 +250,19 @@ object Sources {
     val parts = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
     val tmp = new Path(dir + ".compact-tmp")
     df.repartition(parts).write.mode("overwrite").parquet(tmp.toString)
+    compactSwap(fs, dir)
+    (rows, before, Hfs.countParquetFiles(fs, cur))
+  }
+
+  /** Rename-swap `<dir>.compact-tmp` into `dir` (shared by both
+    * compaction rewrites): readers never observe a half-written
+    * directory, and a failed second rename rolls the original back.
+    */
+  private def compactSwap(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cur = new Path(dir)
+    val tmp = new Path(dir + ".compact-tmp")
     val old = new Path(dir + ".compact-old")
     Hfs.deleteIfExists(fs, old)
     Hfs.renameChecked(fs, cur, old, s"compact swap (data->old) for $dir")
@@ -260,7 +273,41 @@ object Sources {
       throw e
     }
     Hfs.deleteIfExists(fs, old)
-    (rows, before, Hfs.countParquetFiles(fs, cur))
+  }
+
+  /** Partition-preserving sibling of [[compactParquet]] for
+    * hive-partitioned layouts — the IVF-PQ serving index partitioned
+    * by `centroid`, shard layouts partitioned by bucket: incremental /
+    * streaming appends accumulate small files INSIDE each partition
+    * directory, and the flat rewrite above would collapse the
+    * directories and destroy exactly the partition pruning the layout
+    * exists for. This rewrite clusters rows on the partition column
+    * (hash — every value's rows meet in one task, so each directory
+    * collapses to one file; values far smaller than `targetFileRows`
+    * share tasks), writes WITH `partitionBy`, and swaps with the same
+    * rename discipline. A single value larger than one task can
+    * handle is the layout's own skew problem (its list is too hot) —
+    * callers split it upstream, not here. Returns
+    * (rows, filesBefore, filesAfter).
+    */
+  def compactPartitionedParquet(spark: SparkSession, dir: String,
+      partitionCol: String, targetFileRows: Long): (Long, Long, Long) = {
+    require(targetFileRows > 0, s"targetFileRows must be positive: $targetFileRows")
+    import org.apache.hadoop.fs.Path
+    val fs = Hfs.fs(spark, dir)
+    val cur = new Path(dir)
+    val before = Hfs.countParquetFilesRecursive(fs, cur)
+    val df = spark.read.parquet(dir)
+    require(df.columns.contains(partitionCol),
+      s"partition column '$partitionCol' not present in $dir " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    val rows = df.count()
+    val parts = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
+    df.repartition(parts, org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(dir + ".compact-tmp")
+    compactSwap(fs, dir)
+    (rows, before, Hfs.countParquetFilesRecursive(fs, cur))
   }
 
   /** Z-order (Morton-curve) clustered parquet write — the layout that

@@ -97,6 +97,33 @@ class ConnectServiceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == (1 to 1000))
   }
 
+  test("compactPartitionedParquet merges files inside partition dirs, keeps the layout") {
+    import spark.implicits._
+    val dir = tmpDir("compact-part").toString + "/t"
+    // three appends of 4 partitions each → ≥3 files per partition dir
+    (0 until 3).foreach { r =>
+      (1 to 400).map(v => (v % 4, v * 10 + r)).toDF("part", "v")
+        .repartition(4)
+        .write.mode("append").partitionBy("part").parquet(dir)
+    }
+    val beforeData = spark.read.parquet(dir).select($"part", $"v")
+      .as[(Int, Int)].collect().sorted.toSeq
+    val (rows, before, after) =
+      Sources.compactPartitionedParquet(spark, dir, "part", 100000L)
+    assert(rows == 1200 && after < before)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("part=0", "part=1", "part=2", "part=3"))
+    assert(after <= 4, s"one file per partition dir expected, got $after")
+    val afterData = spark.read.parquet(dir).select($"part", $"v")
+      .as[(Int, Int)].collect().sorted.toSeq
+    assert(afterData == beforeData)
+    // the flat compactor refuses nothing but WOULD flatten — the
+    // partitioned one must be chosen for layouts; guard the contract
+    intercept[IllegalArgumentException] {
+      Sources.compactPartitionedParquet(spark, dir, "nope", 100L)
+    }
+  }
+
   test("schema-evolved parquet reads with mergeSchema (late column is null on old files)") {
     import spark.implicits._
     val dir = tmpDir("evolve").toString + "/t"

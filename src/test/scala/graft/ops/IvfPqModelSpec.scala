@@ -124,6 +124,45 @@ class IvfPqModelSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("index compaction merges per-list small files; probes and layout unchanged") {
+    // incremental/streaming appends leave small files INSIDE each
+    // centroid= directory; maintenance is the partition-preserving
+    // compaction (the flat compactParquet would collapse the dirs and
+    // destroy the scan pruning the layout exists for)
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val path = tmpDir("ivfpq-compact").toString
+    Seq(0, 1, 2).foreach { r =>
+      Similarity.appendIvfPqIndex(
+        Similarity.indexIvfPq(spark, emb.filter($"vec_id" % 3 === r), model), path)
+      graft.CacheScope.drain()
+    }
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val before = Similarity.probeIvfPq(spark, emb, queries, model,
+      spark.read.parquet(path)).collect().toSeq
+    assert(before.nonEmpty)
+    graft.CacheScope.drain()
+
+    val (rows, filesBefore, filesAfter) = graft.connect.Sources
+      .compactPartitionedParquet(spark, path, "centroid", 1000000L)
+    val listDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("centroid=")),
+      s"partition layout must survive compaction, got: $listDirs")
+    assert(filesAfter < filesBefore,
+      s"expected fewer files after compaction: $filesBefore -> $filesAfter")
+    assert(filesAfter <= listDirs.size,
+      s"each list dir should collapse to one file: $filesAfter files, ${listDirs.size} dirs")
+
+    val compacted = spark.read.parquet(path)
+    assert(compacted.count() == rows)
+    val after = Similarity.probeIvfPq(spark, emb, queries, model, compacted)
+      .collect().toSeq
+    assert(after == before, "probe results must be unchanged by compaction")
+    graft.CacheScope.drain()
+  }
+
   test("streaming ANN ingest: foreachBatch index-append, probes see every arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
