@@ -254,6 +254,35 @@ object CurationTransforms {
         s"${graft.ops.TextAnalysis.ttrPermilleSql("text")} >= $minTtrPermille"))
     })
 
+  /** Register `compact_layout`: run small-files compaction on a
+    * configured directory as a PIPELINE step, so the scheduler's tick
+    * loop performs layout maintenance with the same A11 history /
+    * running→success/error contract as data steps (streaming shard
+    * and index appends accumulate small files; every deployment
+    * schedules exactly this rewrite). `partitionCol` selects the
+    * partition-preserving rewrite (hive layouts — IVF-PQ index, shard
+    * buckets); without it the flat rewrite runs. The in-flight frame
+    * passes through UNTOUCHED — the transform is a maintenance hook
+    * in the fold, not a data dependency — and the rename-swap
+    * discipline means a reader (or a later step) never observes a
+    * half-compacted directory.
+    */
+  def registerCompaction(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      dir: String,
+      targetFileRows: Long,
+      partitionCol: Option[String] = None): Unit =
+    registry.register("compact_layout", { frame: DataFrame =>
+      partitionCol match {
+        case Some(pc) => graft.connect.Sources
+          .compactPartitionedParquet(spark, dir, pc, targetFileRows)
+        case None => graft.connect.Sources
+          .compactParquet(spark, dir, targetFileRows)
+      }
+      frame
+    })
+
   /** Register `score_quantile_filter`: keep the ties-inclusive top
     * `keepPermille`‰ of the in-flight frame by the shared TTR
     * permille score — the distribution-RELATIVE sibling of

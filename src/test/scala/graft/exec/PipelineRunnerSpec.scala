@@ -212,6 +212,54 @@ class PipelineRunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](runner.runById("ann5"))
   }
 
+  test("declarative layout maintenance: compact_layout step, history contract, frame untouched") {
+    val (repo, dataDir) = setup()
+    // a partitioned layout accumulated by appends (the streaming-shard
+    // / ANN-index small-files shape)
+    val layout = s"$dataDir/layout"
+    (0 until 3).foreach { r =>
+      (1 to 300).map(v => (v % 4, v + r)).toDF("part", "v")
+        .repartition(3).write.mode("append").partitionBy("part").parquet(layout)
+    }
+    val filesBefore = {
+      val fs = graft.connect.Hfs.fs(spark, layout)
+      graft.connect.Hfs.countParquetFilesRecursive(fs, new org.apache.hadoop.fs.Path(layout))
+    }
+    val registry = new TransformRegistry
+    CurationTransforms.registerCompaction(
+      registry, spark, layout, targetFileRows = 100000L, partitionCol = Some("part"))
+    val spec = pipeline(
+      s"""{"id":"maint","name":"nightly compaction","recurrence":"0 3 * * *","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"compact","order":2,"kind":"named","transformName":"compact_layout"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"maint_out","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
+    assert(repo.history("maint").map(_.status) == Seq("running", "success"))
+    val fs = graft.connect.Hfs.fs(spark, layout)
+    val filesAfter = graft.connect.Hfs.countParquetFilesRecursive(
+      fs, new org.apache.hadoop.fs.Path(layout))
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(spark.read.parquet(layout).count() == 900)
+    // the maintenance hook passes the in-flight frame through untouched
+    assert(spark.read.parquet(s"$dataDir/maint_out").count() == 4)
+
+    // error contract: compaction of a missing directory is running→error
+    val reg2 = new TransformRegistry
+    CurationTransforms.registerCompaction(
+      reg2, spark, s"$dataDir/nope", targetFileRows = 100L)
+    val bad = pipeline(
+      s"""{"id":"maint2","name":"bad compaction","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"compact","order":2,"kind":"named","transformName":"compact_layout"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"maint_out2","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(bad)
+    intercept[Exception](new PipelineRunner(spark, repo, reg2).run(bad))
+    assert(repo.history("maint2").map(_.status) == Seq("running", "error"))
+  }
+
   test("sanitize load applies reference null semantics (SURVEY §1.3)") {
     val (repo, dataDir) = setup()
     Seq(
