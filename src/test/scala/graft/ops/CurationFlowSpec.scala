@@ -241,6 +241,87 @@ class CurationFlowSpec extends SparkSpec {
       s"held-out accuracy must be >=90%, got $nOk/$nHeld")
   }
 
+  test("quantile-cut chain: model_quantile_filter -> score_quantile_filter -> shards, stage 2 adapts to stage 1") {
+    // the distribution-relative chain end-to-end in the declarative
+    // surface: a frozen-model margin cut, then a TTR quantile cut
+    // whose threshold is computed on the SURVIVORS (the point of a
+    // relative cut — it re-anchors to whatever frame reaches it)
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, PipelineRunner, TransformRegistry}
+    import graft.model.{ConnectionSpec, PipelineJson}
+    import graft.store.Repository
+
+    val pos = Seq("src0", "src1", "src2", "src3")
+    val rows = (0 until 200).map { i =>
+      val rng = new scala.util.Random(1000 + i)
+      val src = s"src${i % 20}"
+      val curated = (i % 20) < 4
+      val words = (0 until 40).map { _ =>
+        if (rng.nextInt(100) < 50) (if (curated) "cw" else "kw") + rng.nextInt(40)
+        else "n" + rng.nextInt(120)
+      }
+      (i.toLong, words.mkString(" "), "en", src, 200L)
+    }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val root = tmpDir("quantile-chain")
+    docs.write.mode("overwrite").parquet(s"$root/documents.parquet")
+    val modelPath = s"$root/qmodel"
+    TextAnalysis.saveQualityModel(spark,
+      TextAnalysis.trainQualityModel(spark, docs, pos), modelPath)
+    graft.CacheScope.drain()
+
+    val repo = new Repository(root)
+    repo.saveConnection(ConnectionSpec("docs", "fixtures", "parquet",
+      Map("basePath" -> root.toString)))
+    repo.saveConnection(ConnectionSpec("out", "outputs", "parquet",
+      Map("basePath" -> root.toString)))
+    val registry = new TransformRegistry
+    CurationTransforms.registerModelQuantileFilter(
+      registry, spark, modelPath, keepPermille = 300L)
+    CurationTransforms.registerScoreQuantileFilter(registry, keepPermille = 500L)
+    val spec = PipelineJson.parsePipeline(
+      s"""{"id":"qchain","name":"quantile chain","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+         |{"stepType":"transform","name":"margin_cut","order":2,"kind":"named","transformName":"model_quantile_filter"},
+         |{"stepType":"transform","name":"ttr_cut","order":3,"kind":"named","transformName":"score_quantile_filter"},
+         |{"stepType":"load","name":"shards","order":4,"connectionId":"out","path":"shards","mode":"replace",
+         | "options":{"shardBy":"doc_id","shards":"8"}}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
+    assert(repo.history("qchain").map(_.status) == Seq("running", "success"))
+    graft.CacheScope.drain()
+
+    // library-chain equivalence, stage by stage
+    val model = TextAnalysis.loadQualityModel(spark, modelPath)
+    val stage1 = {
+      val s = TextAnalysis.scoreDocs(docs, model)
+      TextAnalysis.quantileFilterOn(s, "margin", 300L).drop("margin")
+    }
+    val stage2 = {
+      val s = stage1.withColumn("__q", expr(TextAnalysis.ttrPermilleSql("text")))
+      TextAnalysis.quantileFilterOn(s, "__q", 500L).drop("__q")
+    }
+    val written = spark.read.parquet(s"$root/shards")
+    val n1 = stage1.count(); val n2 = stage2.count()
+    graft.CacheScope.drain()
+    assert(n1 > 0 && n2 > 0 && n2 < n1 && n1 < docs.count(),
+      s"both cuts must bite: ${docs.count()} -> $n1 -> $n2")
+    assert(written.count() == n2)
+    assert(written.select($"doc_id").except(stage2.select($"doc_id")).count() == 0)
+
+    // the relative cut re-anchors to the in-flight frame: stage 2
+    // keeps ≥ ⌈n1/2⌉ OF THE SURVIVORS (ties-inclusive guarantee
+    // against stage-1's count, which only holds if the threshold was
+    // computed on stage-1's output — against the full corpus the
+    // lower bound would be ⌈N/2⌉, which stage 2 is far under)
+    assert(n2 * 1000L >= n1 * 500L, s"ties-inclusive floor: $n2 of $n1")
+    assert(n2 * 1000L < docs.count() * 500L,
+      s"a corpus-anchored cut would keep >= ${docs.count() / 2}, got $n2")
+    graft.CacheScope.drain()
+  }
+
   test("bpe_token_stats transform annotates docs from a frozen tokenizer model") {
     import spark.implicits._
     import graft.exec.{CurationTransforms, TransformRegistry}
