@@ -133,27 +133,51 @@ object Sources {
         if (step.options.contains("annIndex")) {
           require(f == "parquet",
             s"load '${step.name}': annIndex layout requires parquet, got '$f'")
-          val kind = step.options("annIndex")
-          require(kind == "prefix",
-            s"load '${step.name}': unknown annIndex kind '$kind' (supported: prefix)")
           val s = df.sparkSession
-          val dims = step.options.get("dims").map(_.toInt)
-          val idx = step.options.get("pcaModel") match {
-            case Some(mp) =>
-              val m = graft.ops.Similarity.loadPcaModel(s, mp)
-              graft.ops.Similarity.buildRotatedPrefixIndex(
-                s, df, m, dims.getOrElse(m.k))
-            case None => graft.ops.Similarity.buildPrefixIndex(
-              s, df, dims.getOrElse(graft.ops.Similarity.prefixDims))
-          }
-          saveMode(step.mode) match {
-            case SaveMode.Append =>
-              graft.ops.Similarity.appendPrefixIndex(idx, full)
-            case SaveMode.ErrorIfExists
-                if Hfs.fs(s, full).exists(new org.apache.hadoop.fs.Path(full)) =>
-              throw new IllegalStateException(
-                s"load '${step.name}': ann index already exists at $full (mode=errorIfExists)")
-            case _ => graft.ops.Similarity.savePrefixIndex(idx, full)
+          def exists = Hfs.fs(s, full).exists(new org.apache.hadoop.fs.Path(full))
+          def refuse(): Nothing = throw new IllegalStateException(
+            s"load '${step.name}': ann index already exists at $full (mode=errorIfExists)")
+          step.options("annIndex") match {
+            case "prefix" =>
+              val dims = step.options.get("dims").map(_.toInt)
+              val idx = step.options.get("pcaModel") match {
+                case Some(mp) =>
+                  val m = graft.ops.Similarity.loadPcaModel(s, mp)
+                  graft.ops.Similarity.buildRotatedPrefixIndex(
+                    s, df, m, dims.getOrElse(m.k))
+                case None => graft.ops.Similarity.buildPrefixIndex(
+                  s, df, dims.getOrElse(graft.ops.Similarity.prefixDims))
+              }
+              saveMode(step.mode) match {
+                case SaveMode.Append =>
+                  graft.ops.Similarity.appendPrefixIndex(idx, full)
+                case SaveMode.ErrorIfExists if exists => refuse()
+                case _ => graft.ops.Similarity.savePrefixIndex(idx, full)
+              }
+            // the flagship list-partitioned layout: encode against a
+            // FROZEN IvfPqModel (training is the offline step — a
+            // maintenance tick must never move the codebooks, or
+            // existing codes stop meaning anything) and write/append
+            // the centroid= partitioned directories, so probes keep
+            // their static list pruning. Encoding is a pure per-row
+            // map: append ≡ rebuild, same as the prefix kinds.
+            case "ivfpq" =>
+              val mp = step.options.getOrElse("ivfpqModel",
+                throw new IllegalArgumentException(
+                  s"load '${step.name}': annIndex=ivfpq requires option " +
+                    "'ivfpqModel' (frozen model path — train offline, " +
+                    "saveIvfPqModel)"))
+              val m = graft.ops.Similarity.loadIvfPqModel(s, mp)
+              val idx = graft.ops.Similarity.indexIvfPq(s, df, m)
+              saveMode(step.mode) match {
+                case SaveMode.Append =>
+                  graft.ops.Similarity.appendIvfPqIndex(idx, full)
+                case SaveMode.ErrorIfExists if exists => refuse()
+                case _ => graft.ops.Similarity.saveIvfPqIndex(idx, full)
+              }
+            case other => throw new IllegalArgumentException(
+              s"load '${step.name}': unknown annIndex kind '$other' " +
+                "(supported: prefix, ivfpq)")
           }
         } else
         // "shardBy" + "shards": the training-shard layout as a

@@ -141,27 +141,45 @@ object StreamingLoad {
         // AT-LEAST-ONCE like the shard sink (a replayed batch appends
         // its rows again — dedup by vec_id at probe time or rebuild).
         val kind = merged("annIndex")
-        require(kind == "prefix",
-          s"load '${step.name}': unknown annIndex kind '$kind' (supported: prefix)")
+        require(kind == "prefix" || kind == "ivfpq",
+          s"load '${step.name}': unknown annIndex kind '$kind' (supported: prefix, ivfpq)")
         require(conn.format == "parquet",
           s"load '${step.name}': annIndex layout requires parquet, got '${conn.format}'")
         val dims = merged.get("dims").map(_.toInt)
-        // the model is loaded ONCE (plain data, session-independent);
-        // the index columns must build against the MICRO-BATCH's
-        // session — streaming runs batches on a cloned session, and a
-        // function registered only on the outer session after the
-        // clone was taken does not resolve there
+        // the PCA model is loaded ONCE (plain data,
+        // session-independent); the index columns must build against
+        // the MICRO-BATCH's session — streaming runs batches on a
+        // cloned session, and a function registered only on the outer
+        // session after the clone was taken does not resolve there
         val model = merged.get("pcaModel")
           .map(mp => graft.ops.Similarity.loadPcaModel(df.sparkSession, mp))
+        // the IvfPq model is DATAFRAMES (codebooks), so unlike the
+        // plain-data PCA model it must be loaded against the
+        // micro-batch's own session inside the loop (two KB-sized
+        // parquet reads per tick); only the path is validated up front
+        val ivfModelPath =
+          if (kind != "ivfpq") None
+          else Some(merged.getOrElse("ivfpqModel",
+            throw new IllegalArgumentException(
+              s"load '${step.name}': annIndex=ivfpq requires option " +
+                "'ivfpqModel' (frozen model path — train offline)")))
         df.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
           val bs = b.sparkSession
-          val idx = model match {
-            case Some(m) => graft.ops.Similarity.buildRotatedPrefixIndex(
-              bs, b, m, dims.getOrElse(m.k))
-            case None => graft.ops.Similarity.buildPrefixIndex(
-              bs, b, dims.getOrElse(graft.ops.Similarity.prefixDims))
+          ivfModelPath match {
+            case Some(mp) =>
+              val im = graft.ops.Similarity.loadIvfPqModel(bs, mp)
+              graft.ops.Similarity.appendIvfPqIndex(
+                graft.ops.Similarity.indexIvfPq(bs, b, im), full)
+            case None =>
+              val idx = model match {
+                case Some(m) => graft.ops.Similarity.buildRotatedPrefixIndex(
+                  bs, b, m, dims.getOrElse(m.k))
+                case None => graft.ops.Similarity.buildPrefixIndex(
+                  bs, b, dims.getOrElse(graft.ops.Similarity.prefixDims))
+              }
+              graft.ops.Similarity.appendPrefixIndex(idx, full)
           }
-          graft.ops.Similarity.appendPrefixIndex(idx, full); ()
+          ()
         }.outputMode("append")
       case "append" if merged.contains("shardBy") || merged.contains("shards") =>
         // streaming curation endpoint: each drained micro-batch extends

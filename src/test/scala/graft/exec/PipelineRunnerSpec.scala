@@ -198,16 +198,55 @@ class PipelineRunnerSpec extends SparkSpec {
     graft.CacheScope.drain()
     assert(rows(spark.read.parquet(s"$dataDir/rotidx")) == rotRebuilt)
 
-    // error paths: unknown kind, and delete mode is rejected loudly
+    // ivfpq kind: frozen model, centroid=-partitioned serving layout,
+    // bootstrap + append == full rebuild
+    val ivfModelPath = s"$dataDir/ivfm"
+    graft.ops.Similarity.saveIvfPqModel(
+      graft.ops.Similarity.trainIvfPq(spark, emb), ivfModelPath)
+    graft.CacheScope.drain()
+    def ivfStep(id: String, src: String, mode: String) = pipeline(
+      s"""{"id":"$id","name":"$id","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"$src"},
+         |{"stepType":"load","name":"idx","order":2,"connectionId":"local","path":"ivfidx","mode":"$mode",
+         | "options":{"annIndex":"ivfpq","ivfpqModel":"$ivfModelPath"}}
+         |]}""".stripMargin)
+    repo.savePipeline(ivfStep("ivf1", "emb_b1", "replace"))
+    repo.savePipeline(ivfStep("ivf2", "emb_b2", "append"))
+    assert(runner.runById("ivf1").status == "success")
+    assert(runner.runById("ivf2").status == "success")
+    val m = graft.ops.Similarity.loadIvfPqModel(spark, ivfModelPath)
+    val ivfRebuilt = graft.ops.Similarity.indexIvfPq(spark, emb, m)
+      .select($"vec_id", $"centroid".cast("long"), $"sub".cast("int"), $"code".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    graft.CacheScope.drain()
+    val ivfWritten = spark.read.parquet(s"$dataDir/ivfidx")
+      .select($"vec_id", $"centroid".cast("long"), $"sub".cast("int"), $"code".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(ivfWritten == ivfRebuilt, "declarative ivfpq index must equal the full rebuild")
+    // the layout is the partitioned serving layout (list pruning intact)
+    val listDirs = new java.io.File(s"$dataDir/ivfidx").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("centroid=")))
+
+    // error paths: unknown kind, missing frozen model, delete mode
     val badKind = pipeline(
       s"""{"id":"ann4","name":"bad","steps":[
          |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"emb_b1"},
          |{"stepType":"load","name":"idx","order":2,"connectionId":"local","path":"annidx","mode":"replace",
-         | "options":{"annIndex":"ivfpq"}}
+         | "options":{"annIndex":"hnsw"}}
          |]}""".stripMargin)
     repo.savePipeline(badKind)
     intercept[IllegalArgumentException](runner.run(badKind))
     assert(repo.history("ann4").map(_.status) == Seq("running", "error"))
+    val noModel = pipeline(
+      s"""{"id":"ann6","name":"no model","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"emb_b1"},
+         |{"stepType":"load","name":"idx","order":2,"connectionId":"local","path":"ivfidx2","mode":"replace",
+         | "options":{"annIndex":"ivfpq"}}
+         |]}""".stripMargin)
+    repo.savePipeline(noModel)
+    intercept[IllegalArgumentException](runner.run(noModel))
+    assert(repo.history("ann6").map(_.status) == Seq("running", "error"))
     repo.savePipeline(annStep("ann5", "emb_b1", "delete"))
     intercept[IllegalArgumentException](runner.runById("ann5"))
   }

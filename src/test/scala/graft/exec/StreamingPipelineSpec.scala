@@ -221,6 +221,70 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(servedStream == servedRebuild && servedStream.nonEmpty)
   }
 
+  test("streaming ANN maintenance: ivfpq kind appends the partitioned layout across two ticks") {
+    import graft.ops.Similarity
+    val dataDir = tmpDir("graft-stream-ivf").toString
+    val repo = new Repository(tmpDir("graft-stream-ivf-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    val rnd = new scala.util.Random(29)
+    val all = (0L until 120L).map(id =>
+      (id, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val allDf = all.toDF("vec_id", "embedding")
+    // codebooks are trained OFFLINE and frozen — the maintenance loop
+    // must never move them (existing codes would stop meaning anything)
+    val modelPath = s"$dataDir/ivfm"
+    Similarity.saveIvfPqModel(Similarity.trainIvfPq(spark, allDf), modelPath)
+    graft.CacheScope.drain()
+
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"ivf-stream","name":"landing-to-ivf-index","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"index","order":2,"connectionId":"local",
+         | "path":"ivfidx","mode":"append",
+         | "options":{"annIndex":"ivfpq","ivfpqModel":"$modelPath","checkpointLocation":"ck"}}
+         |]}""".stripMargin))
+
+    all.take(70).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-04T08:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    now = Instant.parse("2026-03-04T08:15:05Z")
+    assert(sched.tick() == Seq("ivf-stream"))
+    all.drop(70).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-04T08:30:05Z")
+    assert(sched.tick() == Seq("ivf-stream"))
+    sched.stop()
+    assert(repo.history("ivf-stream").map(_.status) ==
+      Seq("running", "success", "running", "success"))
+
+    // streamed index == offline rebuild, the layout is partitioned,
+    // and probes serve identically
+    val model = Similarity.loadIvfPqModel(spark, modelPath)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"centroid".cast("long"), $"sub".cast("int"), $"code".cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val rebuilt = rows(Similarity.indexIvfPq(spark, allDf, model))
+    graft.CacheScope.drain()
+    assert(rows(spark.read.parquet(s"$dataDir/ivfidx")) == rebuilt)
+    val listDirs = new java.io.File(s"$dataDir/ivfidx").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("centroid=")))
+    val queries = allDf.filter($"vec_id" % 40 === 0)
+    val servedStream = Similarity.probeIvfPq(spark, allDf, queries, model,
+      spark.read.parquet(s"$dataDir/ivfidx")).collect().toSeq
+    graft.CacheScope.drain()
+    val servedRebuild = Similarity.probeIvfPq(spark, allDf, queries, model,
+      Similarity.indexIvfPq(spark, allDf, model)).collect().toSeq
+    graft.CacheScope.drain()
+    assert(servedStream == servedRebuild && servedStream.nonEmpty)
+  }
+
   test("landing-dir drain is admission-bounded: the backlog splits into capped micro-batches") {
     // five files land before the first run — an unbounded AvailableNow
     // drain would hand all five to ONE micro-batch (the measured OOM
