@@ -254,6 +254,31 @@ object CurationTransforms {
         s"${graft.ops.TextAnalysis.ttrPermilleSql("text")} >= $minTtrPermille"))
     })
 
+  /** Register `replicate_epochs`: materialize an epoch-weighted
+    * training mix inside a pipeline — every source pulled toward
+    * `targetTokens` (each doc gains `toks` = whitespace token count if
+    * absent), docs replicated or fractionally kept by the
+    * deterministic hashed rounding, each copy tagged with `rep` so a
+    * downstream shard/pack step can spread repeats. The weights frame
+    * is |sources| rows broadcast; replication is map-side explode —
+    * the one transform in the registry that legitimately EXPANDS the
+    * in-flight frame.
+    */
+  def registerReplicateEpochs(
+      registry: TransformRegistry, targetTokens: Long,
+      capPermille: Long = 3000L): Unit =
+    registry.register("replicate_epochs", { docs: DataFrame =>
+      val withToks =
+        if (docs.columns.contains("toks")) docs
+        else docs.withColumn("toks",
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      val w = graft.ops.TextAnalysis
+        .epochWeightsForTokenTarget(withToks, targetTokens, capPermille)
+      graft.ops.TextAnalysis.replicateByEpochs(withToks, w)
+        .select((docs.columns.map(col) :+ col("rep")).toSeq: _*)
+    })
+
   /** Register `compact_layout`: run small-files compaction on a
     * configured directory as a PIPELINE step, so the scheduler's tick
     * loop performs layout maintenance with the same A11 history /

@@ -1196,6 +1196,51 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Leakage-safe split by DISCOVERED duplicate structure — the
+    * composition `q_feat_group_split` can't express: its group key
+    * must be a declared column, but the groups that actually leak are
+    * the near-duplicate families LSH finds. Here the split key is the
+    * dup-cluster REPRESENTATIVE (component-min doc_id from the band
+    * graph), hashed with the same engine-portable md5-prefix cut as
+    * `q_feat_split` — so every near-duplicate family lands wholly in
+    * one of train/val/test and eval contamination via paraphrase
+    * copies is structurally impossible. Singleton docs are their own
+    * cluster (label = own id) and split independently.
+    *
+    * Scale shape: the cluster labels come from the audited
+    * iterate-until-stable CC (lineage-cut, logarithmic star variant
+    * available); the split assignment itself is a pure map over the
+    * |docs|-row label frame — no additional shuffle beyond what the
+    * clustering already paid, and appending docs re-splits only
+    * clusters whose membership changed.
+    */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nodes, pairs) = lshPairGraph(s, dir)
+    val bucket = substring(md5($"label".cast("string")), 1, 2)
+    connectedComponents(s, nodes, pairs)
+      .select($"id".as("doc_id"), $"label",
+        FeatureOps.splitFor(bucket).as("split"))
+      .orderBy($"doc_id")
+  }
+
+  private val clusterSplitSql = {
+    val bucket = "substr(md5(CAST(label AS VARCHAR)), 1, 2)"
+    s"""WITH RECURSIVE $bandsCteSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, p.d2 FROM reach r JOIN pairs p ON r.b = p.d1),
+       |lab AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a)
+       |SELECT doc_id, label,
+       |  ${FeatureOps.splitCaseSql(bucket)} AS split
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
   private val ccClustersSql =
     s"""WITH RECURSIVE $bandsCteSql,
        |pairs AS (
@@ -1431,6 +1476,7 @@ object Dedup {
     CatalogEntry("q_dedup_damerau", damerauPairs, Some(damerauPairsSql)),
     CatalogEntry("q_dedup_length_routed", lengthRoutedPairs, Some(lengthRoutedPairsSql)),
     CatalogEntry("q_dedup_cc_star", ccClustersStar, Some(ccStarSql)),
+    CatalogEntry("q_dedup_cluster_split", clusterSplit, Some(clusterSplitSql)),
     CatalogEntry("q_text_contamination", contamination, Some(contaminationSql)),
     CatalogEntry("q_dedup_bloom", bloomDecontamination, Some(bloomDecontaminationSql)),
     CatalogEntry("q_dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)))

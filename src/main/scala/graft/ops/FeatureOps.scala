@@ -236,12 +236,12 @@ object FeatureOps {
   val valLoBucket = "cc"
   val testLoBucket = "e6"
 
-  private def splitFor(bucket: Column): Column =
+  private[ops] def splitFor(bucket: Column): Column =
     when(bucket < valLoBucket, "train")
       .when(bucket < testLoBucket, "val")
       .otherwise("test")
 
-  private def splitCaseSql(bucketExpr: String): String =
+  private[ops] def splitCaseSql(bucketExpr: String): String =
     s"""CASE WHEN $bucketExpr < '$valLoBucket' THEN 'train'
        |       WHEN $bucketExpr < '$testLoBucket' THEN 'val'
        |       ELSE 'test' END""".stripMargin

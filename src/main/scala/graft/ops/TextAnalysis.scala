@@ -807,6 +807,109 @@ object TextAnalysis {
        |  CAST(SUM(toks) AS BIGINT) AS total_tokens
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source token target for [[epochMixture]] — sits between the
+    * fixture sources' 1× token masses (~1.1–1.6k at sf0.01), so the
+    * gate exercises BOTH regimes: epochs > 1 (floor replication + a
+    * hashed fractional copy) at sf0.01 and epochs < 1 (fractional
+    * subsampling, zero-copy docs dropped) at sf0.1.
+    */
+  private val epochTokenTargetPerSource = 2000L
+
+  /** Epoch cap for [[epochMixture]] in permille (3 passes): a tiny
+    * source must not be repeated without bound to hit the target —
+    * past a few epochs repetition hurts more than balance helps.
+    */
+  private val epochCapPermille = 3000L
+
+  /** Deterministic permille in [0, 1000) from a salted md5 of the id —
+    * a pure function of the ROW, never of position: decisions survive
+    * repartitioning, and appended data cannot flip existing ones. Five
+    * hex nibbles (20 bits) keep the mod-1000 bias below 0.01 %.
+    */
+  private[ops] def permilleHash(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 5),
+      16, 10).cast("long"), lit(1000L))
+
+  /** Per-source epoch weights (permille) that bring every source to a
+    * common TOKEN target: w = min(cap, 1000·target / source_tokens).
+    * w > 1000 means the source repeats (up-sampling a scarce domain);
+    * w < 1000 means a fractional pass (down-sampling an abundant one).
+    * One |sources|-row rollup — broadcast-sized by construction.
+    */
+  def epochWeightsForTokenTarget(
+      docs: DataFrame, targetTokens: Long,
+      capPermille: Long = epochCapPermille): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(sum(col("toks")).as("stoks"))
+      .select(col("source"),
+        least(expr(s"(1000 * $targetTokens) div stoks"),
+          lit(capPermille)).as("epochs_permille"))
+
+  /** Materialize an epoch-weighted training mix — the replication step
+    * of mixture training (a Llama/DoReMi-style mix spec says "source X
+    * is seen 2.3 times per pass"; something must turn that into rows).
+    * Each doc yields `w div 1000` full copies plus one more iff its
+    * [[permilleHash]] falls under the fractional part, so a source's
+    * expected token mass lands on target while every decision is a
+    * pure function of (doc_id, w): deterministic across runs, shuffles
+    * and appends. Output carries `rep` (1-based copy index) so
+    * downstream packing/sharding can spread copies.
+    *
+    * Plan shape at 100 TB: the weights frame is |sources| rows
+    * broadcast onto the corpus; replication is a map-side
+    * `explode(sequence)` — the corpus is scanned once, nothing
+    * shuffles, and output volume is exactly the mix's token budget.
+    * `sequence` is guarded by a `n_rep >= 1` filter (Spark's sequence
+    * REVERSES when stop < start instead of returning empty).
+    */
+  def replicateByEpochs(docs: DataFrame, weights: DataFrame): DataFrame =
+    docs.join(broadcast(weights), Seq("source"))
+      .withColumn("__n_rep",
+        expr("epochs_permille div 1000") +
+          when(permilleHash(col("doc_id"), "epoch:") <
+            pmod(col("epochs_permille"), lit(1000L)), 1L).otherwise(0L))
+      .filter(col("__n_rep") >= 1L)
+      .withColumn("rep", explode(sequence(lit(1L), col("__n_rep"))))
+      .drop("__n_rep", "epochs_permille")
+
+  /** Catalog row: the balanced mix materialized — every source pulled
+    * toward [[epochTokenTargetPerSource]] tokens, docs replicated (or
+    * fractionally kept) with deterministic hashed rounding, output the
+    * (doc_id, source, rep) rows a shard writer would consume.
+    */
+  def epochMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("toks"))
+    val w = epochWeightsForTokenTarget(docs, epochTokenTargetPerSource)
+    replicateByEpochs(docs, w)
+      .select($"doc_id", $"source", $"rep")
+      .orderBy($"doc_id", $"rep")
+  }
+
+  private val epochMixtureSql = {
+    val hex = "0123456789abcdef"
+    def nib(i: Int) = s"(strpos('$hex', h[$i:$i]) - 1)"
+    val pm = s"(((((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + " +
+      s"${nib(4)}) * 16 + ${nib(5)}) % 1000)"
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+       |st AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS stoks FROM d GROUP BY 1),
+       |w AS (SELECT source,
+       |        least((1000 * $epochTokenTargetPerSource) // stoks,
+       |              $epochCapPermille) AS w FROM st),
+       |hh AS (SELECT doc_id,
+       |         substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 5) AS h
+       |       FROM documents),
+       |n AS (SELECT d.doc_id, d.source,
+       |        w.w // 1000 + CASE WHEN $pm < w.w % 1000 THEN 1 ELSE 0 END AS n_rep
+       |      FROM d JOIN w USING (source) JOIN hh USING (doc_id))
+       |SELECT doc_id, source,
+       |  CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS rep
+       |FROM n WHERE n_rep >= 1 ORDER BY doc_id, rep""".stripMargin
+  }
+
   /** The deployment shape of [[tokenBudgetSelect]], gated to produce
     * the IDENTICAL kept set: quality is an integer permille, so
     * pre-aggregate token mass per (source, quality) BIN (≤ 1001 bins
@@ -2095,6 +2198,7 @@ object TextAnalysis {
     CatalogEntry("q_text_dup_ngram", dupNgramFrac, Some(dupNgramFracSql)),
     CatalogEntry("q_text_mixture", languageMixture, Some(languageMixtureSql)),
     CatalogEntry("q_text_dsir", dsirSelect, Some(dsirSql)),
+    CatalogEntry("q_text_epochs", epochMixture, Some(epochMixtureSql)),
     CatalogEntry("q_text_token_budget", tokenBudgetSelect, Some(tokenBudgetSql)),
     CatalogEntry("q_text_token_budget_binned", tokenBudgetSelectBinned, Some(tokenBudgetSql)),
     CatalogEntry("q_text_pack", packChunks, Some(packChunksSql)),

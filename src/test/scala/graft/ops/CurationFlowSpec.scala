@@ -394,6 +394,27 @@ class CurationFlowSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("replicate_epochs transform expands the in-flight frame by the hashed epoch weights") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val registry = new TransformRegistry
+    CurationTransforms.registerReplicateEpochs(registry, targetTokens = 2000L)
+    val out = registry("replicate_epochs")(docs)
+    // schema = source schema + rep; library path agrees exactly
+    assert(out.columns.toSeq == docs.columns.toSeq :+ "rep")
+    val withToks = docs.withColumn("toks",
+      size(split($"text", " ")).cast("long"))
+    val expected = TextAnalysis.replicateByEpochs(withToks,
+      TextAnalysis.epochWeightsForTokenTarget(withToks, 2000L))
+      .select($"doc_id", $"rep").as[(Long, Long)].collect().sorted.toSeq
+    val got = out.select($"doc_id", $"rep").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    // the mix is an EXPANSION here (scarce fixture sources upsample)
+    assert(got.length > docs.count())
+  }
+
   test("entropy_filter keeps exactly the docs above the nat threshold") {
     import spark.implicits._
     import graft.exec.{CurationTransforms, TransformRegistry}

@@ -191,4 +191,37 @@ class DedupSpec extends SparkSpec {
           f"pair $a%x/$b%x at hamming $h shares no block")
     }
   }
+
+  test("clusterSplit: every near-dup family lands wholly in one split, keyed on the representative") {
+    import spark.implicits._
+    val dir = tmpDir("dedup-cluster-split").toString
+    // chain 1≈2≈3 is one family (transitive); 9 and 11 are singletons
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, s"$base one", "en"),
+      (2L, s"$base one two", "en"),
+      (3L, s"$base one two three", "en"),
+      (9L, "totally different words nothing shared here at all", "en"),
+      (11L, "another unrelated island with its own private words", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.clusterSplit(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the whole chained family carries one label (its min id) and
+    // therefore exactly one split — the no-straddle guarantee
+    val fam = out.filter(t => Set(1L, 2L, 3L).contains(t._1))
+    assert(fam.map(_._2).toSet == Set(1L))
+    assert(fam.map(_._3).toSet.size == 1)
+    assert(out.groupBy(_._2).forall { case (_, ms) => ms.map(_._3).toSet.size == 1 })
+    // the assignment is the md5-prefix rule on the LABEL, recomputed
+    // independently JVM-side (contract, not plan replay)
+    def expSplit(label: Long): String = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(label.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 2)
+      if (b < FeatureOps.valLoBucket) "train"
+      else if (b < FeatureOps.testLoBucket) "val" else "test"
+    }
+    out.foreach { case (_, label, split) => assert(split == expSplit(label)) }
+  }
 }

@@ -332,4 +332,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("pos") == 4L)
     assert(out("neg") == -1L)
   }
+
+  /** Independent JVM-side md5 permille — the same 5-nibble reduction
+    * [[TextAnalysis.permilleHash]] computes in Spark SQL, recomputed
+    * with MessageDigest so the spec checks the CONTRACT, not the plan.
+    */
+  private def epochPermille(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"epoch:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 5), 16) % 1000
+  }
+
+  test("epoch replication: hashed fractional rounding, exact per doc and repartition-invariant") {
+    val spark2 = spark; import spark2.implicits._
+    // source A at 2.4 epochs (each doc 2 or 3 copies), B at 0.6
+    // (each doc 0 or 1 — a fractional pass)
+    val docs = (1L to 40L).map(i => (i, if (i <= 20) "A" else "B", 10L))
+      .toDF("doc_id", "source", "toks")
+    val w = Seq(("A", 2400L), ("B", 600L)).toDF("source", "epochs_permille")
+    val out = TextAnalysis.replicateByEpochs(docs, w)
+      .select($"doc_id", $"rep").as[(Long, Long)].collect()
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    (1L to 20L).foreach { i =>
+      assert(counts(i) == 2 + (if (epochPermille(i) < 400) 1 else 0),
+        s"doc $i (permille ${epochPermille(i)}) got ${counts(i)} copies") }
+    (21L to 40L).foreach { i =>
+      assert(counts.getOrElse(i, 0) == (if (epochPermille(i) < 600) 1 else 0)) }
+    // rep is a dense 1-based copy index
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq })
+    // both fractional regimes actually fire on this fixture
+    assert(counts.filter(_._1 <= 20L).values.toSet == Set(2, 3))
+    assert((21L to 40L).exists(i => !counts.contains(i)) &&
+      (21L to 40L).exists(counts.contains))
+    // pure function of the row: physical layout cannot move a decision
+    val out2 = TextAnalysis.replicateByEpochs(docs.repartition(7), w)
+      .select($"doc_id", $"rep").as[(Long, Long)].collect()
+    assert(out.sorted.toSeq == out2.sorted.toSeq)
+  }
+
+  test("epoch weights: integer permille toward the token target, cap binding") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq((1L, "tiny", 100L), (2L, "tiny", 100L), (3L, "big", 4000L))
+      .toDF("doc_id", "source", "toks")
+    val w = TextAnalysis
+      .epochWeightsForTokenTarget(docs, 1000L, capPermille = 3000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("tiny") == 3000L) // 1000·1000/200 = 5000 → capped at 3 epochs
+    assert(w("big") == 250L)   // a quarter pass of the abundant source
+  }
 }
