@@ -291,6 +291,35 @@ object Sharding {
     writeManifest(s, outDir, updated.toMap)
   }
 
+  /** Composite placement key for EPOCH-MIX rows (docs carrying a
+    * `rep` copy index from `replicateByEpochs`): hashing the bare
+    * doc_id would collocate every copy of a document in one shard —
+    * and, under the writer's within-shard sort, ADJACENT — exactly
+    * the repetition clustering a training order must avoid. Keying
+    * placement on doc_id:rep spreads copies across shards while
+    * keeping right-to-be-forgotten tractable: rep is bounded by the
+    * mix's epoch cap, so a doc_id expands to ≤maxRep keyed requests
+    * ([[expandMixDeletion]]) instead of a full-layout scan.
+    */
+  def mixKey(docId: org.apache.spark.sql.Column,
+      rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(":", docId.cast("string"), rep.cast("string"))
+
+  /** Expand a doc-id deletion request over an epoch-mix layout into
+    * the ≤maxRep composite keys its copies could occupy; feed the
+    * result to [[deleteFromShards]] on `mix_key`. Keys for copies
+    * that never existed route to shards where they match nothing —
+    * the rewrite skips untouched shards, so over-expansion costs
+    * only routing, never I/O.
+    */
+  def expandMixDeletion(
+      ids: DataFrame, docId: String, maxRep: Int): DataFrame = {
+    require(maxRep >= 1, s"expandMixDeletion: maxRep must be >= 1, got $maxRep")
+    ids.select(col(docId)).distinct()
+      .withColumn("__rep", explode(sequence(lit(1), lit(maxRep))))
+      .select(mixKey(col(docId), col("__rep")).as("mix_key"))
+  }
+
   /** String-form routing twin of [[shardId]]: md5("shard:" + id) hex
     * prefix folded onto n — identical to the column form for any id
     * whose Spark string cast equals this string (longs, strings).

@@ -807,6 +807,67 @@ object TextAnalysis {
        |  CAST(SUM(toks) AS BIGINT) AS total_tokens
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source corpus report card — the dashboard a curation run
+    * reads before deciding its mix: volume (docs, tokens, length
+    * range), diversity (distinct languages), quality (mean TTR on the
+    * shared integer permille grid), and redundancy (docs participating
+    * in an exact-duplicate text group). All counters are exact
+    * integers, so the whole report is differentially checkable.
+    *
+    * Shuffle shape at 100 TB: per-doc stats are codegen map work; the
+    * report is two map-side-combinable rollups — one on (source,
+    * text-hash) for redundancy, one on source for everything else —
+    * joined at |sources| rows. The duplicate rollup's first level
+    * keys on the md5, so mega-duplicated boilerplate combines
+    * map-side instead of skewing a reducer.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang", md5($"text").as("th"),
+        split($"text", " ").as("ws"))
+      .select($"source", $"lang", $"th",
+        size($"ws").cast("long").as("toks"),
+        size(array_distinct($"ws")).cast("long").as("nd"))
+      .withColumn("ttrp", expr("(1000 * nd) div toks"))
+      .persistScoped()
+    val base = d.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"toks").as("tokens"),
+      countDistinct($"lang").as("n_langs"),
+      expr("sum(ttrp) div count(1)").as("ttr_permille_avg"),
+      max($"toks").as("max_toks"),
+      min($"toks").as("min_toks"))
+    val dups = d.groupBy($"source", $"th").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1L)
+      .groupBy($"source").agg(sum($"c").as("dup_docs"))
+    base.join(dups, Seq("source"), "left")
+      .na.fill(0L, Seq("dup_docs"))
+      .orderBy($"source")
+  }
+
+  private val corpusReportSql =
+    """WITH d AS (
+      |  SELECT source, lang, md5(text) AS th,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+      |  FROM documents),
+      |q AS (SELECT *, (1000 * nd) // toks AS ttrp FROM d),
+      |base AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    CAST(SUM(ttrp) // COUNT(*) AS BIGINT) AS ttr_permille_avg,
+      |    MAX(toks) AS max_toks, MIN(toks) AS min_toks
+      |  FROM q GROUP BY source),
+      |dup AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS dup_docs FROM (
+      |    SELECT source, th, COUNT(*) AS c FROM q GROUP BY source, th) g
+      |  WHERE c > 1 GROUP BY source)
+      |SELECT b.source, b.n_docs, b.tokens, b.n_langs, b.ttr_permille_avg,
+      |  b.max_toks, b.min_toks, COALESCE(d2.dup_docs, 0) AS dup_docs
+      |FROM base b LEFT JOIN dup d2 USING (source)
+      |ORDER BY source""".stripMargin
+
   /** Per-source token target for [[epochMixture]] — sits between the
     * fixture sources' 1× token masses (~1.1–1.6k at sf0.01), so the
     * gate exercises BOTH regimes: epochs > 1 (floor replication + a
@@ -2198,6 +2259,7 @@ object TextAnalysis {
     CatalogEntry("q_text_dup_ngram", dupNgramFrac, Some(dupNgramFracSql)),
     CatalogEntry("q_text_mixture", languageMixture, Some(languageMixtureSql)),
     CatalogEntry("q_text_dsir", dsirSelect, Some(dsirSql)),
+    CatalogEntry("q_text_report", corpusReport, Some(corpusReportSql)),
     CatalogEntry("q_text_epochs", epochMixture, Some(epochMixtureSql)),
     CatalogEntry("q_text_token_budget", tokenBudgetSelect, Some(tokenBudgetSql)),
     CatalogEntry("q_text_token_budget_binned", tokenBudgetSelectBinned, Some(tokenBudgetSql)),

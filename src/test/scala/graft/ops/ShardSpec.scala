@@ -180,4 +180,38 @@ class ShardSpec extends SparkSpec {
         }
     }
   }
+
+  test("epoch-mix sharding: copies spread across shards; doc deletion removes every copy via key expansion") {
+    import spark.implicits._
+    val out = tmpDir("mix-shards").toString + "/t"
+    // every doc at exactly 3 epochs (w=3000, no fractional branch):
+    // deterministic 3 copies each
+    val docs = (1L to 200L).map(i => (i, "A", 10L)).toDF("doc_id", "source", "toks")
+    val w = Seq(("A", 3000L)).toDF("source", "epochs_permille")
+    val mix = TextAnalysis.replicateByEpochs(docs, w)
+      .withColumn("mix_key", Sharding.mixKey($"doc_id", $"rep"))
+    Sharding.writeTrainingShards(mix, "mix_key", out, 16)
+    val written = spark.read.parquet(out)
+      .select($"doc_id", $"rep", $"shard".cast("long")).as[(Long, Long, Long)]
+      .collect()
+    assert(written.length == 600)
+    // the reason mix_key exists: copies of one doc do NOT collocate.
+    // With bare-doc_id placement every group would have exactly one
+    // distinct shard; under the composite key most docs spread.
+    val spreads = written.groupBy(_._1).map { case (_, c) => c.map(_._3).toSet.size }
+    assert(spreads.count(_ >= 2) > 150,
+      s"copies should usually spread: ${spreads.groupBy(identity).view.mapValues(_.size).toMap}")
+    // right-to-be-forgotten over the mix: expand doc 7 to its <=3
+    // candidate keys, delete — all copies gone, everything else intact
+    val del = Sharding.expandMixDeletion(
+      Seq(7L).toDF("doc_id"), "doc_id", maxRep = 3)
+    assert(del.as[String].collect().toSet == Set("7:1", "7:2", "7:3"))
+    val manifest = Sharding.deleteFromShards(del, "mix_key", out, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(manifest.values.sum == 597L)
+    val after = spark.read.parquet(out)
+      .select($"doc_id", $"rep").as[(Long, Long)].collect()
+    assert(!after.exists(_._1 == 7L))
+    assert(after.length == 597)
+  }
 }

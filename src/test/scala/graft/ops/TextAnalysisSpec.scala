@@ -371,6 +371,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sorted.toSeq == out2.sorted.toSeq)
   }
 
+  test("corpus report: within-source exact-dup accounting, langs, quality grid") {
+    val spark2 = spark; import spark2.implicits._
+    val dir = tmpDir("graft-report").toString
+    // docs 1/2 duplicate WITHIN source a; doc 3 carries the same text
+    // in source b, where it is unique — the report is a per-source
+    // dashboard, so it must NOT count as redundancy there (cross-source
+    // duplication is the dedup family's job)
+    Seq(
+      (1L, "same text here", "en", "a", 14L),
+      (2L, "same text here", "en", "a", 14L),
+      (3L, "same text here", "en", "b", 14L),
+      (4L, "w w w w", "fr", "a", 7L),
+      (5L, "unique two words", "en", "b", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.corpusReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.CacheScope.drain()
+    assert(out("a").getLong(1) == 3L && out("a").getLong(7) == 2L) // n_docs, dup_docs
+    assert(out("b").getLong(1) == 2L && out("b").getLong(7) == 0L)
+    assert(out("a").getLong(3) == 2L && out("b").getLong(3) == 1L) // n_langs
+    // mean TTR permille: a = (1000 + 250 + 1000) div 3 = 750
+    assert(out("a").getLong(4) == 750L)
+  }
+
   test("epoch weights: integer permille toward the token target, cap binding") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq((1L, "tiny", 100L), (2L, "tiny", 100L), (3L, "big", 4000L))
