@@ -254,6 +254,19 @@ object CurationTransforms {
         s"${graft.ops.TextAnalysis.ttrPermilleSql("text")} >= $minTtrPermille"))
     })
 
+  /** Register `dedup_filter`: near-duplicate removal as a declarative
+    * stage — the most-run curation step of all, previously
+    * library/catalog-only. Resolves MinHash-LSH families on the
+    * in-flight frame and keeps one doc per family (min-id canonical,
+    * or the longest copy with `keepBest = true`). Original columns
+    * pass through unchanged.
+    */
+  def registerDedupFilter(
+      registry: TransformRegistry, keepBest: Boolean = false): Unit =
+    registry.register("dedup_filter", { docs: DataFrame =>
+      graft.ops.Dedup.nearDupFilterOn(docs, keepBest)
+    })
+
   /** Register `replicate_epochs`: materialize an epoch-weighted
     * training mix inside a pipeline — every source pulled toward
     * `targetTokens` (each doc gains `toks` = whitespace token count if
@@ -266,7 +279,8 @@ object CurationTransforms {
     */
   def registerReplicateEpochs(
       registry: TransformRegistry, targetTokens: Long,
-      capPermille: Long = 3000L): Unit =
+      capPermille: Long = 3000L,
+      withMixKey: Boolean = false): Unit =
     registry.register("replicate_epochs", { docs: DataFrame =>
       val withToks =
         if (docs.columns.contains("toks")) docs
@@ -275,8 +289,14 @@ object CurationTransforms {
             org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
       val w = graft.ops.TextAnalysis
         .epochWeightsForTokenTarget(withToks, targetTokens, capPermille)
-      graft.ops.TextAnalysis.replicateByEpochs(withToks, w)
-        .select((docs.columns.map(col) :+ col("rep")).toSeq: _*)
+      val rep = graft.ops.TextAnalysis.replicateByEpochs(withToks, w)
+      // withMixKey: also emit the composite shard key, so a downstream
+      // shardBy=mix_key load step spreads a doc's copies across shards
+      val extra =
+        if (withMixKey) Seq(col("rep"),
+          graft.ops.Sharding.mixKey(col("doc_id"), col("rep")).as("mix_key"))
+        else Seq(col("rep"))
+      rep.select((docs.columns.map(col) ++ extra).toSeq: _*)
     })
 
   /** Register `compact_layout`: run small-files compaction on a

@@ -1196,6 +1196,47 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Frame-based near-dup FILTER — the dedup family as a pipeline
+    * stage: resolve MinHash-LSH clusters on the in-flight frame
+    * (audited iterate-until-stable components, same machinery as
+    * `q_dedup_cc`) and keep exactly one document per family — the
+    * min-id canonical by default, or the LONGEST copy
+    * (`keepBestByChars`, the [[keepBest]] policy) when the best crawl
+    * of a page should survive instead of the first-seen one. Schema
+    * passes through untouched (left-semi on the kept ids).
+    *
+    * Scale shape: banding is per-row map work; candidates come from
+    * the band join (never all-pairs); the component loop is the
+    * lineage-cut label propagation. The semi-join adds one doc-key
+    * exchange — the minimum any corpus-wide keep-set application
+    * pays.
+    */
+  def nearDupFilterOn(
+      docs: DataFrame, keepBestByChars: Boolean = false): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bands = bandsForDocs(docs.select($"doc_id", $"text")).persistScoped()
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val labels = connectedComponents(
+      s, docs.select($"doc_id".as("id")), pairs)
+    val kept =
+      if (!keepBestByChars)
+        labels.filter($"id" === $"label").select($"id".as("doc_id"))
+      else
+        labels
+          .join(docs.select($"doc_id",
+            length($"text").cast("long").as("__len")), $"id" === $"doc_id")
+          .groupBy($"label")
+          .agg(min(struct((-$"__len").as("neg"), $"doc_id".as("kid"))).as("best"))
+          .select($"best.kid".as("doc_id"))
+    docs.join(kept, Seq("doc_id"), "left_semi")
+  }
+
   /** Leakage-safe split by DISCOVERED duplicate structure — the
     * composition `q_feat_group_split` can't express: its group key
     * must be a declared column, but the groups that actually leak are

@@ -322,6 +322,89 @@ class CurationFlowSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("FineWeb-style declarative chain: quality gate -> near-dup filter -> epoch mix -> spread shards") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, PipelineRunner, TransformRegistry}
+    import graft.model.{ConnectionSpec, PipelineJson}
+    import graft.store.Repository
+    val root = tmpDir("fineweb-chain")
+    // 8 near-dup families of 3 (20-word shared base, growing tails;
+    // keep-best must pick the LONGEST member), 16 unique docs, 6
+    // low-TTR junk docs the quality gate must drop first
+    val fams = (0 until 8).flatMap { f =>
+      val base = (0 until 20).map(j => s"f${f}w$j").mkString(" ")
+      Seq(
+        (f * 10L, s"$base tail", "en", s"src${f % 4}", 60L),
+        (f * 10L + 1, s"$base tail extra", "en", s"src${f % 4}", 66L),
+        (f * 10L + 2, s"$base tail extra more", "en", s"src${f % 4}", 72L))
+    }
+    val uniques = (0 until 16).map { i =>
+      (1000L + i, (0 until 12).map(j => s"u${i}x$j").mkString(" "),
+        "en", s"src${i % 4}", 70L)
+    }
+    val junk = (0 until 6).map { i =>
+      (2000L + i, Seq.fill(12)("junk").mkString(" "), "en", s"src${i % 4}", 59L)
+    }
+    val docs = (fams ++ uniques ++ junk)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$root/documents.parquet")
+
+    val repo = new Repository(root)
+    repo.saveConnection(ConnectionSpec("docs", "fixtures", "parquet",
+      Map("basePath" -> root.toString)))
+    repo.saveConnection(ConnectionSpec("out", "outputs", "parquet",
+      Map("basePath" -> root.toString)))
+    val registry = new TransformRegistry
+    CurationTransforms.registerQualityFilter(registry, minTtrPermille = 500L)
+    CurationTransforms.registerDedupFilter(registry, keepBest = true)
+    CurationTransforms.registerReplicateEpochs(registry,
+      targetTokens = 400L, withMixKey = true)
+    val spec = PipelineJson.parsePipeline(
+      s"""{"id":"fineweb","name":"full curation chain","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+         |{"stepType":"transform","name":"quality","order":2,"kind":"named","transformName":"quality_filter"},
+         |{"stepType":"transform","name":"dedup","order":3,"kind":"named","transformName":"dedup_filter"},
+         |{"stepType":"transform","name":"mix","order":4,"kind":"named","transformName":"replicate_epochs"},
+         |{"stepType":"load","name":"shards","order":5,"connectionId":"out","path":"mix_shards","mode":"replace",
+         | "options":{"shardBy":"mix_key","shards":"8"}}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
+    assert(repo.history("fineweb").map(_.status) == Seq("running", "success"))
+    graft.CacheScope.drain()
+
+    // library replay, stage by stage
+    val s1 = docs.filter(expr(s"${TextAnalysis.ttrPermilleSql("text")} >= 500"))
+    val s2 = Dedup.nearDupFilterOn(s1, keepBestByChars = true)
+    val keptIds = s2.select($"doc_id").as[Long].collect().toSet
+    graft.CacheScope.drain()
+    // junk dropped by TTR; each family collapsed to its LONGEST member
+    assert(keptIds.forall(_ < 2000L))
+    (0 until 8).foreach { f =>
+      assert(keptIds.contains(f * 10L + 2), s"family $f lost its best member")
+      assert(!keptIds.contains(f * 10L) && !keptIds.contains(f * 10L + 1),
+        s"family $f kept a non-canonical copy")
+    }
+    assert((1000L until 1016L).forall(keptIds.contains))
+    val withToks = s2.withColumn("toks",
+      size(split($"text", " ")).cast("long"))
+    val s3 = TextAnalysis.replicateByEpochs(withToks,
+      TextAnalysis.epochWeightsForTokenTarget(withToks, 400L))
+      .select($"doc_id", $"rep").as[(Long, Long)].collect().sorted.toSeq
+    graft.CacheScope.drain()
+    val written = spark.read.parquet(s"$root/mix_shards")
+    val got = written.select($"doc_id", $"rep").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == s3 && got.nonEmpty, "declarative chain must equal the library replay")
+    // the mix_key placement spreads a doc's copies across shards
+    val spread = written.groupBy($"doc_id")
+      .agg(countDistinct($"shard").as("ns"), count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"ns").as[Long].collect()
+    assert(spread.nonEmpty && spread.exists(_ >= 2L),
+      "epoch copies should spread across shards under mix_key placement")
+    graft.CacheScope.drain()
+  }
+
   test("bpe_token_stats transform annotates docs from a frozen tokenizer model") {
     import spark.implicits._
     import graft.exec.{CurationTransforms, TransformRegistry}
