@@ -132,4 +132,26 @@ class MetricsSpec extends SparkSpec {
     assert(mBinned.shuffleWriteRecords <= nSources * 1001L * 2L,
       s"binned=${mBinned.shuffleWriteRecords} — must stay within the bin bound")
   }
+
+  test("epoch replication shuffles only the weights rollup, never corpus rows") {
+    // the mix materialization must stay broadcast+map: the only
+    // exchange is the |sources|-row weight rollup's partials. A join
+    // that stopped broadcasting (or an explode pushed through an
+    // exchange) would shuffle every corpus row and go red here.
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("toks"))
+    val nDocs = docs.count()
+    val nSources = docs.select($"source").distinct().count()
+    graft.CacheScope.drain()
+    val (_, m) = SparkMetrics.measure(spark) {
+      TextAnalysis.replicateByEpochs(docs,
+        TextAnalysis.epochWeightsForTokenTarget(docs, 2000L))
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(m.shuffleWriteRecords < nDocs,
+      s"${m.shuffleWriteRecords} shuffled records for $nDocs docs — corpus rows crossed an exchange")
+    assert(m.shuffleWriteRecords <= nSources * 64L,
+      s"${m.shuffleWriteRecords} shuffled records — weight rollup should stay ~|sources| partials")
+  }
 }
