@@ -82,7 +82,23 @@ final class PipelineRunner(
           l.connectionId }
         .groupBy(identity).view.mapValues(_.size).toMap
       ordered.foldLeft(Option.empty[DataFrame]) { (data, step) =>
-        runStep(data, step, sharedCkLoads)
+        val next = runStep(data, step, sharedCkLoads)
+        step match {
+          case t: TransformStep if t.audit =>
+            // per-stage retention accounting (see TransformStep.audit):
+            // the count is an extra action by design; streaming frames
+            // cannot be counted — refuse instead of silently skipping
+            val frame = next.get
+            require(!frame.isStreaming,
+              s"transform '${t.name}': audit=true is unsupported on a " +
+                "streaming frame (counting forces execution); audit the " +
+                "batch twin or the landed output instead")
+            val n = frame.count()
+            repo.appendHistory(HistoryEvent(p.id, Instant.now(),
+              Some(Instant.now()), "audit", s"step '${t.name}': rows=$n"))
+          case _ => ()
+        }
+        next
       }
       repo.appendHistory(HistoryEvent(p.id, started, Some(Instant.now()), "success",
         s"${ordered.size} steps"))

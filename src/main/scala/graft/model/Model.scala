@@ -38,13 +38,21 @@ final case class ExtractStep(
   * structure.txt:21-26); `named` looks up a registered
   * DataFrame => DataFrame (idiomatic replacement for the reference's
   * arbitrary-python transform, SURVEY.md §2.A A10).
+  *
+  * `audit = true` records the step's output row count as an `audit`
+  * history event — the per-stage retention accounting a curation run
+  * publishes (kept/total per filter). OPT-IN because the count is an
+  * extra ACTION: it executes the upstream plan once more per audited
+  * step — put a `cache` step upstream when auditing several stages,
+  * and never audit what you don't need accounted.
   */
 final case class TransformStep(
     name: String,
     order: Int,
     kind: String, // "sql" | "named"
     sql: Option[String] = None,
-    transformName: Option[String] = None)
+    transformName: Option[String] = None,
+    audit: Boolean = false)
     extends StepSpec
 
 /** Load: write modes mirror A7/A8 (`append`, `replace`) plus `errorIfExists`.
@@ -93,7 +101,8 @@ object PipelineJson {
         n.get("connectionId").asText,
         optStr(n, "path"), optStr(n, "table"), optStr(n, "query"), optsMap(n))
       case "transform" => TransformStep(name, order,
-        n.get("kind").asText, optStr(n, "sql"), optStr(n, "transformName"))
+        n.get("kind").asText, optStr(n, "sql"), optStr(n, "transformName"),
+        Option(n.get("audit")).exists(_.asBoolean(false)))
       case "load" => LoadStep(name, order,
         n.get("connectionId").asText,
         optStr(n, "path"), optStr(n, "table"),
@@ -143,6 +152,7 @@ object PipelineJson {
       case t: TransformStep =>
         o.put("stepType", "transform"); o.put("kind", t.kind)
         put(o, "sql", t.sql); put(o, "transformName", t.transformName)
+        if (t.audit) o.put("audit", true)
       case l: LoadStep =>
         o.put("stepType", "load"); o.put("connectionId", l.connectionId)
         put(o, "path", l.path); put(o, "table", l.table)

@@ -47,6 +47,37 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(h.last.finishedAt.isDefined)
   }
 
+  test("audited transforms record per-stage retention counts in history") {
+    val (repo, dataDir) = setup()
+    val spec = pipeline(
+      s"""{"id":"paud","name":"audited","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"keep_tagged","order":2,"kind":"sql","audit":true,
+         | "sql":"SELECT * FROM input WHERE tag IS NOT NULL"},
+         |{"stepType":"transform","name":"keep_a","order":3,"kind":"sql","audit":true,
+         | "sql":"SELECT * FROM input WHERE tag = 'a'"},
+         |{"stepType":"load","name":"sink","order":4,"connectionId":"local","path":"outaud","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    // round-trips through the repo's JSON serialization (audit flag kept)
+    assert(new PipelineRunner(spark, repo).runById("paud").status == "success")
+    val h = repo.history("paud")
+    assert(h.map(_.status) == Seq("running", "audit", "audit", "success"))
+    assert(h(1).message == "step 'keep_tagged': rows=3")
+    assert(h(2).message == "step 'keep_a': rows=2")
+    assert(spark.read.parquet(s"$dataDir/outaud").count() == 2)
+    // un-audited pipelines keep the exact two-event shape (opt-in)
+    val plain = pipeline(
+      s"""{"id":"paud2","name":"plain","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"t","order":2,"kind":"sql","sql":"SELECT * FROM input"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"outaud2","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(plain)
+    assert(new PipelineRunner(spark, repo).runById("paud2").status == "success")
+    assert(repo.history("paud2").map(_.status) == Seq("running", "success"))
+  }
+
   test("named transform via registry") {
     val (repo, dataDir) = setup()
     val registry = new TransformRegistry
