@@ -924,7 +924,18 @@ object TextAnalysis {
     * REVERSES when stop < start instead of returning empty).
     */
   def replicateByEpochs(docs: DataFrame, weights: DataFrame): DataFrame =
-    docs.join(broadcast(weights), Seq("source"))
+    docs.join(broadcast(weights), Seq("source"), "left")
+      // a FROZEN mix spec applied to a drifting corpus (the streaming
+      // shape) can meet sources it never saw — an inner join would
+      // DROP them silently, the worst failure mode a selection
+      // operator can have. The guard is a codegen predicate (no extra
+      // action): unseen source → loud error at execution time.
+      .withColumn("epochs_permille",
+        when(col("epochs_permille").isNull,
+          raise_error(concat(lit("replicateByEpochs: source '"),
+            col("source"),
+            lit("' has no epoch weight — the mix spec must cover every source"))))
+          .otherwise(col("epochs_permille")))
       .withColumn("__n_rep",
         expr("epochs_permille div 1000") +
           when(permilleHash(col("doc_id"), "epoch:") <

@@ -396,6 +396,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("a").getLong(4) == 750L)
   }
 
+  test("epoch replication streams with a frozen spec == batch; unseen source errors loudly") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = (1L to 30L).map(i => (i, if (i <= 15) "A" else "B", 10L))
+    val w = Seq(("A", 2400L), ("B", 600L)).toDF("source", "epochs_permille")
+    val batch = TextAnalysis
+      .replicateByEpochs(docs.toDF("doc_id", "source", "toks"), w)
+      .select($"doc_id", $"rep").as[(Long, Long)].collect().sorted.toSeq
+
+    // streaming: the FROZEN weights (a mix spec is decided offline)
+    // broadcast onto each micro-batch — same rows as batch, append mode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val name = s"epochs_${System.nanoTime()}"
+    val q = TextAnalysis
+      .replicateByEpochs(mem.toDF().toDF("doc_id", "source", "toks"), w)
+      .select($"doc_id", $"rep")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(docs.take(10)); q.processAllAvailable()
+      mem.addData(docs.drop(10)); q.processAllAvailable()
+      val streamed = spark.table(name).as[(Long, Long)].collect().sorted.toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+
+    // drift guard: a source the frozen spec never saw must ERROR, not
+    // silently vanish (the inner-join failure mode, made loud)
+    val drift = Seq((99L, "C", 10L)).toDF("doc_id", "source", "toks")
+    val e = intercept[Exception] {
+      TextAnalysis.replicateByEpochs(drift, w).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("has no epoch weight"),
+      s"expected the loud drift guard, got: ${e.getMessage}")
+  }
+
   test("epoch weights: integer permille toward the token target, cap binding") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq((1L, "tiny", 100L), (2L, "tiny", 100L), (3L, "big", 4000L))
