@@ -46,6 +46,16 @@ class CoverageSpec extends AnyFunSuite {
         s"driver gate on disk is CORRECTNESS_r$newest.json — refresh the header")
   }
 
+  test("README catalog count matches the live catalog size") {
+    val p = java.nio.file.Paths.get("README.md")
+    assert(java.nio.file.Files.exists(p), "README.md missing from repo root")
+    val readme = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val n = Catalog.entries.size
+    assert(readme.contains(s"the operator catalog ($n queries)"),
+      s"README.md catalog count != $n live catalog entries — update the line")
+  }
+
   test("catalog names are unique (duplicate entries would shadow in byName)") {
     val dupes = Catalog.entries.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate catalog names: ${dupes.mkString(", ")}")
