@@ -202,18 +202,32 @@ object Sources {
             // mode semantics must match the plain sink's exactly: an
             // unknown mode throws (saveMode), errorIfExists refuses an
             // existing layout instead of silently overwriting it
+            // "splitBy": the leakage-safe split made PHYSICAL —
+            // split=<v>/shard=<k> dirs, each split a standalone
+            // layout (ops.Sharding.writeSplitShards). Rebuild-only:
+            // appends/deletes address one split's directory (itself a
+            // plain shard layout) in a separate step.
+            val splitBy = step.options.get("splitBy")
             if (step.mode == "delete") {
+              require(splitBy.isEmpty,
+                s"load '${step.name}': delete mode addresses one split's directory, not the split root")
               graft.ops.Sharding.deleteFromShards(df, key, full, n); ()
             } else saveMode(step.mode) match {
               case SaveMode.Append =>
+                require(splitBy.isEmpty,
+                  s"load '${step.name}': append addresses one split's directory, not the split root")
                 graft.ops.Sharding.appendToShards(df, key, full, n)
               case SaveMode.ErrorIfExists
                   if Hfs.fs(df.sparkSession, full)
                     .exists(new org.apache.hadoop.fs.Path(full)) =>
                 throw new IllegalStateException(
                   s"load '${step.name}': shard layout already exists at $full (mode=errorIfExists)")
-              case _ =>
-                graft.ops.Sharding.writeTrainingShards(df, key, full, n)
+              case _ => splitBy match {
+                case Some(sc) =>
+                  graft.ops.Sharding.writeSplitShards(df, sc, key, full, n)
+                case None =>
+                  graft.ops.Sharding.writeTrainingShards(df, key, full, n)
+              }
             }
           case (Some(_), None) | (None, Some(_)) =>
             throw new IllegalArgumentException(

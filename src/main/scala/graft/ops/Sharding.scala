@@ -174,6 +174,44 @@ object Sharding {
     writeManifest(s, outDir, writtenCounts(s, outDir, Nil))
   }
 
+  /** Split-separated training layout — the PHYSICAL form of a
+    * leakage-safe split (`q_feat_split` / `q_feat_group_split` /
+    * `q_dedup_cluster_split` produce the column; this writes it):
+    * `split=<v>/shard=<k>` directories, so a trainer reads the train
+    * shards and an eval harness reads val/test with partition pruning
+    * — never a row of the other split — while each split keeps the
+    * deterministic n-shard balance and intra-file doc order. Costs the
+    * SAME single exchange as [[writeTrainingShards]]: the split is a
+    * within-task sort level and a writer partition column, not a
+    * second shuffle (each shard task emits one file per split it
+    * carries, ≤ n·|splits| files total). Each split directory gets its
+    * own `_shards.json` from the written files, so every split IS a
+    * valid standalone shard layout (readable, appendable, deletable by
+    * the existing tools).
+    */
+  def writeSplitShards(
+      df: DataFrame, splitCol: String, docId: String,
+      outDir: String, n: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.withColumn("shard", shardId(col(docId), n))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col(splitCol), col("shard"), col(docId))
+      .write.mode("overwrite").partitionBy(splitCol, "shard").parquet(outDir)
+    val fs = graft.connect.Hfs.fs(s, outDir)
+    val splitDirs = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(s"$splitCol="))
+      .sortBy(_.getName)
+    require(splitDirs.nonEmpty,
+      s"writeSplitShards: no $splitCol= directories written at $outDir")
+    splitDirs.map { p =>
+      val v = p.getName.stripPrefix(s"$splitCol=")
+      writeManifest(s, p.toString, writtenCounts(s, p.toString, Nil))
+        .select(lit(v).as(splitCol), $"shard", $"n_rows")
+    }.reduce(_.unionByName(_))
+  }
+
   /** Incremental append: hash placement is a pure function of the doc
     * id, so new documents land in their shard WITHOUT touching any
     * existing file — the property that lets a daily ingest extend a

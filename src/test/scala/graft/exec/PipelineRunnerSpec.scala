@@ -78,6 +78,34 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(repo.history("paud2").map(_.status) == Seq("running", "success"))
   }
 
+  test("declarative split-shard layout: splitBy writes physical split dirs; append/delete must address one split") {
+    val (repo, dataDir) = setup()
+    val spark2 = spark; import spark2.implicits._
+    (1L to 100L).map(i => (i, if (i % 5 == 0) "val" else "train"))
+      .toDF("doc_id", "split")
+      .write.mode("overwrite").parquet(s"$dataDir/labeled")
+    def spec(id: String, mode: String) = pipeline(
+      s"""{"id":"$id","name":"$id","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"labeled"},
+         |{"stepType":"load","name":"sink","order":2,"connectionId":"local","path":"splitshards","mode":"$mode",
+         | "options":{"shardBy":"doc_id","shards":"4","splitBy":"split"}}
+         |]}""".stripMargin)
+    repo.savePipeline(spec("ps1", "replace"))
+    val runner = new PipelineRunner(spark, repo)
+    assert(runner.runById("ps1").status == "success")
+    assert(spark.read.parquet(s"$dataDir/splitshards/split=train").count() == 80L)
+    assert(spark.read.parquet(s"$dataDir/splitshards/split=val").count() == 20L)
+    // each split dir carries its own standalone manifest
+    assert(new java.io.File(s"$dataDir/splitshards/split=val/_shards.json").exists())
+    // append and delete on the split ROOT are refused loudly — they
+    // address one split's directory (itself a plain shard layout)
+    repo.savePipeline(spec("ps2", "append"))
+    intercept[IllegalArgumentException](runner.runById("ps2"))
+    assert(repo.history("ps2").map(_.status) == Seq("running", "error"))
+    repo.savePipeline(spec("ps3", "delete"))
+    intercept[IllegalArgumentException](runner.runById("ps3"))
+  }
+
   test("named transform via registry") {
     val (repo, dataDir) = setup()
     val registry = new TransformRegistry

@@ -181,6 +181,36 @@ class ShardSpec extends SparkSpec {
     }
   }
 
+  test("split-separated layout: one exchange, per-split standalone shard layouts, pruning-safe dirs") {
+    import spark.implicits._
+    val out = tmpDir("split-shards").toString + "/t"
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 10 == 0) "val" else "train", s"text $i")).toDF("doc_id", "split", "text")
+    val manifest = Sharding.writeSplitShards(docs, "split", "doc_id", out, 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(manifest.map(_._3).sum == 300L)
+    assert(manifest.map(_._1).toSet == Set("train", "val"))
+    // physical separation: the split is a directory level, so an eval
+    // reader can never touch a train row (and vice versa)
+    val trainRows = spark.read.parquet(s"$out/split=train")
+      .select($"doc_id").as[Long].collect().toSet
+    val valRows = spark.read.parquet(s"$out/split=val")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(valRows == (10L to 300L by 10L).toSet)
+    assert(trainRows == (1L to 300L).toSet -- valRows)
+    // every split dir is a standalone layout: its own manifest matches
+    // the files, and the existing incremental tools work on it directly
+    val m = spark.read.parquet(s"$out/split=train")
+      .groupBy($"shard".cast("long")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fromManifest = manifest.filter(_._1 == "train")
+      .map(t => (t._2.toLong, t._3)).toMap
+    assert(m == fromManifest)
+    val extra = Seq((1001L, "new doc")).toDF("doc_id", "text")
+    Sharding.appendToShards(extra, "doc_id", s"$out/split=train", 8)
+    assert(spark.read.parquet(s"$out/split=train").count() == trainRows.size + 1)
+  }
+
   test("epoch-mix sharding: copies spread across shards; doc deletion removes every copy via key expansion") {
     import spark.implicits._
     val out = tmpDir("mix-shards").toString + "/t"
