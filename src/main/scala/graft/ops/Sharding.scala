@@ -161,18 +161,45 @@ object Sharding {
     * into every part-file (asserted per-file by ShardSpec).
     */
   def writeTrainingShards(
-      df: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
+      df: DataFrame, docId: String, outDir: String, n: Int): DataFrame =
+    writeTrainingShards(df, docId, outDir, n, orderCol = None)
+
+  /** [[writeTrainingShards]] with an explicit intra-shard order
+    * column. The default (None) sorts by the placement key — right
+    * for lookup-shaped consumers (deletion rewrites keep their
+    * order). A TRAINING consumer reading files sequentially usually
+    * wants a deterministic SHUFFLED order instead (see
+    * [[trainingOrderKey]]): under the key sort, an epoch mix's
+    * collocated copies of one document sit byte-adjacent — repetition
+    * back-to-back is the worst place for it.
+    */
+  def writeTrainingShards(
+      df: DataFrame, docId: String, outDir: String, n: Int,
+      orderCol: Option[String]): DataFrame = {
     val s = df.sparkSession
+    val ord = orderCol.map(col).getOrElse(col(docId))
     val planned = df
       .withColumn("shard", shardId(col(docId), n))
       .repartition(n, col("shard"))
-      .sortWithinPartitions(col("shard"), col(docId))
+      .sortWithinPartitions(col("shard"), ord)
     planned.write.mode("overwrite").partitionBy("shard").parquet(outDir)
     // manifest from the WRITTEN layout (partition-column-only count:
     // row-group metadata, no data pages) — never a second execution of
     // the input plan
     writeManifest(s, outDir, writtenCounts(s, outDir, Nil))
   }
+
+  /** Deterministic shuffled training order: md5("order:" + key) —
+    * the same engine-portable hash family as placement, but SALTED
+    * APART from it, so the within-shard order is statistically
+    * independent of the shard assignment (sorting by the placement
+    * hash itself would be constant within a shard's md5 cell). A pure
+    * function of the row: bit-reproducible across runs, and appended
+    * files get their own internally-shuffled order without touching
+    * existing ones.
+    */
+  def trainingOrderKey(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(concat(lit("order:"), key.cast("string")))
 
   /** Split-separated training layout — the PHYSICAL form of a
     * leakage-safe split (`q_feat_split` / `q_feat_group_split` /

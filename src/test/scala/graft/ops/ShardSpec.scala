@@ -211,6 +211,45 @@ class ShardSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/split=train").count() == trainRows.size + 1)
   }
 
+  test("shuffled training order: collocated epoch copies stop being byte-adjacent") {
+    import spark.implicits._
+    val base = tmpDir("order-shards").toString
+    val docs = (1L to 200L).map(i => (i, "A", 10L)).toDF("doc_id", "source", "toks")
+    val w = Seq(("A", 3000L)).toDF("source", "epochs_permille")
+    val mix = TextAnalysis.replicateByEpochs(docs, w)
+      .withColumn("mix_key", Sharding.mixKey($"doc_id", $"rep"))
+      .withColumn("order_key", Sharding.trainingOrderKey($"mix_key"))
+    Sharding.writeTrainingShards(mix, "mix_key", s"$base/bykey", 4)
+    Sharding.writeTrainingShards(mix, "mix_key", s"$base/shuffled", 4,
+      orderCol = Some("order_key"))
+    // adjacency in FILE order (the order a sequential trainer reads):
+    // same-doc neighbors per shard file
+    def adjacentSameDoc(dir: String): Int = {
+      val files = new java.io.File(dir).listFiles.filter(_.isDirectory)
+        .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+      files.map { f =>
+        val ids = spark.read.parquet(f.getPath)
+          .select($"doc_id").as[Long].collect()
+        ids.sliding(2).count(p => p.length == 2 && p(0) == p(1))
+      }.sum
+    }
+    val sorted = adjacentSameDoc(s"$base/bykey")
+    val shuffled = adjacentSameDoc(s"$base/shuffled")
+    // key order: EVERY collocated copy pair is adjacent (~2/16 of 200
+    // docs land two copies in one shard); the salted-hash order breaks
+    // nearly all of them
+    assert(sorted >= 10, s"fixture should collocate some copies (got $sorted adjacent)")
+    assert(shuffled * 4 <= sorted,
+      s"shuffled order must break adjacency: $shuffled vs $sorted")
+    // and the shuffled layout is still the same DATA with the same
+    // placement (manifest equality)
+    val a = spark.read.parquet(s"$base/bykey").select($"mix_key", $"shard".cast("long"))
+      .as[(String, Long)].collect().toSet
+    val b = spark.read.parquet(s"$base/shuffled").select($"mix_key", $"shard".cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("epoch-mix sharding: copies spread across shards; doc deletion removes every copy via key expansion") {
     import spark.implicits._
     val out = tmpDir("mix-shards").toString + "/t"
