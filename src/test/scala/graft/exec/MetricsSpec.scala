@@ -133,6 +133,24 @@ class MetricsSpec extends SparkSpec {
       s"binned=${mBinned.shuffleWriteRecords} — must stay within the bin bound")
   }
 
+  test("split-shard writer costs the same one exchange as the flat writer") {
+    // the split is a within-task sort level + writer partition column;
+    // a second repartition (e.g. on (split, shard)) would double the
+    // shuffled rows and go red here
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .withColumn("split", when($"doc_id" % 10 === 0, "val").otherwise("train"))
+    val n = docs.count()
+    val out = tmpDir("metrics-split-shards").toString + "/t"
+    graft.CacheScope.drain()
+    val (_, m) = SparkMetrics.measure(spark) {
+      Sharding.writeSplitShards(docs, "split", "doc_id", out, 16)
+    }
+    assert(m.shuffleWriteRecords >= n,
+      s"expected >= $n shuffled rows, got ${m.shuffleWriteRecords}")
+    assert(m.shuffleWriteRecords <= n + 2048L,
+      s"${m.shuffleWriteRecords} shuffled rows for $n docs — an extra exchange appeared")
+  }
+
   test("epoch replication shuffles only the weights rollup, never corpus rows") {
     // the mix materialization must stay broadcast+map: the only
     // exchange is the |sources|-row weight rollup's partials. A join

@@ -362,15 +362,17 @@ class CurationFlowSpec extends SparkSpec {
     val spec = PipelineJson.parsePipeline(
       s"""{"id":"fineweb","name":"full curation chain","steps":[
          |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
-         |{"stepType":"transform","name":"quality","order":2,"kind":"named","transformName":"quality_filter"},
-         |{"stepType":"transform","name":"dedup","order":3,"kind":"named","transformName":"dedup_filter"},
-         |{"stepType":"transform","name":"mix","order":4,"kind":"named","transformName":"replicate_epochs"},
+         |{"stepType":"transform","name":"quality","order":2,"kind":"named","transformName":"quality_filter","audit":true},
+         |{"stepType":"transform","name":"dedup","order":3,"kind":"named","transformName":"dedup_filter","audit":true},
+         |{"stepType":"transform","name":"mix","order":4,"kind":"named","transformName":"replicate_epochs","audit":true},
          |{"stepType":"load","name":"shards","order":5,"connectionId":"out","path":"mix_shards","mode":"replace",
          | "options":{"shardBy":"mix_key","shards":"8"}}
          |]}""".stripMargin)
     repo.savePipeline(spec)
     assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
-    assert(repo.history("fineweb").map(_.status) == Seq("running", "success"))
+    val hist = repo.history("fineweb")
+    assert(hist.map(_.status) ==
+      Seq("running", "audit", "audit", "audit", "success"))
     graft.CacheScope.drain()
 
     // library replay, stage by stage
@@ -396,6 +398,10 @@ class CurationFlowSpec extends SparkSpec {
     val got = written.select($"doc_id", $"rep").as[(Long, Long)]
       .collect().sorted.toSeq
     assert(got == s3 && got.nonEmpty, "declarative chain must equal the library replay")
+    // the audited retention series matches the library replay's counts
+    assert(hist(1).message == s"step 'quality': rows=${docs.count() - junk.size}")
+    assert(hist(2).message == s"step 'dedup': rows=${keptIds.size}")
+    assert(hist(3).message == s"step 'mix': rows=${got.length}")
     // the mix_key placement spreads a doc's copies across shards
     val spread = written.groupBy($"doc_id")
       .agg(countDistinct($"shard").as("ns"), count(lit(1)).as("c"))
