@@ -60,6 +60,40 @@ object Sharding {
       .orderBy($"shard")
   }
 
+  /** Catalog gate for the SPLIT-separated layout's placement
+    * arithmetic ([[writeSplitShards]] — the writer itself is
+    * spec-checked): the hash split (`q_feat_split`'s md5-prefix cut on
+    * the doc id) crossed with md5 shard placement, rolled up per
+    * (split, shard). The per-cell near-uniformity visible in the gate
+    * output IS the property that makes each split a balanced
+    * standalone layout; both hashes are differentially recomputed by
+    * DuckDB.
+    */
+  def splitShardPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        FeatureOps.splitFor(bucket).as("split"),
+        shardId($"doc_id", numShards).as("shard"))
+      .groupBy($"split", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bytes"))
+      .orderBy($"split", $"shard")
+  }
+
+  private val splitShardPlanSql = {
+    val h = "substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+    val b = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars,
+       |    ${FeatureOps.splitCaseSql(b)} AS split,
+       |    (${nib(h, 1)} * 16 + ${nib(h, 2)}) % $numShards AS shard
+       |  FROM documents)
+       |SELECT split, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS bytes
+       |FROM d GROUP BY split, shard ORDER BY split, shard""".stripMargin
+  }
+
   private def nib(hexColSql: String, i: Int) =
     s"(strpos('0123456789abcdef', $hexColSql[$i:$i]) - 1)"
 
@@ -397,5 +431,6 @@ object Sharding {
   }
 
   def entries: Seq[CatalogEntry] = Seq(
-    CatalogEntry("q_shard_plan", shardPlan, Some(shardPlanSql)))
+    CatalogEntry("q_shard_plan", shardPlan, Some(shardPlanSql)),
+    CatalogEntry("q_shard_split_plan", splitShardPlan, Some(splitShardPlanSql)))
 }
