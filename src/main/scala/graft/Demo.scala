@@ -122,6 +122,31 @@ object Demo {
     ops.Sharding.deleteFromShards(
       Seq(1L, 2L).toDF("doc_id"), "doc_id", shardPath, 16).show(3)
 
+    // round-12 curation surface: the corpus report a mix decision
+    // reads, then the whole FineWeb-style chain as ONE audited
+    // declarative pipeline — quality gate → near-dup filter →
+    // epoch-weighted replication → spread shards
+    println("[demo] report: per-source volume/diversity/quality/redundancy")
+    ops.TextAnalysis.corpusReport(spark, sfDir).show(3)
+    println("[demo] declarative FineWeb chain with retention audit")
+    val registry2 = new TransformRegistry
+    exec.CurationTransforms.registerQualityFilter(registry2, minTtrPermille = 500L)
+    exec.CurationTransforms.registerDedupFilter(registry2, keepBest = true)
+    exec.CurationTransforms.registerReplicateEpochs(registry2,
+      targetTokens = 2000L, withMixKey = true)
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"chain","name":"fineweb chain","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"fixtures","path":"documents.parquet"},
+         |{"stepType":"transform","name":"quality","order":2,"kind":"named","transformName":"quality_filter","audit":true},
+         |{"stepType":"transform","name":"dedup","order":3,"kind":"named","transformName":"dedup_filter","audit":true},
+         |{"stepType":"transform","name":"mix","order":4,"kind":"named","transformName":"replicate_epochs","audit":true},
+         |{"stepType":"load","name":"shards","order":5,"connectionId":"out","path":"mix_shards","mode":"replace",
+         | "options":{"shardBy":"mix_key","shards":"8"}}
+         |]}""".stripMargin))
+    println(s"[demo] chain: ${new PipelineRunner(spark, repo, registry2).runById("chain")}")
+    repo.history("chain").filter(_.status == "audit")
+      .foreach(h => println(s"[demo] retention: ${h.message}"))
+
     spark.stop()
   }
 }
