@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{CatalogEntry, Tables}
+import graft.CacheScope.Scoped
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -235,6 +236,51 @@ object Sharding {
   def trainingOrderKey(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(concat(lit("order:"), key.cast("string")))
 
+  /** Anneal fraction for the curriculum gate row (a deployment passes
+    * its own): the top 100‰ by quality score trains LAST. */
+  private[graft] val curriculumAnnealPermille = 100L
+
+  /** Two-phase curriculum order key: phase-0 rows sort before phase-1
+    * rows, each phase internally [[trainingOrderKey]]-shuffled — the
+    * public "annealing" recipe (train on the broad mix, END on the
+    * highest-quality slice) expressed as a SORT KEY, so it costs the
+    * writer nothing beyond the within-task sort it already does: no
+    * second exchange, no phase-split job, and appends keep the
+    * property per-file. Phases are lpad-2 ("00" < "01" < … "99"), so
+    * up to 100 curriculum stages order lexicographically.
+    */
+  def curriculumOrderKey(
+      key: org.apache.spark.sql.Column,
+      phase: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p = lpad(phase.cast("string"), 2, "0")
+    concat(p, lit(":"), trainingOrderKey(key))
+  }
+
+  /** Attach `phase` (0 = main, 1 = anneal) and `curriculum_key` to a
+    * scored frame: the anneal phase is the ties-inclusive top
+    * `annealPermille`‰ by `scoreCol` — the SAME distribution-relative
+    * threshold the selection family uses
+    * ([[TextAnalysis.scoreQuantileThresholdOn]]: one bounded-grid
+    * histogram rollup, a 1-row broadcast, no sort of the corpus).
+    * Feed the result to [[writeTrainingShards]] with
+    * `orderCol = Some("curriculum_key")`: every shard's sequential
+    * read then streams the broad mix first and the top-quality slice
+    * last, both phases internally shuffled. Deployments that don't
+    * want the helper columns in the layout drop them after the write
+    * or project them out downstream — they are plain columns, not
+    * writer state.
+    */
+  def withCurriculumOrder(
+      df: DataFrame, docId: String, scoreCol: String,
+      annealPermille: Long): DataFrame = {
+    val th = TextAnalysis.scoreQuantileThresholdOn(df, scoreCol, annealPermille)
+    df.crossJoin(broadcast(th))
+      .withColumn("phase",
+        when(col(scoreCol) >= col("q_thresh"), 1L).otherwise(0L))
+      .drop("q_thresh")
+      .withColumn("curriculum_key", curriculumOrderKey(col(docId), col("phase")))
+  }
+
   /** Split-separated training layout — the PHYSICAL form of a
     * leakage-safe split (`q_feat_split` / `q_feat_group_split` /
     * `q_dedup_cluster_split` produce the column; this writes it):
@@ -430,7 +476,53 @@ object Sharding {
     java.lang.Long.parseLong(hex, 16) % n
   }
 
+  /** Catalog gate: the curriculum PLAN — per-(shard, phase) document
+    * count and score mass under [[withCurriculumOrder]]'s phase
+    * assignment (anneal = ties-inclusive top
+    * [[curriculumAnnealPermille]]‰ on the shared TTR quality grid)
+    * composed with [[shardId]]'s md5 placement. DuckDB recomputes the
+    * quantile threshold, the phase split, AND the hex-prefix fold
+    * independently — the writer's physical behavior (phase-0 bytes
+    * before phase-1 bytes in every part-file) is ShardSpec's job; this
+    * row pins the MATH the layout derives from, the
+    * `q_shard_split_plan` discipline.
+    */
+  def curriculumPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.t(s, dir, "documents")
+      .select($"doc_id", expr(TextAnalysis.ttrPermilleSql("text")).as("q"))
+      .persistScoped()
+    withCurriculumOrder(scored, "doc_id", "q", curriculumAnnealPermille)
+      .withColumn("shard", shardId($"doc_id", numShards))
+      .groupBy($"shard", $"phase")
+      .agg(count(lit(1)).as("n_docs"), sum($"q").as("sum_q"))
+      .orderBy($"shard", $"phase")
+  }
+
+  private val curriculumPlanSql = {
+    val h = "substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    (1000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+       |  FROM documents),
+       |h AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+       |c AS (SELECT q,
+       |    CAST(SUM(cnt) OVER (ORDER BY q DESC) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h),
+       |t AS (SELECT MAX(q) AS qt FROM c
+       |      WHERE cum * 1000 >= $curriculumAnnealPermille * n),
+       |p AS (SELECT doc_id, q,
+       |    (${nib(h, 1)} * 16 + ${nib(h, 2)}) % $numShards AS shard,
+       |    CASE WHEN q >= (SELECT qt FROM t) THEN 1 ELSE 0 END AS phase
+       |  FROM d)
+       |SELECT shard, CAST(phase AS BIGINT) AS phase, COUNT(*) AS n_docs,
+       |  CAST(SUM(q) AS BIGINT) AS sum_q
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_shard_plan", shardPlan, Some(shardPlanSql)),
-    CatalogEntry("q_shard_split_plan", splitShardPlan, Some(splitShardPlanSql)))
+    CatalogEntry("q_shard_split_plan", splitShardPlan, Some(splitShardPlanSql)),
+    CatalogEntry("q_shard_curriculum_plan", curriculumPlan, Some(curriculumPlanSql)))
 }

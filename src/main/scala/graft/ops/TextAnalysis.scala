@@ -632,6 +632,86 @@ object TextAnalysis {
        |  CAST(SUM(tokens) * 1000 // $packBudget AS BIGINT) AS fill_mills
        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin
 
+  /** Window size / stride for [[windowChunks]]: 64-token windows every
+    * 48 tokens = 25 % overlap, the common embedding-ingestion shape. */
+  val chunkWin = 64
+  val chunkStrideTokens = 48
+
+  /** Sliding token-window chunker — SPLIT each document into
+    * fixed-size overlapping windows (the retrieval/embedding-ingestion
+    * step public RAG recipes run before encoding; every chunk must fit
+    * the encoder's context, and the overlap keeps boundary-straddling
+    * sentences visible to at least one chunk). The dual of
+    * [[packChunks]]: pack GROUPS short documents up to a budget, this
+    * CUTS long documents down to one. Windows start at 0, stride,
+    * 2·stride, …; the tail window may be shorter but is only emitted
+    * while it adds unseen tokens, so every token lands in ≥ 1 chunk
+    * and interior chunks overlap by exactly win−stride. Each chunk
+    * carries `sig` = md5 of its text — the identity key the downstream
+    * exact-dedup/embedding steps consume (two documents sharing a
+    * window produce the same sig, so chunk-level dedup composes for
+    * free with [[graft.ops.Dedup]]'s exact family).
+    *
+    * Shuffle shape: NONE. Chunking is a pure per-row map — one split,
+    * an `explode(sequence(0, nwin−1))` whose cardinality is ~n/stride
+    * (bounded expansion, unlike a sliding n-gram explode's ×win), and
+    * a slice+md5 per window, all inside one codegen stage; the gate's
+    * ORDER BY is its only exchange. At 100 TB the chunker rides the
+    * scan partitioning end-to-end and the encoder consumes chunks in
+    * the same task that cut them — the property that makes
+    * chunk-then-embed a single-pass pipeline rather than two jobs.
+    */
+  def windowChunks(s: SparkSession, dir: String): DataFrame =
+    windowChunksOf(Tables.t(s, dir, "documents"), chunkWin, chunkStrideTokens)
+
+  /** Core of [[windowChunks]] over any (doc_id, text) table with
+    * explicit (win, stride) — separated so coverage (every token in
+    * ≥ 1 window), exact interior overlap, tail semantics, and
+    * cross-document sig equality are unit-testable on crafted corpora
+    * (TextAnalysisSpec), not just gate-hashed on the fixture. */
+  private[ops] def windowChunksOf(docs: DataFrame, win: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= win,
+      s"stride must be in [1, win]: got win=$win stride=$stride")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .withColumn("n", size($"ws").cast("long"))
+      // nwin = 1 + ceil(max(0, n - win) / stride); the greatest(…, 0)
+      // keeps sequence() ascending for short docs (sequence REVERSES
+      // when stop < start — the dupNgramFrac lesson)
+      .withColumn("nwin",
+        expr(s"1L + (greatest(n - $win, 0L) + ${stride - 1}) div $stride"))
+      .select($"doc_id", $"ws", $"n",
+        explode(expr("sequence(0L, nwin - 1L)")).as("chunk_idx"))
+      .withColumn("start_tok", $"chunk_idx" * stride)
+      .withColumn("n_tokens", least(lit(win.toLong), $"n" - $"start_tok"))
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens",
+        md5(array_join(slice($"ws", ($"start_tok" + 1).cast("int"),
+          $"n_tokens".cast("int")), " ")).as("sig"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val windowChunksSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, ws, n,
+       |    unnest(generate_series(0,
+       |      CAST((greatest(n - $chunkWin, 0) + ${chunkStrideTokens - 1})
+       |        // $chunkStrideTokens AS BIGINT))) AS chunk_idx
+       |  FROM t)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $chunkStrideTokens AS start_tok,
+       |  least($chunkWin, n - chunk_idx * $chunkStrideTokens) AS n_tokens,
+       |  md5(array_to_string(list_slice(ws,
+       |    chunk_idx * $chunkStrideTokens + 1,
+       |    chunk_idx * $chunkStrideTokens +
+       |      least($chunkWin, n - chunk_idx * $chunkStrideTokens)), ' ')) AS sig
+       |FROM w ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Cross-document duplicate 5-gram fraction — the "duplicate text
     * fraction" signal public web-corpus recipes (C4, RefinedWeb) use
     * to find templated/mirrored content that per-document
@@ -2275,6 +2355,7 @@ object TextAnalysis {
     CatalogEntry("q_text_token_budget", tokenBudgetSelect, Some(tokenBudgetSql)),
     CatalogEntry("q_text_token_budget_binned", tokenBudgetSelectBinned, Some(tokenBudgetSql)),
     CatalogEntry("q_text_pack", packChunks, Some(packChunksSql)),
+    CatalogEntry("q_text_window_chunk", windowChunks, Some(windowChunksSql)),
     CatalogEntry("q_text_normalize", normalizeNfc, Some(normalizeNfcSql)),
     CatalogEntry("q_text_vocab", vocab, Some(vocabSql)),
     CatalogEntry("q_text_source_quota", sourceQuota, Some(sourceQuotaSql)),

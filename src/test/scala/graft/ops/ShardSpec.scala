@@ -283,4 +283,39 @@ class ShardSpec extends SparkSpec {
     assert(!after.exists(_._1 == 7L))
     assert(after.length == 597)
   }
+
+  test("curriculum order: anneal phase reads LAST in every part-file, phases internally shuffled") {
+    import spark.implicits._
+    val out = tmpDir("curriculum-shards").toString + "/t"
+    // 200 docs on a 10-value score grid (20 docs per score). Top 300‰
+    // ties-inclusive: cum(9,8,7) = 60 = exactly 30 % → threshold 7.
+    val docs = (1L to 200L).map(i => (i, i % 10)).toDF("doc_id", "score")
+    val cur = Sharding.withCurriculumOrder(docs, "doc_id", "score", annealPermille = 300L)
+    Sharding.writeTrainingShards(cur, "doc_id", out, 4, orderCol = Some("curriculum_key"))
+
+    val expAnneal = (1L to 200L).filter(_ % 10 >= 7).toSet
+    val written = spark.read.parquet(out)
+      .select($"doc_id", $"phase").as[(Long, Long)].collect()
+    assert(written.length == 200)
+    assert(written.filter(_._2 == 1L).map(_._1).toSet == expAnneal)
+
+    // the property the sort key buys: in FILE order (the order a
+    // sequential trainer reads) every main-phase row precedes every
+    // anneal row, and the main phase is not secretly doc_id-sorted
+    val files = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    var shuffledSomewhere = false
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select($"doc_id", $"phase").as[(Long, Long)].collect()
+      val lastP0 = rows.lastIndexWhere(_._2 == 0L)
+      val firstP1 = rows.indexWhere(_._2 == 1L)
+      assert(firstP1 == -1 || lastP0 < firstP1,
+        s"phase interleaving in ${f.getName}")
+      val p0 = rows.filter(_._2 == 0L).map(_._1)
+      if (p0.length >= 3 && p0.toSeq != p0.sorted.toSeq) shuffledSomewhere = true
+    }
+    assert(shuffledSomewhere, "main phase should be hash-shuffled, not id-sorted")
+  }
 }

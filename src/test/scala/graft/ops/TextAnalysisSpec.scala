@@ -442,4 +442,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w("tiny") == 3000L) // 1000·1000/200 = 5000 → capped at 3 epochs
     assert(w("big") == 250L)   // a quarter pass of the abundant source
   }
+
+  test("window chunking: coverage, exact interior overlap, tail, and cross-doc sig equality") {
+    val spark2 = spark; import spark2.implicits._
+    def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10, "w")), // 3 windows at (4,3): [0,4) [3,7) [6,10)
+      (2L, words(4, "w")),  // exactly win → 1 window
+      (3L, words(5, "w")),  // one past win → 2 windows, tail len 2
+      (4L, words(2, "w")),  // short doc → 1 window of its own length
+      (5L, words(10, "w"))  // identical to doc 1 → every sig shared
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.windowChunksOf(docs, win = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    // every token position of doc 1 lands in >= 1 window; interior
+    // neighbours overlap by exactly win - stride
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 10L).toSet)
+    assert(d1.sortBy(_._2).sliding(2).forall { case Array(a, b) =>
+      (a._3 + a._4) - b._3 == 1L })
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._4)).toSeq == Seq((0L, 4L)))
+    assert(out.filter(_._1 == 3L).map(c => (c._2, c._4)).toSeq ==
+      Seq((0L, 4L), (1L, 2L)))
+    assert(out.filter(_._1 == 4L).map(c => (c._2, c._4)).toSeq == Seq((0L, 2L)))
+    // identical text => identical sigs per chunk index (the identity
+    // key chunk-level exact dedup consumes)
+    val sig1 = d1.map(c => c._2 -> c._5).toMap
+    val sig5 = out.filter(_._1 == 5L).map(c => c._2 -> c._5).toMap
+    assert(sig1 == sig5 && sig1.values.toSet.size == 3)
+    // degenerate stride is refused loudly, not silently quadratic
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.windowChunksOf(docs, win = 4, stride = 5)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
 }
