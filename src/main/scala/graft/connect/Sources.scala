@@ -208,6 +208,12 @@ object Sources {
             // appends/deletes address one split's directory (itself a
             // plain shard layout) in a separate step.
             val splitBy = step.options.get("splitBy")
+            // "orderCol": intra-shard sort column — a training layout
+            // usually wants the deterministic shuffled order
+            // (Sharding.trainingOrderKey) or the two-phase curriculum
+            // key (Sharding.curriculumOrderKey / curriculum_order
+            // transform) instead of the placement-key default
+            val orderCol = step.options.get("orderCol")
             if (step.mode == "delete") {
               require(splitBy.isEmpty,
                 s"load '${step.name}': delete mode addresses one split's directory, not the split root")
@@ -216,7 +222,7 @@ object Sources {
               case SaveMode.Append =>
                 require(splitBy.isEmpty,
                   s"load '${step.name}': append addresses one split's directory, not the split root")
-                graft.ops.Sharding.appendToShards(df, key, full, n)
+                graft.ops.Sharding.appendToShards(df, key, full, n, orderCol)
               case SaveMode.ErrorIfExists
                   if Hfs.fs(df.sparkSession, full)
                     .exists(new org.apache.hadoop.fs.Path(full)) =>
@@ -224,9 +230,9 @@ object Sources {
                   s"load '${step.name}': shard layout already exists at $full (mode=errorIfExists)")
               case _ => splitBy match {
                 case Some(sc) =>
-                  graft.ops.Sharding.writeSplitShards(df, sc, key, full, n)
+                  graft.ops.Sharding.writeSplitShards(df, sc, key, full, n, orderCol)
                 case None =>
-                  graft.ops.Sharding.writeTrainingShards(df, key, full, n)
+                  graft.ops.Sharding.writeTrainingShards(df, key, full, n, orderCol)
               }
             }
           case (Some(_), None) | (None, Some(_)) =>

@@ -352,4 +352,38 @@ object CurationTransforms {
             scored, "__sqf_q", keepPermille)
       kept.drop("__sqf_q").select(docs.columns.map(col).toSeq: _*)
     })
+
+  /** Register `window_chunk`: cut the in-flight documents into
+    * fixed-size overlapping token windows
+    * ([[graft.ops.TextAnalysis.windowChunkText]] — the embedding/RAG
+    * ingestion shape). With `replicate_epochs`, one of the two
+    * registry transforms that legitimately changes the frame's
+    * GRANULARITY: rows out are (doc_id, chunk_idx, start_tok,
+    * n_tokens, chunk_text), one per window. Pure per-row map — the
+    * chunks stay in the scan's partitioning for a same-task
+    * chunk-then-embed pipeline.
+    */
+  def registerWindowChunk(
+      registry: TransformRegistry, win: Int, stride: Int): Unit =
+    registry.register("window_chunk", { docs: DataFrame =>
+      graft.ops.TextAnalysis.windowChunkText(docs, win, stride)
+    })
+
+  /** Register `curriculum_order`: attach the two-phase annealing sort
+    * key ([[graft.ops.Sharding.withCurriculumOrder]]) to the in-flight
+    * corpus — anneal phase = ties-inclusive top `annealPermille`‰ on
+    * the shared TTR quality grid. Compose with a shard LoadStep
+    * carrying `orderCol: curriculum_key`: every written shard then
+    * streams the broad mix first and the top-quality slice last, at
+    * no cost beyond the writer's existing within-task sort.
+    */
+  def registerCurriculumOrder(
+      registry: TransformRegistry, annealPermille: Long): Unit =
+    registry.register("curriculum_order", { docs: DataFrame =>
+      val scored = docs.withColumn("__cur_q",
+        expr(graft.ops.TextAnalysis.ttrPermilleSql("text")))
+      graft.ops.Sharding
+        .withCurriculumOrder(scored, "doc_id", "__cur_q", annealPermille)
+        .drop("__cur_q")
+    })
 }

@@ -298,12 +298,21 @@ object Sharding {
     */
   def writeSplitShards(
       df: DataFrame, splitCol: String, docId: String,
-      outDir: String, n: Int): DataFrame = {
+      outDir: String, n: Int): DataFrame =
+    writeSplitShards(df, splitCol, docId, outDir, n, orderCol = None)
+
+  /** [[writeSplitShards]] with an explicit intra-shard order column
+    * (e.g. a [[curriculumOrderKey]] — an annealing-ordered train split
+    * is the natural composition). Same single exchange. */
+  def writeSplitShards(
+      df: DataFrame, splitCol: String, docId: String,
+      outDir: String, n: Int, orderCol: Option[String]): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    val ord = orderCol.map(col).getOrElse(col(docId))
     df.withColumn("shard", shardId(col(docId), n))
       .repartition(n, col("shard"))
-      .sortWithinPartitions(col(splitCol), col("shard"), col(docId))
+      .sortWithinPartitions(col(splitCol), col("shard"), ord)
       .write.mode("overwrite").partitionBy(splitCol, "shard").parquet(outDir)
     val fs = graft.connect.Hfs.fs(s, outDir)
     val splitDirs = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
@@ -331,8 +340,18 @@ object Sharding {
     * to one full count, loudly assuming a legacy layout.)
     */
   def appendToShards(
-      df: DataFrame, docId: String, outDir: String, n: Int): DataFrame = {
+      df: DataFrame, docId: String, outDir: String, n: Int): DataFrame =
+    appendToShards(df, docId, outDir, n, orderCol = None)
+
+  /** [[appendToShards]] with an explicit intra-shard order column for
+    * the increment's files (the [[writeTrainingShards]] overload's
+    * twin — appended files get their own internal order without
+    * touching existing ones). */
+  def appendToShards(
+      df: DataFrame, docId: String, outDir: String, n: Int,
+      orderCol: Option[String]): DataFrame = {
     val s = df.sparkSession
+    val ord = orderCol.map(col).getOrElse(col(docId))
     // snapshot the file listing so the increment's counts come from
     // exactly the files THIS append wrote — no second execution of the
     // input plan, no drift if the input is nondeterministic, and work
@@ -340,7 +359,7 @@ object Sharding {
     val before = listPartFiles(s, outDir)
     df.withColumn("shard", shardId(col(docId), n))
       .repartition(n, col("shard"))
-      .sortWithinPartitions(col("shard"), col(docId))
+      .sortWithinPartitions(col("shard"), ord)
       .write.mode("append").partitionBy("shard").parquet(outDir)
     val newFiles = (listPartFiles(s, outDir) -- before).toSeq.sorted
     val merged = readManifest(s, outDir) match {

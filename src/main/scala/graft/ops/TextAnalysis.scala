@@ -670,6 +670,21 @@ object TextAnalysis {
     * cross-document sig equality are unit-testable on crafted corpora
     * (TextAnalysisSpec), not just gate-hashed on the fixture. */
   private[ops] def windowChunksOf(docs: DataFrame, win: Int, stride: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    windowChunkText(docs, win, stride)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens",
+        md5($"chunk_text").as("sig"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The chunker a CONSUMER uses (and the `window_chunk` declarative
+    * transform serves): same windows as [[windowChunksOf]] but
+    * carrying the chunk TEXT — the frame an embedding encoder reads —
+    * and no gate ORDER BY, so the chunks stay in the scan's
+    * partitioning for the same-task chunk-then-embed pass.
+    */
+  def windowChunkText(docs: DataFrame, win: Int, stride: Int): DataFrame = {
     require(stride >= 1 && stride <= win,
       s"stride must be in [1, win]: got win=$win stride=$stride")
     val s = docs.sparkSession
@@ -687,9 +702,8 @@ object TextAnalysis {
       .withColumn("start_tok", $"chunk_idx" * stride)
       .withColumn("n_tokens", least(lit(win.toLong), $"n" - $"start_tok"))
       .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens",
-        md5(array_join(slice($"ws", ($"start_tok" + 1).cast("int"),
-          $"n_tokens".cast("int")), " ")).as("sig"))
-      .orderBy($"doc_id", $"chunk_idx")
+        array_join(slice($"ws", ($"start_tok" + 1).cast("int"),
+          $"n_tokens".cast("int")), " ").as("chunk_text"))
   }
 
   private val windowChunksSql =

@@ -546,4 +546,88 @@ class CurationFlowSpec extends SparkSpec {
     // bigger filter ⇒ fewer false positives ⇒ at least as many survivors
     assert(cleanBig.count() >= cleanSmall.count())
   }
+
+  test("window_chunk transform == library chunker; granularity change flows through a pipeline") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, PipelineRunner, TransformRegistry}
+    import graft.model.{ConnectionSpec, PipelineJson}
+    import graft.store.Repository
+
+    val root = tmpDir("chunk-pipe")
+    val repo = new Repository(root)
+    repo.saveConnection(ConnectionSpec("docs", "fixtures", "parquet",
+      Map("basePath" -> dir)))
+    repo.saveConnection(ConnectionSpec("out", "outputs", "parquet",
+      Map("basePath" -> root.toString)))
+    val registry = new TransformRegistry
+    CurationTransforms.registerWindowChunk(registry, win = 64, stride = 48)
+
+    val spec = PipelineJson.parsePipeline(
+      s"""{"id":"chunk","name":"chunk for embedding","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+         |{"stepType":"transform","name":"chunks","order":2,"kind":"named","transformName":"window_chunk"},
+         |{"stepType":"load","name":"out","order":3,"connectionId":"out","path":"chunks","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
+
+    val expected = TextAnalysis.windowChunkText(
+      graft.Tables.t(spark, dir, "documents"), 64, 48)
+    val written = spark.read.parquet(s"$root/chunks")
+    assert(written.count() == expected.count())
+    assert(written.select($"doc_id", $"chunk_idx", $"chunk_text")
+      .except(expected.select($"doc_id", $"chunk_idx", $"chunk_text")).count() == 0)
+  }
+
+  test("curriculum_order transform + orderCol load: annealing-ordered shards from a JSON pipeline") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, PipelineRunner, TransformRegistry}
+    import graft.model.{ConnectionSpec, PipelineJson}
+    import graft.store.Repository
+
+    val root = tmpDir("curriculum-pipe")
+    val repo = new Repository(root)
+    repo.saveConnection(ConnectionSpec("docs", "fixtures", "parquet",
+      Map("basePath" -> dir)))
+    repo.saveConnection(ConnectionSpec("out", "outputs", "parquet",
+      Map("basePath" -> root.toString)))
+    val registry = new TransformRegistry
+    CurationTransforms.registerCurriculumOrder(registry, annealPermille = 200L)
+
+    val spec = PipelineJson.parsePipeline(
+      s"""{"id":"cur","name":"anneal-ordered layout","steps":[
+         |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+         |{"stepType":"transform","name":"order","order":2,"kind":"named","transformName":"curriculum_order"},
+         |{"stepType":"load","name":"shards","order":3,"connectionId":"out","path":"shards","mode":"replace",
+         | "options":{"shardBy":"doc_id","shards":"8","orderCol":"curriculum_key"}}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
+
+    // anneal set matches the library's ties-inclusive top-200‰ on the
+    // shared TTR grid, and every part-file reads phase-0 before phase-1
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val scored = docs.withColumn("__q",
+      expr(TextAnalysis.ttrPermilleSql("text")))
+    val expPhases = Sharding
+      .withCurriculumOrder(scored, "doc_id", "__q", 200L)
+      .select($"doc_id", $"phase").as[(Long, Long)].collect().toMap
+    val written = spark.read.parquet(s"$root/shards")
+      .select($"doc_id", $"phase").as[(Long, Long)].collect()
+    assert(written.length == expPhases.size)
+    assert(written.toMap == expPhases)
+    assert(written.count(_._2 == 1L) > 0, "anneal phase must be non-empty")
+    val files = new java.io.File(s"$root/shards").listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 8)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select($"phase").as[Long].collect()
+      val lastP0 = rows.lastIndexWhere(_ == 0L)
+      val firstP1 = rows.indexOf(1L)
+      assert(firstP1 == -1 || lastP0 < firstP1,
+        s"phase interleaving in ${f.getName}")
+    }
+  }
 }
