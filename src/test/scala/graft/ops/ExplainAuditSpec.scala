@@ -69,7 +69,10 @@ class ExplainAuditSpec extends SparkSpec {
     // entropy is two rollups; PCA matvecs join equi on dim/vec_id;
     // the recursive CTE's step join is an equi-join on the parent id
     "q_text_perceptron", "q_text_entropy", "q_emb_pca",
-    "q_emb_pca_scores", "q_sql_recursive")
+    "q_emb_pca_scores", "q_sql_recursive",
+    // round 12: the window chunker is a pure per-row generate — no
+    // join of any kind (its hash-exchange-freeness is pinned below)
+    "q_text_window_chunk")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -110,7 +113,10 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_collocations",
     // DSIR rides its 1-row totals and 1-row 256-entry model map in as
     // scalar cross joins — map-side by construction, corpus unshuffled
-    "q_text_dsir")
+    "q_text_dsir",
+    // curriculum plan broadcasts its ONE-ROW quantile threshold under
+    // the corpus — the q_feat_target_enc scalar-cross-join shape
+    "q_shard_curriculum_plan")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
@@ -130,6 +136,15 @@ class ExplainAuditSpec extends SparkSpec {
 
   test("allow-listed baselines still compile (BNLJ there is intentional)") {
     allowedNestedLoop.foreach(name => planOf(name))
+  }
+
+  test("q_text_window_chunk: the gate ORDER BY is its ONLY exchange (no hash shuffle)") {
+    // chunking must ride the scan partitioning — a hashpartitioning
+    // exchange here would mean the generate/slice stopped being a
+    // per-row map (the property that makes chunk-then-embed one pass)
+    val plan = planOf("q_text_window_chunk")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Exchange rangepartitioning"), plan)
   }
 
   test("LSH band joins plan no Expand (count, not distinct-count)") {
