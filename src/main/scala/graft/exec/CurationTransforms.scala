@@ -375,15 +375,19 @@ object CurationTransforms {
     * the shared TTR quality grid. Compose with a shard LoadStep
     * carrying `orderCol: curriculum_key`: every written shard then
     * streams the broad mix first and the top-quality slice last, at
-    * no cost beyond the writer's existing within-task sort.
+    * no cost beyond the writer's existing within-task sort. After an
+    * epoch mix, pass `keyCol = "mix_key"` so each COPY of a document
+    * gets its own shuffled position within its phase (copies share
+    * the phase automatically — it is a pure function of the score).
     */
   def registerCurriculumOrder(
-      registry: TransformRegistry, annealPermille: Long): Unit =
+      registry: TransformRegistry, annealPermille: Long,
+      keyCol: String = "doc_id"): Unit =
     registry.register("curriculum_order", { docs: DataFrame =>
       val scored = docs.withColumn("__cur_q",
         expr(graft.ops.TextAnalysis.ttrPermilleSql("text")))
       graft.ops.Sharding
-        .withCurriculumOrder(scored, "doc_id", "__cur_q", annealPermille)
+        .withCurriculumOrder(scored, keyCol, "__cur_q", annealPermille)
         .drop("__cur_q")
     })
 }

@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
   * shape CurationFlowSpec runs declaratively:
   *
   *   TTR quality gate → near-dup filter (LSH families, keep-best) →
-  *   epoch-weighted replication → mix_key shard write
+  *   epoch-weighted replication → curriculum annealing order →
+  *   mix_key shard write (orderCol = curriculum_key)
+  *
+  * Since the curriculum stage landed, the mix is localCheckpoint'd
+  * before the write so `t_cur`/`t_shard` time THEIR plans, not a
+  * replay of the replication.
   *
   * Same discipline as [[CurationBench]]: every stage forced
   * independently, caches dropped between stages, ONE JSON line out
@@ -76,18 +81,37 @@ object MixChainBench {
     val mix = TextAnalysis.replicateByEpochs(withToks,
         TextAnalysis.epochWeightsForTokenTarget(withToks, 20000L))
       .withColumn("mix_key", Sharding.mixKey($"doc_id", $"rep"))
+      .localCheckpoint()
+    drop()
+
+    // curriculum stage (r12): the annealing sort key — quantile
+    // threshold on the bounded TTR grid + per-copy order hash; the
+    // extra cost over the plain write is the histogram rollup plus a
+    // wider sort key in the writer's existing within-task sort
+    val (nAnneal, tCur) = timed {
+      val scored = mix.withColumn("__q",
+        expr(TextAnalysis.ttrPermilleSql("text")))
+      Sharding.withCurriculumOrder(scored, "mix_key", "__q", 100L)
+        .filter($"phase" === 1L).count()
+    }
+    drop()
+    val ordered = Sharding.withCurriculumOrder(
+        mix.withColumn("__q", expr(TextAnalysis.ttrPermilleSql("text"))),
+        "mix_key", "__q", 100L)
+      .drop("__q")
     val (_, tShard) = timed {
       Sharding.writeTrainingShards(
-        mix.select($"mix_key", $"doc_id", $"rep", $"source", $"text"),
-        "mix_key", out, 16)
+        ordered.select($"mix_key", $"doc_id", $"rep", $"source", $"text",
+          $"phase", $"curriculum_key"),
+        "mix_key", out, 16, orderCol = Some("curriculum_key"))
     }
     drop()
     val nShard = spark.read.parquet(out).count()
 
     println(s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_qual":$nQual,""" +
-      s""""n_dedup":$nDedup,"n_mix":$nMix,"n_shard":$nShard,""" +
+      s""""n_dedup":$nDedup,"n_mix":$nMix,"n_anneal":$nAnneal,"n_shard":$nShard,""" +
       s""""t_qual":${f"$tQual%.2f"},"t_dedup":${f"$tDedup%.2f"},""" +
-      s""""t_mix":${f"$tMix%.2f"},"t_shard":${f"$tShard%.2f"}}""")
+      s""""t_mix":${f"$tMix%.2f"},"t_cur":${f"$tCur%.2f"},"t_shard":${f"$tShard%.2f"}}""")
     spark.stop()
   }
 }

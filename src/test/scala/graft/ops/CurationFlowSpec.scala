@@ -338,9 +338,14 @@ class CurationFlowSpec extends SparkSpec {
         (f * 10L + 1, s"$base tail extra", "en", s"src${f % 4}", 66L),
         (f * 10L + 2, s"$base tail extra more", "en", s"src${f % 4}", 72L))
     }
+    // even uniques: 12 distinct words (TTR 1000); odd uniques: 6 words
+    // doubled (TTR exactly 500 — past the quality gate, below the
+    // curriculum anneal cut), so the kept corpus has a real score split
     val uniques = (0 until 16).map { i =>
-      (1000L + i, (0 until 12).map(j => s"u${i}x$j").mkString(" "),
-        "en", s"src${i % 4}", 70L)
+      val words =
+        if (i % 2 == 0) (0 until 12).map(j => s"u${i}x$j")
+        else (0 until 6).flatMap(j => Seq(s"u${i}x$j", s"u${i}x$j"))
+      (1000L + i, words.mkString(" "), "en", s"src${i % 4}", 70L)
     }
     val junk = (0 until 6).map { i =>
       (2000L + i, Seq.fill(12)("junk").mkString(" "), "en", s"src${i % 4}", 59L)
@@ -359,14 +364,19 @@ class CurationFlowSpec extends SparkSpec {
     CurationTransforms.registerDedupFilter(registry, keepBest = true)
     CurationTransforms.registerReplicateEpochs(registry,
       targetTokens = 400L, withMixKey = true)
+    // the chain's last transform: annealing order keyed on mix_key so
+    // every COPY gets its own within-phase position
+    CurationTransforms.registerCurriculumOrder(registry,
+      annealPermille = 300L, keyCol = "mix_key")
     val spec = PipelineJson.parsePipeline(
       s"""{"id":"fineweb","name":"full curation chain","steps":[
          |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
          |{"stepType":"transform","name":"quality","order":2,"kind":"named","transformName":"quality_filter","audit":true},
          |{"stepType":"transform","name":"dedup","order":3,"kind":"named","transformName":"dedup_filter","audit":true},
          |{"stepType":"transform","name":"mix","order":4,"kind":"named","transformName":"replicate_epochs","audit":true},
-         |{"stepType":"load","name":"shards","order":5,"connectionId":"out","path":"mix_shards","mode":"replace",
-         | "options":{"shardBy":"mix_key","shards":"8"}}
+         |{"stepType":"transform","name":"order","order":5,"kind":"named","transformName":"curriculum_order"},
+         |{"stepType":"load","name":"shards","order":6,"connectionId":"out","path":"mix_shards","mode":"replace",
+         | "options":{"shardBy":"mix_key","shards":"8","orderCol":"curriculum_key"}}
          |]}""".stripMargin)
     repo.savePipeline(spec)
     assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
@@ -408,6 +418,28 @@ class CurationFlowSpec extends SparkSpec {
       .filter($"c" >= 2).select($"ns").as[Long].collect()
     assert(spread.nonEmpty && spread.exists(_ >= 2L),
       "epoch copies should spread across shards under mix_key placement")
+
+    // curriculum composition: copies of a doc share their PHASE (it's
+    // a pure function of the score) but not their order position
+    // (keyed on mix_key), and every part-file reads phase-0 first
+    val phases = written.select($"doc_id", $"phase").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(phases.values.forall(_.size == 1), "copies must share their phase")
+    assert(phases.values.exists(_ == Set(1L)) && phases.values.exists(_ == Set(0L)),
+      "a 300-permille anneal cut should split this corpus")
+    val keys = written.select($"doc_id", $"curriculum_key").as[(Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2))
+    assert(keys.values.filter(_.length >= 2)
+      .forall(ks => ks.toSet.size == ks.length),
+      "copies must get distinct within-phase positions")
+    new java.io.File(s"$root/mix_shards").listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val ps = spark.read.parquet(f.getPath).select($"phase").as[Long].collect()
+        val firstP1 = ps.indexOf(1L)
+        assert(firstP1 == -1 || ps.lastIndexWhere(_ == 0L) < firstP1,
+          s"phase interleaving in ${f.getName}")
+      }
     graft.CacheScope.drain()
   }
 
