@@ -155,6 +155,57 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(manifestTotal() == expected.size.toLong)
   }
 
+  test("streaming chunking: window_chunk per tick accumulates exactly the batch chunker's frame") {
+    import graft.ops.TextAnalysis
+    val dataDir = tmpDir("graft-stream-chunk").toString
+    val repo = new Repository(tmpDir("graft-stream-chunk-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+    val registry = new TransformRegistry
+    CurationTransforms.registerWindowChunk(registry, win = 8, stride = 6)
+
+    // docs long enough to cut (win 8 / stride 6): 20 words each
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until 20).map(j => s"d${i}w$j").mkString(" "), "en", "s", 40L)
+    }
+    val all = mk(0 until 60)
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"chunk-stream","name":"landing-to-chunks","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"transform","name":"chunks","order":2,"kind":"named","transformName":"window_chunk"},
+         |{"stepType":"load","name":"store","order":3,"connectionId":"local",
+         | "path":"chunks","mode":"append","options":{"checkpointLocation":"ck"}}
+         |]}""".stripMargin))
+
+    all.take(35).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-02T08:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched.tick().isEmpty) // first-seen skip
+    now = Instant.parse("2026-03-02T08:15:05Z")
+    assert(sched.tick() == Seq("chunk-stream"))
+    all.drop(35).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-02T08:30:05Z")
+    assert(sched.tick() == Seq("chunk-stream"))
+    sched.stop()
+
+    // a granularity-CHANGING transform through the streaming path:
+    // accumulated chunk store == the batch chunker over the full corpus
+    val batch = TextAnalysis.windowChunkText(
+      all.toDF("doc_id", "text", "lang", "source", "n_chars"), 8, 6)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens", $"chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+    val streamed = spark.read.parquet(s"$dataDir/chunks")
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens", $"chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // 20 words at (8, 6) = 1 + ceil(12/6) = 3 windows per doc
+    assert(batch.size == 60 * 3)
+  }
+
   test("streaming ANN maintenance: landing embeddings -> rotated index append across two ticks") {
     import graft.ops.Similarity
     import org.apache.spark.sql.functions.concat_ws
