@@ -134,18 +134,26 @@ object Demo {
     exec.CurationTransforms.registerDedupFilter(registry2, keepBest = true)
     exec.CurationTransforms.registerReplicateEpochs(registry2,
       targetTokens = 2000L, withMixKey = true)
+    exec.CurationTransforms.registerCurriculumOrder(registry2,
+      annealPermille = 100L, keyCol = "mix_key")
     repo.savePipeline(PipelineJson.parsePipeline(
       s"""{"id":"chain","name":"fineweb chain","steps":[
          |{"stepType":"extract","name":"docs","order":1,"connectionId":"fixtures","path":"documents.parquet"},
          |{"stepType":"transform","name":"quality","order":2,"kind":"named","transformName":"quality_filter","audit":true},
          |{"stepType":"transform","name":"dedup","order":3,"kind":"named","transformName":"dedup_filter","audit":true},
          |{"stepType":"transform","name":"mix","order":4,"kind":"named","transformName":"replicate_epochs","audit":true},
-         |{"stepType":"load","name":"shards","order":5,"connectionId":"out","path":"mix_shards","mode":"replace",
-         | "options":{"shardBy":"mix_key","shards":"8"}}
+         |{"stepType":"transform","name":"order","order":5,"kind":"named","transformName":"curriculum_order"},
+         |{"stepType":"load","name":"shards","order":6,"connectionId":"out","path":"mix_shards","mode":"replace",
+         | "options":{"shardBy":"mix_key","shards":"8","orderCol":"curriculum_key"}}
          |]}""".stripMargin))
     println(s"[demo] chain: ${new PipelineRunner(spark, repo, registry2).runById("chain")}")
     repo.history("chain").filter(_.status == "audit")
       .foreach(h => println(s"[demo] retention: ${h.message}"))
+    println("[demo] chain layout: anneal tail per shard (phase 1 reads last)")
+    spark.read.parquet(s"${work.resolve("out")}/mix_shards")
+      .groupBy("shard", "phase").count().orderBy($"shard", $"phase").show(6)
+    println("[demo] chunking: overlapping token windows for an embedding pass")
+    ops.TextAnalysis.windowChunkText(docs, win = 64, stride = 48).show(3)
 
     spark.stop()
   }

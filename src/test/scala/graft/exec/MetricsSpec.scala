@@ -75,6 +75,29 @@ class MetricsSpec extends SparkSpec {
       s"${m.shuffleWriteRecords} shuffled rows for $n docs — an extra full exchange appeared")
   }
 
+  test("curriculum-ordered shard write: same one data exchange, extra rows grid-bounded") {
+    // the annealing order must stay a SORT KEY, not a second job: the
+    // corpus crosses one exchange exactly as in the plain write, and
+    // the quantile threshold adds only histogram partials (≤ grid ×
+    // partitions) — a data-sized second shuffle here means the
+    // composition regressed to a sort or a join
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .withColumn("q", expr(TextAnalysis.ttrPermilleSql("text")))
+    val n = docs.count()
+    val out = tmpDir("metrics-curriculum").toString + "/shards"
+    graft.CacheScope.drain()
+    val (_, m) = SparkMetrics.measure(spark) {
+      val ordered = Sharding.withCurriculumOrder(docs, "doc_id", "q", 100L)
+      Sharding.writeTrainingShards(ordered, "doc_id", out, 16,
+        orderCol = Some("curriculum_key"))
+    }
+    assert(m.shuffleWriteRecords >= n,
+      s"expected >= $n shuffled rows, got ${m.shuffleWriteRecords}")
+    assert(m.shuffleWriteRecords <= n + 16384L,
+      s"${m.shuffleWriteRecords} shuffled rows for $n docs — the curriculum " +
+        "composition added a data-sized exchange")
+  }
+
   test("bloom decontamination shuffles a fraction of the exact join's records (at-scale plan)") {
     // at gate scale AQE broadcasts the bench side of the exact join and
     // its shuffle vanishes — the honest comparison is the AT-SCALE plan
