@@ -543,7 +543,70 @@ object EventOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM d ORDER BY first_day""".stripMargin
 
+  /** Per-entity EWMA smoothing — the monitoring/anomaly primitive a
+    * windowed mean can't express: s_1 = v_1, s_t = (7·s_{t−1} + v_t)
+    * div 8 (α = 1/8 as a pure integer recurrence on value cents, so
+    * the whole series is engine-exact — no float accumulates across
+    * the fold). A RECURSIVE per-row dependency like this has no
+    * window-function form; the distributed-sane shape is ONE
+    * (user_id) exchange collecting each entity's time-ordered history
+    * into an array, then the fold as a codegen `aggregate` HOF over
+    * that array — the q_evt_paths boundedness argument: per-entity
+    * event history is bounded (86 events/user at gate scale), and a
+    * corpus where it isn't should run the streaming stateful form
+    * (flatMapGroupsWithState) instead of batch-collecting. The oracle
+    * recomputes the recurrence INDEPENDENTLY as a DuckDB recursive CTE
+    * stepping rn → rn+1 — per-row recursion vs array fold, the
+    * q_dedup_cc two-formulations discipline. Values are non-negative
+    * in this table, so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree; the cents cast floors an identical IEEE product on
+    * both sides.
+    */
+  def ewma(s: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.t(s, dir, "events"))
+
+  /** Core of [[ewma]] over any (user_id, ts, event_id, value) table —
+    * separated so the recurrence is pinned against a THIRD (JVM fold)
+    * implementation on randomized sequences (InvariantSpec), not just
+    * the fixture gate. */
+  private[ops] def ewmaOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"user_id",
+        struct($"ts", $"event_id",
+          floor($"value" * 100).cast("long").as("v")).as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("es"))
+      .withColumn("svals", expr(
+        """aggregate(es, cast(array() as array<bigint>),
+          |  (acc, x) -> array_append(acc,
+          |    CASE WHEN size(acc) = 0 THEN x.v
+          |         ELSE (7 * element_at(acc, -1) + x.v) div 8 END))""".stripMargin))
+      .select($"user_id", posexplode(arrays_zip($"es", $"svals")))
+      .select($"user_id", ($"pos" + 1).as("rn"),
+        $"col.es.event_id".as("event_id"), $"col.es.v".as("v"),
+        $"col.svals".as("ewma"))
+      .orderBy($"user_id", $"rn")
+  }
+
+  private val ewmaSql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS v,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS BIGINT) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, rn, event_id, v, v AS ewma FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn, s.event_id, s.v, (7 * r.ewma + s.v) // 8
+      |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+      |SELECT user_id, rn, event_id, v, ewma FROM r
+      |ORDER BY user_id, rn""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_evt_ewma", ewma, Some(ewmaSql)),
     CatalogEntry("q_evt_paths", topPaths, Some(topPathsSql)),
     CatalogEntry("q_evt_cumulative_users", cumulativeUsers, Some(cumulativeUsersSql)),
     CatalogEntry("q_evt_top_types", topTypesHourly, Some(topTypesHourlySql)),

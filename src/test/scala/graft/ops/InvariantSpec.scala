@@ -74,4 +74,43 @@ class InvariantSpec extends SparkSpec {
       graft.CacheScope.drain()
     }
   }
+
+  test("EWMA fold matches a JVM reimplementation on random sequences; repartition-invariant") {
+    // the gate checks the array-fold vs DuckDB's recursive CTE on the
+    // fixture; this pins both against a THIRD formulation (a plain
+    // Scala foldLeft) on randomized per-user sequences, including
+    // single-event users and a mid-stream zero
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 40).flatMap { u =>
+      val n = 1 + rnd.nextInt(30)
+      (1 to n).map { i =>
+        (1000L * u + i, // event_id, unique, ordered within user
+          java.sql.Timestamp.valueOf(f"2026-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+          u.toLong,
+          if (rnd.nextInt(10) == 0) 0.0 else rnd.nextDouble() * 400.0)
+      }
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    def expected(vs: Seq[Long]): Seq[Long] =
+      vs.tail.scanLeft(vs.head)((s, v) => (7 * s + v) / 8)
+    val exp = rows.groupBy(_._3).view.mapValues { es =>
+      val ordered = es.sortBy(e => (e._2.getTime, e._1))
+      val vs = ordered.map(e => math.floor(e._4 * 100).toLong)
+      ordered.map(_._1).zip(expected(vs))
+    }.toMap
+    val got = EventOps.ewmaOf(df)
+      .select($"user_id", $"event_id", $"ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == rows.length)
+    got.foreach { case (u, eid, s) =>
+      val e = exp(u).find(_._1 == eid).get._2
+      assert(s == e, s"user $u event $eid: got $s, expected $e")
+    }
+    // the fold is a pure function of each user's ORDERED history —
+    // input partitioning must not matter
+    val got13 = EventOps.ewmaOf(df.repartition(13))
+      .select($"user_id", $"event_id", $"ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got13.sorted.toSeq == got.sorted.toSeq)
+  }
 }
