@@ -26,6 +26,12 @@ object StreamOps {
   /** flatMapGroupsWithState accumulator for [[statefulSessions]]. */
   final case class Agg(start: Long, end: Long, n: Long, sum: Double)
 
+  /** State for [[statefulEwma]]: the last smoothed value. */
+  final case class EwmaState(s: Long)
+
+  /** Output row of [[statefulEwma]]. */
+  final case class EwmaOut(user_id: Long, event_id: Long, v: Long, ewma: Long)
+
   /** Tumbling 10-minute counts with a 10-minute watermark: late rows
     * beyond the watermark are dropped, per-window state is evicted once
     * the watermark passes the window end.
@@ -123,6 +129,43 @@ object StreamOps {
             }
             closed.result().iterator
           }
+      }.toDF()
+  }
+
+  /** Streaming twin of [[graft.ops.EventOps.ewma]] — the UNBOUNDED-
+    * entity form the batch scaladoc points at: state per user is ONE
+    * smoothed long (not the history — the recurrence only needs
+    * s_{t−1}), so state size is |entities|, never |events|, and the
+    * RocksDB default carries it past the heap like the dedup state
+    * measurements. Rows are folded in (ts, event_id) order within each
+    * micro-batch; across batches the recurrence consumes arrival
+    * order, so exact batch parity holds when per-entity event time is
+    * monotone across batches (the landing-dir and CDC shapes) — same
+    * integer arithmetic as the batch fold (value cents, `(7s+v) div
+    * 8`), proven row-identical on a two-batch MemoryStream
+    * (StreamOpsSpec).
+    */
+  def statefulEwma(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[EwmaOut]
+          sorted.foreach { e =>
+            val v = math.floor(e.value * 100).toLong
+            val s2 = st match {
+              case Some(a) => (7 * a.s + v) / 8
+              case None => v
+            }
+            out += EwmaOut(userId, e.event_id, v, s2)
+            st = Some(EwmaState(s2))
+          }
+          st.foreach(state.update)
+          out.result().iterator
       }.toDF()
   }
 

@@ -69,6 +69,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(s1.getLong(3) == 2)
   }
 
+  test("stateful EWMA: two-batch stream == the batch recurrence, state carries across batches") {
+    val mem = MemoryStream[Event](spark)
+    // per-user histories SPLIT across micro-batches — batch 2's first
+    // fold step must consume batch 1's final state, not restart
+    val b1 = Seq(ev(1, "2024-01-01 00:01:00", 7, "a", 1.00),
+      ev(2, "2024-01-01 00:02:00", 7, "a", 3.00),
+      ev(10, "2024-01-01 00:01:30", 8, "a", 4.00))
+    val b2 = Seq(ev(3, "2024-01-01 00:03:00", 7, "a", 2.00),
+      ev(11, "2024-01-01 00:02:30", 8, "a", 0.0),
+      ev(20, "2024-01-01 00:05:00", 9, "a", 2.56))
+    val out = runBatches(mem, StreamOps.statefulEwma(spark, mem.toDF()),
+      OutputMode.Append, Seq(b1, b2))
+      .map(r => (r.getLong(1), r.getLong(3))).toMap
+    // third formulation: plain fold over each user's full history
+    def series(vs: Seq[Long]): Seq[Long] =
+      vs.tail.scanLeft(vs.head)((s, v) => (7 * s + v) / 8)
+    val all = (b1 ++ b2).groupBy(_.user_id)
+    val expected = all.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e.ts.getTime, e.event_id))
+      ordered.map(_.event_id).zip(
+        series(ordered.map(e => math.floor(e.value * 100).toLong)))
+    }
+    assert(out == expected,
+      s"stream EWMA diverged from the batch recurrence: $out vs $expected")
+  }
+
   test("file-source readStream processes a parquet directory (AvailableNow)") {
     val srcDir = tmpDir("graft-stream-src")
     val sinkDir = tmpDir("graft-stream-out")
