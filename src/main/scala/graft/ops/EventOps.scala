@@ -558,9 +558,9 @@ object EventOps {
     * recomputes the recurrence INDEPENDENTLY as a DuckDB recursive CTE
     * stepping rn → rn+1 — per-row recursion vs array fold, the
     * q_dedup_cc two-formulations discipline. Values are non-negative
-    * in this table, so Spark's truncating `div` and DuckDB's flooring
-    * `//` agree; the cents cast floors an identical IEEE product on
-    * both sides.
+    * in this table, and both Spark's `div` and DuckDB's `//` truncate
+    * toward zero (measured), so the recurrences agree exactly; the
+    * cents cast floors an identical IEEE product on both sides.
     */
   def ewma(s: SparkSession, dir: String): DataFrame =
     ewmaOf(Tables.t(s, dir, "events"))
@@ -605,8 +605,87 @@ object EventOps {
       |SELECT user_id, rn, event_id, v, ewma FROM r
       |ORDER BY user_id, rn""".stripMargin
 
+  /** Per-type linear trend — the "is this metric drifting" primitive
+    * next to [[hourlySpikes]] (level jumps) and [[ewma]] (smoothing):
+    * an exact least-squares slope over each event type's DAILY series,
+    * for both volume (events/day) and value mass (cents/day). The
+    * closed form is slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — every
+    * term an int64 SUM over integers (x = days since a fixed anchor,
+    * y = count / cents), so the whole fit is engine-exact with ONE
+    * integer division at the end (reported in permille; no float ever
+    * accumulates — the integer-bridge discipline applied to
+    * regression). Overflow headroom: x ≲ 2·10³, so n·Σxy stays under
+    * 10¹⁵ even at 10⁹ events/day·type.
+    *
+    * Shuffle shape: one (type, day) rollup — the only exchange that
+    * sees event volume, map-side combinable — then a |types×days|-row
+    * second rollup and the closed form as a projection. No window, no
+    * sort, no per-type iteration; at 100 TB the daily table is
+    * metadata-sized and the fit is free.
+    */
+  def trend(s: SparkSession, dir: String): DataFrame =
+    trendOf(Tables.t(s, dir, "events"))
+
+  /** Core of [[trend]] over any (event_type, ts, value) table —
+    * separated so planted exact lines (slope known by construction),
+    * declining slopes, and the single-day NULL guard are
+    * unit-testable (InvariantSpec). */
+  private[ops] def trendOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val anchor = lit("2020-01-01").cast("date")
+    events
+      .groupBy($"event_type",
+        datediff($"ts".cast("date"), anchor).cast("long").as("x"))
+      .agg(count(lit(1)).as("yn"),
+        sum(floor($"value" * 100).cast("long")).as("yc"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+        sum($"yn").as("syn"), sum($"x" * $"yn").as("sxyn"),
+        sum($"yc").as("syc"), sum($"x" * $"yc").as("sxyc"))
+      .withColumn("den", expr("n_days * sxx - sx * sx"))
+      // Spark's `div` and DuckDB's `//` BOTH truncate toward zero
+      // (measured: -7 // 8 = 0 in DuckDB 1.0), so a negative slope
+      // divides identically on both sides with no floor adjustment.
+      // den = n·Σx² − (Σx)² ≥ 0, and = 0 iff the type has ONE day of
+      // data — no slope exists; NULL, not a crash (ANSI div-by-zero)
+      .select($"event_type", $"n_days", $"syn".as("n_events"),
+        $"syc".as("total_cents"),
+        expr("""CASE WHEN den = 0 THEN NULL
+                ELSE (1000 * (n_days * sxyn - sx * syn)) div den
+                END""").as("slope_count_permille"),
+        expr("""CASE WHEN den = 0 THEN NULL
+                ELSE (1000 * (n_days * sxyc - sx * syc)) div den
+                END""").as("slope_cents_permille"))
+      .orderBy($"event_type")
+  }
+
+  private val trendSql =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+      |    CAST(COUNT(*) AS BIGINT) AS yn,
+      |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(yn) AS BIGINT) AS syn, CAST(SUM(x * yn) AS BIGINT) AS sxyn,
+      |    CAST(SUM(yc) AS BIGINT) AS syc, CAST(SUM(x * yc) AS BIGINT) AS sxyc
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, n_days, syn AS n_events, syc AS total_cents,
+      |  CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+      |       ELSE 1000 * (n_days * sxyn - sx * syn) // (n_days * sxx - sx * sx)
+      |  END AS slope_count_permille,
+      |  CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+      |       ELSE 1000 * (n_days * sxyc - sx * syc) // (n_days * sxx - sx * sx)
+      |  END AS slope_cents_permille
+      |FROM m ORDER BY event_type""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_evt_ewma", ewma, Some(ewmaSql)),
+    CatalogEntry("q_evt_trend", trend, Some(trendSql)),
     CatalogEntry("q_evt_paths", topPaths, Some(topPathsSql)),
     CatalogEntry("q_evt_cumulative_users", cumulativeUsers, Some(cumulativeUsersSql)),
     CatalogEntry("q_evt_top_types", topTypesHourly, Some(topTypesHourlySql)),

@@ -113,4 +113,28 @@ class InvariantSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got13.sorted.toSeq == got.sorted.toSeq)
   }
+
+  test("trend recovers planted exact slopes, negative slopes, and NULLs a single-day type") {
+    // plant exact integer lines in the DAILY cents series: "up" grows
+    // 3 cents/day (slope_cents_permille = 3000 exactly — zero
+    // residual), "down" falls 2/day (-2000), "flat" is constant (0),
+    // "one" has a single day (den = 0 → NULL, not a crash). One event
+    // per type-day, value = cents/100, so the daily rollup IS the line.
+    val rows =
+      (0 until 10).map(d => (f"2024-03-${d + 1}%02d", "up", (50 + 3 * d) / 100.0)) ++
+      (0 until 10).map(d => (f"2024-03-${d + 1}%02d", "down", (90 - 2 * d) / 100.0)) ++
+      (0 until 10).map(d => (f"2024-03-${d + 1}%02d", "flat", 0.42)) ++
+      Seq(("2024-03-05", "one", 1.23))
+    val df = rows.zipWithIndex.map { case ((day, t, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"$day 12:00:00"), 1L, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.trendOf(df).collect().map { r =>
+      r.getString(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toMap
+    assert(got("up") == (Some(0L), Some(3000L)))   // count flat, cents +3/day
+    assert(got("down") == (Some(0L), Some(-2000L)))
+    assert(got("flat") == (Some(0L), Some(0L)))
+    assert(got("one") == (None, None))
+  }
 }
