@@ -98,6 +98,32 @@ class MetricsSpec extends SparkSpec {
         "composition added a data-sized exchange")
   }
 
+  test("trend's shuffle is day-grid-bounded; EWMA's is one corpus-sized pass") {
+    // the trend fit must never shuffle event volume twice: the
+    // (type, day) rollup's partials are ≤ |types×days| per map
+    // partition, and the second rollup moves the collapsed daily
+    // table only. EWMA's total is ~n records: the grouped collect's
+    // partials combine map-side (per-user arrays), so the n-row
+    // volume is the gate ORDER BY of the output — one corpus-sized
+    // exchange overall, never two.
+    val events = graft.Tables.t(spark, dir, "events")
+    val n = events.count()
+    graft.CacheScope.drain()
+    val (_, mt) = SparkMetrics.measure(spark) {
+      graft.ops.EventOps.trend(spark, dir).collect()
+    }
+    assert(mt.shuffleWriteRecords < n / 2,
+      s"trend shuffled ${mt.shuffleWriteRecords} records for $n events — " +
+        "the daily rollup stopped combining map-side")
+    graft.CacheScope.drain()
+    val (_, me) = SparkMetrics.measure(spark) {
+      graft.ops.EventOps.ewma(spark, dir).collect()
+    }
+    assert(me.shuffleWriteRecords >= n && me.shuffleWriteRecords <= n + 4096L,
+      s"EWMA shuffled ${me.shuffleWriteRecords} records for $n events — " +
+        "expected exactly one pass of the corpus")
+  }
+
   test("bloom decontamination shuffles a fraction of the exact join's records (at-scale plan)") {
     // at gate scale AQE broadcasts the bench side of the exact join and
     // its shuffle vanishes — the honest comparison is the AT-SCALE plan

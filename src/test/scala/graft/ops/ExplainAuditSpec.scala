@@ -71,8 +71,10 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_perceptron", "q_text_entropy", "q_emb_pca",
     "q_emb_pca_scores", "q_sql_recursive",
     // round 12: the window chunker is a pure per-row generate — no
-    // join of any kind (its hash-exchange-freeness is pinned below)
-    "q_text_window_chunk")
+    // join of any kind (its hash-exchange-freeness is pinned below);
+    // EWMA is one (user) rollup + a codegen array fold; trend is two
+    // stacked rollups + a projection — joins appear in none of them
+    "q_text_window_chunk", "q_evt_ewma", "q_evt_trend")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook

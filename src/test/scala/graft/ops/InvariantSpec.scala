@@ -114,6 +114,47 @@ class InvariantSpec extends SparkSpec {
     assert(got13.sorted.toSeq == got.sorted.toSeq)
   }
 
+  test("window chunking properties hold for random (win, stride, doc length) combinations") {
+    // randomized sweep of the three invariants the fixed-gate (64, 48)
+    // row can't vary: total coverage, exact interior overlap, and
+    // RECONSTRUCTION — taking each chunk's first `stride` tokens plus
+    // the final chunk's tail re-yields the document exactly
+    val rnd = new scala.util.Random(11)
+    (1 to 8).foreach { trial =>
+      val win = 2 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(win)
+      val docs = (1 to 6).map { d =>
+        val n = 1 + rnd.nextInt(60)
+        (d.toLong, (0 until n).map(j => s"t${d}_$j").mkString(" "))
+      }
+      val chunks = TextAnalysis.windowChunkText(
+          docs.toDF("doc_id", "text"), win, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ")
+        val cs = chunks(id)
+        // coverage + exact interior overlap
+        assert(cs.flatMap(c => c._3 until (c._3 + c._4)).toSet ==
+          toks.indices.map(_.toLong).toSet,
+          s"trial $trial (win=$win stride=$stride): coverage hole in doc $id")
+        cs.sliding(2).foreach {
+          case Array(a, b) =>
+            assert((a._3 + a._4) - b._3 == (win - stride).toLong ||
+              a._3 + a._4 >= toks.length,
+              s"trial $trial: overlap != win-stride between chunks ${a._2},${b._2}")
+          case _ => ()
+        }
+        // reconstruction: first `stride` tokens of each chunk, full tail
+        val rebuilt = cs.init.map(_._5.split(" ").take(stride).mkString(" ")) :+
+          cs.last._5
+        assert(rebuilt.mkString(" ") == text,
+          s"trial $trial (win=$win stride=$stride): reconstruction failed for doc $id")
+      }
+    }
+  }
+
   test("trend recovers planted exact slopes, negative slopes, and NULLs a single-day type") {
     // plant exact integer lines in the DAILY cents series: "up" grows
     // 3 cents/day (slope_cents_permille = 3000 exactly — zero
