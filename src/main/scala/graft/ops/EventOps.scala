@@ -584,7 +584,7 @@ object EventOps {
           |    CASE WHEN size(acc) = 0 THEN x.v
           |         ELSE (7 * element_at(acc, -1) + x.v) div 8 END))""".stripMargin))
       .select($"user_id", posexplode(arrays_zip($"es", $"svals")))
-      .select($"user_id", ($"pos" + 1).as("rn"),
+      .select($"user_id", ($"pos" + 1).cast("long").as("rn"),
         $"col.es.event_id".as("event_id"), $"col.es.v".as("v"),
         $"col.svals".as("ewma"))
       .orderBy($"user_id", $"rn")
