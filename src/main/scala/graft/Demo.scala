@@ -64,7 +64,7 @@ object Demo {
 
     // round-7 surface: sketches, ANN compression, corpus monitoring
     println("[demo] sketches: per-language heavy hitters (freq_topk)")
-    ops.Aggregates.heavyHitters(spark, sfDir).show(3, truncate = false)
+    ops.Aggregates.heavyHittersAuto(spark, sfDir).show(3, truncate = false)
     println("[demo] ANN: product-quantized top-3 (bucket + ADC)")
     ops.Similarity.pqAdc(spark, sfDir).show(3)
     println("[demo] monitoring: per-source distribution drift (L1 permille)")

@@ -347,10 +347,15 @@ object Sources {
         s"(columns: ${df.columns.mkString(", ")})")
     val rows = df.count()
     val parts = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
+    // a shard layout carries a `_shards.json` manifest the rewrite's
+    // tmp directory never has — remember it now, rebuild after the
+    // swap, or append/delete silently fall back to the full-count path
+    val hadShardManifest = fs.exists(new Path(dir, "_shards.json"))
     df.repartition(parts, org.apache.spark.sql.functions.col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol)
       .parquet(dir + ".compact-tmp")
     compactSwap(fs, dir)
+    if (hadShardManifest) graft.ops.Sharding.rebuildManifest(spark, dir)
     (rows, before, Hfs.countParquetFilesRecursive(fs, cur))
   }
 

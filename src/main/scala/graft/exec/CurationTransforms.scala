@@ -203,11 +203,17 @@ object CurationTransforms {
       shortlist: Int = 64,
       k: Int = 3): Unit = {
     import graft.ops.Similarity
-    lazy val corpus = spark.read.parquet(corpusPath)
-    lazy val index = spark.read.parquet(indexPath)
+    // the PCA model is plain data (a few ≤64-element arrays) — safe to
+    // memoize across batches; the corpus/index FRAMES are read against
+    // the in-flight frame's session below (cloned-session rule: inside
+    // foreachBatch the micro-batch analyzes against a clone, and
+    // outer-session plans must not mix into it — the
+    // registerSemanticDecontaminate discipline)
     lazy val model = pcaModelPath.map(Similarity.loadPcaModel(spark, _))
     registry.register("ann_neighbors", { frame: DataFrame =>
       val s = frame.sparkSession
+      val corpus = s.read.parquet(corpusPath)
+      val index = s.read.parquet(indexPath)
       val probed = model match {
         case Some(m) => Similarity.probeRotatedPrefixIndex(
           s, corpus, frame, m, index, dims.getOrElse(m.k), shortlist, k,
@@ -319,6 +325,16 @@ object CurationTransforms {
       targetFileRows: Long,
       partitionCol: Option[String] = None): Unit =
     registry.register("compact_layout", { frame: DataFrame =>
+      // A streaming pipeline applies its transforms ONCE at query
+      // setup, so an eager rewrite here would run at setup time — not
+      // per micro-batch tick as the maintenance contract promises —
+      // and would run even if the query never starts. Batch-only;
+      // streaming deployments schedule compaction via the scheduler's
+      // tick loop (A13) against the same directory.
+      require(!frame.isStreaming,
+        "compact_layout is a batch-pipeline transform: a streaming " +
+          "plan would run the rewrite once at query setup, not per " +
+          "tick — schedule compaction via PipelineScheduler instead")
       partitionCol match {
         case Some(pc) => graft.connect.Sources
           .compactPartitionedParquet(spark, dir, pc, targetFileRows)

@@ -277,22 +277,7 @@ object Aggregates {
       |FROM meta m JOIN q ON m.event_type = q.event_type
       |ORDER BY m.event_type""".stripMargin
 
-  /** Heavy-hitters head per language — [[graft.functions.FreqTopK]]
-    * (Misra–Gries) over the exploded token stream: top-5 tokens with
-    * counts as one `item:count` string per language. The gate pins the
-    * EXACT regime (capacity 64 ≫ the fixture vocabulary, so every
-    * counter is exact and the oracle is a plain GROUP BY count +
-    * row_number head); FreqTopKSpec owns the approximate regime
-    * (eviction, merge trim, the N/(capacity+1) bound). Plan: the only
-    * exchange after the scan carries ≤ capacity counters per language —
-    * at 100 TB this replaces the full-corpus (lang, token) shuffle an
-    * exact vocabulary head would pay, the same state-not-rows trade as
-    * [[kmvDistinct]].
-    */
-  def heavyHitters(s: SparkSession, dir: String): DataFrame =
-    heavyHittersOn(s, Tables.t(s, dir, "documents"), 5, 64)
-
-  /** [[heavyHitters]] with the deployment knobs exposed — the same
+  /** Heavy-hitters with the deployment knobs exposed — the same
     * sizing contract [[graft.ops.Dedup.benchmarkBloom]] gained:
     * `capacity` ≥ the measured per-group distinct count keeps every
     * counter EXACT (the 10× fixture pushes per-language vocabulary to
@@ -735,7 +720,14 @@ object Aggregates {
     CatalogEntry("q_agg_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     CatalogEntry("q_agg_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
     CatalogEntry("q_agg_quantile_rollup", quantileRollup, Some(quantileRollupSql)),
-    CatalogEntry("q_agg_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    // The fixed-capacity twin of q_agg_heavy_hitters_auto was retired
+    // in r13 (verdict #2): fixture vocabulary grows linearly with
+    // scale (measured 31 → 310 → 930 at 1×/10×/30×), so ANY pinned
+    // capacity eventually re-enters the approximate regime and the
+    // sweep carries a permanent asterisk. The Misra–Gries sketch
+    // itself — eviction, merge trim, the N/(capacity+1) bound — stays
+    // owned by FreqTopKSpec; heavyHittersOn keeps the explicit
+    // capacity knob for deployments that want to pin it.
     CatalogEntry("q_agg_heavy_hitters_auto", heavyHittersAuto, Some(heavyHittersSql)),
     CatalogEntry("q_agg_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)),
     CatalogEntry("q_agg_cube", cubeAgg, Some(cubeAggSql)),

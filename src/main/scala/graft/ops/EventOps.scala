@@ -439,7 +439,7 @@ object EventOps {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Hourly top event types via the [[graft.functions.FreqTopK]]
-    * heavy-hitters sketch — the windowed form of `q_agg_heavy_hitters`
+    * heavy-hitters sketch — the windowed form of `q_agg_heavy_hitters_auto`
     * and the shape a live dashboard aggregates: per tumbling hour, the
     * top-3 event types as one `type:count` string plus the window
     * volume. Exact regime (5 event types ≪ capacity 16), so the oracle
@@ -568,8 +568,23 @@ object EventOps {
   /** Core of [[ewma]] over any (user_id, ts, event_id, value) table —
     * separated so the recurrence is pinned against a THIRD (JVM fold)
     * implementation on randomized sequences (InvariantSpec), not just
-    * the fixture gate. */
-  private[ops] def ewmaOf(events: DataFrame): DataFrame = {
+    * the fixture gate.
+    *
+    * `maxHistory` makes the batch form's boundedness assumption a
+    * RUNTIME contract, not scaladoc advice (r12 verdict #3): the
+    * collect_list holds one entity's full history in one task, so a
+    * power-law entity at corpus scale would OOM silently — instead,
+    * any entity past the cap fails the job loudly (a codegen'd
+    * raise_error inside the fold input, zero extra passes) with a
+    * message naming the entity and directing it to [[graft.streaming
+    * .StreamOps.statefulEwma]], the constant-state streaming twin.
+    * The default (100k events ≈ a few MB of struct array per task) is
+    * far above any sane batch entity and far below task-OOM territory
+    * — the stride-guard / maxRounds / admission-control discipline.
+    */
+  private[ops] def ewmaOf(events: DataFrame,
+      maxHistory: Int = 100000): DataFrame = {
+    require(maxHistory > 0, s"maxHistory must be positive: $maxHistory")
     val s = events.sparkSession
     import s.implicits._
     events
@@ -578,6 +593,15 @@ object EventOps {
           floor($"value" * 100).cast("long").as("v")).as("e"))
       .groupBy($"user_id")
       .agg(sort_array(collect_list($"e")).as("es"))
+      // CASE branches coerce (raise_error is NullType), so the guard
+      // lives INSIDE the data path — the optimizer can never prune it
+      .withColumn("es", expr(
+        s"""CASE WHEN size(es) <= $maxHistory THEN es
+           |ELSE raise_error(concat('ewmaOf: entity ', user_id, ' has ',
+           |  size(es), ' events, past maxHistory=$maxHistory — batch EWMA',
+           |  ' collects one entity''s history into one task; raise the cap',
+           |  ' only with the memory math, or use statefulEwma (streaming,',
+           |  ' constant state) for unbounded entities')) END""".stripMargin))
       .withColumn("svals", expr(
         """aggregate(es, cast(array() as array<bigint>),
           |  (acc, x) -> array_append(acc,

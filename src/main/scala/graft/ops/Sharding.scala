@@ -163,6 +163,18 @@ object Sharding {
     rows.map { case (sh, c) => (sh.toInt, c) }.toDF("shard", "n_rows")
   }
 
+  /** Re-derive and rewrite `_shards.json` from the WRITTEN layout —
+    * the hook a layout-REWRITING maintenance pass (compaction) calls
+    * after its rename-swap: the rewrite's tmp directory never carries
+    * the manifest, so without this the swap silently drops it and
+    * later [[appendToShards]]/[[deleteFromShards]] fall back to the
+    * full-count path. Same row-group-metadata-only counting as every
+    * other manifest write.
+    */
+  private[graft] def rebuildManifest(s: SparkSession, outDir: String): Unit = {
+    writeManifest(s, outDir, writtenCounts(s, outDir, Nil)); ()
+  }
+
   /** Parse a previously written `_shards.json` back to counts. The
     * format is our own (flat objects, two integer fields), so a line
     * regex is exact — no JSON library needed.

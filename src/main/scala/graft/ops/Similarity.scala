@@ -799,7 +799,8 @@ object Similarity {
     */
   def ivfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (modelPath, indexPath) = ivfPqArtifacts.getOrElseUpdate(dir, {
+    val key = (dir, embeddingsFingerprint(s, dir))
+    val (modelPath, indexPath) = ivfPqArtifacts.getOrElseUpdate(key, {
       val base = java.nio.file.Files.createTempDirectory("graft-ivfpq-served").toString
       val emb = Tables.t(s, dir, "embeddings")
       val model = trainIvfPq(s, emb)
@@ -812,12 +813,49 @@ object Similarity {
       loadIvfPqModel(s, modelPath), s.read.parquet(indexPath))
   }
 
-  /** Frozen-artifact cache for [[ivfPq]], keyed by fixture dir —
-    * model + index parquet PATHS (never DataFrames: cached plans
-    * would be invalidated by the bench's per-query cache drains).
+  /** Frozen-artifact cache for [[ivfPq]], keyed by (fixture dir,
+    * content fingerprint) — model + index parquet PATHS (never
+    * DataFrames: cached plans would be invalidated by the bench's
+    * per-query cache drains). The fingerprint half of the key is what
+    * keeps the cache HONEST within one JVM: a fixture regenerated in
+    * place (ScaleUp/SignalFixture reruns, tests reusing a tmp path)
+    * changes the file listing/sizes/mtimes, so the stale codebooks
+    * train fresh instead of silently serving wrong neighbors.
     */
   private val ivfPqArtifacts =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  /** Listing-level fingerprint of `<dir>/embeddings.parquet` (file or
+    * directory): every part file's (name, length, mtime) hashed —
+    * metadata-only, no data read, one namenode listing per [[ivfPq]]
+    * call.
+    */
+  private def embeddingsFingerprint(s: SparkSession, dir: String): String = {
+    val path = s"$dir/embeddings.parquet"
+    val fs = graft.connect.Hfs.fs(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(p)) {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) parts += s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+      else {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Drop all frozen [[ivfPq]] artifacts — the explicit invalidation
+    * hook for fixture-regenerating tools and tests (belt to the
+    * fingerprint key's suspenders).
+    */
+  private[graft] def clearIvfPqArtifacts(): Unit = ivfPqArtifacts.clear()
 
   /** The fused train-in-row form of the gate row — the differential
     * twin [[ivfPq]]'s first call reproduces; kept callable for specs
@@ -1269,13 +1307,30 @@ object Similarity {
     * (especially) if they share an id.
     */
   def semanticDecontaminate(s: SparkSession, corpus: DataFrame,
-      bench: DataFrame, tauMilli: Long): DataFrame = {
+      bench: DataFrame, tauMilli: Long,
+      maxBenchRows: Long = 1000000L): DataFrame = {
     import s.implicits._
     require(tauMilli >= -1000L && tauMilli <= 1000L,
       s"tauMilli is cosine·1000, must be in [-1000, 1000]: $tauMilli")
+    require(maxBenchRows > 0, s"maxBenchRows must be positive: $maxBenchRows")
     val cb = embBase(s, corpus)
-    val bb = embBase(s, bench)
-      .select($"xq".as("bxq"), $"n2".as("bn2"))
+    val bb0 = embBase(s, bench)
+    // Loud size guard (r12 verdict #6): the exactness argument RESTS
+    // on the bench side broadcasting (bench·dims longs to every
+    // executor) — a caller passing a corpus-sized frame as `bench`
+    // would OOM executors instead of erroring. bb0 is persistScoped,
+    // so this count is a cheap scan of the already-quantized frame,
+    // not a second read of the input. 1M rows × 64 dims ≈ 0.5 GB
+    // broadcast — already past what a default executor should carry;
+    // real eval benchmarks are orders of magnitude smaller.
+    val benchRows = bb0.count()
+    require(benchRows <= maxBenchRows,
+      s"semanticDecontaminate: bench side has $benchRows rows, past " +
+        s"maxBenchRows=$maxBenchRows — the exact full-dim pass " +
+        s"broadcasts bench·dims longs and is sized for benchmark " +
+        s"sets, not corpora; for corpus-scale contamination lists use " +
+        s"the bloom/shingle path (Dedup.bloomClean / q_text_contamination)")
+    val bb = bb0.select($"xq".as("bxq"), $"n2".as("bn2"))
     val flagged = broadcast(bb).join(cb,
         cosineFromDots(dot64($"bxq", $"xq"), $"bn2", $"n2")
           >= lit(tauMilli.toDouble / 1000.0))

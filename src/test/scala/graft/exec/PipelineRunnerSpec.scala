@@ -356,6 +356,15 @@ class PipelineRunnerSpec extends SparkSpec {
     repo.savePipeline(bad)
     intercept[Exception](new PipelineRunner(spark, repo, reg2).run(bad))
     assert(repo.history("maint2").map(_.status) == Seq("running", "error"))
+
+    // streaming guard: a streaming plan applies transforms ONCE at
+    // query setup, so the eager rewrite would fire at setup time, not
+    // per tick — the transform must refuse loudly (r12 advice)
+    val streamFrame = spark.readStream.format("rate").load()
+    val err = intercept[IllegalArgumentException](
+      registry("compact_layout")(streamFrame))
+    assert(err.getMessage.contains("PipelineScheduler"),
+      s"message should direct streaming deployments to the scheduler: ${err.getMessage}")
   }
 
   test("sanitize load applies reference null semantics (SURVEY §1.3)") {

@@ -4,7 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** [[FreqTopK]] (Misra–Gries heavy hitters): the gate row
-  * (q_agg_heavy_hitters) pins only the exact regime; this spec owns the
+  * (q_agg_heavy_hitters_auto) pins only the exact regime; this spec owns the
   * sketch properties — exact counts below capacity regardless of
   * partitioning, the eviction path, the distributed merge trim, and the
   * N/(capacity+1) underestimate bound.

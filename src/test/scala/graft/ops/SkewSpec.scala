@@ -234,8 +234,10 @@ class SkewSpec extends SparkSpec {
 
   test("heavy hitters: one exchange carrying ≤capacity counters per language") {
     // freq_topk partial-aggregates map-side; the wire sees MG summaries,
-    // never the raw token stream
-    assert(hashExchangeCount("q_agg_heavy_hitters") == 1)
+    // never the raw token stream. (The auto-sizing HLL pass is a
+    // separate eager job at plan-construction time — the SERVED plan
+    // audited here is still the single counter-summary exchange.)
+    assert(hashExchangeCount("q_agg_heavy_hitters_auto") == 1)
   }
 
   test("kmv intersect: exchanges carry sketches on bounded keys, never row data") {
