@@ -293,6 +293,45 @@ object Sharding {
       .withColumn("curriculum_key", curriculumOrderKey(col(docId), col("phase")))
   }
 
+  /** k+1-phase generalization of [[withCurriculumOrder]] (the 2-phase
+    * form stays for the common anneal-only recipe): `cutsPermille` is
+    * a strictly DECREASING list of ties-inclusive top-p‰ cuts, and a
+    * row's phase is the number of cuts it clears — e.g. cuts (400,
+    * 100) give warmup (phase 0: below the top 400‰), main (phase 1:
+    * top 400‰ but not top 100‰), anneal (phase 2: top 100‰, trains
+    * LAST). All thresholds come from ONE bounded-grid histogram
+    * rollup ([[TextAnalysis.scoreQuantileThresholdsOn]]) broadcast as
+    * a single 1-row cross join, so a 10-phase curriculum costs the
+    * corpus exactly what the 2-phase one does: two codegen map passes
+    * and zero data-sized shuffles. Decreasing cuts make the phase
+    * CASE monotone (clearing a smaller-p cut implies clearing every
+    * larger-p one), so `phase` is a total function of the score with
+    * no gaps; [[curriculumOrderKey]]'s lpad-2 prefix orders up to 100
+    * phases lexicographically in the same writer sort.
+    */
+  def withCurriculumPhases(
+      df: DataFrame, docId: String, scoreCol: String,
+      cutsPermille: Seq[Long]): DataFrame = {
+    require(cutsPermille.nonEmpty, "need at least one cut")
+    require(cutsPermille.zip(cutsPermille.tail).forall { case (a, b) => a > b },
+      s"cutsPermille must be strictly decreasing (outermost phase first): " +
+        cutsPermille.mkString(", "))
+    require(cutsPermille.size <= 99,
+      s"curriculumOrderKey's lpad-2 prefix caps phases at 100: ${cutsPermille.size + 1}")
+    val th = TextAnalysis.scoreQuantileThresholdsOn(df, scoreCol, cutsPermille)
+    val phase = cutsPermille.indices
+      .map(i => when(col(scoreCol) >= col(s"q_thresh_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(th))
+      .withColumn("phase", phase)
+      .drop(cutsPermille.indices.map(i => s"q_thresh_$i"): _*)
+      .withColumn("curriculum_key", curriculumOrderKey(col(docId), col("phase")))
+  }
+
+  /** Cuts for the 3-phase curriculum gate row: warmup / main (top
+    * 400‰) / anneal (top 100‰, trains last). */
+  private[graft] val curriculum3Cuts = Seq(400L, 100L)
+
   /** Split-separated training layout — the PHYSICAL form of a
     * leakage-safe split (`q_feat_split` / `q_feat_group_split` /
     * `q_dedup_cluster_split` produce the column; this writes it):
@@ -552,8 +591,53 @@ object Sharding {
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Catalog gate for the >2-phase curriculum: per-(shard, phase)
+    * counts and score mass under [[withCurriculumPhases]] with the
+    * warmup/main/anneal cuts — DuckDB recomputes BOTH quantile
+    * thresholds from the same histogram walk, the two-cut phase CASE,
+    * and the hex-prefix shard fold independently. The physical
+    * read-order property (phase 0 bytes, then 1, then 2 in every
+    * part-file) is ShardSpec's 3-phase case; this row pins the math.
+    */
+  def curriculum3Plan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.t(s, dir, "documents")
+      .select($"doc_id", expr(TextAnalysis.ttrPermilleSql("text")).as("q"))
+      .persistScoped()
+    withCurriculumPhases(scored, "doc_id", "q", curriculum3Cuts)
+      .withColumn("shard", shardId($"doc_id", numShards))
+      .groupBy($"shard", $"phase")
+      .agg(count(lit(1)).as("n_docs"), sum($"q").as("sum_q"))
+      .orderBy($"shard", $"phase")
+  }
+
+  private val curriculum3PlanSql = {
+    val h = "substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+    val Seq(pMain, pAnneal) = curriculum3Cuts
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    (1000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+       |  FROM documents),
+       |h AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+       |c AS (SELECT q,
+       |    CAST(SUM(cnt) OVER (ORDER BY q DESC) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h),
+       |t0 AS (SELECT MAX(q) AS qt FROM c WHERE cum * 1000 >= $pMain * n),
+       |t1 AS (SELECT MAX(q) AS qt FROM c WHERE cum * 1000 >= $pAnneal * n),
+       |p AS (SELECT doc_id, q,
+       |    (${nib(h, 1)} * 16 + ${nib(h, 2)}) % $numShards AS shard,
+       |    (CASE WHEN q >= (SELECT qt FROM t0) THEN 1 ELSE 0 END +
+       |     CASE WHEN q >= (SELECT qt FROM t1) THEN 1 ELSE 0 END) AS phase
+       |  FROM d)
+       |SELECT shard, CAST(phase AS BIGINT) AS phase, COUNT(*) AS n_docs,
+       |  CAST(SUM(q) AS BIGINT) AS sum_q
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_shard_plan", shardPlan, Some(shardPlanSql)),
     CatalogEntry("q_shard_split_plan", splitShardPlan, Some(splitShardPlanSql)),
-    CatalogEntry("q_shard_curriculum_plan", curriculumPlan, Some(curriculumPlanSql)))
+    CatalogEntry("q_shard_curriculum_plan", curriculumPlan, Some(curriculumPlanSql)),
+    CatalogEntry("q_shard_curriculum3_plan", curriculum3Plan, Some(curriculum3PlanSql)))
 }

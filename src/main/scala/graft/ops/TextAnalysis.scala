@@ -2217,6 +2217,41 @@ object TextAnalysis {
       .agg(max(col("__q")).as("q_thresh"))
   }
 
+  /** Multi-cut sibling of [[scoreQuantileThresholdOn]]: ALL k
+    * thresholds from ONE histogram rollup — a >2-phase curriculum
+    * needs one cut per phase boundary, and recomputing the histogram
+    * per cut would re-scan the corpus k times for a distribution
+    * that's already on the bounded grid. Returns a 1-row frame with
+    * `q_thresh_0 … q_thresh_{k-1}` (same ties-inclusive max-score
+    * semantics per cut), so the whole threshold set broadcasts as one
+    * tiny cross join. Corpus cost is IDENTICAL to the single-cut
+    * form: one map-side-combinable histogram pass, window walks on
+    * the ≤|grid|-row frame only.
+    */
+  def scoreQuantileThresholdsOn(
+      scored: DataFrame, scoreCol: String,
+      cutsPermille: Seq[Long]): DataFrame = {
+    require(cutsPermille.nonEmpty, "need at least one cut")
+    cutsPermille.foreach(p => require(p >= 0L && p <= 1000L,
+      s"cutsPermille must be in [0, 1000], got $p"))
+    val hist = scored.groupBy(col(scoreCol).cast("long").as("__q"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.orderBy(col("__q").desc)
+    val wAll = Window.partitionBy(lit(1))
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .agg(
+        cutsPermille.zipWithIndex.map { case (p, i) =>
+          max(when(col("__cum") * 1000L >= lit(p) * col("__n"), col("__q")))
+            .as(s"q_thresh_$i")
+        }.head,
+        cutsPermille.zipWithIndex.map { case (p, i) =>
+          max(when(col("__cum") * 1000L >= lit(p) * col("__n"), col("__q")))
+            .as(s"q_thresh_$i")
+        }.tail: _*)
+  }
+
   /** Per-group twin of [[scoreQuantileThresholdOn]]: each key keeps
     * its own top p‰ (the per-source form a mix spec states so a large
     * high-scoring source cannot crowd every other source out of the

@@ -345,4 +345,36 @@ class ShardSpec extends SparkSpec {
     }
     assert(shuffledSomewhere, "main phase should be hash-shuffled, not id-sorted")
   }
+
+  test("3-phase curriculum: warmup -> main -> anneal in file order, phase math exact") {
+    import spark.implicits._
+    val out = tmpDir("curriculum3-shards").toString + "/t"
+    // 200 docs on a 10-value grid: cuts (400, 100) ties-inclusive →
+    // anneal threshold 9 (cum 20 = 10 %), main threshold 6 (cum 80 = 40 %)
+    val docs = (1L to 200L).map(i => (i, i % 10)).toDF("doc_id", "score")
+    val cur = Sharding.withCurriculumPhases(docs, "doc_id", "score", Seq(400L, 100L))
+    val byPhase = cur.select($"doc_id", $"phase").as[(Long, Long)]
+      .collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byPhase(2L) == (1L to 200L).filter(_ % 10 >= 9).toSet, "anneal = top 100‰")
+    assert(byPhase(1L) == (1L to 200L).filter(i => i % 10 >= 6 && i % 10 < 9).toSet)
+    assert(byPhase(0L) == (1L to 200L).filter(_ % 10 < 6).toSet)
+    Sharding.writeTrainingShards(cur, "doc_id", out, 4, orderCol = Some("curriculum_key"))
+    val files = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    files.foreach { f =>
+      val phases = spark.read.parquet(f.getPath)
+        .select($"phase").as[Long].collect()
+      // a sequential read sees phases non-decreasing: 0…0 1…1 2…2
+      assert(phases.zip(phases.tail).forall { case (a, b) => a <= b },
+        s"phase interleaving in ${f.getName}: ${phases.mkString(",")}")
+      assert(phases.toSet == Set(0L, 1L, 2L),
+        s"every shard carries all three phases at this density: ${f.getName}")
+    }
+    // cuts must be strictly decreasing and bounded
+    intercept[IllegalArgumentException](
+      Sharding.withCurriculumPhases(docs, "doc_id", "score", Seq(100L, 400L)))
+    intercept[IllegalArgumentException](
+      Sharding.withCurriculumPhases(docs, "doc_id", "score", Seq.empty))
+  }
 }
