@@ -1078,8 +1078,80 @@ object Similarity {
     * pass the BATCH's session (cloned-session function resolution;
     * see [[embBase]]).
     */
-  def appendIvfPqIndex(index: DataFrame, path: String): Unit =
+  def appendIvfPqIndex(index: DataFrame, path: String): Unit = {
+    // appending centroid= directories into a list_group= layout would
+    // silently corrupt it (two partition schemes in one dir) — route
+    // grouped layouts to their own append
+    val fs = graft.connect.Hfs.fs(index.sparkSession, path)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_lists_per_dir")),
+      s"$path is a GROUPED index layout (has _lists_per_dir) — " +
+        "use appendIvfPqIndexGrouped")
     index.write.mode("append").partitionBy("centroid").parquet(path)
+  }
+
+  /** [[appendIvfPqIndex]] for a [[saveIvfPqIndexGrouped]] layout: the
+    * increment gets the SAME pure `centroid div listsPerDir` group
+    * column (width read from the layout's own marker), so append ≡
+    * rebuild exactly as on the flat layout; group directories gain
+    * files, none are rewritten. Maintenance stays the stock
+    * partition-preserving compaction on `list_group`.
+    */
+  def appendIvfPqIndexGrouped(index: DataFrame, path: String): Unit = {
+    val fs = graft.connect.Hfs.fs(index.sparkSession, path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_lists_per_dir")
+    require(fs.exists(marker),
+      s"$path is not a grouped index layout (no _lists_per_dir) — " +
+        "use appendIvfPqIndex")
+    val g = graft.connect.Hfs.readSmall(fs, marker).trim.toInt
+    index.withColumn("list_group", expr(s"centroid div $g"))
+      .write.mode("append").partitionBy("list_group").parquet(path)
+  }
+
+  /** List-GROUPED sibling of [[saveIvfPqIndex]] for large-k codebooks —
+    * the layout fix for the fan-out the round-13 100× probe measured:
+    * at k = 2048 the one-directory-per-list layout wrote ~k·tasks tiny
+    * files and the probe scan's per-file open cost INVERTED the ADC
+    * savings of the bigger codebook (43.3 s vs 18.7 s at k = 512,
+    * `tools/ivfscale_r13.jsonl`). Grouping `listsPerDir` consecutive
+    * centroids per directory caps the directory count at k/listsPerDir
+    * and the repartition-on-group + in-task sort collapses each group
+    * to ~one file with `centroid` runs sorted inside it — so directory
+    * pruning still skips unprobed GROUPS at the scan, and parquet
+    * row-group min/max stats on the sorted centroid column skip
+    * unprobed lists INSIDE a read group. A `_lists_per_dir` marker
+    * makes the layout self-describing ([[loadIvfPqIndexLayout]]);
+    * [[probeIvfPq]] takes the group width and derives the group
+    * predicate from the probed set (group = centroid div listsPerDir —
+    * a pure function, so no second metadata lookup at serve time).
+    */
+  def saveIvfPqIndexGrouped(index: DataFrame, path: String,
+      listsPerDir: Int): Unit = {
+    require(listsPerDir > 0, s"listsPerDir must be positive: $listsPerDir")
+    val s = index.sparkSession
+    index
+      .withColumn("list_group", expr(s"centroid div $listsPerDir"))
+      .repartition(col("list_group"))
+      .sortWithinPartitions(col("list_group"), col("centroid"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("list_group").parquet(path)
+    val fs = graft.connect.Hfs.fs(s, path)
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, "_lists_per_dir"),
+      listsPerDir.toString, overwrite = true)
+  }
+
+  /** Read an IVF-PQ index layout back with its group width: `Some(g)`
+    * for a [[saveIvfPqIndexGrouped]] layout (pass it to
+    * [[probeIvfPq]]'s `listsPerDir`), `None` for the flat
+    * one-directory-per-list layout.
+    */
+  def loadIvfPqIndexLayout(s: SparkSession, path: String): (DataFrame, Option[Int]) = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_lists_per_dir")
+    val g = if (fs.exists(marker))
+      Some(graft.connect.Hfs.readSmall(fs, marker).trim.toInt)
+    else None
+    (s.read.parquet(path), g)
+  }
 
   /** Serve ANN queries over a frozen model + prebuilt index: the
     * two-stage ADC-shortlist/exact-rescore path of the gate row, with
@@ -1096,7 +1168,8 @@ object Similarity {
   def probeIvfPq(s: SparkSession, corpus: DataFrame, queries: DataFrame,
       model: IvfPqModel, index: DataFrame,
       nprobe: Int = ivfPqNprobe, shortlist: Int = ivfPqShortlist,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      listsPerDir: Option[Int] = None): DataFrame = {
     import s.implicits._
     import graft.CacheScope._
     val base = embBase(s, corpus)
@@ -1111,7 +1184,20 @@ object Similarity {
     // the queries×k scoring pass runs ONCE per batch.
     val probes = probeLists(model.coarse, qbase, nprobe).persistScoped()
     val probed = probes.select($"centroid").distinct().collect().map(_.getLong(0))
-    val pruned = index.filter($"centroid".isin(probed: _*))
+    // on a grouped layout the directory-pruning predicate is on the
+    // GROUP partition column (derived from the probed set — a pure
+    // function of it); the centroid isin stays as the in-file filter
+    // that parquet row-group stats satisfy on the sorted column
+    val grouped = listsPerDir match {
+      case Some(g) =>
+        require(g > 0, s"listsPerDir must be positive: $g")
+        require(index.columns.contains("list_group"),
+          "listsPerDir given but the index has no list_group column — " +
+            "this is a flat saveIvfPqIndex layout; omit listsPerDir")
+        index.filter($"list_group".isin(probed.map(_ / g).distinct: _*))
+      case None => index
+    }
+    val pruned = grouped.filter($"centroid".isin(probed: _*))
     // every code row of a vector carries the same list assignment, so
     // sub=0 projects it without a distinct (which would shuffle the
     // full pqM·N index)

@@ -124,6 +124,72 @@ class IvfPqModelSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("grouped index layout: probe identical to flat, self-describing, fewer dirs") {
+    // the fan-out fix the 100x probe motivated: listsPerDir centroids
+    // per directory, group-level directory pruning + sorted-centroid
+    // row-group stats inside — results must be BIT-identical to the
+    // flat layout, and the layout must describe its own group width
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val index = Similarity.indexIvfPq(spark, emb, model)
+    val flat = tmpDir("ivfpq-gflat").toString
+    val grouped = tmpDir("ivfpq-grp").toString
+    Similarity.saveIvfPqIndex(index, flat)
+    Similarity.saveIvfPqIndexGrouped(index, grouped, listsPerDir = 4)
+    graft.CacheScope.drain()
+
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val onFlat = Similarity.probeIvfPq(spark, emb, queries, model,
+      spark.read.parquet(flat)).collect().toSeq
+    graft.CacheScope.drain()
+    val (gIdx, gWidth) = Similarity.loadIvfPqIndexLayout(spark, grouped)
+    assert(gWidth.contains(4), s"marker lost: $gWidth")
+    val onGrouped = Similarity.probeIvfPq(spark, emb, queries, model,
+      gIdx, listsPerDir = gWidth).collect().toSeq
+    graft.CacheScope.drain()
+    assert(onGrouped == onFlat, "grouped layout changed probe results")
+
+    // flat layout self-describes as ungrouped
+    val (_, flatWidth) = Similarity.loadIvfPqIndexLayout(spark, flat)
+    assert(flatWidth.isEmpty)
+    // passing a width against a flat layout is refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.probeIvfPq(spark, emb, queries, model,
+        spark.read.parquet(flat), listsPerDir = Some(4)).count()
+    }
+    graft.CacheScope.drain()
+
+    // the point of the layout: k/listsPerDir directories, ~1 file per group
+    def dirs(p: String) = new java.io.File(p).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("list_group=")
+        || f.getName.startsWith("centroid="))
+    val nFlat = dirs(flat).length
+    val nGrouped = dirs(grouped).length
+    assert(nGrouped * 3 <= nFlat,
+      s"grouping should collapse directories: flat=$nFlat grouped=$nGrouped")
+    graft.CacheScope.drain()
+
+    // appends route by layout: flat append into a grouped dir refused,
+    // grouped append derives the group width from the marker and keeps
+    // probe results identical to a full rebuild
+    intercept[IllegalArgumentException](Similarity.appendIvfPqIndex(index, grouped))
+    intercept[IllegalArgumentException](Similarity.appendIvfPqIndexGrouped(index, flat))
+    val part1 = emb.filter(col("vec_id") < 400)
+    val part2 = emb.filter(col("vec_id") >= 400)
+    val incr = tmpDir("ivfpq-grp-incr").toString
+    Similarity.saveIvfPqIndexGrouped(
+      Similarity.indexIvfPq(spark, part1, model), incr, listsPerDir = 4)
+    Similarity.appendIvfPqIndexGrouped(
+      Similarity.indexIvfPq(spark, part2, model), incr)
+    graft.CacheScope.drain()
+    val (iIdx, iWidth) = Similarity.loadIvfPqIndexLayout(spark, incr)
+    val onIncr = Similarity.probeIvfPq(spark, emb, queries, model,
+      iIdx, listsPerDir = iWidth).collect().toSeq
+    graft.CacheScope.drain()
+    assert(onIncr == onFlat, "grouped append != full rebuild")
+  }
+
   test("index compaction merges per-list small files; probes and layout unchanged") {
     // incremental/streaming appends leave small files INSIDE each
     // centroid= directory; maintenance is the partition-preserving
