@@ -169,11 +169,20 @@ object Sources {
                     "saveIvfPqModel)"))
               val m = graft.ops.Similarity.loadIvfPqModel(s, mp)
               val idx = graft.ops.Similarity.indexIvfPq(s, df, m)
+              // optional "listsPerDir": the large-k GROUPED layout
+              // (bounded directory fan-out; see saveIvfPqIndexGrouped).
+              // Appends self-route off the layout's own marker and a
+              // conflicting width fails the step loudly.
+              val lpd = step.options.get("listsPerDir").map(_.toInt)
               saveMode(step.mode) match {
                 case SaveMode.Append =>
-                  graft.ops.Similarity.appendIvfPqIndex(idx, full)
+                  graft.ops.Similarity.maintainIvfPqIndex(idx, full, lpd)
                 case SaveMode.ErrorIfExists if exists => refuse()
-                case _ => graft.ops.Similarity.saveIvfPqIndex(idx, full)
+                case _ => lpd match {
+                  case Some(g) =>
+                    graft.ops.Similarity.saveIvfPqIndexGrouped(idx, full, g)
+                  case None => graft.ops.Similarity.saveIvfPqIndex(idx, full)
+                }
               }
             case other => throw new IllegalArgumentException(
               s"load '${step.name}': unknown annIndex kind '$other' " +

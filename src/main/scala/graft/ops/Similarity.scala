@@ -1139,6 +1139,49 @@ object Similarity {
       listsPerDir.toString, overwrite = true)
   }
 
+  /** Create-or-extend an IVF-PQ index layout, routing by what's on
+    * disk — the maintenance entry the declarative `annIndex=ivfpq`
+    * load step and its streaming twin call per increment/tick:
+    *
+    *  - layout absent → create it (grouped iff `listsPerDir` given);
+    *  - grouped layout present → grouped append; a CONFLICTING
+    *    explicit width errors (changing the group function would
+    *    split lists across directories and break group pruning);
+    *  - flat layout present → flat append; an explicit width errors
+    *    (regrouping is a rebuild — one overwrite write — not an
+    *    append).
+    *
+    * So a pipeline states its intended layout ONCE and every later
+    * tick self-routes off the `_lists_per_dir` marker; mis-stated
+    * intent fails the step loudly instead of corrupting the layout.
+    */
+  def maintainIvfPqIndex(index: DataFrame, path: String,
+      listsPerDir: Option[Int] = None): Unit = {
+    val fs = graft.connect.Hfs.fs(index.sparkSession, path)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_lists_per_dir")
+    // a pre-created EMPTY directory (a mount point, a mkdir'd target)
+    // is "no layout yet", not a flat layout to defend
+    val hasLayout = fs.exists(dir) && fs.listStatus(dir).nonEmpty
+    if (!hasLayout) listsPerDir match {
+      case Some(g) => saveIvfPqIndexGrouped(index, path, g)
+      case None => saveIvfPqIndex(index, path)
+    } else if (fs.exists(marker)) {
+      val g = graft.connect.Hfs.readSmall(fs, marker).trim.toInt
+      require(listsPerDir.forall(_ == g),
+        s"$path is grouped at $g lists/dir but the step asks for " +
+          s"${listsPerDir.get} — changing the group width needs a rebuild " +
+          "(overwrite mode), not an append")
+      appendIvfPqIndexGrouped(index, path)
+    } else {
+      require(listsPerDir.isEmpty,
+        s"$path is a FLAT index layout but the step asks for " +
+          s"listsPerDir=${listsPerDir.getOrElse(0)} — regrouping an " +
+          "existing layout is a rebuild (overwrite mode), not an append")
+      appendIvfPqIndex(index, path)
+    }
+  }
+
   /** Read an IVF-PQ index layout back with its group width: `Some(g)`
     * for a [[saveIvfPqIndexGrouped]] layout (pass it to
     * [[probeIvfPq]]'s `listsPerDir`), `None` for the flat

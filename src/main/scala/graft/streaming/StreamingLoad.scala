@@ -168,8 +168,12 @@ object StreamingLoad {
           ivfModelPath match {
             case Some(mp) =>
               val im = graft.ops.Similarity.loadIvfPqModel(bs, mp)
-              graft.ops.Similarity.appendIvfPqIndex(
-                graft.ops.Similarity.indexIvfPq(bs, b, im), full)
+              // first tick creates the layout (grouped iff listsPerDir
+              // given), later ticks self-route off the layout marker —
+              // maintainIvfPqIndex fails loudly on a width conflict
+              graft.ops.Similarity.maintainIvfPqIndex(
+                graft.ops.Similarity.indexIvfPq(bs, b, im), full,
+                merged.get("listsPerDir").map(_.toInt))
             case None =>
               val idx = model match {
                 case Some(m) => graft.ops.Similarity.buildRotatedPrefixIndex(

@@ -190,6 +190,46 @@ class IvfPqModelSpec extends SparkSpec {
     assert(onIncr == onFlat, "grouped append != full rebuild")
   }
 
+  test("maintainIvfPqIndex self-routes by layout; width conflicts fail the tick") {
+    // the declarative/streaming maintenance entry: state the intent
+    // once, every later increment routes off the _lists_per_dir marker
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val part1 = Similarity.indexIvfPq(spark, emb.filter(col("vec_id") < 400), model)
+    val part2 = Similarity.indexIvfPq(spark, emb.filter(col("vec_id") >= 400), model)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+
+    // grouped intent: first call creates, second appends, results == flat rebuild
+    val g = tmpDir("ivfpq-maint-g").toString + "/idx"
+    Similarity.maintainIvfPqIndex(part1, g, listsPerDir = Some(4))
+    Similarity.maintainIvfPqIndex(part2, g, listsPerDir = Some(4))
+    graft.CacheScope.drain()
+    val flatRef = tmpDir("ivfpq-maint-ref").toString
+    Similarity.saveIvfPqIndex(Similarity.indexIvfPq(spark, emb, model), flatRef)
+    val ref = Similarity.probeIvfPq(spark, emb, queries, model,
+      spark.read.parquet(flatRef)).collect().toSeq
+    graft.CacheScope.drain()
+    val (gIdx, gW) = Similarity.loadIvfPqIndexLayout(spark, g)
+    val got = Similarity.probeIvfPq(spark, emb, queries, model,
+      gIdx, listsPerDir = gW).collect().toSeq
+    graft.CacheScope.drain()
+    assert(got == ref)
+    // a later tick omitting the width still routes grouped (marker wins)
+    Similarity.maintainIvfPqIndex(part2, g, listsPerDir = None)
+    // ...but a CONFLICTING width fails loudly before touching the layout
+    intercept[IllegalArgumentException](
+      Similarity.maintainIvfPqIndex(part2, g, listsPerDir = Some(8)))
+    // flat intent: appends stay flat, a grouping request on a flat
+    // layout is a rebuild, not an append
+    val fl = tmpDir("ivfpq-maint-f").toString + "/idx"
+    Similarity.maintainIvfPqIndex(part1, fl)
+    Similarity.maintainIvfPqIndex(part2, fl)
+    intercept[IllegalArgumentException](
+      Similarity.maintainIvfPqIndex(part2, fl, listsPerDir = Some(4)))
+    graft.CacheScope.drain()
+  }
+
   test("index compaction merges per-list small files; probes and layout unchanged") {
     // incremental/streaming appends leave small files INSIDE each
     // centroid= directory; maintenance is the partition-preserving
