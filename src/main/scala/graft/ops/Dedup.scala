@@ -1501,7 +1501,101 @@ object Dedup {
       |FROM batch b ANTI JOIN snapshot s ON b.fp = s.fp
       |GROUP BY b.fp ORDER BY doc_id""".stripMargin
 
+  /** EXACT set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07 "Scaling Up All
+    * Pairs Similarity Search"; Xiao et al., WWW'08 PPJoin): every pair
+    * with shingle-set Jaccard ≥ τ, with NO false negatives and no
+    * all-pairs scan. The exact complement to the MinHash-LSH screen
+    * ([[minhashLsh]]), whose banding misses a true pair with
+    * probability (1−s^r)^b — acceptable for throughput dedup, not for
+    * a decontamination-grade guarantee.
+    *
+    * The theorem: order the token universe TOTALLY (here ascending
+    * document frequency, ties by token — rarest first) and take each
+    * set's prefix of p = |x| − ⌈τ·|x|⌉ + 1 smallest tokens; any pair
+    * with J ≥ τ must share a prefix token. So candidates = the prefix
+    * self-join, then one exact verification pass.
+    *
+    * Scale shape: the df rollup and the prefix rank are one shuffle on
+    * shingle + a per-doc window (bounded by doc length). The candidate
+    * join's volume is Σ df² over PREFIX tokens only — and rarest-first
+    * ordering makes prefixes low-df by construction, so the join is
+    * skew-resistant exactly where an all-token join (the oracle's
+    * brute formulation) blows up on hot shingles. Verification joins
+    * the ≤|cands| pairs to per-doc sorted shingle arrays and computes
+    * the exact intersection per pair (array_intersect, codegen) — the
+    * integer cross-multiply 1000·inter ≥ τmilli·union keeps both
+    * engines on the same grid. At 100 TB the cost tracks the TRUE
+    * near-dup density, not corpus²; τ is the knob and the length
+    * filter (1000·min(|x|,|y|) ≥ τmilli·max) prunes candidates before
+    * verification.
+    */
+  private[graft] def prefixJoinOn(docs: DataFrame, tauMilli: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(tauMilli >= 1 && tauMilli <= 1000,
+      s"tauMilli is Jaccard·1000, must be in [1, 1000]: $tauMilli")
+    val sh = withShingles(docs.select($"doc_id", $"text"), "sh")
+      .select($"doc_id", explode($"sh").as("s")) // distinct by construction
+      .persistScoped()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"s")
+    val pref = sh.join(dfreq, Seq("s")).join(sz, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter($"rn" <= expr(s"n - ((n * $tauMilli + 999) div 1000) + 1"))
+      .select($"doc_id", $"s", $"n")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          lit(1000L) * least(col("a.n"), col("b.n")) >=
+            lit(tauMilli) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"s")).as("ss"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa"), $"n".as("na")), Seq("doc_a"))
+      .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb"), $"n".as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+      .withColumn("uni", $"na" + $"nb" - $"inter")
+      .filter(lit(1000L) * $"inter" >= lit(tauMilli) * $"uni")
+      .select($"doc_a", $"doc_b", $"inter", $"uni",
+        expr("(1000 * inter) div uni").as("jacc_milli"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Gate τ for [[prefixJoinOn]]: 600‰ — the fixture's near-dup
+    * families qualify (25 pairs at sf0.01, 256 at sf0.1), unrelated
+    * docs don't. */
+  def prefixJoin(s: SparkSession, dir: String): DataFrame =
+    prefixJoinOn(Tables.t(s, dir, "documents"), 600L)
+
+  /** Oracle: the BRUTE formulation — all-token equi-join, per-pair
+    * intersection count, the same integer Jaccard test. A different
+    * algorithm entirely (no prefixes, no ordering), so a prefix-length
+    * off-by-one or a broken total order shows up as a missing pair.
+    */
+  private val prefixJoinSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM t),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+      |      FROM pair JOIN sz sa ON doc_a = sa.doc_id
+      |                JOIN sz sb ON doc_b = sb.doc_id)
+      |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(uni AS BIGINT) AS uni,
+      |  CAST((1000 * inter) // uni AS BIGINT) AS jacc_milli
+      |FROM j WHERE 1000 * inter >= 600 * uni
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def entries: Seq[CatalogEntry] = Seq(
+    CatalogEntry("q_dedup_prefix_join", prefixJoin, Some(prefixJoinSql)),
     CatalogEntry("q_dedup_incremental", incrementalIngest, Some(incrementalIngestSql)),
     CatalogEntry("q_dedup_keep_best", keepBest, Some(keepBestSql)),
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),

@@ -195,4 +195,48 @@ class InvariantSpec extends SparkSpec {
     assert(got("flat") == (Some(0L), Some(0L)))
     assert(got("one") == (None, None))
   }
+
+  test("prefix join == brute force on random corpora (no false negatives, no extras)") {
+    // the prefix-filter theorem is the operator's whole value: for ANY
+    // total token order, every pair with J >= tau shares a prefix
+    // token. Pin the engine's (df, shingle) ordering against a plain
+    // JVM all-pairs scan on randomized corpora with planted near-dups,
+    // across three thresholds including exact-only tau = 1000, plus
+    // docs too short to shingle.
+    val rnd = new scala.util.Random(17)
+    val pool = ('a' to 'z').map(c => s"w$c")
+    def doc(n: Int) = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+    val base = (1L to 30L).map(i => (i, doc(8 + rnd.nextInt(20))))
+    val mutated = base.take(10).map { case (i, t) =>
+      val ws = t.split(" ")
+      val k = rnd.nextInt(3) // 0 = exact copy
+      val m = ws.indices.take(k).foldLeft(ws)((a, j) =>
+        a.updated(j, pool(rnd.nextInt(pool.size))))
+      (100L + i, m.mkString(" "))
+    }
+    val short = Seq((500L, "one two"), (501L, "x"), (502L, "one two"))
+    val docs = (base ++ mutated ++ short).toDF("doc_id", "text")
+
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = (base ++ mutated ++ short).map { case (i, t) => i -> shingles(t) }.toMap
+    for (tau <- Seq(400L, 700L, 1000L)) {
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        uni = sets(a).size + sets(b).size - inter
+        if 1000L * inter >= tau * uni
+      } yield (a, b)).toSet
+      val got = Dedup.prefixJoinOn(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheScope.drain()
+      assert(got == expected,
+        s"tau=$tau: missing=${expected -- got} extra=${got -- expected}")
+      if (tau == 400L) assert(expected.nonEmpty, "fixture must plant qualifying pairs")
+    }
+  }
 }
