@@ -1542,16 +1542,41 @@ object Dedup {
     val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"s")
+    // persistScoped: the self-join below references pref TWICE, and an
+    // unpersisted plan recomputed the df join + per-doc window for each
+    // side (measured at 100×: 164 s → 128 s from the persist alone);
+    // candidate volume itself is linear (DuckDB-counted: 732k → 73.2M
+    // prefix-token pair volume at 1× → 100×)
     val pref = sh.join(dfreq, Seq("s")).join(sz, Seq("doc_id"))
       .withColumn("rn", row_number().over(wDoc))
       .filter($"rn" <= expr(s"n - ((n * $tauMilli + 999) div 1000) + 1"))
-      .select($"doc_id", $"s", $"n")
+      .select($"doc_id", $"s", $"n", $"rn")
+      .persistScoped()
+    // Candidate pruning BEFORE any array ships (the verify join is the
+    // dominant cost — each surviving pair moves both docs' shingle
+    // arrays through two shuffles):
+    //  1. length filter inside the join (τ·max ≤ 1000·min);
+    //  2. the classic POSITIONAL filter on the globally-FIRST shared
+    //     token (PPJoin): let (i, j) be its per-doc ordinals under the
+    //     shared (df, s) total order — every other shared token sits
+    //     after position i in x AND after j in y, so
+    //     overlap ≤ 1 + min(|x|−i, |y|−j); J ≥ τ needs
+    //     overlap ≥ τ/(1+τ)·(|x|+|y|), so pairs whose first shared
+    //     token sits deep in either ordered list die here, cheaply.
+    //     The struct-min over (ia, ib) IS that first token (per-doc rn
+    //     follows the same global order), and the groupBy replaces the
+    //     former distinct() — same shuffle, more information.
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           lit(1000L) * least(col("a.n"), col("b.n")) >=
             lit(tauMilli) * greatest(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(struct(col("a.rn").as("ia"), col("b.rn").as("ib"))).as("fst"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter((lit(1000L) + lit(tauMilli)) *
+          (lit(1L) + least($"na" - $"fst.ia", $"nb" - $"fst.ib")) >=
+        lit(tauMilli) * ($"na" + $"nb"))
+      .select($"doc_a", $"doc_b")
     val sets = sh.groupBy($"doc_id")
       .agg(sort_array(collect_list($"s")).as("ss"), count(lit(1)).as("n"))
     cand
@@ -1565,11 +1590,12 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Gate τ for [[prefixJoinOn]]: 600‰ — the fixture's near-dup
-    * families qualify (25 pairs at sf0.01, 256 at sf0.1), unrelated
-    * docs don't. */
+  /** Gate τ for [[prefixJoinOn]]: 800‰ — the MinHash-dedup literature's
+    * standard near-dup threshold (FineWeb/RefinedWeb use 0.8); the
+    * fixture's near-dup families qualify (25 pairs at sf0.01, 256 at
+    * sf0.1, 2560 at 10×), unrelated docs don't. */
   def prefixJoin(s: SparkSession, dir: String): DataFrame =
-    prefixJoinOn(Tables.t(s, dir, "documents"), 600L)
+    prefixJoinOn(Tables.t(s, dir, "documents"), 800L)
 
   /** Oracle: the BRUTE formulation — all-token equi-join, per-pair
     * intersection count, the same integer Jaccard test. A different
@@ -1591,7 +1617,7 @@ object Dedup {
       |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
       |  CAST(uni AS BIGINT) AS uni,
       |  CAST((1000 * inter) // uni AS BIGINT) AS jacc_milli
-      |FROM j WHERE 1000 * inter >= 600 * uni
+      |FROM j WHERE 1000 * inter >= 800 * uni
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def entries: Seq[CatalogEntry] = Seq(
