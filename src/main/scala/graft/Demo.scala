@@ -155,6 +155,22 @@ object Demo {
     println("[demo] chunking: overlapping token windows for an embedding pass")
     ops.TextAnalysis.windowChunkText(docs, win = 64, stride = 48).show(3)
 
+    // round-13 surface: exact near-dup join + real media codecs +
+    // large-k index layout
+    println("[demo] exact dedup: every pair with Jaccard >= 0.8, prefix-filtered")
+    ops.Dedup.prefixJoinOn(docs, tauMilli = 800L).show(3)
+    println("[demo] multimodal: real RIFF/WAVE decode over binary payloads")
+    multimodal.Multimodal.extractFeatures(spark,
+      multimodal.Multimodal.wavFromDocs(spark, sfDir)).toDF()
+      .select("media_id", "n_bytes", "decode_ok").show(3)
+    println("[demo] ANN at large k: grouped index layout, self-describing")
+    val grpIdx = work.resolve("ann-index-grouped").toString
+    ops.Similarity.saveIvfPqIndexGrouped(
+      ops.Similarity.indexIvfPq(spark, emb, annModel), grpIdx, listsPerDir = 8)
+    val (gIdx, gW) = ops.Similarity.loadIvfPqIndexLayout(spark, grpIdx)
+    ops.Similarity.probeIvfPq(spark, emb, emb.filter("vec_id % 50 = 0"),
+      annModel, gIdx, listsPerDir = gW).show(3)
+
     spark.stop()
   }
 }
