@@ -179,6 +179,25 @@ object CurationTransforms {
         s, corpus, s.read.parquet(benchPath), tauMilli)
     })
 
+  /** Register `exact_decontaminate`: drop every doc of the in-flight
+    * frame whose shingle set τ-CONTAINS any benchmark doc at
+    * `benchPath` ([[graft.ops.Dedup.exactDecontaminate]]) — the exact
+    * n-gram pass of the decontamination trio (bloom = approximate
+    * membership, semantic = paraphrase, this = exact quotation, which
+    * Jaccard misses when the quote sits inside a much larger doc).
+    * Bench read against the in-flight frame's session (cloned-session
+    * rule); only the bench side prefixes, so per-tick cost is
+    * bench-prefix × corpus-df bounded.
+    */
+  def registerExactDecontaminate(
+      registry: TransformRegistry,
+      benchPath: String,
+      tauMilli: Long): Unit =
+    registry.register("exact_decontaminate", { corpus: DataFrame =>
+      graft.ops.Dedup.exactDecontaminate(
+        corpus, corpus.sparkSession.read.parquet(benchPath), tauMilli)
+    })
+
   /** Register `ann_neighbors`: annotate every embedding row of the
     * in-flight frame with its top-k nearest corpus neighbors served
     * from a FROZEN prefix index (`graft.ops.Similarity`

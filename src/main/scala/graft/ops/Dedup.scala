@@ -1590,6 +1590,111 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Exact CONTAINMENT decontamination — the asymmetric sibling of
+    * [[prefixJoinOn]] for the realistic leakage shape: a benchmark
+    * item QUOTED INSIDE a larger document. Jaccard misses it (the big
+    * doc inflates the union); containment C(b in a) = |a∩b| / |b|
+    * fires whenever ≥ τ of the BENCH doc's shingles appear in the
+    * corpus doc, whatever the corpus doc's size. This is the exact
+    * n-gram decontamination pass the public pretraining pipelines run
+    * against eval benchmarks, next to [[bloomClean]] (approximate
+    * membership) and `Similarity.semanticDecontaminate` (paraphrase).
+    *
+    * Prefix filter, asymmetric: C ≥ τ needs inter ≥ ⌈τ·|b|⌉, so
+    * skipping bench b's p−1 = |b| − ⌈τ·|b|⌉ rarest shingles cannot
+    * remove every shared one — any qualifying (a, b) shares a token
+    * with b's (df-ascending) PREFIX. Only the BENCH side prefixes
+    * (the corpus side has no size-based bound: inter ≥ τ|b| says
+    * nothing about |a|), so candidates = Σ over bench-prefix shingles
+    * of their CORPUS df — bench-sized × rarest-first, tiny next to
+    * any corpus-side structure. Verification is the same exact
+    * array_intersect on the integer grid, arrays shipped only for
+    * flagged-candidate pairs.
+    *
+    * df ordering uses the CORPUS's frequencies (the side whose df
+    * bounds candidate volume); the theorem holds for ANY shared total
+    * order, so the choice is a pure optimization. Output = one row
+    * per (corpus doc, bench doc) flagged pair with the containment
+    * score; `exactDecontaminate` below is the keep-the-clean-docs
+    * consumer.
+    */
+  private[graft] def containmentPairsOn(corpus: DataFrame, bench: DataFrame,
+      tauMilli: Long): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    require(tauMilli >= 1 && tauMilli <= 1000,
+      s"tauMilli is containment·1000, must be in [1, 1000]: $tauMilli")
+    val ca = withShingles(corpus.select($"doc_id", $"text"), "sh")
+      .select($"doc_id", explode($"sh").as("s")).persistScoped()
+    val cb = withShingles(bench.select($"doc_id", $"text"), "sh")
+      .select($"doc_id".as("bench_id"), explode($"sh").as("s")).persistScoped()
+    val dfreq = ca.groupBy($"s").agg(count(lit(1)).as("df"))
+    val bn = cb.groupBy($"bench_id").agg(count(lit(1)).as("bn"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bench_id").orderBy($"df", $"s")
+    // unseen-in-corpus bench shingles get df 0: they sort FIRST and
+    // can never produce a candidate — exactly right (they also can
+    // never be part of an intersection), and they still consume
+    // prefix slots only after the coalesce orders them cheapest
+    val bpref = cb.join(dfreq, Seq("s"), "left")
+      .withColumn("df", coalesce($"df", lit(0L)))
+      .join(bn, Seq("bench_id"))
+      .withColumn("rn", row_number().over(wB))
+      .filter($"rn" <= expr(s"bn - ((bn * $tauMilli + 999) div 1000) + 1"))
+      .select($"bench_id", $"s", $"bn")
+    val cand = bpref.join(ca, Seq("s"))
+      .select($"doc_id", $"bench_id", $"bn").distinct()
+    val aSets = ca.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"s")).as("sa"))
+    val bSets = cb.groupBy($"bench_id")
+      .agg(sort_array(collect_list($"s")).as("sb"))
+    cand
+      .join(aSets, Seq("doc_id"))
+      .join(bSets, Seq("bench_id"))
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+      .filter(lit(1000L) * $"inter" >= lit(tauMilli) * $"bn")
+      .select($"doc_id", $"bench_id", $"inter", $"bn",
+        expr("(1000 * inter) div bn").as("containment_milli"))
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  /** Drop every corpus doc τ-containing ANY bench doc — the
+    * decontamination consumer of [[containmentPairsOn]]; corpus
+    * columns pass through untouched, the anti-join key set is
+    * contamination-sized.
+    */
+  def exactDecontaminate(corpus: DataFrame, bench: DataFrame,
+      tauMilli: Long): DataFrame = {
+    val flagged = containmentPairsOn(corpus, bench, tauMilli)
+      .select(col("doc_id")).distinct()
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** Gate: bench = every 50th doc (the q_emb_decontam convention —
+    * ids ARE compared only to pair rows, a corpus doc containing its
+    * own bench copy is exactly what must flag). τ = 800‰. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+    containmentPairsOn(docs, docs.filter($"doc_id" % 50 === 0), 800L)
+  }
+
+  private val containmentPairsSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM t),
+      |bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE bench_id % 50 = 0),
+      |bn AS (SELECT bench_id, COUNT(*) AS bn FROM bs GROUP BY 1),
+      |pair AS (SELECT a.doc_id, b.bench_id, COUNT(*) AS inter
+      |         FROM sh a JOIN bs b ON a.s = b.s GROUP BY 1, 2)
+      |SELECT p.doc_id, p.bench_id, CAST(p.inter AS BIGINT) AS inter,
+      |  CAST(n.bn AS BIGINT) AS bn,
+      |  CAST((1000 * p.inter) // n.bn AS BIGINT) AS containment_milli
+      |FROM pair p JOIN bn n ON p.bench_id = n.bench_id
+      |WHERE 1000 * p.inter >= 800 * n.bn
+      |ORDER BY p.doc_id, p.bench_id""".stripMargin
+
   /** Gate τ for [[prefixJoinOn]]: 800‰ — the MinHash-dedup literature's
     * standard near-dup threshold (FineWeb/RefinedWeb use 0.8); the
     * fixture's near-dup families qualify (25 pairs at sf0.01, 256 at
@@ -1622,6 +1727,7 @@ object Dedup {
 
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_dedup_prefix_join", prefixJoin, Some(prefixJoinSql)),
+    CatalogEntry("q_dedup_containment", containmentPairs, Some(containmentPairsSql)),
     CatalogEntry("q_dedup_incremental", incrementalIngest, Some(incrementalIngestSql)),
     CatalogEntry("q_dedup_keep_best", keepBest, Some(keepBestSql)),
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),

@@ -239,4 +239,69 @@ class InvariantSpec extends SparkSpec {
       if (tau == 400L) assert(expected.nonEmpty, "fixture must plant qualifying pairs")
     }
   }
+
+  test("containment decontamination == brute force; catches the embedded quote Jaccard misses") {
+    val rnd = new scala.util.Random(23)
+    val pool = ('a' to 'z').map(c => s"v$c")
+    def doc(n: Int) = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+    val bench = (1L to 5L).map(i => (i, doc(6 + rnd.nextInt(6))))
+    // corpus: clean docs, one EXACT bench copy, and one bench item
+    // QUOTED inside a doc 10x its size — the leakage shape whose
+    // Jaccard is tiny but whose containment is 1000
+    val clean = (100L to 115L).map(i => (i, doc(10 + rnd.nextInt(30))))
+    val copy = (200L, bench(0)._2)
+    val quoted = (201L, doc(40) + " " + bench(1)._2 + " " + doc(40))
+    val corpus = (clean :+ copy :+ quoted).toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val cSets = (clean :+ copy :+ quoted).map { case (i, t) => i -> shingles(t) }.toMap
+    val bSets = bench.map { case (i, t) => i -> shingles(t) }.toMap
+    for (tau <- Seq(500L, 800L, 1000L)) {
+      val expected = (for {
+        (a, sa) <- cSets; (b, sb) <- bSets
+        if sb.nonEmpty
+        inter = (sa & sb).size
+        if 1000L * inter >= tau * sb.size
+      } yield (a, b)).toSet
+      val got = Dedup.containmentPairsOn(corpus, benchDf, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheScope.drain()
+      assert(got == expected,
+        s"tau=$tau: missing=${expected -- got} extra=${got -- expected}")
+    }
+    // the quoted doc IS flagged at tau=1000 (full containment) even
+    // though its Jaccard vs the bench item is far below any near-dup
+    // threshold — the reason this operator exists next to prefixJoinOn
+    val flagged = Dedup.containmentPairsOn(corpus, benchDf, 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheScope.drain()
+    assert(flagged.contains((201L, 2L)), s"embedded quote not flagged: $flagged")
+    val q = shingles(quoted._2); val b2 = bSets(2L)
+    val jacc = 1000 * (q & b2).size / (q ++ b2).size
+    assert(jacc < 300, s"fixture broken: quoted-doc Jaccard should be small, got $jacc")
+    // and the consumer drops exactly the flagged docs, columns intact
+    val kept = Dedup.exactDecontaminate(corpus, benchDf, 1000L)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    assert(!keptIds.contains(200L) && !keptIds.contains(201L))
+    assert((100L to 115L).forall(keptIds.contains))
+
+    // declarative twin: exact_decontaminate from the registry equals
+    // the library call (bench read against the frame's session)
+    val benchPath = tmpDir("exact-decon-bench").resolve("b").toString
+    benchDf.write.parquet(benchPath)
+    val registry = new graft.exec.TransformRegistry
+    graft.exec.CurationTransforms.registerExactDecontaminate(
+      registry, benchPath, 1000L)
+    val viaTransform = registry("exact_decontaminate")(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    assert(viaTransform == keptIds)
+  }
 }
