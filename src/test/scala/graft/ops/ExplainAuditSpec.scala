@@ -74,7 +74,14 @@ class ExplainAuditSpec extends SparkSpec {
     // join of any kind (its hash-exchange-freeness is pinned below);
     // EWMA is one (user) rollup + a codegen array fold; trend is two
     // stacked rollups + a projection — joins appear in none of them
-    "q_text_window_chunk", "q_evt_ewma", "q_evt_trend")
+    "q_text_window_chunk", "q_evt_ewma", "q_evt_trend",
+    // round 13: the exact prefix-filtered joins are equi-joins end to
+    // end — prefix self-join on the shingle, verification hash joins
+    // on doc ids (a BNLJ here would mean the candidate stage regressed
+    // to all-pairs, the exact thing prefix filtering exists to avoid);
+    // the multimodal rows are mapPartitions decodes + one left join
+    "q_dedup_prefix_join", "q_dedup_containment",
+    "q_multimodal_features", "q_multimodal_ppm", "q_multimodal_frames")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -83,6 +90,11 @@ class ExplainAuditSpec extends SparkSpec {
     * is a conscious decision.
     */
   private val allowedNestedLoop = Seq("q_sim_topk", "q_sim_ivf",
+    // 3-phase curriculum: the k-cut threshold frame is ONE broadcast
+    // row cross-joined onto the corpus (scoreQuantileThresholdsOn) —
+    // the same 1-row-broadcast shape the 2-phase row and the quantile
+    // selectors use; a BNLJ whose build side is literally one row
+    "q_shard_curriculum3_plan",
     // prefix-truncation stage 1 scans every corpus PREFIX per query by
     // design (it compresses bytes, not candidates — scaladoc on
     // prefixTopK); stage 2 must stay hash joins, pinned below
