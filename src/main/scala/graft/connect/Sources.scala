@@ -169,20 +169,31 @@ object Sources {
                     "saveIvfPqModel)"))
               val m = graft.ops.Similarity.loadIvfPqModel(s, mp)
               val idx = graft.ops.Similarity.indexIvfPq(s, df, m)
-              // optional "listsPerDir": the large-k GROUPED layout
-              // (bounded directory fan-out; see saveIvfPqIndexGrouped).
-              // Appends self-route off the layout's own marker and a
-              // conflicting width fails the step loudly.
+              // New layouts default to GROUPED (bounded directory
+              // fan-out; see saveIvfPqIndexGrouped) at an optional
+              // "listsPerDir" width; "indexLayout=flat" requests the
+              // legacy one-directory-per-list layout. Appends
+              // self-route off the layout's own marker and a
+              // conflicting width/layout fails the step loudly.
               val lpd = step.options.get("listsPerDir").map(_.toInt)
+              val flat = step.options.get("indexLayout") match {
+                case Some("flat") => true
+                case Some("grouped") | None => false
+                case Some(other) => throw new IllegalArgumentException(
+                  s"load '${step.name}': unknown indexLayout '$other' " +
+                    "(supported: grouped, flat)")
+              }
               saveMode(step.mode) match {
                 case SaveMode.Append =>
-                  graft.ops.Similarity.maintainIvfPqIndex(idx, full, lpd)
+                  graft.ops.Similarity.maintainIvfPqIndex(idx, full, lpd, flat)
                 case SaveMode.ErrorIfExists if exists => refuse()
-                case _ => lpd match {
-                  case Some(g) =>
-                    graft.ops.Similarity.saveIvfPqIndexGrouped(idx, full, g)
-                  case None => graft.ops.Similarity.saveIvfPqIndex(idx, full)
-                }
+                case _ if flat =>
+                  require(lpd.isEmpty,
+                    s"load '${step.name}': indexLayout=flat contradicts " +
+                      s"listsPerDir=${lpd.getOrElse(0)}")
+                  graft.ops.Similarity.saveIvfPqIndex(idx, full)
+                case _ => graft.ops.Similarity.saveIvfPqIndexGrouped(
+                  idx, full, lpd.getOrElse(graft.ops.Similarity.DefaultListsPerDir))
               }
             case other => throw new IllegalArgumentException(
               s"load '${step.name}': unknown annIndex kind '$other' " +

@@ -175,7 +175,13 @@ object PpmCodec {
     if (off >= bytes.length || !isWs(bytes(off)))
       fail("missing whitespace between maxval and raster")
     off += 1
-    val need = 3 * width * height
+    // Long math: 9-digit dims pass nextInt but 3*w*h can wrap Int —
+    // reject out-of-range sizes before any raster-length comparison so
+    // a wrap collision can never decode inconsistent dimensions.
+    val needL = 3L * width * height
+    if (needL > Int.MaxValue)
+      fail(s"dimensions out of range: 3*$width*$height = $needL exceeds 1-buffer limit")
+    val need = needL.toInt
     val have = bytes.length - off
     if (have != need)
       fail(s"raster has $have bytes, want 3*$width*$height = $need")

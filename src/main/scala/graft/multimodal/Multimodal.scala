@@ -163,7 +163,11 @@ object Multimodal {
             case e: IllegalArgumentException if failFast =>
               throw new IllegalArgumentException(
                 s"media_id=${r.media_id} (kind=${r.kind}): ${e.getMessage}", e)
-            case _: IllegalArgumentException =>
+            // Quarantine must absorb ANY codec failure (a parser bug
+            // surfacing as AIOOBE included), not just the declared
+            // IllegalArgumentException contract — otherwise one bad
+            // payload fails the whole backfill despite onCorrupt=skip.
+            case scala.util.control.NonFatal(_) if !failFast =>
               MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
                 decode_ok = false, Array.fill(featureWidth)(0.0))
           }
@@ -235,7 +239,16 @@ object Multimodal {
       .map { case (id, text) =>
         val bytes = Option(text).getOrElse("")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val samples = bytes.map(b => (((b & 0xff) - 80) * 256).toShort)
+        // ((b&0xff)-80)*256 exceeds Short.MaxValue for bytes >= 208 —
+        // enforce the ASCII-only contract at the encoder (loud error)
+        // instead of letting toShort wrap and the oracle hash-mismatch.
+        val samples = bytes.map { b =>
+          val u = b & 0xff
+          require(u <= 207,
+            s"wavFromDocs requires byte values <= 207 (ASCII-safe); got $u — " +
+              "non-ASCII text would overflow the 16-bit sample scale")
+          ((u - 80) * 256).toShort
+        }
         (id, "wav", WavCodec.encodePcm16(samples, 8000))
       }
       .toDF("media_id", "kind", "payload")

@@ -1577,7 +1577,19 @@ object Dedup {
           (lit(1L) + least($"na" - $"fst.ia", $"nb" - $"fst.ib")) >=
         lit(tauMilli) * ($"na" + $"nb"))
       .select($"doc_a", $"doc_b")
-    val sets = sh.groupBy($"doc_id")
+      .persistScoped() // referenced by the id-prune AND the verify join
+    // Semi-join prune BEFORE aggregating: Catalyst cannot push the
+    // verify join's key set through the collect_list aggregate, so an
+    // unpruned `sh.groupBy` ships EVERY corpus doc's shingles through
+    // a full shuffle even when candidates are near-dup-density-sized
+    // (the common case). Pruning the token stream to doc_a ∪ doc_b
+    // first makes the verify-stage exchange scale with CANDIDATES,
+    // keeping the operator's "cost tracks dup density, not corpus"
+    // design argument true end-to-end.
+    val candIds = cand.select($"doc_a".as("doc_id"))
+      .union(cand.select($"doc_b".as("doc_id"))).distinct()
+    val sets = sh.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy($"doc_id")
       .agg(sort_array(collect_list($"s")).as("ss"), count(lit(1)).as("n"))
     cand
       .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa"), $"n".as("na")), Seq("doc_a"))
@@ -1644,9 +1656,19 @@ object Dedup {
       .select($"bench_id", $"s", $"bn")
     val cand = bpref.join(ca, Seq("s"))
       .select($"doc_id", $"bench_id", $"bn").distinct()
-    val aSets = ca.groupBy($"doc_id")
+      .persistScoped() // referenced by both id-prunes AND the verify join
+    // Semi-join prune BEFORE aggregating (same reasoning as
+    // prefixJoinOn): without it, every corpus doc's shingles take a
+    // full collect_list shuffle even when candidates are
+    // contamination-sized — the common case for decontamination. With
+    // it, the verify-stage exchange is candidate-sized on both sides.
+    val aSets = ca
+      .join(cand.select($"doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .groupBy($"doc_id")
       .agg(sort_array(collect_list($"s")).as("sa"))
-    val bSets = cb.groupBy($"bench_id")
+    val bSets = cb
+      .join(cand.select($"bench_id").distinct(), Seq("bench_id"), "left_semi")
+      .groupBy($"bench_id")
       .agg(sort_array(collect_list($"s")).as("sb"))
     cand
       .join(aSets, Seq("doc_id"))

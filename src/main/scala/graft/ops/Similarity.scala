@@ -805,12 +805,15 @@ object Similarity {
       val emb = Tables.t(s, dir, "embeddings")
       val model = trainIvfPq(s, emb)
       saveIvfPqModel(model, s"$base/model")
-      saveIvfPqIndex(indexIvfPq(s, emb, model), s"$base/index")
+      // grouped layout — the round-14 default for new saves
+      saveIvfPqIndexGrouped(indexIvfPq(s, emb, model), s"$base/index",
+        DefaultListsPerDir)
       (s"$base/model", s"$base/index")
     })
     val emb = Tables.t(s, dir, "embeddings")
+    val (idx, width) = loadIvfPqIndexLayout(s, indexPath)
     probeIvfPq(s, emb, emb.filter($"vec_id" % 50 === 0),
-      loadIvfPqModel(s, modelPath), s.read.parquet(indexPath))
+      loadIvfPqModel(s, modelPath), idx, listsPerDir = width)
   }
 
   /** Frozen-artifact cache for [[ivfPq]], keyed by (fixture dir,
@@ -1057,6 +1060,17 @@ object Similarity {
       .select($"vec_id", $"centroid", $"sub", $"code")
   }
 
+  /** Default group width for NEW index layouts ([[maintainIvfPqIndex]]
+    * and the declarative/streaming `annIndex=ivfpq` paths): 32
+    * consecutive lists per directory caps the directory count at k/32
+    * while group pruning + in-file centroid sorting keep probe
+    * selectivity — the measured fix for the large-k per-file rent
+    * (k=2048: 193.9 s write / 43.3 s probe flat vs 4.2 / 6.95 grouped,
+    * `tools/ivfscale_r13.jsonl`). At small k the grouped layout costs
+    * nothing (≤ k dirs either way), so it is safe as THE default.
+    */
+  val DefaultListsPerDir = 32
+
   /** Persist a serving index laid out for LIST PRUNING: hive-partition
     * by `centroid`, so each inverted list is its own directory and a
     * probe touching nprobe of k lists can skip the rest at the SCAN
@@ -1064,6 +1078,13 @@ object Similarity {
     * constants that is 32/128 of the index bytes per query batch; on a
     * 100 TB corpus it is the difference between reading the whole code
     * table and reading only the probed lists.
+    *
+    * This is the EXPLICIT-FLAT writer (kept readable/appendable for
+    * existing artifacts); new saves through [[maintainIvfPqIndex]] and
+    * the declarative paths default to the GROUPED layout
+    * ([[saveIvfPqIndexGrouped]] at [[DefaultListsPerDir]]) since
+    * round 14 — flat's one-directory-per-list fan-out is the measured
+    * large-k scale killer.
     */
   def saveIvfPqIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("centroid").parquet(path)
@@ -1143,30 +1164,41 @@ object Similarity {
     * disk — the maintenance entry the declarative `annIndex=ivfpq`
     * load step and its streaming twin call per increment/tick:
     *
-    *  - layout absent → create it (grouped iff `listsPerDir` given);
+    *  - layout absent → create it GROUPED (explicit `listsPerDir` or
+    *    [[DefaultListsPerDir]]); `flat = true` requests the legacy
+    *    one-directory-per-list layout instead (and a width alongside
+    *    it is a contradiction → loud error);
     *  - grouped layout present → grouped append; a CONFLICTING
     *    explicit width errors (changing the group function would
-    *    split lists across directories and break group pruning);
-    *  - flat layout present → flat append; an explicit width errors
-    *    (regrouping is a rebuild — one overwrite write — not an
-    *    append).
+    *    split lists across directories and break group pruning), as
+    *    does `flat = true` (regrouping is a rebuild);
+    *  - flat layout present → flat append (old artifacts stay
+    *    serviceable); an explicit width errors (regrouping is a
+    *    rebuild — one overwrite write — not an append).
     *
     * So a pipeline states its intended layout ONCE and every later
     * tick self-routes off the `_lists_per_dir` marker; mis-stated
     * intent fails the step loudly instead of corrupting the layout.
     */
   def maintainIvfPqIndex(index: DataFrame, path: String,
-      listsPerDir: Option[Int] = None): Unit = {
+      listsPerDir: Option[Int] = None, flat: Boolean = false): Unit = {
     val fs = graft.connect.Hfs.fs(index.sparkSession, path)
     val dir = new org.apache.hadoop.fs.Path(path)
     val marker = new org.apache.hadoop.fs.Path(path, "_lists_per_dir")
     // a pre-created EMPTY directory (a mount point, a mkdir'd target)
     // is "no layout yet", not a flat layout to defend
     val hasLayout = fs.exists(dir) && fs.listStatus(dir).nonEmpty
-    if (!hasLayout) listsPerDir match {
-      case Some(g) => saveIvfPqIndexGrouped(index, path, g)
-      case None => saveIvfPqIndex(index, path)
+    if (!hasLayout) {
+      require(!flat || listsPerDir.isEmpty,
+        s"flat=true contradicts listsPerDir=${listsPerDir.getOrElse(0)} — " +
+          "a flat layout has no group width")
+      if (flat) saveIvfPqIndex(index, path)
+      else saveIvfPqIndexGrouped(index, path,
+        listsPerDir.getOrElse(DefaultListsPerDir))
     } else if (fs.exists(marker)) {
+      require(!flat,
+        s"$path is a GROUPED index layout but the step asks for flat — " +
+          "changing the layout is a rebuild (overwrite mode), not an append")
       val g = graft.connect.Hfs.readSmall(fs, marker).trim.toInt
       require(listsPerDir.forall(_ == g),
         s"$path is grouped at $g lists/dir but the step asks for " +

@@ -168,12 +168,15 @@ object StreamingLoad {
           ivfModelPath match {
             case Some(mp) =>
               val im = graft.ops.Similarity.loadIvfPqModel(bs, mp)
-              // first tick creates the layout (grouped iff listsPerDir
-              // given), later ticks self-route off the layout marker —
-              // maintainIvfPqIndex fails loudly on a width conflict
+              // first tick creates the layout (GROUPED by default —
+              // explicit listsPerDir or DefaultListsPerDir;
+              // indexLayout=flat for the legacy layout), later ticks
+              // self-route off the layout marker — maintainIvfPqIndex
+              // fails loudly on a width/layout conflict
               graft.ops.Similarity.maintainIvfPqIndex(
                 graft.ops.Similarity.indexIvfPq(bs, b, im), full,
-                merged.get("listsPerDir").map(_.toInt))
+                merged.get("listsPerDir").map(_.toInt),
+                flat = merged.get("indexLayout").contains("flat"))
             case None =>
               val idx = model match {
                 case Some(m) => graft.ops.Similarity.buildRotatedPrefixIndex(

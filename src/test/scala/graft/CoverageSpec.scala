@@ -50,11 +50,15 @@ class CoverageSpec extends AnyFunSuite {
     // session ran after the driver delivered it and still didn't
     // refresh the header — the two-round staleness this guard exists
     // to catch stays a hard failure.
+    // Trust the probe only when git itself succeeded (exit 0); a failed
+    // probe (git missing, wrong cwd) must NOT silently widen the
+    // tolerance — default to the strict path instead.
     val newestIsUntracked = scala.util.Try {
-      new String(java.lang.Runtime.getRuntime
+      val p = java.lang.Runtime.getRuntime
         .exec(Array("git", "ls-files", s"CORRECTNESS_r$newest.json"))
-        .getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.isEmpty
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      p.waitFor() == 0 && out.isEmpty
     }.getOrElse(false)
     val ok = cited.contains(newest) ||
       (newestIsUntracked && cited.contains(newest - 1))

@@ -220,13 +220,28 @@ class IvfPqModelSpec extends SparkSpec {
     // ...but a CONFLICTING width fails loudly before touching the layout
     intercept[IllegalArgumentException](
       Similarity.maintainIvfPqIndex(part2, g, listsPerDir = Some(8)))
-    // flat intent: appends stay flat, a grouping request on a flat
-    // layout is a rebuild, not an append
+    // flat intent must be EXPLICIT since r14 (grouped is the default);
+    // appends stay flat once the layout exists, a grouping request on
+    // a flat layout is a rebuild, not an append
     val fl = tmpDir("ivfpq-maint-f").toString + "/idx"
-    Similarity.maintainIvfPqIndex(part1, fl)
+    Similarity.maintainIvfPqIndex(part1, fl, flat = true)
     Similarity.maintainIvfPqIndex(part2, fl)
+    val (_, flW) = Similarity.loadIvfPqIndexLayout(spark, fl)
+    assert(flW.isEmpty, "explicit flat intent must produce a flat layout")
     intercept[IllegalArgumentException](
       Similarity.maintainIvfPqIndex(part2, fl, listsPerDir = Some(4)))
+    // default create (no width, no flat flag) is GROUPED at the default
+    val d = tmpDir("ivfpq-maint-d").toString + "/idx"
+    Similarity.maintainIvfPqIndex(part1, d)
+    val (_, dW) = Similarity.loadIvfPqIndexLayout(spark, d)
+    assert(dW.contains(Similarity.DefaultListsPerDir),
+      s"default create must be grouped at ${Similarity.DefaultListsPerDir}, got $dW")
+    // intent contradictions fail loudly
+    intercept[IllegalArgumentException](Similarity.maintainIvfPqIndex(
+      part2, tmpDir("ivfpq-maint-x").toString + "/idx",
+      listsPerDir = Some(4), flat = true))
+    intercept[IllegalArgumentException](
+      Similarity.maintainIvfPqIndex(part2, g, flat = true))
     graft.CacheScope.drain()
   }
 
