@@ -198,6 +198,36 @@ object CurationTransforms {
         corpus, corpus.sparkSession.read.parquet(benchPath), tauMilli)
     })
 
+  /** Register `exact_decontaminate` served from a FROZEN bench-prefix
+    * index ([[graft.ops.Dedup.saveBenchPrefixIndex]]) — same transform
+    * name, so a chain's JSON is unchanged when the pipeline graduates
+    * from recomputing bench prefixes per run to the frozen artifact
+    * (the same swap every other trained model here supports). Per-tick
+    * cost drops to the corpus shingle scan + candidate-pruned verify;
+    * the index parquet is read against the in-flight frame's session
+    * (cloned-session rule), so the registration works inside
+    * foreachBatch. `tauMilli=None` serves at the artifact's built tau;
+    * a HIGHER serving tau is sound (prefix superset), a lower one
+    * errors loudly at load.
+    *
+    * Routing: a BATCH frame takes the shuffle path
+    * ([[graft.ops.Dedup.exactDecontaminateFrozen]] — scales to any
+    * bench size); a STREAMING frame takes the stateless per-row
+    * broadcast path ([[graft.ops.Dedup.exactDecontaminateServe]] —
+    * aggregation-free, so it runs inside a tick; size-guarded loudly).
+    * Both paths verify exactly, so the route never changes the result.
+    */
+  def registerExactDecontaminateFrozen(
+      registry: TransformRegistry,
+      indexPath: String,
+      tauMilli: Option[Long] = None): Unit =
+    registry.register("exact_decontaminate", { corpus: DataFrame =>
+      if (corpus.isStreaming)
+        graft.ops.Dedup.exactDecontaminateServe(corpus, indexPath, tauMilli)
+      else
+        graft.ops.Dedup.exactDecontaminateFrozen(corpus, indexPath, tauMilli)
+    })
+
   /** Register `ann_neighbors`: annotate every embedding row of the
     * in-flight frame with its top-k nearest corpus neighbors served
     * from a FROZEN prefix index (`graft.ops.Similarity`
@@ -290,6 +320,22 @@ object CurationTransforms {
       registry: TransformRegistry, keepBest: Boolean = false): Unit =
     registry.register("dedup_filter", { docs: DataFrame =>
       graft.ops.Dedup.nearDupFilterOn(docs, keepBest)
+    })
+
+  /** Register `exact_dedup_filter`: the EXACT (PPJoin prefix-join)
+    * near-dup stage — same keep semantics as `dedup_filter` but with a
+    * no-false-negatives guarantee ([[graft.ops.Dedup.exactDedupFilterOn]]):
+    * every pair with Jaccard ≥ `tauMilli/1000` is found and collapsed,
+    * where the MinHash screen misses a true pair with probability
+    * (1−s^r)^b. Decontamination-grade chains swap this in for
+    * `dedup_filter` when the guarantee matters more than the prefix
+    * join's higher (candidate-bounded, never all-pairs) cost.
+    */
+  def registerExactDedupFilter(
+      registry: TransformRegistry, tauMilli: Long,
+      keepBest: Boolean = false): Unit =
+    registry.register("exact_dedup_filter", { docs: DataFrame =>
+      graft.ops.Dedup.exactDedupFilterOn(docs, tauMilli, keepBest)
     })
 
   /** Register `replicate_epochs`: materialize an epoch-weighted

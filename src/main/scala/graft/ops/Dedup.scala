@@ -1530,15 +1530,35 @@ object Dedup {
     * filter (1000·min(|x|,|y|) ≥ τmilli·max) prunes candidates before
     * verification.
     */
-  private[graft] def prefixJoinOn(docs: DataFrame, tauMilli: Long): DataFrame = {
+  private[graft] def prefixJoinOn(docs: DataFrame, tauMilli: Long): DataFrame =
+    prefixJoinPairsOn(docs, tauMilli)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[prefixJoinOn]] without the gate row's total ORDER BY — the form
+    * compositions consume (cluster resolution, filters) where a global
+    * sort of the pair set is pure waste. */
+  private[graft] def prefixJoinPairsOn(docs: DataFrame, tauMilli: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     require(tauMilli >= 1 && tauMilli <= 1000,
       s"tauMilli is Jaccard·1000, must be in [1, 1000]: $tauMilli")
-    val sh = withShingles(docs.select($"doc_id", $"text"), "sh")
-      .select($"doc_id", explode($"sh").as("s")) // distinct by construction
-      .persistScoped()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // ONE persist of the pre-explode (doc_id, shingle-array) frame
+    // feeds everything: the token stream (explode — for df and the
+    // prefix rank), the doc sizes (size(sh) — a pure map, no count
+    // aggregate), and the verify arrays (sort_array(sh) — a pure map,
+    // no collect_list). Round 14 measured the former aggregate
+    // formulations: re-collecting what explode tore apart cost a full
+    // corpus-token exchange, and semi-join-pruning that aggregate to
+    // candidate ids cost MORE than it saved at every scale (pair-set
+    // materialization + extra exchanges; ExactJoinProbe, 1×/100×,
+    // gate + bench=200 shapes). Deriving the arrays map-side deletes
+    // the verify-stage exchange instead of pruning it: the only
+    // corpus-sized exchanges left are the df rollup and the prefix
+    // window — both candidate-front-end costs the algorithm needs.
+    val base = withShingles(docs.select($"doc_id", $"text"), "sh")
+      .select($"doc_id", $"sh").persistScoped()
+    val sh = base.select($"doc_id", explode($"sh").as("s")) // distinct by construction
+    val sz = base.select($"doc_id", size($"sh").cast("long").as("n"))
     val dfreq = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"s")
@@ -1577,20 +1597,8 @@ object Dedup {
           (lit(1L) + least($"na" - $"fst.ia", $"nb" - $"fst.ib")) >=
         lit(tauMilli) * ($"na" + $"nb"))
       .select($"doc_a", $"doc_b")
-      .persistScoped() // referenced by the id-prune AND the verify join
-    // Semi-join prune BEFORE aggregating: Catalyst cannot push the
-    // verify join's key set through the collect_list aggregate, so an
-    // unpruned `sh.groupBy` ships EVERY corpus doc's shingles through
-    // a full shuffle even when candidates are near-dup-density-sized
-    // (the common case). Pruning the token stream to doc_a ∪ doc_b
-    // first makes the verify-stage exchange scale with CANDIDATES,
-    // keeping the operator's "cost tracks dup density, not corpus"
-    // design argument true end-to-end.
-    val candIds = cand.select($"doc_a".as("doc_id"))
-      .union(cand.select($"doc_b".as("doc_id"))).distinct()
-    val sets = sh.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"s")).as("ss"), count(lit(1)).as("n"))
+    val sets = base.select($"doc_id", sort_array($"sh").as("ss"),
+      size($"sh").cast("long").as("n"))
     cand
       .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa"), $"n".as("na")), Seq("doc_a"))
       .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb"), $"n".as("nb")), Seq("doc_b"))
@@ -1599,7 +1607,38 @@ object Dedup {
       .filter(lit(1000L) * $"inter" >= lit(tauMilli) * $"uni")
       .select($"doc_a", $"doc_b", $"inter", $"uni",
         expr("(1000 * inter) div uni").as("jacc_milli"))
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** EXACT near-duplicate removal as a frame-level curation stage —
+    * the no-false-negatives sibling of [[nearDupFilterOn]]: candidate
+    * pairs come from the PPJoin prefix join (every pair with Jaccard ≥
+    * τ is found, guaranteed — MinHash-LSH misses a true pair with
+    * probability (1−s^r)^b), families resolve by connected components,
+    * and one doc per family survives (min-id canonical, or the longest
+    * copy with `keepBestByChars`). Original columns pass through.
+    * This is the stage a decontamination-grade pipeline runs when the
+    * dedup guarantee must be exact, at the prefix join's higher (but
+    * still candidate-bounded, never all-pairs) cost.
+    */
+  def exactDedupFilterOn(docs: DataFrame, tauMilli: Long,
+      keepBestByChars: Boolean = false): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = prefixJoinPairsOn(docs.select($"doc_id", $"text"), tauMilli)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val labels = connectedComponents(
+      s, docs.select($"doc_id".as("id")), pairs)
+    val kept =
+      if (!keepBestByChars)
+        labels.filter($"id" === $"label").select($"id".as("doc_id"))
+      else
+        labels
+          .join(docs.select($"doc_id",
+            length($"text").cast("long").as("__len")), $"id" === $"doc_id")
+          .groupBy($"label")
+          .agg(min(struct((-$"__len").as("neg"), $"doc_id".as("kid"))).as("best"))
+          .select($"best.kid".as("doc_id"))
+    docs.join(kept, Seq("doc_id"), "left_semi")
   }
 
   /** Exact CONTAINMENT decontamination — the asymmetric sibling of
@@ -1636,12 +1675,23 @@ object Dedup {
     import s.implicits._
     require(tauMilli >= 1 && tauMilli <= 1000,
       s"tauMilli is containment·1000, must be in [1, 1000]: $tauMilli")
-    val ca = withShingles(corpus.select($"doc_id", $"text"), "sh")
-      .select($"doc_id", explode($"sh").as("s")).persistScoped()
-    val cb = withShingles(bench.select($"doc_id", $"text"), "sh")
-      .select($"doc_id".as("bench_id"), explode($"sh").as("s")).persistScoped()
+    // Map-side verify arrays (round 14): one persist of the pre-explode
+    // (id, shingle-array) frame per side feeds the token stream
+    // (explode), the sizes (size(sh)), AND the verify arrays
+    // (sort_array(sh)) — no collect_list, so the verify stage ships
+    // corpus arrays through the candidate join ONLY (broadcastable when
+    // contamination is sparse) instead of re-collecting every corpus
+    // doc's tokens through a full exchange. Measured vs the aggregate
+    // and semi-join-pruned formulations in ExactJoinProbe: 16.2 → 10.1 s
+    // on the saturated 100× gate, 10.0 → 6.6 s at realistic density.
+    val aBase = withShingles(corpus.select($"doc_id", $"text"), "sh")
+      .select($"doc_id", $"sh").persistScoped()
+    val bBase = withShingles(bench.select($"doc_id", $"text"), "sh")
+      .select($"doc_id".as("bench_id"), $"sh").persistScoped()
+    val ca = aBase.select($"doc_id", explode($"sh").as("s"))
+    val cb = bBase.select($"bench_id", explode($"sh").as("s"))
     val dfreq = ca.groupBy($"s").agg(count(lit(1)).as("df"))
-    val bn = cb.groupBy($"bench_id").agg(count(lit(1)).as("bn"))
+    val bn = bBase.select($"bench_id", size($"sh").cast("long").as("bn"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy($"bench_id").orderBy($"df", $"s")
     // unseen-in-corpus bench shingles get df 0: they sort FIRST and
@@ -1656,28 +1706,206 @@ object Dedup {
       .select($"bench_id", $"s", $"bn")
     val cand = bpref.join(ca, Seq("s"))
       .select($"doc_id", $"bench_id", $"bn").distinct()
-      .persistScoped() // referenced by both id-prunes AND the verify join
-    // Semi-join prune BEFORE aggregating (same reasoning as
-    // prefixJoinOn): without it, every corpus doc's shingles take a
-    // full collect_list shuffle even when candidates are
-    // contamination-sized — the common case for decontamination. With
-    // it, the verify-stage exchange is candidate-sized on both sides.
-    val aSets = ca
-      .join(cand.select($"doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"s")).as("sa"))
-    val bSets = cb
-      .join(cand.select($"bench_id").distinct(), Seq("bench_id"), "left_semi")
-      .groupBy($"bench_id")
-      .agg(sort_array(collect_list($"s")).as("sb"))
+    val aSets = aBase.select($"doc_id", sort_array($"sh").as("sa"))
+    val bSets = bBase.select($"bench_id", sort_array($"sh").as("sb"))
+    containmentVerifyTail(cand, aSets, bSets, tauMilli)
+  }
+
+  /** Exact-verification tail shared by the in-row containment pass and
+    * the frozen-index serving path: candidate pairs pick up both
+    * sorted shingle arrays (map-side-derived, never aggregated) and
+    * the integer-grid containment test decides. */
+  private def containmentVerifyTail(cand: DataFrame, aSets: DataFrame,
+      bSets: DataFrame, tauMilli: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
     cand
       .join(aSets, Seq("doc_id"))
       .join(bSets, Seq("bench_id"))
-      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
-      .filter(lit(1000L) * $"inter" >= lit(tauMilli) * $"bn")
-      .select($"doc_id", $"bench_id", $"inter", $"bn",
+      .withColumn("inter", size(array_intersect(c("sa"), c("sb"))).cast("long"))
+      .filter(lit(1000L) * c("inter") >= lit(tauMilli) * c("bn"))
+      .select(c("doc_id"), c("bench_id"), c("inter"), c("bn"),
         expr("(1000 * inter) div bn").as("containment_milli"))
-      .orderBy($"doc_id", $"bench_id")
+      .orderBy(c("doc_id"), c("bench_id"))
+  }
+
+  /** Build the FROZEN bench-prefix index frames for containment
+    * decontamination — the offline half of the train/save/load/serve
+    * lifecycle every other trained artifact here has (perceptron,
+    * IVF-PQ, BPE, PCA, prefix index). A scheduled landing-zone drain
+    * should not recompute bench prefixes + df ordering per tick; it
+    * loads this artifact once and serves it stream-static.
+    *
+    * `corpusRef` supplies the document frequencies that ORDER each
+    * bench doc's shingles (rarest-first prefixes = fewest candidates).
+    * The prefix-filter theorem holds for ANY total order, so serving
+    * against a DIFFERENT corpus than `corpusRef` stays exactly
+    * correct — df drift only affects candidate volume, never the
+    * verified result (InvariantSpec pins frozen ≡ in-row equality).
+    *
+    * Returns (prefixes: bench_id, s, bn; sets: bench_id, sb, bn) —
+    * prefixes drive candidate generation, full sorted shingle sets
+    * drive exact verification.
+    */
+  def buildBenchPrefixIndex(corpusRef: DataFrame, bench: DataFrame,
+      tauMilli: Long): (DataFrame, DataFrame) = {
+    val s = bench.sparkSession
+    import s.implicits._
+    require(tauMilli >= 1 && tauMilli <= 1000,
+      s"tauMilli is containment·1000, must be in [1, 1000]: $tauMilli")
+    val ca = withShingles(corpusRef.select($"doc_id", $"text"), "sh")
+      .select($"doc_id", explode($"sh").as("s"))
+    val cb = withShingles(bench.select($"doc_id", $"text"), "sh")
+      .select($"doc_id".as("bench_id"), explode($"sh").as("s")).persistScoped()
+    val dfreq = ca.groupBy($"s").agg(count(lit(1)).as("df"))
+    val bn = cb.groupBy($"bench_id").agg(count(lit(1)).as("bn"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bench_id").orderBy($"df", $"s")
+    val prefixes = cb.join(dfreq, Seq("s"), "left")
+      .withColumn("df", coalesce($"df", lit(0L)))
+      .join(bn, Seq("bench_id"))
+      .withColumn("rn", row_number().over(wB))
+      .filter($"rn" <= expr(s"bn - ((bn * $tauMilli + 999) div 1000) + 1"))
+      .select($"bench_id", $"s", $"bn")
+    val sets = cb.groupBy($"bench_id")
+      .agg(sort_array(collect_list($"s")).as("sb"), count(lit(1)).as("bn"))
+    (prefixes, sets)
+  }
+
+  /** Persist a [[buildBenchPrefixIndex]] artifact: `prefixes/` +
+    * `sets/` parquet and a `_tau_milli` marker. The marker makes the
+    * artifact self-describing AND tau-safe: prefixes built at τb are
+    * sound for any serving τ ≥ τb (a higher threshold needs a SHORTER
+    * prefix, so the built prefix is a superset — no false negatives),
+    * while serving below τb would need prefix tokens that were never
+    * stored; [[loadBenchPrefixIndex]] consumers enforce that bound.
+    */
+  def saveBenchPrefixIndex(corpusRef: DataFrame, bench: DataFrame,
+      tauMilli: Long, path: String): Unit = {
+    val (prefixes, sets) = buildBenchPrefixIndex(corpusRef, bench, tauMilli)
+    prefixes.write.mode("overwrite").parquet(s"$path/prefixes")
+    sets.write.mode("overwrite").parquet(s"$path/sets")
+    val fs = graft.connect.Hfs.fs(bench.sparkSession, path)
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, "_tau_milli"),
+      tauMilli.toString, overwrite = true)
+  }
+
+  /** Read a [[saveBenchPrefixIndex]] artifact back:
+    * (prefixes, sets, built tauMilli). */
+  def loadBenchPrefixIndex(s: SparkSession,
+      path: String): (DataFrame, DataFrame, Long) = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_tau_milli")
+    require(fs.exists(marker),
+      s"$path is not a bench-prefix index (no _tau_milli marker) — " +
+        "build one with saveBenchPrefixIndex")
+    val tau = graft.connect.Hfs.readSmall(fs, marker).trim.toLong
+    (s.read.parquet(s"$path/prefixes"), s.read.parquet(s"$path/sets"), tau)
+  }
+
+  /** Containment pairs served from a FROZEN bench-prefix index —
+    * identical output to [[containmentPairsOn]] at the artifact's tau
+    * (InvariantSpec pins it), zero per-run bench work: the only
+    * corpus-side costs are the shingle scan, the candidate join
+    * against the (tiny, broadcastable) prefix table, and the map-side
+    * verify arrays. `tauMilli` may RAISE the threshold above
+    * the built one (prefixes stay a sound superset); lowering it needs
+    * a rebuild and errors loudly.
+    */
+  def containmentPairsFrozen(corpus: DataFrame, indexPath: String,
+      tauMilli: Option[Long] = None): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val (prefixes, sets, builtTau) = loadBenchPrefixIndex(s, indexPath)
+    val tau = tauMilli.getOrElse(builtTau)
+    require(tau >= builtTau,
+      s"bench-prefix index at $indexPath was built at tau=$builtTau but " +
+        s"serving asks for $tau — prefixes for a LOWER threshold were " +
+        "never stored; rebuild the index at the lower tau")
+    val aBase = withShingles(corpus.select($"doc_id", $"text"), "sh")
+      .select($"doc_id", $"sh").persistScoped()
+    val ca = aBase.select($"doc_id", explode($"sh").as("s"))
+    val cand = prefixes.join(ca, Seq("s"))
+      .select($"doc_id", $"bench_id", $"bn").distinct()
+    val aSets = aBase.select($"doc_id", sort_array($"sh").as("sa"))
+    containmentVerifyTail(cand, aSets, sets.select($"bench_id", $"sb"), tau)
+  }
+
+  /** [[exactDecontaminate]] served from a frozen bench-prefix index. */
+  def exactDecontaminateFrozen(corpus: DataFrame, indexPath: String,
+      tauMilli: Option[Long] = None): DataFrame = {
+    val flagged = containmentPairsFrozen(corpus, indexPath, tauMilli)
+      .select(col("doc_id")).distinct()
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** Default ceiling for [[exactDecontaminateServe]]'s broadcast: total
+    * bench shingles across prefixes + sets. 2M string shingles ≈ low
+    * hundreds of MB broadcast — the loud-guard convention of
+    * `Similarity.semanticDecontaminate`'s maxBenchRows. */
+  val maxServeBenchShingles = 2000000L
+
+  /** STATELESS PER-ROW serving of a frozen bench-prefix index — the
+    * streaming-safe sibling of [[exactDecontaminateFrozen]], same
+    * verified semantics (InvariantSpec pins equality). The whole
+    * artifact (prefix token → bench ids, bench id → shingle set) is
+    * collected and broadcast — bench sets are benchmark-sized by
+    * contract, and a loud `maxBenchShingles` guard fails the build
+    * before a silently huge broadcast, pointing at the shuffle path.
+    * Each corpus row then folds locally: its shingle array is computed
+    * in-row, candidates come from prefix-token lookups, and the exact
+    * intersection count verifies — no aggregation, no shuffle, no
+    * state, so the SAME transform runs on a batch frame and inside a
+    * streaming tick (the quality-model filter's design: broadcast
+    * model + per-row fold, identical on batch and streams). At 100 TB
+    * the corpus never moves; each executor holds one copy of the bench
+    * index.
+    */
+  def exactDecontaminateServe(corpus: DataFrame, indexPath: String,
+      tauMilli: Option[Long] = None,
+      maxBenchShingles: Long = maxServeBenchShingles): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val (prefixes, sets, builtTau) = loadBenchPrefixIndex(s, indexPath)
+    val tau = tauMilli.getOrElse(builtTau)
+    require(tau >= builtTau,
+      s"bench-prefix index at $indexPath was built at tau=$builtTau but " +
+        s"serving asks for $tau — prefixes for a LOWER threshold were " +
+        "never stored; rebuild the index at the lower tau")
+    val setRows = sets.select($"bench_id", $"sb").collect()
+    val prefRows = prefixes.select($"s", $"bench_id").collect()
+    val total = prefRows.length.toLong +
+      setRows.iterator.map(_.getSeq[String](1).size.toLong).sum
+    require(total <= maxBenchShingles,
+      s"bench-prefix index at $indexPath holds $total shingles — above " +
+        s"the $maxBenchShingles row-local-serve broadcast ceiling; use " +
+        "exactDecontaminateFrozen (the shuffle path) for a bench this size")
+    val benchSets: Map[Long, Set[String]] =
+      setRows.iterator.map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val prefixMap: Map[String, Array[Long]] = prefRows.iterator
+      .map(r => (r.getString(0), r.getLong(1))).toArray
+      .groupMap(_._1)(_._2).map { case (k, v) => k -> v.distinct }
+    val bc = s.sparkContext.broadcast((prefixMap, benchSets))
+    // plan-embedded udf (not session-registered): resolves on cloned
+    // foreachBatch sessions without any per-batch registration
+    val contaminated = udf { sa: scala.collection.Seq[String] =>
+      val (pm, bs) = bc.value
+      sa != null && sa.nonEmpty && {
+        val saSet = sa.toSet
+        sa.iterator
+          .flatMap(sh => pm.getOrElse(sh, Array.empty[Long]).iterator)
+          .toSet.exists { bid =>
+            val sb = bs(bid)
+            val inter =
+              if (saSet.size < sb.size) saSet.count(sb.contains).toLong
+              else sb.count(saSet.contains).toLong
+            1000L * inter >= tau * sb.size
+          }
+      }
+    }
+    withShingles(corpus, "__graft_sh")
+      .filter(!contaminated(col("__graft_sh")))
+      .drop("__graft_sh")
   }
 
   /** Drop every corpus doc τ-containing ANY bench doc — the

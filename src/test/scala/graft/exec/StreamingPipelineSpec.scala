@@ -155,6 +155,66 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(manifestTotal() == expected.size.toLong)
   }
 
+  test("streaming decontamination: frozen bench-prefix index served stream-static per tick") {
+    val dataDir = tmpDir("graft-stream-decon").toString
+    val repo = new Repository(tmpDir("graft-stream-decon-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    // bench vocabulary is disjoint from the clean corpus vocabulary,
+    // so containment flags EXACTLY the planted copies/quotes
+    val bench = (1L to 3L).map(i =>
+      (i, (0 until 8).map(j => s"b${i}x$j").mkString(" ")))
+    val benchDf = bench.toDF("doc_id", "text")
+    // freeze the index OFFLINE (the scheduled drain must never
+    // recompute bench prefixes per tick), serve it stream-static
+    val idxPath = s"$dataDir/benchidx"
+    graft.ops.Dedup.saveBenchPrefixIndex(benchDf, benchDf, 1000L, idxPath)
+    graft.CacheScope.drain()
+    val registry = new TransformRegistry
+    CurationTransforms.registerExactDecontaminateFrozen(registry, idxPath)
+
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"decon-stream","name":"landing-decontaminated","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"transform","name":"decon","order":2,"kind":"named","transformName":"exact_decontaminate"},
+         |{"stepType":"load","name":"shards","order":3,"connectionId":"local",
+         | "path":"shards","mode":"append",
+         | "options":{"shardBy":"doc_id","shards":"4","checkpointLocation":"ck"}}
+         |]}""".stripMargin))
+
+    def clean(ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 6).map(j => s"c${i}w$j").mkString(" ")))
+    // tick 1: 20 clean docs + one EXACT bench copy
+    (clean(100 until 120) :+ (200L, bench(0)._2))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-02T09:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched.tick().isEmpty) // first-seen skip
+    now = Instant.parse("2026-03-02T09:15:05Z")
+    assert(sched.tick() == Seq("decon-stream"))
+    // tick 2: 20 clean docs + the QUOTED-benchmark shape (containment
+    // 1000 inside a doc several times the bench item's size)
+    (clean(120 until 140) :+
+        (201L, "p1 p2 p3 p4 " + bench(1)._2 + " q1 q2 q3 q4"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-02T09:30:05Z")
+    assert(sched.tick() == Seq("decon-stream"))
+    sched.stop()
+
+    // both planted contaminated docs were dropped AT THEIR TICK; every
+    // clean doc from both drains landed
+    val written = spark.read.parquet(s"$dataDir/shards")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(written == (100L until 140L).toSet,
+      s"unexpected shard contents: missing=${(100L until 140L).toSet -- written} " +
+        s"extra=${written -- (100L until 140L).toSet}")
+  }
+
   test("streaming chunking: window_chunk per tick accumulates exactly the batch chunker's frame") {
     import graft.ops.TextAnalysis
     val dataDir = tmpDir("graft-stream-chunk").toString
@@ -272,7 +332,7 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(servedStream == servedRebuild && servedStream.nonEmpty)
   }
 
-  test("streaming ANN maintenance: ivfpq kind appends the partitioned layout across two ticks") {
+  test("streaming ANN maintenance: ivfpq kind appends the grouped layout across two ticks") {
     import graft.ops.Similarity
     val dataDir = tmpDir("graft-stream-ivf").toString
     val repo = new Repository(tmpDir("graft-stream-ivf-repo"))
@@ -314,21 +374,25 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(repo.history("ivf-stream").map(_.status) ==
       Seq("running", "success", "running", "success"))
 
-    // streamed index == offline rebuild, the layout is partitioned,
-    // and probes serve identically
+    // streamed index == offline rebuild, the layout is the GROUPED
+    // default (r14: new saves choose list_group= at DefaultListsPerDir
+    // unless flat is requested), and probes serve identically
     val model = Similarity.loadIvfPqModel(spark, modelPath)
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select($"vec_id", $"centroid".cast("long"), $"sub".cast("int"), $"code".cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
     val rebuilt = rows(Similarity.indexIvfPq(spark, allDf, model))
     graft.CacheScope.drain()
-    assert(rows(spark.read.parquet(s"$dataDir/ivfidx")) == rebuilt)
+    val (streamedIdx, width) = Similarity.loadIvfPqIndexLayout(spark, s"$dataDir/ivfidx")
+    assert(width.contains(Similarity.DefaultListsPerDir),
+      s"streaming maintenance must create the grouped default, got $width")
+    assert(rows(streamedIdx) == rebuilt)
     val listDirs = new java.io.File(s"$dataDir/ivfidx").listFiles()
       .filter(_.isDirectory).map(_.getName)
-    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("centroid=")))
+    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("list_group=")))
     val queries = allDf.filter($"vec_id" % 40 === 0)
     val servedStream = Similarity.probeIvfPq(spark, allDf, queries, model,
-      spark.read.parquet(s"$dataDir/ivfidx")).collect().toSeq
+      streamedIdx, listsPerDir = width).collect().toSeq
     graft.CacheScope.drain()
     val servedRebuild = Similarity.probeIvfPq(spark, allDf, queries, model,
       Similarity.indexIvfPq(spark, allDf, model)).collect().toSeq

@@ -443,6 +443,93 @@ class CurationFlowSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("FineWeb chain with the EXACT dedup stage: audit counts match prefix-join cluster math at two scales") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, PipelineRunner, TransformRegistry}
+    import graft.model.{ConnectionSpec, PipelineJson}
+    import graft.store.Repository
+    // the no-false-negatives variant of the FineWeb chain: swap
+    // dedup_filter (MinHash screen) for exact_dedup_filter (PPJoin);
+    // the retention audit must match cluster math derived INDEPENDENTLY
+    // from the prefix join's own pairs (JVM union-find), at two scales
+    for (scale <- Seq(1, 4)) {
+      val root = tmpDir(s"fineweb-exact-x$scale")
+      val fams = (0 until 8 * scale).flatMap { f =>
+        val base = (0 until 20).map(j => s"f${f}w$j").mkString(" ")
+        Seq(
+          (f * 10L, s"$base tail", "en", 60L),
+          (f * 10L + 1, s"$base tail extra", "en", 66L),
+          (f * 10L + 2, s"$base tail extra more", "en", 72L))
+      }
+      val uniques = (0 until 16 * scale).map { i =>
+        (10000L + i, (0 until 12).map(j => s"u${i}x$j").mkString(" "), "en", 70L)
+      }
+      val junk = (0 until 6).map { i =>
+        (20000L + i, Seq.fill(12)("junk").mkString(" "), "en", 59L)
+      }
+      val docs = (fams ++ uniques ++ junk).toDF("doc_id", "text", "lang", "n_chars")
+      docs.write.mode("overwrite").parquet(s"$root/documents.parquet")
+
+      val repo = new Repository(root)
+      repo.saveConnection(ConnectionSpec("docs", "fixtures", "parquet",
+        Map("basePath" -> root.toString)))
+      val registry = new TransformRegistry
+      CurationTransforms.registerQualityFilter(registry, minTtrPermille = 500L)
+      CurationTransforms.registerExactDedupFilter(registry,
+        tauMilli = 700L, keepBest = true)
+      val spec = PipelineJson.parsePipeline(
+        s"""{"id":"fineweb-exact","name":"exact-dedup chain","steps":[
+           |{"stepType":"extract","name":"docs","order":1,"connectionId":"docs","path":"documents.parquet"},
+           |{"stepType":"transform","name":"quality","order":2,"kind":"named","transformName":"quality_filter","audit":true},
+           |{"stepType":"transform","name":"dedup","order":3,"kind":"named","transformName":"exact_dedup_filter","audit":true},
+           |{"stepType":"load","name":"shards","order":4,"connectionId":"docs","path":"kept_shards","mode":"replace",
+           | "options":{"shardBy":"doc_id","shards":"4"}}
+           |]}""".stripMargin)
+      repo.savePipeline(spec)
+      assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
+      val hist = repo.history("fineweb-exact")
+      assert(hist.map(_.status) == Seq("running", "audit", "audit", "success"))
+      graft.CacheScope.drain()
+
+      // independent cluster math: prefix-join pairs on the
+      // quality-gated frame -> JVM union-find -> expected survivors
+      val s1 = docs.filter(expr(
+        s"${TextAnalysis.ttrPermilleSql("text")} >= 500"))
+      val nGated = s1.count()
+      val pairs = Dedup.prefixJoinOn(s1.select($"doc_id", $"text"), 700L)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      graft.CacheScope.drain()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val nClusters = nodes.map(find).distinct.length
+      val expectedKept = nGated - (nodes.length - nClusters)
+      assert(hist(1).message == s"step 'quality': rows=$nGated")
+      assert(hist(2).message == s"step 'dedup': rows=$expectedKept",
+        s"scale=$scale: audit=${hist(2).message} expected rows=$expectedKept")
+
+      // the written corpus kept every unique and exactly each family's
+      // LONGEST member (keep-best under the exact pair set)
+      val written = spark.read.parquet(s"$root/kept_shards")
+        .select($"doc_id").as[Long].collect().toSet
+      graft.CacheScope.drain()
+      assert(written.size.toLong == expectedKept)
+      (0 until 8 * scale).foreach { f =>
+        assert(written.contains(f * 10L + 2), s"family $f lost its best member")
+        assert(!written.contains(f * 10L) && !written.contains(f * 10L + 1),
+          s"family $f kept a non-canonical copy")
+      }
+      assert((0 until 16 * scale).forall(i => written.contains(10000L + i)))
+      assert(written.forall(_ < 20000L), "junk must not survive the quality gate")
+    }
+  }
+
   test("bpe_token_stats transform annotates docs from a frozen tokenizer model") {
     import spark.implicits._
     import graft.exec.{CurationTransforms, TransformRegistry}

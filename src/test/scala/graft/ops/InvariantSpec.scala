@@ -304,4 +304,68 @@ class InvariantSpec extends SparkSpec {
     graft.CacheScope.drain()
     assert(viaTransform == keptIds)
   }
+
+  test("frozen bench-prefix index: serve == in-row pass bit-identically; tau bound; df drift harmless") {
+    val rnd = new scala.util.Random(31)
+    val pool = ('a' to 'z').map(c => s"w$c")
+    def doc(n: Int) = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+    val bench = (1L to 5L).map(i => (i, doc(6 + rnd.nextInt(6))))
+    val clean = (100L to 115L).map(i => (i, doc(10 + rnd.nextInt(30))))
+    val quoted = (201L, doc(40) + " " + bench(1)._2 + " " + doc(40))
+    val corpus = (clean :+ (200L, bench(0)._2) :+ quoted).toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+
+    val idxPath = tmpDir("bench-prefix-idx").resolve("i").toString
+    Dedup.saveBenchPrefixIndex(corpus, benchDf, 800L, idxPath)
+    graft.CacheScope.drain()
+    // serve == the in-row gate at the built tau, full rows
+    val inRow = Dedup.containmentPairsOn(corpus, benchDf, 800L).collect().toSeq
+    graft.CacheScope.drain()
+    val frozen = Dedup.containmentPairsFrozen(corpus, idxPath).collect().toSeq
+    graft.CacheScope.drain()
+    assert(frozen == inRow)
+    assert(inRow.nonEmpty, "fixture must plant qualifying pairs")
+    // RAISING tau at serve time is sound (prefixes are a superset)...
+    val at1000 = Dedup.containmentPairsFrozen(corpus, idxPath, Some(1000L))
+      .collect().toSeq
+    graft.CacheScope.drain()
+    val inRow1000 = Dedup.containmentPairsOn(corpus, benchDf, 1000L).collect().toSeq
+    graft.CacheScope.drain()
+    assert(at1000 == inRow1000)
+    // ...LOWERING it needs prefix tokens that were never stored
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairsFrozen(corpus, idxPath, Some(500L)))
+    // df drift: an index frozen against a DIFFERENT reference corpus
+    // (other document frequencies → other prefix choices) must still
+    // produce the identical verified result — the theorem holds for
+    // any total order, so drift costs candidates, never correctness
+    val driftPath = tmpDir("bench-prefix-drift").resolve("i").toString
+    Dedup.saveBenchPrefixIndex(
+      clean.take(5).toDF("doc_id", "text"), benchDf, 800L, driftPath)
+    graft.CacheScope.drain()
+    val drifted = Dedup.containmentPairsFrozen(corpus, driftPath).collect().toSeq
+    graft.CacheScope.drain()
+    assert(drifted == inRow)
+    // the frozen declarative registration equals the recomputing one
+    val registry = new graft.exec.TransformRegistry
+    graft.exec.CurationTransforms.registerExactDecontaminateFrozen(
+      registry, idxPath)
+    val keptFrozen = registry("exact_decontaminate")(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    val keptInRow = Dedup.exactDecontaminate(corpus, benchDf, 800L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    assert(keptFrozen == keptInRow)
+    // the stateless per-row broadcast serve (the streaming-tick path)
+    // drops exactly the same docs as the shuffle path
+    val served = Dedup.exactDecontaminateServe(corpus, idxPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    assert(served == keptInRow)
+    // its broadcast ceiling fails loudly, naming the shuffle path
+    val tiny = intercept[IllegalArgumentException](
+      Dedup.exactDecontaminateServe(corpus, idxPath, maxBenchShingles = 1L))
+    assert(tiny.getMessage.contains("exactDecontaminateFrozen"))
+  }
 }
