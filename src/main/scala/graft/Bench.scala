@@ -4,12 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // conf-variant boards (e.g. the round-14 runtime-bloom-filter
+    // threshold experiment): SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — unset
+    // in the driver's runs, so the default board is untouched
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup across the distinct machinery (scan+agg, windows,
     // band joins, codegen expressions, k-means) at the SMALLEST fixture:

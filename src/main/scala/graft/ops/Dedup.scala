@@ -1929,6 +1929,105 @@ object Dedup {
     containmentPairsOn(docs, docs.filter($"doc_id" % 50 === 0), 800L)
   }
 
+  /** End-to-end EXACT dedup application (gate row, round 14) —
+    * [[dedupApply]]'s corpus rollup with the PPJoin candidate front
+    * end instead of the MinHash-LSH screen, and the keep-BEST survivor
+    * instead of min-id: prefix-join pairs at τ = 800‰ → fixed-round
+    * min-label propagation (the [[ccRounds]] = 3 truncation
+    * [[dedupClusters]] audits: near-dup families are near-cliques, and
+    * the oracle mirrors the exact rounds) → per-family longest-doc
+    * survivor via the struct-min argmax (no window sort) → per-lang
+    * retention rollup. This is the full decontamination-grade pipeline
+    * stage (`exact_dedup_filter`) in gate-checkable form: same three
+    * phases, same guarantees, DuckDB-verified end to end against an
+    * algorithm-independent oracle (brute all-token pair join +
+    * SQL label rounds + a row_number keep-best).
+    *
+    * Scale shape: everything downstream of the prefix join is keyed on
+    * doc/label — one equi-join + map-side rollup per CC round, one
+    * struct-min hash aggregate, one per-lang rollup; the prefix join
+    * itself is the candidate-bounded front end measured sublinear to
+    * 100× (`tools/bench_exactjoin_r14.json`).
+    */
+  def exactDedupApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    val pairs = prefixJoinPairsOn(docs.select($"doc_id", $"text"), 800L)
+      .select($"doc_a".as("d1"), $"doc_b".as("d2"))
+      .persistScoped()
+    val edges = pairs.unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+    var labels = docs.select($"doc_id", $"doc_id".as("label"))
+    for (_ <- 1 to ccRounds) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("nid"), $"label".as("nlabel")), $"d2" === $"nid")
+        .groupBy($"d1").agg(min($"nlabel").as("nmin"))
+      labels = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("d1"), "left")
+        .select(labels("doc_id"),
+          least($"label", coalesce($"nmin", $"label")).as("label"))
+    }
+    val keep = labels
+      .join(docs.select($"doc_id".as("kdoc"), $"n_chars"), $"doc_id" === $"kdoc")
+      .groupBy($"label")
+      .agg(min(struct((-$"n_chars").as("neg"), $"kdoc".as("kid"))).as("best"))
+      .select($"best.kid".as("keep_id"))
+    docs.join(keep, docs("doc_id") === keep("keep_id"), "left")
+      .withColumn("kept", $"keep_id".isNotNull.cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"kept").as("n_kept"),
+        (count(lit(1)) - sum($"kept")).as("n_dropped"),
+        sum($"kept" * $"n_chars").as("chars_kept"),
+        (sum($"kept").cast("double") / count(lit(1))).as("pct_kept"))
+      .orderBy($"lang")
+  }
+
+  /** Oracle: algorithm-independent end to end — brute all-token pair
+    * join (no prefixes), the same fixed label rounds in SQL, a
+    * row_number keep-best (vs the struct-min argmax), and the rollup. */
+  private val exactDedupApplySql = {
+    val rounds = (1 to ccRounds).map { r =>
+      s"""xl$r AS (
+         |  SELECT l.doc_id, least(l.label, coalesce(m.nmin, l.label)) AS label
+         |  FROM xl${r - 1} l LEFT JOIN (
+         |    SELECT e.d1, min(x.label) AS nmin
+         |    FROM xedges e JOIN xl${r - 1} x ON e.d2 = x.doc_id GROUP BY 1) m
+         |  ON l.doc_id = m.d1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM t),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b FROM pair
+       |      JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |      WHERE 1000 * inter >= 800 * (sa.n + sb.n - inter)),
+       |xedges AS (SELECT doc_a AS d1, doc_b AS d2 FROM p
+       |           UNION ALL SELECT doc_b, doc_a FROM p),
+       |xl0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |$rounds,
+       |keep AS (SELECT doc_id AS keep_id FROM (
+       |  SELECT l.label, d.doc_id,
+       |    row_number() OVER (PARTITION BY l.label
+       |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+       |  FROM xl$ccRounds l JOIN documents d ON l.doc_id = d.doc_id)
+       |  WHERE rn = 1),
+       |j AS (SELECT d.lang, d.n_chars,
+       |  CASE WHEN d.doc_id IN (SELECT keep_id FROM keep) THEN 1 ELSE 0 END AS kept
+       |  FROM documents d)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(kept * n_chars) AS BIGINT) AS chars_kept,
+       |  CAST(CAST(SUM(kept) AS BIGINT) AS DOUBLE) / COUNT(*) AS pct_kept
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private val containmentPairsSql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -1978,6 +2077,7 @@ object Dedup {
   def entries: Seq[CatalogEntry] = Seq(
     CatalogEntry("q_dedup_prefix_join", prefixJoin, Some(prefixJoinSql)),
     CatalogEntry("q_dedup_containment", containmentPairs, Some(containmentPairsSql)),
+    CatalogEntry("q_dedup_exact_apply", exactDedupApply, Some(exactDedupApplySql)),
     CatalogEntry("q_dedup_incremental", incrementalIngest, Some(incrementalIngestSql)),
     CatalogEntry("q_dedup_keep_best", keepBest, Some(keepBestSql)),
     CatalogEntry("q_dedup_exact", exact, Some(exactSql)),

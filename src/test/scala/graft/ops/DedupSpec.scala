@@ -224,4 +224,34 @@ class DedupSpec extends SparkSpec {
     }
     out.foreach { case (_, label, split) => assert(split == expSplit(label)) }
   }
+
+  test("exactDedupApply: gate rollup consistent with the run-to-fixpoint filter stage") {
+    import spark.implicits._
+    // the gate row truncates label propagation at ccRounds=3 (so the
+    // oracle can mirror it); the pipeline stage runs CC to fixpoint.
+    // On the fixture they MUST agree — near-dup families are
+    // near-cliques — or the fixed-round truncation is silently wrong.
+    val dir = "/root/testdata/sf0.001"
+    val rollup = Dedup.exactDedupApply(spark, dir)
+      .select($"lang", $"n_docs", $"n_kept").as[(String, Long, Long)]
+      .collect().toSeq
+    graft.CacheScope.drain()
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    val keptTotal = Dedup.exactDedupFilterOn(docs, 800L, keepBestByChars = true)
+      .count()
+    graft.CacheScope.drain()
+    assert(rollup.nonEmpty)
+    // one survivor per cluster regardless of WHICH member survives, so
+    // the totals must agree even though the stage keys best-ness on
+    // length(text) and the gate row on n_chars
+    assert(rollup.map(_._3).sum == keptTotal,
+      s"gate rollup kept ${rollup.map(_._3).sum}, fixpoint filter kept $keptTotal")
+    rollup.foreach { case (lang, nDocs, nKept) =>
+      assert(nKept >= 1 && nKept <= nDocs, s"lang=$lang: $nKept of $nDocs")
+    }
+    // and the rollup accounts for every document exactly once
+    val total = rollup.map(_._2).sum
+    assert(total == docs.count())
+  }
 }

@@ -81,7 +81,11 @@ class ExplainAuditSpec extends SparkSpec {
     // to all-pairs, the exact thing prefix filtering exists to avoid);
     // the multimodal rows are mapPartitions decodes + one left join
     "q_dedup_prefix_join", "q_dedup_containment",
-    "q_multimodal_features", "q_multimodal_ppm", "q_multimodal_frames")
+    "q_multimodal_features", "q_multimodal_ppm", "q_multimodal_frames",
+    // round 14: exact dedup application = the prefix join + label
+    // rounds (doc-keyed equi-joins) + keep-best rollup join — hash
+    // joins end to end
+    "q_dedup_exact_apply")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
