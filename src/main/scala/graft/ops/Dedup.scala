@@ -1754,10 +1754,11 @@ object Dedup {
       s"tauMilli is containment·1000, must be in [1, 1000]: $tauMilli")
     val ca = withShingles(corpusRef.select($"doc_id", $"text"), "sh")
       .select($"doc_id", explode($"sh").as("s"))
-    val cb = withShingles(bench.select($"doc_id", $"text"), "sh")
-      .select($"doc_id".as("bench_id"), explode($"sh").as("s")).persistScoped()
+    val bBase = withShingles(bench.select($"doc_id", $"text"), "sh")
+      .select($"doc_id".as("bench_id"), $"sh").persistScoped()
+    val cb = bBase.select($"bench_id", explode($"sh").as("s"))
     val dfreq = ca.groupBy($"s").agg(count(lit(1)).as("df"))
-    val bn = cb.groupBy($"bench_id").agg(count(lit(1)).as("bn"))
+    val bn = bBase.select($"bench_id", size($"sh").cast("long").as("bn"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy($"bench_id").orderBy($"df", $"s")
     val prefixes = cb.join(dfreq, Seq("s"), "left")
@@ -1766,8 +1767,10 @@ object Dedup {
       .withColumn("rn", row_number().over(wB))
       .filter($"rn" <= expr(s"bn - ((bn * $tauMilli + 999) div 1000) + 1"))
       .select($"bench_id", $"s", $"bn")
-    val sets = cb.groupBy($"bench_id")
-      .agg(sort_array(collect_list($"s")).as("sb"), count(lit(1)).as("bn"))
+    // map-side sets, same derivation as the serving side (no
+    // collect_list re-assembly of the pre-explode array)
+    val sets = bBase.select($"bench_id", sort_array($"sh").as("sb"),
+      size($"sh").cast("long").as("bn"))
     (prefixes, sets)
   }
 

@@ -282,10 +282,15 @@ class PipelineRunnerSpec extends SparkSpec {
       .select($"vec_id", $"centroid".cast("long"), $"sub".cast("int"), $"code".cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
     assert(ivfWritten == ivfRebuilt, "declarative ivfpq index must equal the full rebuild")
-    // the layout is the partitioned serving layout (list pruning intact)
+    // the layout is the GROUPED serving layout (r14 default for new
+    // saves: list_group= directories at DefaultListsPerDir, group
+    // pruning + in-file centroid stats replace per-list directories)
     val listDirs = new java.io.File(s"$dataDir/ivfidx").listFiles()
       .filter(_.isDirectory).map(_.getName)
-    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("centroid=")))
+    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("list_group=")))
+    val (_, ivfWidth) = graft.ops.Similarity.loadIvfPqIndexLayout(
+      spark, s"$dataDir/ivfidx")
+    assert(ivfWidth.contains(graft.ops.Similarity.DefaultListsPerDir))
 
     // error paths: unknown kind, missing frozen model, delete mode
     val badKind = pipeline(
