@@ -1842,6 +1842,125 @@ object Dedup {
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** Create an EXACT-dedup admission index — the incremental PPJoin
+    * layout behind "dedup documents as they arrive with NO false
+    * negatives" (the exactness-guaranteed sibling of the LSH band
+    * table `q_dedup_stream_lsh` maintains). Layout at `path`:
+    *
+    *  - `order/` — token document frequencies from `corpusRef`, the
+    *    FROZEN total order (df asc, token asc) every later prefix is
+    *    computed under. The prefix-filter theorem holds for ANY fixed
+    *    total order, so df drift between the reference and the stream
+    *    costs candidate volume, never a missed duplicate;
+    *  - `docs/` — one row per ADMITTED doc: (doc_id, sa sorted shingle
+    *    array, n, pref prefix-token array). Created by the first
+    *    admission, append-only afterwards (admission is monotone);
+    *  - `_tau_milli` — the admission threshold, fixed at creation
+    *    (prefix lengths are a function of tau; admitting at a
+    *    different tau would need different stored prefixes).
+    *
+    * Per-tick admission is [[admitExactDedup]]; the declarative hook is
+    * the streaming shard-load's `exactDedupIndex` option.
+    */
+  def createExactDedupIndex(s: SparkSession, path: String,
+      corpusRef: DataFrame, tauMilli: Long): Unit = {
+    import s.implicits._
+    require(tauMilli >= 1 && tauMilli <= 1000,
+      s"tauMilli is Jaccard·1000, must be in [1, 1000]: $tauMilli")
+    withShingles(corpusRef.select($"doc_id", $"text"), "sh")
+      .select(explode($"sh").as("s"))
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/order")
+    val fs = graft.connect.Hfs.fs(s, path)
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, "_tau_milli"),
+      tauMilli.toString, overwrite = true)
+  }
+
+  /** (doc_id, sa, n, pref) rows for a batch under the index's frozen
+    * token order: sorted arrays and sizes map-side off the pre-explode
+    * frame, prefixes by per-doc rank under (df, token) with unseen
+    * tokens at df 0 (they sort first — cheapest candidate slots). */
+  private def dedupIndexRows(batch: DataFrame, order: DataFrame,
+      tauMilli: Long): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val base = withShingles(batch.select($"doc_id", $"text"), "sh")
+      .select($"doc_id", $"sh").persistScoped()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"s")
+    val pref = base.select($"doc_id", size($"sh").cast("long").as("n"),
+        explode($"sh").as("s"))
+      .join(order, Seq("s"), "left")
+      .withColumn("df", coalesce($"df", lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= expr(s"n - ((n * $tauMilli + 999) div 1000) + 1"))
+      .groupBy($"doc_id").agg(sort_array(collect_list($"s")).as("pref"))
+    base.select($"doc_id", sort_array($"sh").as("sa"),
+        size($"sh").cast("long").as("n"))
+      .join(pref, Seq("doc_id"), "left")
+      .withColumn("pref",
+        coalesce($"pref", array().cast("array<string>")))
+  }
+
+  /** Admit a batch against (and into) a [[createExactDedupIndex]]
+    * layout: EXACT arrival-order dedup. Within the batch, min-id wins
+    * ([[exactDedupFilterOn]] — prefix join + connected components);
+    * against the index, any batch doc with Jaccard ≥ τ to an already-
+    * admitted doc is rejected (prefix-filter candidates under the
+    * frozen order — a qualifying pair must share a token in BOTH
+    * prefixes — then the exact array_intersect verify; no false
+    * negatives by the theorem, no false rejections by the verify).
+    * Survivors' (sa, n, pref) rows append to `docs/` so the NEXT tick
+    * sees them; returns the admitted rows with original columns.
+    *
+    * Retry semantics are AT-LEAST-ONCE like every non-idempotent
+    * foreachBatch sink: a replayed batch re-appends its admitted rows
+    * (duplicate index rows cost candidate volume, not correctness —
+    * a doc is a τ-dup of itself, so replayed arrivals self-reject).
+    * At 100 TB: the index is token-bucketable; per tick only the
+    * batch's prefixes join the index's prefixes — the corpus never
+    * re-shuffles (same argument as the LSH band table, with the
+    * exactness guarantee on top).
+    */
+  def admitExactDedup(batch: DataFrame, path: String): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val fs = graft.connect.Hfs.fs(s, path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_tau_milli")
+    require(fs.exists(marker),
+      s"$path is not an exact-dedup index (no _tau_milli marker) — " +
+        "create one with createExactDedupIndex")
+    val tau = graft.connect.Hfs.readSmall(fs, marker).trim.toLong
+    val order = s.read.parquet(s"$path/order")
+    val inBatch = exactDedupFilterOn(batch, tau)
+    val rows = dedupIndexRows(inBatch, order, tau).persistScoped()
+    val docsPath = new org.apache.hadoop.fs.Path(path, "docs")
+    val hasDocs = fs.exists(docsPath) && fs.listStatus(docsPath)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    val admitted0 = if (!hasDocs) inBatch else {
+      val idx = s.read.parquet(s"$path/docs")
+      val bp = rows.select($"doc_id", $"sa", $"n", explode($"pref").as("s"))
+      val ip = idx.select($"doc_id".as("idx_id"), $"sa".as("isa"),
+        $"n".as("idx_n"), explode($"pref").as("s"))
+      val flagged = bp.join(ip, Seq("s"))
+        .filter(lit(1000L) * least($"n", $"idx_n") >=
+          lit(tau) * greatest($"n", $"idx_n"))
+        .withColumn("inter", size(array_intersect($"sa", $"isa")).cast("long"))
+        .filter(lit(1000L) * $"inter" >= lit(tau) * ($"n" + $"idx_n" - $"inter"))
+        .select($"doc_id").distinct()
+      inBatch.join(flagged, Seq("doc_id"), "left_anti")
+    }
+    // localCheckpoint BEFORE the append: the admitted frame reads
+    // `docs/`, and the append below mutates it — an unpinned plan
+    // re-evaluated by the caller would see its own rows in the index
+    // and self-reject everything. Materializing cuts that lineage.
+    val admitted = admitted0.localCheckpoint()
+    rows.join(admitted.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .write.mode("append").parquet(s"$path/docs")
+    admitted
+  }
+
   /** Default ceiling for [[exactDecontaminateServe]]'s broadcast: total
     * bench shingles across prefixes + sets. 2M string shingles ≈ low
     * hundreds of MB broadcast — the loud-guard convention of

@@ -202,8 +202,18 @@ object StreamingLoad {
           s"load '${step.name}': shardBy and shards must be set together")).toInt
         require(conn.format == "parquet",
           s"load '${step.name}': shard layout requires parquet, got '${conn.format}'")
+        // optional "exactDedupIndex": admit each micro-batch against
+        // (and into) an exact-dedup prefix index BEFORE sharding —
+        // "dedup documents as they arrive" with the PPJoin
+        // no-false-negatives guarantee (Dedup.admitExactDedup); the
+        // index path resolves against the connection like the target
+        val dedupIdx = merged.get("exactDedupIndex").map(resolve(base, _))
         df.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
-          graft.ops.Sharding.appendToShards(b, key, full, n); ()
+          val admitted = dedupIdx match {
+            case Some(p) => graft.ops.Dedup.admitExactDedup(b, p)
+            case None => b
+          }
+          graft.ops.Sharding.appendToShards(admitted, key, full, n); ()
         }.outputMode("append")
       case "append" =>
         df.writeStream.format(conn.format).option("path", full).outputMode("append")

@@ -215,6 +215,58 @@ class StreamingPipelineSpec extends SparkSpec {
         s"extra=${written -- (100L until 140L).toSet}")
   }
 
+  test("streaming exact dedup: arrivals admitted against the incremental prefix index, shards hold survivors") {
+    val dataDir = tmpDir("graft-stream-exdedup").toString
+    val repo = new Repository(tmpDir("graft-stream-exdedup-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    def words(prefix: String, n: Int) = (0 until n).map(j => s"$prefix$j").mkString(" ")
+    // create the index with a frozen token order from a tiny reference
+    graft.ops.Dedup.createExactDedupIndex(spark, s"$dataDir/dedupidx",
+      Seq((0L, words("r", 10))).toDF("doc_id", "text"), 800L)
+    graft.CacheScope.drain()
+
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"exdedup-stream","name":"landing-deduped-shards","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"shards","order":2,"connectionId":"local",
+         | "path":"shards","mode":"append",
+         | "options":{"shardBy":"doc_id","shards":"4","checkpointLocation":"ck",
+         |            "exactDedupIndex":"dedupidx"}}
+         |]}""".stripMargin))
+
+    // tick 1: two uniques + an in-batch exact copy (102 of 101)
+    Seq((101L, words("a", 12)), (102L, words("a", 12)), (103L, words("b", 12)))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-02T10:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    now = Instant.parse("2026-03-02T10:15:05Z")
+    assert(sched.tick() == Seq("exdedup-stream"))
+    // tick 2: a CROSS-TICK near-copy of 101 (one extra word), one unique
+    Seq((201L, words("a", 12) + " extra"), (202L, words("c", 12)))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-02T10:30:05Z")
+    assert(sched.tick() == Seq("exdedup-stream"))
+    sched.stop()
+
+    // shards hold exactly the arrival-order survivors: 101 (min-id of
+    // the tick-1 pair), 103, 202 — the tick-2 near-copy was rejected
+    // against the INDEX, not against anything in its own batch
+    val written = spark.read.parquet(s"$dataDir/shards")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(written == Set(101L, 103L, 202L), s"got $written")
+    // and the index accumulated exactly the admitted docs
+    val idxIds = spark.read.parquet(s"$dataDir/dedupidx/docs")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(idxIds == Set(101L, 103L, 202L))
+  }
+
   test("streaming chunking: window_chunk per tick accumulates exactly the batch chunker's frame") {
     import graft.ops.TextAnalysis
     val dataDir = tmpDir("graft-stream-chunk").toString

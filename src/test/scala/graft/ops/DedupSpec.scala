@@ -225,6 +225,68 @@ class DedupSpec extends SparkSpec {
     out.foreach { case (_, label, split) => assert(split == expSplit(label)) }
   }
 
+  test("exact-dedup admission index: arrival-order exact dedup across batches, replay-safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val pool = ('a' to 'z').map(c => s"t$c")
+    def doc(n: Int) = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+    // three arrival batches over one random corpus: uniques + families
+    // whose members are spread ACROSS batches (the cross-tick case)
+    val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    (0 until 6).foreach { _ =>
+      val base = doc(15 + rnd.nextInt(10))
+      texts += ((id, base)); id += 1
+      texts += ((id, base)); id += 1            // exact copy, later batch
+      texts += ((id, base + " " + doc(1))); id += 1 // near copy
+    }
+    (0 until 10).foreach { _ => texts += ((id, doc(12 + rnd.nextInt(20)))); id += 1 }
+    val all = texts.toSeq
+    val batches = all.grouped((all.size + 2) / 3).toSeq
+    val tau = 700L
+
+    val idxPath = tmpDir("exact-dedup-idx").resolve("i").toString
+    Dedup.createExactDedupIndex(spark, idxPath,
+      batches.head.toDF("doc_id", "text"), tau)
+    graft.CacheScope.drain()
+    var admitted = Set.empty[Long]
+    batches.foreach { b =>
+      val adm = Dedup.admitExactDedup(b.toDF("doc_id", "text"), idxPath)
+        .select($"doc_id").as[Long].collect().toSet
+      graft.CacheScope.drain()
+      admitted ++= adm
+    }
+    // EXACTNESS both ways, against a JVM brute force:
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = all.toMap.view.mapValues(shingles).toMap
+    def isDup(a: Long, b: Long): Boolean = {
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size
+      sa.nonEmpty && sb.nonEmpty &&
+        1000L * inter >= tau * (sa.size + sb.size - inter)
+    }
+    // 1. no two ADMITTED docs are tau-duplicates (no false negatives)
+    for (a <- admitted; b <- admitted if a < b)
+      assert(!isDup(a, b), s"admitted near-dups $a,$b")
+    // 2. every REJECTED doc duplicates some doc admitted at or before
+    //    its own batch (no false rejections)
+    val rejected = all.map(_._1).toSet -- admitted
+    assert(rejected.nonEmpty && admitted.nonEmpty)
+    rejected.foreach { r =>
+      assert(admitted.exists(a => isDup(r, a)),
+        s"doc $r rejected without an admitted duplicate")
+    }
+    // 3. at-least-once replay: a replayed batch self-rejects entirely
+    val replay = Dedup.admitExactDedup(
+      batches.last.toDF("doc_id", "text"), idxPath)
+      .select($"doc_id").as[Long].collect()
+    graft.CacheScope.drain()
+    assert(replay.isEmpty, s"replayed batch re-admitted ${replay.toSeq}")
+  }
+
   test("exactDedupApply: gate rollup consistent with the run-to-fixpoint filter stage") {
     import spark.implicits._
     // the gate row truncates label propagation at ccRounds=3 (so the
