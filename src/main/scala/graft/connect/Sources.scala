@@ -192,8 +192,12 @@ object Sources {
                     s"load '${step.name}': indexLayout=flat contradicts " +
                       s"listsPerDir=${lpd.getOrElse(0)}")
                   graft.ops.Similarity.saveIvfPqIndex(idx, full)
-                case _ => graft.ops.Similarity.saveIvfPqIndexGrouped(
-                  idx, full, lpd.getOrElse(graft.ops.Similarity.DefaultListsPerDir))
+                case _ => lpd match {
+                  case Some(g) =>
+                    graft.ops.Similarity.saveIvfPqIndexGrouped(idx, full, g)
+                  case None =>
+                    graft.ops.Similarity.saveIvfPqIndexGroupedAuto(idx, full)
+                }
               }
             case other => throw new IllegalArgumentException(
               s"load '${step.name}': unknown annIndex kind '$other' " +

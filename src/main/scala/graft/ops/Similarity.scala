@@ -805,9 +805,8 @@ object Similarity {
       val emb = Tables.t(s, dir, "embeddings")
       val model = trainIvfPq(s, emb)
       saveIvfPqModel(model, s"$base/model")
-      // grouped layout — the round-14 default for new saves
-      saveIvfPqIndexGrouped(indexIvfPq(s, emb, model), s"$base/index",
-        DefaultListsPerDir)
+      // grouped layout at the k-adaptive width — the r14 default
+      saveIvfPqIndexGroupedAuto(indexIvfPq(s, emb, model), s"$base/index")
       (s"$base/model", s"$base/index")
     })
     val emb = Tables.t(s, dir, "embeddings")
@@ -1060,16 +1059,28 @@ object Similarity {
       .select($"vec_id", $"centroid", $"sub", $"code")
   }
 
-  /** Default group width for NEW index layouts ([[maintainIvfPqIndex]]
-    * and the declarative/streaming `annIndex=ivfpq` paths): 32
-    * consecutive lists per directory caps the directory count at k/32
-    * while group pruning + in-file centroid sorting keep probe
-    * selectivity — the measured fix for the large-k per-file rent
-    * (k=2048: 193.9 s write / 43.3 s probe flat vs 4.2 / 6.95 grouped,
-    * `tools/ivfscale_r13.jsonl`). At small k the grouped layout costs
-    * nothing (≤ k dirs either way), so it is safe as THE default.
+  /** Group-directory budget for k-ADAPTIVE default widths: new grouped
+    * layouts target ≤ this many directories. 64 keeps namenode/listing
+    * rent trivial at any k while preserving directory-level pruning
+    * granularity close to the flat layout's for k ≤ 64·nprobe.
     */
-  val DefaultListsPerDir = 32
+  val DefaultIndexDirBudget = 64L
+
+  /** k-adaptive default group width for NEW index layouts
+    * ([[maintainIvfPqIndex]] and the declarative/streaming
+    * `annIndex=ivfpq` paths): `max(1, k / 64)` lists per directory.
+    * Both fixed extremes are measured scale killers: one-dir-per-list
+    * pays per-file rent at large k (k=2048: 193.9 s write / 43.3 s
+    * probe vs 4.2 / 6.95 grouped, `tools/ivfscale_r13.jsonl`), while a
+    * FIXED width collapses small k into too few directories and kills
+    * probe pruning (round 14 measured width=32 at k=128 → 4 dirs, the
+    * nprobe=32 probe set hits every dir → the 100× gate leg inflated
+    * 312 → 498 s before this function replaced the constant). The
+    * k/64 rule keeps ≥64-way pruning at every k ≥ 64 and degrades to
+    * one-list-per-dir (flat granularity, grouped bookkeeping) below.
+    */
+  def defaultListsPerDir(nLists: Long): Int =
+    math.max(1L, nLists / DefaultIndexDirBudget).toInt
 
   /** Persist a serving index laid out for LIST PRUNING: hive-partition
     * by `centroid`, so each inverted list is its own directory and a
@@ -1082,7 +1093,7 @@ object Similarity {
     * This is the EXPLICIT-FLAT writer (kept readable/appendable for
     * existing artifacts); new saves through [[maintainIvfPqIndex]] and
     * the declarative paths default to the GROUPED layout
-    * ([[saveIvfPqIndexGrouped]] at [[DefaultListsPerDir]]) since
+    * ([[saveIvfPqIndexGroupedAuto]], k-adaptive width) since
     * round 14 — flat's one-directory-per-list fan-out is the measured
     * large-k scale killer.
     */
@@ -1160,12 +1171,29 @@ object Similarity {
       listsPerDir.toString, overwrite = true)
   }
 
+  /** [[saveIvfPqIndexGrouped]] at the k-adaptive default width
+    * ([[defaultListsPerDir]] of the index's own list count) — the
+    * create path of [[maintainIvfPqIndex]] and the declarative loads
+    * when no explicit `listsPerDir` is given. Persists the index frame
+    * for the duration (the list count is one extra aggregate over it;
+    * paid ONCE at layout creation, never on appends — those route off
+    * the marker).
+    */
+  def saveIvfPqIndexGroupedAuto(index: DataFrame, path: String): Unit = {
+    import graft.CacheScope._
+    val idx = index.persistScoped()
+    val nLists = Option(
+      idx.agg(org.apache.spark.sql.functions.max("centroid")).head().get(0))
+      .map(_.toString.toLong + 1L).getOrElse(0L)
+    saveIvfPqIndexGrouped(idx, path, defaultListsPerDir(nLists))
+  }
+
   /** Create-or-extend an IVF-PQ index layout, routing by what's on
     * disk — the maintenance entry the declarative `annIndex=ivfpq`
     * load step and its streaming twin call per increment/tick:
     *
     *  - layout absent → create it GROUPED (explicit `listsPerDir` or
-    *    [[DefaultListsPerDir]]); `flat = true` requests the legacy
+    *    the k-adaptive [[defaultListsPerDir]]); `flat = true` requests the legacy
     *    one-directory-per-list layout instead (and a width alongside
     *    it is a contradiction → loud error);
     *  - grouped layout present → grouped append; a CONFLICTING
@@ -1193,8 +1221,10 @@ object Similarity {
         s"flat=true contradicts listsPerDir=${listsPerDir.getOrElse(0)} — " +
           "a flat layout has no group width")
       if (flat) saveIvfPqIndex(index, path)
-      else saveIvfPqIndexGrouped(index, path,
-        listsPerDir.getOrElse(DefaultListsPerDir))
+      else listsPerDir match {
+        case Some(g) => saveIvfPqIndexGrouped(index, path, g)
+        case None => saveIvfPqIndexGroupedAuto(index, path)
+      }
     } else if (fs.exists(marker)) {
       require(!flat,
         s"$path is a GROUPED index layout but the step asks for flat — " +

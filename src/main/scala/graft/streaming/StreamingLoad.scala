@@ -169,7 +169,7 @@ object StreamingLoad {
             case Some(mp) =>
               val im = graft.ops.Similarity.loadIvfPqModel(bs, mp)
               // first tick creates the layout (GROUPED by default —
-              // explicit listsPerDir or DefaultListsPerDir;
+              // explicit listsPerDir or the k-adaptive default;
               // indexLayout=flat for the legacy layout), later ticks
               // self-route off the layout marker — maintainIvfPqIndex
               // fails loudly on a width/layout conflict

@@ -283,14 +283,14 @@ class PipelineRunnerSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
     assert(ivfWritten == ivfRebuilt, "declarative ivfpq index must equal the full rebuild")
     // the layout is the GROUPED serving layout (r14 default for new
-    // saves: list_group= directories at DefaultListsPerDir, group
+    // saves: list_group= directories at the k-adaptive width, group
     // pruning + in-file centroid stats replace per-list directories)
     val listDirs = new java.io.File(s"$dataDir/ivfidx").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("list_group=")))
     val (_, ivfWidth) = graft.ops.Similarity.loadIvfPqIndexLayout(
       spark, s"$dataDir/ivfidx")
-    assert(ivfWidth.contains(graft.ops.Similarity.DefaultListsPerDir))
+    assert(ivfWidth.exists(w => w >= 1), s"grouped width marker missing: $ivfWidth")
 
     // error paths: unknown kind, missing frozen model, delete mode
     val badKind = pipeline(

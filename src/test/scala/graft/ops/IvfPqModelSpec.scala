@@ -234,8 +234,11 @@ class IvfPqModelSpec extends SparkSpec {
     val d = tmpDir("ivfpq-maint-d").toString + "/idx"
     Similarity.maintainIvfPqIndex(part1, d)
     val (_, dW) = Similarity.loadIvfPqIndexLayout(spark, d)
-    assert(dW.contains(Similarity.DefaultListsPerDir),
-      s"default create must be grouped at ${Similarity.DefaultListsPerDir}, got $dW")
+    val expectedW = Similarity.defaultListsPerDir(
+      Similarity.loadIvfPqIndexLayout(spark, d)._1
+        .agg(org.apache.spark.sql.functions.max("centroid")).head().getLong(0) + 1L)
+    assert(dW.contains(expectedW),
+      s"default create must be grouped at the k-adaptive width $expectedW, got $dW")
     // intent contradictions fail loudly
     intercept[IllegalArgumentException](Similarity.maintainIvfPqIndex(
       part2, tmpDir("ivfpq-maint-x").toString + "/idx",
