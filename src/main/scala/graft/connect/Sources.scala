@@ -185,7 +185,11 @@ object Sources {
               }
               saveMode(step.mode) match {
                 case SaveMode.Append =>
-                  graft.ops.Similarity.maintainIvfPqIndex(idx, full, lpd, flat)
+                  // default width from the MODEL's list count (by-name
+                  // — counted only if this append creates the layout):
+                  // a small first increment's max centroid under-counts
+                  graft.ops.Similarity.maintainIvfPqIndex(idx, full, lpd, flat,
+                    nLists = Some(m.coarse.count()))
                 case SaveMode.ErrorIfExists if exists => refuse()
                 case _ if flat =>
                   require(lpd.isEmpty,
@@ -196,7 +200,8 @@ object Sources {
                   case Some(g) =>
                     graft.ops.Similarity.saveIvfPqIndexGrouped(idx, full, g)
                   case None =>
-                    graft.ops.Similarity.saveIvfPqIndexGroupedAuto(idx, full)
+                    graft.ops.Similarity.saveIvfPqIndexGroupedAuto(idx, full,
+                      Some(m.coarse.count()))
                 }
               }
             case other => throw new IllegalArgumentException(

@@ -409,6 +409,29 @@ object CurationTransforms {
       frame
     })
 
+  /** Register `compact_dedup_index`: fold an exact-dedup admission
+    * index's per-tick batch directories
+    * ([[graft.ops.Dedup.compactExactDedupIndex]]) as a PIPELINE step —
+    * the admission-index sibling of `compact_layout`, schedulable the
+    * same way (A13 tick loop, A11 history contract). The newest live
+    * batch is never folded (replay safety — see the op's scaladoc), so
+    * running this between streaming drains is always safe; like
+    * `compact_layout` it is batch-only, because a streaming plan would
+    * run the rewrite once at query setup rather than per tick.
+    */
+  def registerDedupIndexCompaction(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      indexPath: String): Unit =
+    registry.register("compact_dedup_index", { frame: DataFrame =>
+      require(!frame.isStreaming,
+        "compact_dedup_index is a batch-pipeline transform: a " +
+          "streaming plan would run the rewrite once at query setup, " +
+          "not per tick — schedule it via PipelineScheduler instead")
+      graft.ops.Dedup.compactExactDedupIndex(spark, indexPath)
+      frame
+    })
+
   /** Register `score_quantile_filter`: keep the ties-inclusive top
     * `keepPermille`‰ of the in-flight frame by the shared TTR
     * permille score — the distribution-RELATIVE sibling of

@@ -1842,6 +1842,14 @@ object Dedup {
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** Hash-bucket count for the admission index's exploded prefix
+    * table and doc table ([[createExactDedupIndex]]): 64 directories
+    * keeps listing rent trivial (the [[graft.ops.Similarity.DefaultIndexDirBudget]]
+    * convention) while giving a small-relative-to-index tick a 64-way
+    * scan prune on both the candidate join and the verify fetch.
+    */
+  val defaultAdmitBuckets = 64
+
   /** Create an EXACT-dedup admission index — the incremental PPJoin
     * layout behind "dedup documents as they arrive with NO false
     * negatives" (the exactness-guaranteed sibling of the LSH band
@@ -1852,21 +1860,42 @@ object Dedup {
     *    computed under. The prefix-filter theorem holds for ANY fixed
     *    total order, so df drift between the reference and the stream
     *    costs candidate volume, never a missed duplicate;
-    *  - `docs/` — one row per ADMITTED doc: (doc_id, sa sorted shingle
-    *    array, n, pref prefix-token array). Created by the first
-    *    admission, append-only afterwards (admission is monotone);
+    *  - `docs/batch=<id>/dbucket=<h>/` — one row per ADMITTED doc:
+    *    (doc_id, sa sorted shingle array, n), hive-partitioned by
+    *    `dbucket = hash(doc_id) mod prefixBuckets` inside a per-batch
+    *    directory. The batch directory is the replay/idempotence unit
+    *    (see [[admitExactDedup]]); the dbucket partitioning lets the
+    *    verify stage prune its array fetch to the buckets the tick's
+    *    candidates actually touch;
+    *  - `prefix/batch=<id>/bucket=<h>/` — the EXPLODED prefix table:
+    *    one row per (admitted doc, prefix token) = (doc_id, n, s),
+    *    hive-partitioned by `bucket = hash(s) mod prefixBuckets`.
+    *    This is what makes per-tick cost track the BATCH, not the
+    *    accumulated history: a tick collects the (≤ prefixBuckets)
+    *    buckets its own prefix tokens hash into and the candidate
+    *    join scans only those directories — the same band-table
+    *    layout trick `q_dedup_stream_lsh` and the grouped IVF-PQ
+    *    index use. A tick whose tokens touch every bucket degrades
+    *    to the full scan, never worse;
     *  - `_tau_milli` — the admission threshold, fixed at creation
     *    (prefix lengths are a function of tau; admitting at a
-    *    different tau would need different stored prefixes).
+    *    different tau would need different stored prefixes);
+    *  - `_prefix_buckets` — the bucket modulus, fixed at creation
+    *    (every tick must bucket with the same function).
     *
-    * Per-tick admission is [[admitExactDedup]]; the declarative hook is
-    * the streaming shard-load's `exactDedupIndex` option.
+    * Per-tick admission is [[admitExactDedup]]; small-file + replay-
+    * duplicate maintenance is [[compactExactDedupIndex]]; the
+    * declarative hook is the streaming shard-load's `exactDedupIndex`
+    * option.
     */
   def createExactDedupIndex(s: SparkSession, path: String,
-      corpusRef: DataFrame, tauMilli: Long): Unit = {
+      corpusRef: DataFrame, tauMilli: Long,
+      prefixBuckets: Int = defaultAdmitBuckets): Unit = {
     import s.implicits._
     require(tauMilli >= 1 && tauMilli <= 1000,
       s"tauMilli is Jaccard·1000, must be in [1, 1000]: $tauMilli")
+    require(prefixBuckets > 0,
+      s"prefixBuckets must be positive: $prefixBuckets")
     withShingles(corpusRef.select($"doc_id", $"text"), "sh")
       .select(explode($"sh").as("s"))
       .groupBy($"s").agg(count(lit(1)).as("df"))
@@ -1875,13 +1904,16 @@ object Dedup {
     graft.connect.Hfs.writeSmall(fs,
       new org.apache.hadoop.fs.Path(path, "_tau_milli"),
       tauMilli.toString, overwrite = true)
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, "_prefix_buckets"),
+      prefixBuckets.toString, overwrite = true)
   }
 
   /** (doc_id, sa, n, pref) rows for a batch under the index's frozen
     * token order: sorted arrays and sizes map-side off the pre-explode
     * frame, prefixes by per-doc rank under (df, token) with unseen
     * tokens at df 0 (they sort first — cheapest candidate slots). */
-  private def dedupIndexRows(batch: DataFrame, order: DataFrame,
+  private[graft] def dedupIndexRows(batch: DataFrame, order: DataFrame,
       tauMilli: Long): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
@@ -1911,54 +1943,190 @@ object Dedup {
     * frozen order — a qualifying pair must share a token in BOTH
     * prefixes — then the exact array_intersect verify; no false
     * negatives by the theorem, no false rejections by the verify).
-    * Survivors' (sa, n, pref) rows append to `docs/` so the NEXT tick
-    * sees them; returns the admitted rows with original columns.
+    * Survivors' rows land in `docs/batch=<id>/` + `prefix/batch=<id>/`
+    * so the NEXT tick sees them; returns the admitted rows with
+    * original columns.
     *
-    * Retry semantics are AT-LEAST-ONCE like every non-idempotent
-    * foreachBatch sink: a replayed batch re-appends its admitted rows
-    * (duplicate index rows cost candidate volume, not correctness —
-    * a doc is a τ-dup of itself, so replayed arrivals self-reject).
-    * At 100 TB: the index is token-bucketable; per tick only the
-    * batch's prefixes join the index's prefixes — the corpus never
-    * re-shuffles (same argument as the LSH band table, with the
-    * exactness guarantee on top).
+    * Replay semantics are IDEMPOTENT PER BATCH ID: the batch's own
+    * index subdirectories are deleted up front, so a batch replayed
+    * after a partial failure (index written, downstream sink not)
+    * recomputes the SAME admitted set — its prior rows can neither
+    * flag the replay (which would silently lose those docs from the
+    * output forever) nor survive as duplicates. Pass the foreachBatch
+    * batch id; non-streaming callers pass any monotone non-negative
+    * sequence (negative ids are reserved for compaction generations).
+    * The downstream sink itself stays at-least-once unless it commits
+    * idempotently (manifest upsert) — replay may re-append shard rows,
+    * but never loses admitted docs.
+    *
+    * Note ADMISSION IS PER FAMILY, NOT PER DOC, across the two phases:
+    * the in-batch phase keeps one representative per duplicate family
+    * (min id), and only that representative is tested against the
+    * index. If the representative is itself an index duplicate, the
+    * WHOLE family is rejected — its members are τ-dup-chain-connected
+    * to an indexed doc through the representative, which is exactly
+    * the transitive-family collapse every clustering dedup (MinHash
+    * CC, [[dedupApply]]) performs. A rejected doc therefore always has
+    * a τ-dup CHAIN to an admitted-or-indexed doc, not necessarily a
+    * direct τ-dup edge (DedupSpec pins the chain property).
+    *
+    * At 100 TB: per tick, only the BATCH's prefixes move — the
+    * accumulated index is scanned through its bucket partitions, and
+    * both reads prune to the buckets the tick actually touches
+    * (candidate join: `bucket ∈ hash(batch prefix tokens)`; verify
+    * fetch: `dbucket ∈ hash(candidate doc ids)`), so per-tick cost
+    * tracks the batch's token footprint, not the index's history
+    * (`tools/admit_sweep_r15.json` measures it flat over 20 ticks).
     */
-  def admitExactDedup(batch: DataFrame, path: String): DataFrame = {
+  def admitExactDedup(batch: DataFrame, path: String,
+      batchId: Long): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
+    require(batchId >= 0,
+      s"batchId must be non-negative (got $batchId) — negative ids are " +
+        "reserved for compactExactDedupIndex generations")
     val fs = graft.connect.Hfs.fs(s, path)
     val marker = new org.apache.hadoop.fs.Path(path, "_tau_milli")
     require(fs.exists(marker),
       s"$path is not an exact-dedup index (no _tau_milli marker) — " +
         "create one with createExactDedupIndex")
+    val bMarker = new org.apache.hadoop.fs.Path(path, "_prefix_buckets")
+    require(fs.exists(bMarker),
+      s"$path predates the bucketed admission layout (no _prefix_buckets " +
+        "marker) — rebuild it with createExactDedupIndex")
     val tau = graft.connect.Hfs.readSmall(fs, marker).trim.toLong
+    val nb = graft.connect.Hfs.readSmall(fs, bMarker).trim.toLong
+    // idempotence: a failed earlier attempt of THIS batch may have
+    // written index rows the downstream sink never saw — they must not
+    // flag the replay (self-rejection = silent data loss), so the
+    // batch's own subdirectories are dropped before anything reads
+    graft.connect.Hfs.deleteIfExists(fs,
+      new org.apache.hadoop.fs.Path(path, s"docs/batch=$batchId"))
+    graft.connect.Hfs.deleteIfExists(fs,
+      new org.apache.hadoop.fs.Path(path, s"prefix/batch=$batchId"))
     val order = s.read.parquet(s"$path/order")
     val inBatch = exactDedupFilterOn(batch, tau)
     val rows = dedupIndexRows(inBatch, order, tau).persistScoped()
-    val docsPath = new org.apache.hadoop.fs.Path(path, "docs")
-    val hasDocs = fs.exists(docsPath) && fs.listStatus(docsPath)
-      .exists(_.getPath.getName.endsWith(".parquet"))
+    val hasDocs = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(path, "docs")).nonEmpty
     val admitted0 = if (!hasDocs) inBatch else {
-      val idx = s.read.parquet(s"$path/docs")
-      val bp = rows.select($"doc_id", $"sa", $"n", explode($"pref").as("s"))
-      val ip = idx.select($"doc_id".as("idx_id"), $"sa".as("isa"),
-        $"n".as("idx_n"), explode($"pref").as("s"))
-      val flagged = bp.join(ip, Seq("s"))
+      val bp = rows.select($"doc_id", $"n", explode($"pref").as("s"))
+        .persistScoped()
+      // the tick's token-bucket footprint: ≤ prefixBuckets small ints,
+      // driver-collected to prune the index scan at PLANNING time
+      val touched = bp.select(pmod(xxhash64($"s"), lit(nb)).as("b"))
+        .distinct().as[Long].collect().toSeq
+      val ip = s.read.option("basePath", s"$path/prefix")
+        .parquet(s"$path/prefix")
+        .filter($"bucket".isin(touched: _*))
+        .select($"doc_id".as("idx_id"), $"n".as("idx_n"), $"s")
+      val cand = bp.join(ip, Seq("s"))
         .filter(lit(1000L) * least($"n", $"idx_n") >=
           lit(tau) * greatest($"n", $"idx_n"))
-        .withColumn("inter", size(array_intersect($"sa", $"isa")).cast("long"))
-        .filter(lit(1000L) * $"inter" >= lit(tau) * ($"n" + $"idx_n" - $"inter"))
-        .select($"doc_id").distinct()
-      inBatch.join(flagged, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"idx_id", $"n", $"idx_n").distinct()
+        .persistScoped()
+      val dbTouched = cand.select(pmod(xxhash64($"idx_id"), lit(nb)).as("b"))
+        .distinct().as[Long].collect().toSeq
+      if (dbTouched.isEmpty) inBatch else {
+        // verify arrays: batch side from the tick's own rows, index
+        // side fetched ONLY from the doc buckets candidates touch
+        val isa = s.read.option("basePath", s"$path/docs")
+          .parquet(s"$path/docs")
+          .filter($"dbucket".isin(dbTouched: _*))
+          .select($"doc_id".as("idx_id"), $"sa".as("isa"))
+        val flagged = cand
+          .join(isa, Seq("idx_id"))
+          .join(rows.select($"doc_id", $"sa"), Seq("doc_id"))
+          .withColumn("inter",
+            size(array_intersect($"sa", $"isa")).cast("long"))
+          .filter(lit(1000L) * $"inter" >=
+            lit(tau) * ($"n" + $"idx_n" - $"inter"))
+          .select($"doc_id").distinct()
+        inBatch.join(flagged, Seq("doc_id"), "left_anti")
+      }
     }
-    // localCheckpoint BEFORE the append: the admitted frame reads
-    // `docs/`, and the append below mutates it — an unpinned plan
+    // localCheckpoint BEFORE the writes: the admitted frame reads the
+    // index, and the writes below mutate it — an unpinned plan
     // re-evaluated by the caller would see its own rows in the index
     // and self-reject everything. Materializing cuts that lineage.
     val admitted = admitted0.localCheckpoint()
-    rows.join(admitted.select($"doc_id"), Seq("doc_id"), "left_semi")
-      .write.mode("append").parquet(s"$path/docs")
+    val keep = rows
+      .join(admitted.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .persistScoped()
+    // repartition on the layout key before writing: one file per
+    // touched bucket per tick, not tasks × buckets tiny files — the
+    // sweep measured the unaligned write at ~1.7k files/tick, and the
+    // resulting listing+footer rent grew per-tick wall 1.6× over 20
+    // ticks before this line
+    keep.select($"doc_id", $"sa", $"n",
+        pmod(xxhash64($"doc_id"), lit(nb)).as("dbucket"))
+      .repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$path/docs/batch=$batchId")
+    keep.select($"doc_id", $"n", explode($"pref").as("s"))
+      .withColumn("bucket", pmod(xxhash64($"s"), lit(nb)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/prefix/batch=$batchId")
     admitted
+  }
+
+  /** Compact a [[createExactDedupIndex]] layout: fold every batch
+    * directory EXCEPT the newest live one into a single consolidated
+    * generation (negative batch id), deduplicating rows on the way
+    * (crash-window leftovers — see below — are the only duplicate
+    * source now that admission itself is replay-idempotent). This is
+    * the admission index's `compact_layout`: per-tick appends
+    * accumulate one small directory per batch forever, and folding
+    * them bounds both the file count and the partition-listing rent.
+    *
+    * The newest non-negative batch stays untouched because it is the
+    * only batch a restarted stream can replay, and replay safety is
+    * "delete your own batch=<id> subdir, recompute" — which only works
+    * while ALL of that batch's rows still live in its own subdir. Run
+    * this between stream runs (or from the scheduler), never
+    * concurrently with an active admission drain — the same contract
+    * as every compaction here.
+    *
+    * Crash windows: the consolidated generation is written to a
+    * dot-prefixed temp dir (invisible to readers), renamed into place,
+    * and only then are the folded sources deleted. A crash between
+    * rename and deletes leaves duplicate rows across generations —
+    * candidate-volume rent, never a correctness issue (a dup index row
+    * flags exactly what the single row flags) — and the next
+    * compaction folds them away. Returns the number of batch
+    * directories folded (0 = nothing to do).
+    */
+  def compactExactDedupIndex(s: SparkSession, path: String): Int = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    def ids(sub: String): Seq[Long] =
+      graft.connect.Hfs.listDirs(fs, new org.apache.hadoop.fs.Path(path, sub))
+        .map(_.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+    val all = ids("docs")
+    val live = all.filter(_ >= 0).sorted.lastOption
+    val fold = all.filterNot(live.contains).sorted
+    if (fold.size < 2) return 0
+    val gen = math.min(fold.min, 0L) - 1L
+    def consolidate(sub: String, part: String, keys: Seq[String]): Unit = {
+      val present = ids(sub).filterNot(live.contains).toSet
+      val src = fold.filter(present.contains).map(b => s"$path/$sub/batch=$b")
+      if (src.isEmpty) return
+      val tmp = new org.apache.hadoop.fs.Path(path, s"$sub/.compact-tmp")
+      graft.connect.Hfs.deleteIfExists(fs, tmp)
+      s.read.option("basePath", s"$path/$sub").parquet(src: _*)
+        .drop("batch").dropDuplicates(keys)
+        .repartition(col(part)).write.mode("overwrite").partitionBy(part)
+        .parquet(tmp.toString)
+      val dst = new org.apache.hadoop.fs.Path(path, s"$sub/batch=$gen")
+      graft.connect.Hfs.renameChecked(fs, tmp, dst,
+        s"dedup-index compaction for $path/$sub")
+      src.foreach(d => graft.connect.Hfs.deleteIfExists(fs,
+        new org.apache.hadoop.fs.Path(d)))
+    }
+    consolidate("docs", "dbucket", Seq("doc_id"))
+    consolidate("prefix", "bucket", Seq("doc_id", "s"))
+    fold.size
   }
 
   /** Default ceiling for [[exactDecontaminateServe]]'s broadcast: total
@@ -2001,7 +2169,9 @@ object Dedup {
     require(total <= maxBenchShingles,
       s"bench-prefix index at $indexPath holds $total shingles — above " +
         s"the $maxBenchShingles row-local-serve broadcast ceiling; use " +
-        "exactDecontaminateFrozen (the shuffle path) for a bench this size")
+        "exactDecontaminateFrozen (the shuffle path) for a bench this " +
+        "size — on a stream, via the shard-load's exactDecontaminateIndex " +
+        "option (runs it per tick inside foreachBatch)")
     val benchSets: Map[Long, Set[String]] =
       setRows.iterator.map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     val prefixMap: Map[String, Array[Long]] = prefRows.iterator
@@ -2089,6 +2259,26 @@ object Dedup {
         .select(labels("doc_id"),
           least($"label", coalesce($"nmin", $"label")).as("label"))
     }
+    labels = labels.persistScoped()
+    // truncation audit (r15 advice): the fixed ccRounds is sound only
+    // while near-dup families are near-cliques (diameter ≤ ccRounds);
+    // the DuckDB oracle MIRRORS the same rounds, so a longer-diameter
+    // family would keep multiple survivors on BOTH sides and the gate
+    // could never see it. One extra propagation round must therefore
+    // change nothing — a loud failure here beats a silent divergence
+    // from the run-to-fixpoint exactDedupFilterOn stage.
+    val unconverged = edges
+      .join(labels.select($"doc_id".as("nid"), $"label".as("nlabel")), $"d2" === $"nid")
+      .groupBy($"d1").agg(min($"nlabel").as("nmin"))
+      .join(labels, $"d1" === labels("doc_id"))
+      .filter($"nmin" < $"label")
+      .limit(1).count()
+    require(unconverged == 0L,
+      s"exactDedupApply: min-label propagation has not converged after " +
+        s"$ccRounds rounds — a duplicate family's pair-graph diameter " +
+        s"exceeds $ccRounds, so the fixed-round rollup (and its oracle) " +
+        "would under-merge; raise ccRounds or route this corpus through " +
+        "the run-to-fixpoint exact_dedup_filter stage")
     val keep = labels
       .join(docs.select($"doc_id".as("kdoc"), $"n_chars"), $"doc_id" === $"kdoc")
       .groupBy($"label")

@@ -805,8 +805,11 @@ object Similarity {
       val emb = Tables.t(s, dir, "embeddings")
       val model = trainIvfPq(s, emb)
       saveIvfPqModel(model, s"$base/model")
-      // grouped layout at the k-adaptive width — the r14 default
-      saveIvfPqIndexGroupedAuto(indexIvfPq(s, emb, model), s"$base/index")
+      // grouped layout at the k-adaptive width — the r14 default;
+      // width from the model's own list count (r15 advice: the
+      // increment's max centroid under-counts on skewed assignments)
+      saveIvfPqIndexGroupedAuto(indexIvfPq(s, emb, model), s"$base/index",
+        Some(model.coarse.count()))
       (s"$base/model", s"$base/index")
     })
     val emb = Tables.t(s, dir, "embeddings")
@@ -1172,20 +1175,31 @@ object Similarity {
   }
 
   /** [[saveIvfPqIndexGrouped]] at the k-adaptive default width
-    * ([[defaultListsPerDir]] of the index's own list count) — the
-    * create path of [[maintainIvfPqIndex]] and the declarative loads
-    * when no explicit `listsPerDir` is given. Persists the index frame
-    * for the duration (the list count is one extra aggregate over it;
-    * paid ONCE at layout creation, never on appends — those route off
-    * the marker).
+    * ([[defaultListsPerDir]]) — the create path of
+    * [[maintainIvfPqIndex]] and the declarative loads when no explicit
+    * `listsPerDir` is given. Pass `nLists` = the MODEL's list count
+    * whenever the caller holds the model (every maintenance path
+    * does): the fallback infers max(centroid)+1 from the increment,
+    * and a first increment that is small or skewed under a large-k
+    * model under-counts — freezing a too-narrow width that recreates
+    * the large-k directory fan-out on every later append, with no way
+    * to correct short of a rebuild (the `_lists_per_dir` marker is
+    * fixed at creation by design). When inferring, the frame is
+    * persisted for the duration (one extra aggregate, paid ONCE at
+    * layout creation, never on appends — those route off the marker).
     */
-  def saveIvfPqIndexGroupedAuto(index: DataFrame, path: String): Unit = {
-    import graft.CacheScope._
-    val idx = index.persistScoped()
-    val nLists = Option(
-      idx.agg(org.apache.spark.sql.functions.max("centroid")).head().get(0))
-      .map(_.toString.toLong + 1L).getOrElse(0L)
-    saveIvfPqIndexGrouped(idx, path, defaultListsPerDir(nLists))
+  def saveIvfPqIndexGroupedAuto(index: DataFrame, path: String,
+      nLists: Option[Long] = None): Unit = nLists match {
+    case Some(k) =>
+      require(k > 0, s"nLists must be positive: $k")
+      saveIvfPqIndexGrouped(index, path, defaultListsPerDir(k))
+    case None =>
+      import graft.CacheScope._
+      val idx = index.persistScoped()
+      val inferred = Option(
+        idx.agg(org.apache.spark.sql.functions.max("centroid")).head().get(0))
+        .map(_.toString.toLong + 1L).getOrElse(0L)
+      saveIvfPqIndexGrouped(idx, path, defaultListsPerDir(inferred))
   }
 
   /** Create-or-extend an IVF-PQ index layout, routing by what's on
@@ -1209,7 +1223,8 @@ object Similarity {
     * intent fails the step loudly instead of corrupting the layout.
     */
   def maintainIvfPqIndex(index: DataFrame, path: String,
-      listsPerDir: Option[Int] = None, flat: Boolean = false): Unit = {
+      listsPerDir: Option[Int] = None, flat: Boolean = false,
+      nLists: => Option[Long] = None): Unit = {
     val fs = graft.connect.Hfs.fs(index.sparkSession, path)
     val dir = new org.apache.hadoop.fs.Path(path)
     val marker = new org.apache.hadoop.fs.Path(path, "_lists_per_dir")
@@ -1223,7 +1238,10 @@ object Similarity {
       if (flat) saveIvfPqIndex(index, path)
       else listsPerDir match {
         case Some(g) => saveIvfPqIndexGrouped(index, path, g)
-        case None => saveIvfPqIndexGroupedAuto(index, path)
+        // nLists (by-name: evaluated only here, at layout creation) is
+        // the MODEL's list count from the call site — the increment's
+        // own max centroid under-counts on a small/skewed first tick
+        case None => saveIvfPqIndexGroupedAuto(index, path, nLists)
       }
     } else if (fs.exists(marker)) {
       require(!flat,

@@ -176,7 +176,12 @@ object StreamingLoad {
               graft.ops.Similarity.maintainIvfPqIndex(
                 graft.ops.Similarity.indexIvfPq(bs, b, im), full,
                 merged.get("listsPerDir").map(_.toInt),
-                flat = merged.get("indexLayout").contains("flat"))
+                flat = merged.get("indexLayout").contains("flat"),
+                // width from the MODEL's list count, not the tick's
+                // max centroid: a small first tick under a large-k
+                // model would otherwise freeze a too-narrow width
+                // (by-name — counted only when the layout is created)
+                nLists = Some(im.coarse.count()))
             case None =>
               val idx = model match {
                 case Some(m) => graft.ops.Similarity.buildRotatedPrefixIndex(
@@ -208,10 +213,29 @@ object StreamingLoad {
         // no-false-negatives guarantee (Dedup.admitExactDedup); the
         // index path resolves against the connection like the target
         val dedupIdx = merged.get("exactDedupIndex").map(resolve(base, _))
-        df.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
-          val admitted = dedupIdx match {
-            case Some(p) => graft.ops.Dedup.admitExactDedup(b, p)
+        // optional "exactDecontaminateIndex": run the frozen-index
+        // decontamination SHUFFLE path (Dedup.exactDecontaminateFrozen)
+        // on each drained micro-batch — the over-ceiling route for
+        // benches too large for the per-row broadcast serve
+        // (exactDecontaminateServe's maxBenchShingles guard). Inside
+        // foreachBatch the frame is a plain batch DataFrame, so the
+        // candidate join + exact verify run per tick with no state and
+        // no broadcast ceiling; "exactDecontaminateTau" raises the
+        // serving threshold above the built one (lowering errors).
+        val deconIdx = merged.get("exactDecontaminateIndex").map(resolve(base, _))
+        val deconTau = merged.get("exactDecontaminateTau").map(_.toLong)
+        df.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
+          val cleaned = deconIdx match {
+            case Some(p) => graft.ops.Dedup.exactDecontaminateFrozen(b, p, deconTau)
             case None => b
+          }
+          // the batch id makes the index append idempotent per batch:
+          // a replay after a partial failure recomputes the same
+          // admitted set instead of self-rejecting against its own
+          // orphaned index rows (which would silently drop those docs)
+          val admitted = dedupIdx match {
+            case Some(p) => graft.ops.Dedup.admitExactDedup(cleaned, p, bid)
+            case None => cleaned
           }
           graft.ops.Sharding.appendToShards(admitted, key, full, n); ()
         }.outputMode("append")

@@ -215,6 +215,69 @@ class StreamingPipelineSpec extends SparkSpec {
         s"extra=${written -- (100L until 140L).toSet}")
   }
 
+  test("streaming decontamination above the serve ceiling: per-tick shuffle path via the load option") {
+    // the transform-registry route serves the frozen index as a
+    // per-row broadcast, which REFUSES above maxBenchShingles; the
+    // over-ceiling recipe is the shard-load's exactDecontaminateIndex
+    // option — the same frozen artifact, but the shuffle path
+    // (exactDecontaminateFrozen) runs on each drained micro-batch
+    // inside foreachBatch, where no broadcast ceiling applies
+    val dataDir = tmpDir("graft-stream-decon-big").toString
+    val repo = new Repository(tmpDir("graft-stream-decon-big-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+    val bench = (1L to 3L).map(i =>
+      (i, (0 until 8).map(j => s"B${i}y$j").mkString(" ")))
+    val benchDf = bench.toDF("doc_id", "text")
+    val idxPath = s"$dataDir/benchidx"
+    graft.ops.Dedup.saveBenchPrefixIndex(benchDf, benchDf, 1000L, idxPath)
+    graft.CacheScope.drain()
+    // the per-row serve route refuses this bench at a tight ceiling —
+    // the exact situation the load option exists for (the real 2M
+    // default would need a gigabyte-scale bench in a unit test; the
+    // ceiling is a parameter, the refusal path is what's under test)
+    val dummy = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val refused = intercept[IllegalArgumentException](
+      graft.ops.Dedup.exactDecontaminateServe(dummy, idxPath, maxBenchShingles = 1L))
+    assert(refused.getMessage.contains("exactDecontaminateFrozen"))
+
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"decon-big","name":"landing-decon-shuffle","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"shards","order":2,"connectionId":"local",
+         | "path":"shards","mode":"append",
+         | "options":{"shardBy":"doc_id","shards":"4","checkpointLocation":"ck",
+         |            "exactDecontaminateIndex":"benchidx"}}
+         |]}""".stripMargin))
+
+    def clean(ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 6).map(j => s"C${i}w$j").mkString(" ")))
+    (clean(100 until 120) :+ (200L, bench(0)._2))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-03T09:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo, new TransformRegistry), repo, () => now, 1)
+    assert(sched.tick().isEmpty) // first-seen skip
+    now = Instant.parse("2026-03-03T09:15:05Z")
+    assert(sched.tick() == Seq("decon-big"))
+    // second tick: a quoted-benchmark doc plus clean docs
+    (clean(120 until 140) :+
+        (201L, "x1 x2 x3 x4 " + bench(1)._2 + " z1 z2 z3 z4"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-03T09:30:05Z")
+    assert(sched.tick() == Seq("decon-big"))
+    sched.stop()
+
+    val written = spark.read.parquet(s"$dataDir/shards")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(written == (100L until 140L).toSet,
+      s"unexpected shard contents: missing=${(100L until 140L).toSet -- written} " +
+        s"extra=${written -- (100L until 140L).toSet}")
+  }
+
   test("streaming exact dedup: arrivals admitted against the incremental prefix index, shards hold survivors") {
     val dataDir = tmpDir("graft-stream-exdedup").toString
     val repo = new Repository(tmpDir("graft-stream-exdedup-repo"))

@@ -250,11 +250,13 @@ class DedupSpec extends SparkSpec {
       batches.head.toDF("doc_id", "text"), tau)
     graft.CacheScope.drain()
     var admitted = Set.empty[Long]
-    batches.foreach { b =>
-      val adm = Dedup.admitExactDedup(b.toDF("doc_id", "text"), idxPath)
+    var perBatch = Vector.empty[Set[Long]]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val adm = Dedup.admitExactDedup(b.toDF("doc_id", "text"), idxPath, i.toLong)
         .select($"doc_id").as[Long].collect().toSet
       graft.CacheScope.drain()
       admitted ++= adm
+      perBatch :+= adm
     }
     // EXACTNESS both ways, against a JVM brute force:
     def shingles(t: String): Set[String] = {
@@ -271,20 +273,110 @@ class DedupSpec extends SparkSpec {
     // 1. no two ADMITTED docs are tau-duplicates (no false negatives)
     for (a <- admitted; b <- admitted if a < b)
       assert(!isDup(a, b), s"admitted near-dups $a,$b")
-    // 2. every REJECTED doc duplicates some doc admitted at or before
-    //    its own batch (no false rejections)
+    // 2. every REJECTED doc is connected by a tau-dup CHAIN to some
+    //    admitted doc (no false rejections, family-collapse semantics:
+    //    in-batch dedup keeps one representative per family, and if
+    //    the representative is an index duplicate the whole family is
+    //    rejected THROUGH it — so the guarantee is chain connectivity,
+    //    not a direct edge; see admitExactDedup's scaladoc)
     val rejected = all.map(_._1).toSet -- admitted
     assert(rejected.nonEmpty && admitted.nonEmpty)
+    val allIds = all.map(_._1)
     rejected.foreach { r =>
-      assert(admitted.exists(a => isDup(r, a)),
-        s"doc $r rejected without an admitted duplicate")
+      var frontier = Set(r)
+      var seen = Set(r)
+      var hit = false
+      while (!hit && frontier.nonEmpty) {
+        hit = frontier.exists(f => admitted.exists(a => isDup(f, a)))
+        if (!hit) {
+          val next = allIds.filter(x =>
+            !seen.contains(x) && frontier.exists(isDup(_, x))).toSet
+          seen ++= next
+          frontier = next
+        }
+      }
+      assert(hit, s"doc $r rejected without a tau-dup chain to an admitted doc")
     }
-    // 3. at-least-once replay: a replayed batch self-rejects entirely
-    val replay = Dedup.admitExactDedup(
-      batches.last.toDF("doc_id", "text"), idxPath)
+    // 3. replay is IDEMPOTENT per batch id: re-running the last batch
+    //    under its own id re-admits exactly the same set (the partial-
+    //    failure path — index written, sink not — must not lose docs)
+    val lastId = (batches.size - 1).toLong
+    val replaySame = Dedup.admitExactDedup(
+      batches.last.toDF("doc_id", "text"), idxPath, lastId)
+      .select($"doc_id").as[Long].collect().toSet
+    graft.CacheScope.drain()
+    assert(replaySame == perBatch.last,
+      s"replay under the same batch id admitted $replaySame, " +
+        s"first run admitted ${perBatch.last}")
+    // and the replay rewrote (not duplicated) its index rows: a SECOND
+    // replay still agrees
+    val replayAgain = Dedup.admitExactDedup(
+      batches.last.toDF("doc_id", "text"), idxPath, lastId)
+      .select($"doc_id").as[Long].collect().toSet
+    graft.CacheScope.drain()
+    assert(replayAgain == perBatch.last)
+    // 4. the same rows arriving as a NEW batch id self-reject entirely
+    //    (a doc is a tau-dup of its own indexed copy)
+    val replayNew = Dedup.admitExactDedup(
+      batches.last.toDF("doc_id", "text"), idxPath, lastId + 1)
       .select($"doc_id").as[Long].collect()
     graft.CacheScope.drain()
-    assert(replay.isEmpty, s"replayed batch re-admitted ${replay.toSeq}")
+    assert(replayNew.isEmpty,
+      s"re-arrival under a new batch id re-admitted ${replayNew.toSeq}")
+  }
+
+  test("exact-dedup admission index: compaction folds batch dirs, admissions unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val pool = ('a' to 'z').map(c => s"u$c")
+    def doc(n: Int) = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+    val idxPath = tmpDir("exact-dedup-compact").resolve("i").toString
+    val seed = (0L to 3L).map(i => (i, doc(20)))
+    Dedup.createExactDedupIndex(spark, idxPath, seed.toDF("doc_id", "text"), 700L)
+    // six one-doc ticks: five uniques + one exact copy of tick 0's doc
+    val ticks: Seq[(Long, String)] =
+      (0 until 5).map(i => (100L + i, doc(18 + i))) :+ (200L, null)
+    val mat = ticks.zipWithIndex.map { case ((id, t), i) =>
+      (id, if (t == null) ticks.head._2 else t, i.toLong)
+    }
+    mat.foreach { case (id, text, bid) =>
+      Dedup.admitExactDedup(Seq((id, text)).toDF("doc_id", "text"), idxPath, bid)
+      graft.CacheScope.drain()
+    }
+    val fs = graft.connect.Hfs.fs(spark, idxPath)
+    def batchDirs(sub: String) = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(idxPath, sub))
+      .map(_.getName).filter(_.startsWith("batch=")).sorted
+    val before = batchDirs("docs")
+    assert(before.size >= 5, s"expected >=5 batch dirs, got $before")
+    val probe = Seq((300L, ticks(2)._2), (301L, doc(25)))
+    def admitProbe(bid: Long) = {
+      val r = Dedup.admitExactDedup(probe.toDF("doc_id", "text"), idxPath, bid)
+        .select($"doc_id").as[Long].collect().toSet
+      graft.CacheScope.drain()
+      // roll the probe back out so before/after comparisons see the
+      // same index (delete-own-batch makes this exact)
+      graft.connect.Hfs.deleteIfExists(fs,
+        new org.apache.hadoop.fs.Path(idxPath, s"docs/batch=$bid"))
+      graft.connect.Hfs.deleteIfExists(fs,
+        new org.apache.hadoop.fs.Path(idxPath, s"prefix/batch=$bid"))
+      r
+    }
+    val admBefore = admitProbe(50L)
+    assert(admBefore == Set(301L), s"probe before compaction: $admBefore")
+    val folded = Dedup.compactExactDedupIndex(spark, idxPath)
+    assert(folded >= 4, s"expected >=4 folded batch dirs, got $folded")
+    val after = batchDirs("docs")
+    assert(after.size == 2, s"expected [consolidated, live], got $after")
+    assert(after.exists(_.stripPrefix("batch=").toLong < 0))
+    // identical admission decisions served from the compacted layout
+    val admAfter = admitProbe(51L)
+    assert(admAfter == admBefore,
+      s"compaction changed admissions: $admBefore -> $admAfter")
+    // a second compaction folds the consolidated gen + remaining live-1
+    // set only when there is something to fold; idempotent otherwise
+    val again = Dedup.compactExactDedupIndex(spark, idxPath)
+    assert(again == 0 || batchDirs("docs").size <= 2)
   }
 
   test("exactDedupApply: gate rollup consistent with the run-to-fixpoint filter stage") {

@@ -368,4 +368,47 @@ class InvariantSpec extends SparkSpec {
       Dedup.exactDecontaminateServe(corpus, idxPath, maxBenchShingles = 1L))
     assert(tiny.getMessage.contains("exactDecontaminateFrozen"))
   }
+
+  test("frozen bench-prefix index: raised-tau soundness over random (built, served) pairs") {
+    // r14 verdict #7: the tau-safety DIRECTIONALITY as a property, not
+    // a single point — an index built at tau_b serves ANY tau' >= tau_b
+    // with results identical to the in-row pass at tau' (a higher
+    // threshold needs a SHORTER prefix, so the stored prefixes are a
+    // superset and the exact verify does the rest). Machine-checks the
+    // superset claim the loadBenchPrefixIndex guard relies on.
+    val rnd = new scala.util.Random(57)
+    val pool = ('a' to 'z').map(c => s"v$c")
+    def doc(n: Int) = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+    val bench = (1L to 6L).map(i => (i, doc(5 + rnd.nextInt(8))))
+    val clean = (100L to 117L).map(i => (i, doc(10 + rnd.nextInt(30))))
+    // plant a graded-containment ladder so different tau' cut the pair
+    // set at different points: exact copies, embedded quotes, and a
+    // three-quarter overlap
+    val planted = Seq(
+      (200L, bench(0)._2),
+      (201L, doc(30) + " " + bench(1)._2 + " " + doc(30)),
+      (202L, bench(2)._2 + " " + bench(2)._2.split(" ").take(3).mkString(" ")))
+    val corpus = (clean ++ planted).toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+    (1 to 4).foreach { i =>
+      val tauB = 300L + rnd.nextInt(600) // [300, 899]
+      val tauS = tauB + rnd.nextInt((1000L - tauB).toInt + 1) // [tauB, 1000]
+      val p = tmpDir(s"raised-tau-$i").resolve("i").toString
+      Dedup.saveBenchPrefixIndex(corpus, benchDf, tauB, p)
+      graft.CacheScope.drain()
+      val served = Dedup.containmentPairsFrozen(corpus, p, Some(tauS))
+        .collect().toSeq
+      graft.CacheScope.drain()
+      val inRow = Dedup.containmentPairsOn(corpus, benchDf, tauS)
+        .collect().toSeq
+      graft.CacheScope.drain()
+      assert(served == inRow,
+        s"built at $tauB, served at $tauS: frozen != in-row " +
+          s"(${served.size} vs ${inRow.size} rows)")
+      // serving BELOW the built tau must refuse, whatever the gap
+      if (tauB > 1)
+        intercept[IllegalArgumentException](
+          Dedup.containmentPairsFrozen(corpus, p, Some(tauB - 1)))
+    }
+  }
 }

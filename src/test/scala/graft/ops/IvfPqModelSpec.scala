@@ -248,6 +248,35 @@ class IvfPqModelSpec extends SparkSpec {
     graft.CacheScope.drain()
   }
 
+  test("grouped-auto width comes from the model's list count, not a skewed first increment") {
+    // r15 advice: a small/skewed first tick whose max centroid is far
+    // below k-1 must NOT freeze a too-narrow width — the marker can
+    // never be corrected without a rebuild, and probe pruning at the
+    // model's real k would collapse (the r14 fixed-width regression,
+    // 312->498 s at 100x, had exactly this shape)
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val model = Similarity.trainIvfPq(spark, emb)
+    val k = model.coarse.count()
+    val idx = Similarity.indexIvfPq(spark, emb, model)
+    // a first increment covering only low centroids (skew stand-in)
+    val skewed = idx.filter(col("centroid") < 3)
+    assume(skewed.limit(1).count() == 1, "fixture yields no low-centroid rows")
+    val p = tmpDir("ivfpq-auto-width").toString + "/idx"
+    Similarity.maintainIvfPqIndex(skewed, p, nLists = Some(k))
+    val (_, w) = Similarity.loadIvfPqIndexLayout(spark, p)
+    assert(w.contains(Similarity.defaultListsPerDir(k)),
+      s"width must derive from the model's k=$k, got $w")
+    // the inference fallback (no model at hand) still under-counts —
+    // pinned so the contrast stays visible if the fallback changes
+    val p2 = tmpDir("ivfpq-auto-width-fb").toString + "/idx"
+    Similarity.maintainIvfPqIndex(skewed, p2)
+    val (_, w2) = Similarity.loadIvfPqIndexLayout(spark, p2)
+    assert(w2.exists(_ <= Similarity.defaultListsPerDir(3)),
+      s"fallback width should reflect the increment's own range, got $w2")
+    graft.CacheScope.drain()
+  }
+
   test("index compaction merges per-list small files; probes and layout unchanged") {
     // incremental/streaming appends leave small files INSIDE each
     // centroid= directory; maintenance is the partition-preserving
