@@ -40,6 +40,33 @@ object Bench {
       }
     }
     spark.sharedState.cacheManager.clearCache()
+    // CALIBRATION SENTINELS (r14 verdict #3): fixture-independent,
+    // pure-CPU/shuffle probes measured before and after the catalog
+    // passes, so round-over-round board comparisons can be normalized
+    // mechanically against box drift instead of adjudicated by
+    // narrative (this host oscillates ~20% across ten-minute windows;
+    // two identical back-to-back r14 boards measured 134.5 vs 111.2 s).
+    // cpu: codegen'd hash+sum over a range — no IO, no shuffle.
+    // shuffle: range -> hash-partition -> count — exercises the
+    // exchange machinery at a fixed size.
+    def sentinelCpu(): Double = {
+      val t0 = System.nanoTime()
+      // pmod bounds each term so the ANSI-mode sum can't overflow
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(pmod(xxhash64(id), 1000000)) as h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinelShuffle(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, cpus.toInt)
+        .selectExpr("pmod(xxhash64(id), 1000) as k")
+        .groupBy("k").count().selectExpr("sum(count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one untimed run each to absorb JIT/codegen, then min-of-2 timed
+    sentinelCpu(); sentinelShuffle()
+    val sentCpuPre = math.min(sentinelCpu(), sentinelCpu())
+    val sentShufPre = math.min(sentinelShuffle(), sentinelShuffle())
     // INTERLEAVED min-of-3: run the whole catalog once, then again, then
     // again, and take each query's min across passes. Back-to-back
     // repeats of one query share any multi-minute noisy-neighbor burst
@@ -62,11 +89,15 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    val sentCpuPost = math.min(sentinelCpu(), sentinelCpu())
+    val sentShufPost = math.min(sentinelShuffle(), sentinelShuffle())
     val results = names.map(n => n -> best(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters_min_of":$iters,"queries":$qs,"sf":"$sfDir"}""")
+    val sent = f"""{"cpu_pre":$sentCpuPre%.3f,"cpu_post":$sentCpuPost%.3f,""" +
+      f""""shuffle_pre":$sentShufPre%.3f,"shuffle_post":$sentShufPost%.3f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters_min_of":$iters,"sentinels":$sent,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
