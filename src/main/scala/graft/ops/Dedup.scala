@@ -2050,9 +2050,20 @@ object Dedup {
     // re-evaluated by the caller would see its own rows in the index
     // and self-reject everything. Materializing cuts that lineage.
     val admitted = admitted0.localCheckpoint()
+    // shingle-less docs (< 3 words) can never generate or verify a
+    // candidate — dead index weight, and keeping them would let a
+    // docs/ batch dir carry files while its prefix/ sibling has none
+    // (n ≥ 1 ⟹ prefix length ≥ 1, so filtered the two stay in
+    // lockstep, which later schema inference relies on)
     val keep = rows
       .join(admitted.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .filter($"n" > 0)
       .persistScoped()
+    // an all-rejected (or empty, or all-shingle-less) batch writes
+    // NOTHING: a file-less batch directory would break schema
+    // inference on later reads, and delete-upfront already cleared
+    // any prior attempt's rows
+    if (keep.isEmpty) return admitted
     // repartition on the layout key before writing: one file per
     // touched bucket per tick, not tasks × buckets tiny files — the
     // sweep measured the unaligned write at ~1.7k files/tick, and the
