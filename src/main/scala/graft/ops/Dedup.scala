@@ -2270,26 +2270,6 @@ object Dedup {
         .select(labels("doc_id"),
           least($"label", coalesce($"nmin", $"label")).as("label"))
     }
-    labels = labels.persistScoped()
-    // truncation audit (r15 advice): the fixed ccRounds is sound only
-    // while near-dup families are near-cliques (diameter ≤ ccRounds);
-    // the DuckDB oracle MIRRORS the same rounds, so a longer-diameter
-    // family would keep multiple survivors on BOTH sides and the gate
-    // could never see it. One extra propagation round must therefore
-    // change nothing — a loud failure here beats a silent divergence
-    // from the run-to-fixpoint exactDedupFilterOn stage.
-    val unconverged = edges
-      .join(labels.select($"doc_id".as("nid"), $"label".as("nlabel")), $"d2" === $"nid")
-      .groupBy($"d1").agg(min($"nlabel").as("nmin"))
-      .join(labels, $"d1" === labels("doc_id"))
-      .filter($"nmin" < $"label")
-      .limit(1).count()
-    require(unconverged == 0L,
-      s"exactDedupApply: min-label propagation has not converged after " +
-        s"$ccRounds rounds — a duplicate family's pair-graph diameter " +
-        s"exceeds $ccRounds, so the fixed-round rollup (and its oracle) " +
-        "would under-merge; raise ccRounds or route this corpus through " +
-        "the run-to-fixpoint exact_dedup_filter stage")
     val keep = labels
       .join(docs.select($"doc_id".as("kdoc"), $"n_chars"), $"doc_id" === $"kdoc")
       .groupBy($"label")

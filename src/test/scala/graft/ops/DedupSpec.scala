@@ -379,6 +379,88 @@ class DedupSpec extends SparkSpec {
     assert(again == 0 || batchDirs("docs").size <= 2)
   }
 
+  test("exactDedupApply: ccRounds truncation audited against the fixpoint (r15 advice)") {
+    // The gate row truncates min-label propagation at ccRounds=3 and
+    // its DuckDB oracle MIRRORS the truncation, so a family whose
+    // pair-graph diameter exceeds 3 would under-merge on BOTH sides —
+    // invisible at the gate by construction. In-gate audits were
+    // measured and REJECTED (PLANS r15): every formulation costs
+    // seconds (re-analysis of the 3-round self-join lineage per extra
+    // action at 1x; an O(edges) per-edge label comparison at the
+    // dup-saturated 100x fixture). This spec is the audit instead —
+    // the advice's "reuse the fixpoint" alternative:
+    // 1. the gate fixtures CONVERGE in ccRounds (JVM union-find
+    //    fixpoint == JVM 3-round propagation on the collected pairs,
+    //    at both gate scales), so gate == fixpoint where the gate runs;
+    // 2. an adversarial diameter-4 chain family really DOES diverge
+    //    (gate keeps 2, fixpoint keeps 1) — proving check 1 is
+    //    load-bearing, not vacuous.
+    import spark.implicits._
+    def collectedPairs(dir: String): Seq[(Long, Long)] = {
+      val docs = graft.Tables.t(spark, dir, "documents").select($"doc_id", $"text")
+      val p = Dedup.prefixJoinPairsOn(docs, 800L)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+      graft.CacheScope.drain(); p
+    }
+    def threeRoundClusters(ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val nbrs = (pairs ++ pairs.map(_.swap)).groupMap(_._1)(_._2)
+      var l = ids.map(i => i -> i).toMap
+      (1 to Dedup.ccRounds).foreach { _ =>
+        l = ids.map(i => i -> math.min(l(i),
+          nbrs.getOrElse(i, Nil).map(l).reduceOption(_ min _).getOrElse(l(i)))).toMap
+      }
+      l
+    }
+    def fixpointClusters(ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val ids = graft.Tables.t(spark, dir, "documents")
+        .select($"doc_id").as[Long].collect().toSeq
+      graft.CacheScope.drain()
+      val pairs = collectedPairs(dir)
+      assert(pairs.nonEmpty, s"$dir: fixture must plant qualifying pairs")
+      val tr = threeRoundClusters(ids, pairs)
+      val fp = fixpointClusters(ids, pairs)
+      assert(tr == fp,
+        s"$dir: ${Dedup.ccRounds}-round labels != fixpoint — a fixture " +
+          "family's diameter exceeds ccRounds; the gate row and its " +
+          "oracle now under-merge where the filter stage would not")
+    }
+    // 2. the adversarial chain: five 47-word docs sliding by 5 words —
+    // consecutive Jaccard = 40/50 = exactly tau (>= 800 with integer
+    // math), distance-2 = 35/55 = 636 < tau, so the pair graph is a
+    // path with diameter 4
+    val words = (0 until 67).map(i => f"chain$i%03d")
+    val chain = (0L to 4L).map { i =>
+      val t = words.slice(i.toInt * 5, i.toInt * 5 + 47).mkString(" ")
+      (i, t, "xx", t.length.toLong)
+    }
+    val dir = tmpDir("exact-apply-chain").toString
+    chain.toDF("doc_id", "text", "lang", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val cp = collectedPairs(dir)
+    assert(cp.toSet == Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)),
+      s"chain fixture must be a diameter-4 path, got $cp")
+    val rollup = Dedup.exactDedupApply(spark, dir)
+      .select($"n_kept").as[Long].collect().sum
+    graft.CacheScope.drain()
+    val fixpointKept = Dedup.exactDedupFilterOn(
+      chain.toDF("doc_id", "text", "lang", "n_chars"), 800L,
+      keepBestByChars = true).count()
+    graft.CacheScope.drain()
+    assert(fixpointKept == 1L, s"fixpoint must merge the chain to 1, got $fixpointKept")
+    assert(rollup == 2L,
+      s"the 3-round gate row must keep 2 on a diameter-4 path (the " +
+        s"documented truncation boundary check 1 guards), got $rollup")
+  }
+
   test("exactDedupApply: gate rollup consistent with the run-to-fixpoint filter stage") {
     import spark.implicits._
     // the gate row truncates label propagation at ccRounds=3 (so the
