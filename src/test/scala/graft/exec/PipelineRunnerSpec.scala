@@ -372,6 +372,49 @@ class PipelineRunnerSpec extends SparkSpec {
       s"message should direct streaming deployments to the scheduler: ${err.getMessage}")
   }
 
+  test("declarative admission-index maintenance: compact_dedup_index step folds batch dirs") {
+    import org.apache.spark.sql.functions.col
+    val (repo, dataDir) = setup()
+    // an admission index accumulated by six one-batch ticks
+    val idx = s"$dataDir/dedupidx"
+    def doc(seed: Int) = (0 until 25).map(j => s"t${seed}x$j").mkString(" ")
+    graft.ops.Dedup.createExactDedupIndex(spark, idx,
+      Seq((0L, doc(0))).toDF("doc_id", "text"), 800L)
+    (0 until 6).foreach { i =>
+      graft.ops.Dedup.admitExactDedup(
+        Seq((i.toLong, doc(i))).toDF("doc_id", "text"), idx, i.toLong)
+      graft.CacheScope.drain()
+    }
+    val fs = graft.connect.Hfs.fs(spark, idx)
+    def dirs() = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "docs")).size
+    val before = dirs()
+    assert(before == 6)
+    val registry = new TransformRegistry
+    CurationTransforms.registerDedupIndexCompaction(registry, spark, idx)
+    val spec = pipeline(
+      s"""{"id":"dimaint","name":"nightly dedup-index compaction","recurrence":"0 4 * * *","steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"compact","order":2,"kind":"named","transformName":"compact_dedup_index"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"dimaint_out","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(spec)
+    assert(new PipelineRunner(spark, repo, registry).run(spec).status == "success")
+    assert(repo.history("dimaint").map(_.status) == Seq("running", "success"))
+    assert(dirs() == 2, s"expected [consolidated, live], got ${dirs()}") // 5 folded + live
+    // a post-compaction tick still dedups correctly: a re-arrival of an
+    // already-admitted doc self-rejects, a fresh doc admits
+    val adm = graft.ops.Dedup.admitExactDedup(
+      Seq((100L, doc(2)), (101L, doc(99))).toDF("doc_id", "text"), idx, 50L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    graft.CacheScope.drain()
+    assert(adm == Set(101L), s"post-compaction admissions wrong: $adm")
+    // streaming guard mirrors compact_layout's
+    val err = intercept[IllegalArgumentException](
+      registry("compact_dedup_index")(spark.readStream.format("rate").load()))
+    assert(err.getMessage.contains("PipelineScheduler"))
+  }
+
   test("sanitize load applies reference null semantics (SURVEY §1.3)") {
     val (repo, dataDir) = setup()
     Seq(
