@@ -106,6 +106,10 @@ class ExplainAuditSpec extends SparkSpec {
     // IVF-PQ reuses ivf's ≤16-row codebook cross joins (training
     // assignment + query probing) — map-side by construction
     "q_sim_ivfpq",
+    // the fixed-batch serving row probes the same frozen artifacts —
+    // identical codebook cross joins; its scan pruning is pinned by
+    // its own dedicated test below
+    "q_sim_ivfpq_serve",
     // semantic dedup clusters with the same trained ≤16-row codebook
     "q_dedup_semantic",
     // the capped variant trains with the same codebook; its cap
@@ -223,6 +227,23 @@ class ExplainAuditSpec extends SparkSpec {
       val plan = planOf(name)
       assert(plan.contains("WindowGroupLimit"), s"$name lost the pushdown:\n$plan")
     }
+  }
+
+  test("q_sim_ivfpq_serve: index scans prune list_group partitions; query scan pushes the batch cap") {
+    // the serving row's whole point is that a fixed query batch reads
+    // only the probed slice of a growing index: the grouped layout's
+    // partition column must appear as a PartitionFilters INSET on the
+    // index file scans (directory pruning at the SCAN, not a
+    // post-read filter), with the centroid INSET pushed alongside for
+    // row-group stats inside read groups — and the <20000 batch cap
+    // must reach the embeddings scan as a pushed filter
+    val plan = planOf("q_sim_ivfpq_serve")
+    assert("PartitionFilters: \\[list_group[^\\]]*INSET".r.findFirstIn(plan).isDefined,
+      s"index scan lost list_group partition pruning:\n$plan")
+    assert(plan.contains("In(centroid"),
+      s"index scan lost the pushed centroid INSET:\n$plan")
+    assert(plan.contains("LessThan(vec_id,20000)"),
+      s"query scan lost the fixed-batch cap pushdown:\n$plan")
   }
 
   test("q1_pricing scan pushes its filter and prunes columns") {
