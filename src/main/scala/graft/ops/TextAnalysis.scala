@@ -253,6 +253,112 @@ object TextAnalysis {
       |  score, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 lexical retrieval — the sparse top-k search a training
+    * pipeline runs for benchmark decontamination and targeted data
+    * selection (reference's pandas filter surface has no retrieval at
+    * all; this is the standard Okapi shape, Robertson & Walker 1994).
+    * Query batch is FIXED (replica-0 doc_ids ≡ 3 mod 97, first 8
+    * distinct tokens each): retrieval is a SERVING op, so the batch
+    * must not grow with the corpus — same discipline as
+    * q_sim_ivfpq_serve.
+    *
+    * Plan at 100 TB: one pass over documents (text column only)
+    * explodes postings WITH the doc length carried alongside, pruned
+    * immediately by a broadcast-hash join against the ~400-term query
+    * vocabulary — the inverted-index point lookup, expressed as
+    * map-side pruning so no unpruned posting ever shuffles. Everything
+    * after the prune (tf rollup, df rollup, score join, per-query
+    * top-k) runs on candidate-sized data; corpus-wide work is the scan
+    * plus one map-side-partial count/sum for N and avgdl.
+    *
+    * Cross-engine exactness: idf uses the log-free odds ratio
+    * (N − df + ½)/(df + ½) — written as one exact-integer ratio
+    * (2N−2df+1)/(2df+1) — because ln() is libm-dependent and would not
+    * hash-match (the [[tfidf]] precedent); per-term weights are a fixed
+    * chain of IEEE ops (bit-identical given identical op order, which
+    * the oracle mirrors parenthesis-for-parenthesis), and the per-doc
+    * sum is the [[graft.ops.dsum]] fixed-point discipline — scaled
+    * longs summed exactly, so summation ORDER (where Spark and DuckDB
+    * differ) cannot flip a bit. Ranking ties break on doc_id.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+    // the ~50-query batch feeds BOTH broadcast sides (vocabulary prune
+    // and score join) — persist it, or the corpus scans twice just to
+    // re-derive 400 rows
+    val queries = docs
+      .filter($"doc_id" % 97 === 3 && $"doc_id" < 100000)
+      .select($"doc_id".as("query_id"), explode(slice($"words", 1, 8)).as("term"))
+      .distinct()
+      .persistScoped()
+    val qterms = queries.select($"term").distinct()
+    val stats = docs.agg(
+      count(lit(1)).as("n"), sum(size($"words").cast("long")).as("toks"))
+    // postings carry len with them (no second corpus scan for a
+    // doc-keyed length join) and are pruned by the broadcast query
+    // vocabulary BEFORE any shuffle
+    val postings = docs
+      .select($"doc_id", size($"words").cast("long").as("len"),
+        explode($"words").as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy($"term", $"doc_id", $"len").agg(count(lit(1)).as("tf"))
+      .persistScoped()
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = (lit(2L) * $"n" - lit(2L) * $"df" + lit(1L)).cast("double") /
+      (lit(2L) * $"df" + lit(1L)).cast("double")
+    val denom = $"tf".cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) *
+        ($"len".cast("double") * $"n".cast("double") / $"toks".cast("double")))
+    val w = idf * (($"tf".cast("double") * lit(2.2)) / denom)
+    val hits = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(queries), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id", w.as("w"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum(round($"w" * lit(1e6)).cast("long")).as("s6"),
+        count(lit(1)).as("n_terms"))
+    val win = Window.partitionBy($"query_id").orderBy($"s6".desc, $"doc_id".asc)
+    hits.withColumn("rank", row_number().over(win).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"doc_id",
+        ($"s6".cast("double") / lit(1e6)).as("score"), $"n_terms")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val bm25Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_slice(words, 1, 8)) AS term
+      |      FROM d WHERE doc_id % 97 = 3 AND doc_id < 100000),
+      |st AS (SELECT COUNT(*)::BIGINT AS n, SUM(len(words))::BIGINT AS toks FROM d),
+      |post AS (
+      |  SELECT term, doc_id, len, COUNT(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, len(words)::BIGINT AS len, unnest(words) AS term FROM d)
+      |  WHERE term IN (SELECT term FROM q)
+      |  GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY 1),
+      |sc AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    (CAST(2 * st.n - 2 * f.df + 1 AS DOUBLE) / CAST(2 * f.df + 1 AS DOUBLE))
+      |      * ((CAST(p.tf AS DOUBLE) * 2.2) /
+      |         (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(p.len AS DOUBLE) * CAST(st.n AS DOUBLE) / CAST(st.toks AS DOUBLE))))) AS w
+      |  FROM post p JOIN dfq f USING (term) JOIN q ON q.term = p.term CROSS JOIN st),
+      |hits AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s6,
+      |    COUNT(*) AS n_terms
+      |  FROM sc GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, doc_id, s6, n_terms,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id ASC) AS rank
+      |  FROM hits)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+      |  CAST(s6 AS DOUBLE) / 1e6 AS score, CAST(n_terms AS BIGINT) AS n_terms
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Email / phone patterns for [[scrubPii]] — kept to the regex subset
     * with identical semantics in Java regex (Spark codegen'd
     * regexp_replace/regexp_extract_all) and RE2 (DuckDB): character
@@ -2414,6 +2520,7 @@ object TextAnalysis {
     CatalogEntry("q_text_bigram_lm", bigramStats, Some(bigramStatsSql)),
     CatalogEntry("q_text_pii", pii, Some(piiSql)),
     CatalogEntry("q_text_tfidf", tfidf, Some(tfidfSql)),
+    CatalogEntry("q_text_bm25", bm25, Some(bm25Sql)),
     CatalogEntry("q_text_stats", stats, Some(statsSql)),
     CatalogEntry("q_text_lang_id", langId, Some(langIdSql)),
     CatalogEntry("q_text_quality", quality, Some(qualitySql)),

@@ -138,7 +138,12 @@ class ExplainAuditSpec extends SparkSpec {
     "q_text_dsir",
     // curriculum plan broadcasts its ONE-ROW quantile threshold under
     // the corpus — the q_feat_target_enc scalar-cross-join shape
-    "q_shard_curriculum_plan")
+    "q_shard_curriculum_plan",
+    // BM25 rides its 1-row N/avgdl stats in as a scalar cross join
+    // (map-side by construction); its real scale property — postings
+    // pruned by the broadcast query vocabulary BEFORE any exchange —
+    // is pinned by its own dedicated test below
+    "q_text_bm25")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
@@ -244,6 +249,21 @@ class ExplainAuditSpec extends SparkSpec {
       s"index scan lost the pushed centroid INSET:\n$plan")
     assert(plan.contains("LessThan(vec_id,20000)"),
       s"query scan lost the fixed-batch cap pushdown:\n$plan")
+  }
+
+  test("q_text_bm25: broadcast-only joins (map-side postings prune), top-k via WindowGroupLimit") {
+    // the inverted-index property: every real join in the row — the
+    // query-vocabulary prune on the exploded postings, the df join,
+    // the score join — must be a broadcast hash join (map-side; no
+    // unpruned posting ever shuffles). A SortMergeJoin/ShuffledHashJoin
+    // appearing here means the prune regressed to shuffling the raw
+    // posting stream. The single BNLJ is the 1-row N/avgdl cross.
+    val plan = planOf("q_text_bm25")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"postings joins regressed to shuffle joins:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1, s"expected exactly 1 BNLJ (the 1-row stats cross), got $bnlj:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"top-5 lost the group-limit pushdown:\n$plan")
   }
 
   test("q1_pricing scan pushes its filter and prunes columns") {

@@ -480,4 +480,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("stride"))
   }
+
+  test("BM25 ranking: idf beats common terms, length norm beats padding, ties on doc_id") {
+    // Hand-computable corpus. doc 3 is the only id ≡ 3 (mod 97), so the
+    // fixed query batch is exactly its first 8 distinct tokens
+    // {rare1, rare2, common}. Expected ranking from BM25 axioms:
+    //   3  — matches both rare terms (highest idf mass) → top
+    //   10 — rare1 + common in a SHORT doc
+    //   11 — same tf as 10 but 2× longer → length-normalized below 10
+    //   12 — only the common term → last
+    val dir = tmpDir("graft-bm25").toString
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (3L, "rare1 rare2 common common common"),
+      (10L, "rare1 common fillerA fillerB"),
+      (11L, "rare1 common fillerA fillerB fillerC fillerD fillerE fillerF"),
+      (12L, "common common common common"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.bm25(spark, dir)
+      .select("query_id", "rank", "doc_id", "n_terms")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set(3L)) // one query: doc 3
+    assert(out.sortBy(_._2).map(_._3).toSeq == Seq(3L, 10L, 11L, 12L))
+    // matched-term counts: doc 3 all three, 10/11 two, 12 one
+    assert(out.map(r => r._3 -> r._4).toMap ==
+      Map(3L -> 3L, 10L -> 2L, 11L -> 2L, 12L -> 1L))
+  }
 }
