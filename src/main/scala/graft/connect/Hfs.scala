@@ -85,4 +85,31 @@ object Hfs {
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
   }
+
+  /** Listing-level fingerprint of a file or directory: every part
+    * file's (name, length, mtime) hashed — metadata-only, no data
+    * read, one namenode listing per call. Used to key per-JVM frozen
+    * artifact caches honestly: a fixture regenerated in place changes
+    * the listing, so stale artifacts rebuild instead of silently
+    * serving wrong results.
+    */
+  def listingFingerprint(spark: SparkSession, path: String): String = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (f.exists(p)) {
+      val st = f.getFileStatus(p)
+      if (st.isFile) parts += s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+      else {
+        val it = f.listFiles(p, true)
+        while (it.hasNext) {
+          val e = it.next()
+          parts += s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}"
+        }
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 }

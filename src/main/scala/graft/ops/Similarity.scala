@@ -866,31 +866,12 @@ object Similarity {
   private val ivfPqArtifacts =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
-  /** Listing-level fingerprint of `<dir>/embeddings.parquet` (file or
-    * directory): every part file's (name, length, mtime) hashed —
-    * metadata-only, no data read, one namenode listing per [[ivfPq]]
-    * call.
+  /** Listing-level fingerprint of `<dir>/embeddings.parquet` —
+    * [[graft.connect.Hfs.listingFingerprint]]: metadata-only, one
+    * namenode listing per [[ivfPq]] call.
     */
-  private def embeddingsFingerprint(s: SparkSession, dir: String): String = {
-    val path = s"$dir/embeddings.parquet"
-    val fs = graft.connect.Hfs.fs(s, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (fs.exists(p)) {
-      val st = fs.getFileStatus(p)
-      if (st.isFile) parts += s"${p.getName}:${st.getLen}:${st.getModificationTime}"
-      else {
-        val it = fs.listFiles(p, true)
-        while (it.hasNext) {
-          val f = it.next()
-          parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
-        }
-      }
-    }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  private def embeddingsFingerprint(s: SparkSession, dir: String): String =
+    graft.connect.Hfs.listingFingerprint(s, s"$dir/embeddings.parquet")
 
   /** Drop all frozen [[ivfPq]] artifacts — the explicit invalidation
     * hook for fixture-regenerating tools and tests (belt to the

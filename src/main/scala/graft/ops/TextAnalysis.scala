@@ -288,11 +288,7 @@ object TextAnalysis {
     // the ~50-query batch feeds BOTH broadcast sides (vocabulary prune
     // and score join) — persist it, or the corpus scans twice just to
     // re-derive 400 rows
-    val queries = docs
-      .filter($"doc_id" % 97 === 3 && $"doc_id" < 100000)
-      .select($"doc_id".as("query_id"), explode(slice($"words", 1, 8)).as("term"))
-      .distinct()
-      .persistScoped()
+    val queries = bm25QueryBatch(docs).persistScoped()
     val qterms = queries.select($"term").distinct()
     val stats = docs.agg(
       count(lit(1)).as("n"), sum(size($"words").cast("long")).as("toks"))
@@ -306,16 +302,45 @@ object TextAnalysis {
       .groupBy($"term", $"doc_id", $"len").agg(count(lit(1)).as("tf"))
       .persistScoped()
     val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-    val idf = (lit(2L) * $"n" - lit(2L) * $"df" + lit(1L)).cast("double") /
+    bm25Tail(postings.crossJoin(broadcast(stats)), dfreq, queries,
+      $"n", $"toks")
+  }
+
+  /** The fixed BM25 serving batch: replica-0 doc_ids ≡ 3 (mod 97),
+    * first 8 distinct tokens each — shared by the in-row [[bm25]] and
+    * the frozen-index [[bm25ServeRow]] so the two gate rows stay
+    * oracle-identical. Input must carry (doc_id, words).
+    */
+  private def bm25QueryBatch(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.filter($"doc_id" % 97 === 3 && $"doc_id" < 100000)
+      .select($"doc_id".as("query_id"), explode(slice($"words", 1, 8)).as("term"))
+      .distinct()
+  }
+
+  /** BM25 score-and-rank tail shared by [[bm25]] and [[bm25Serve]]:
+    * ONE expression tree for both, so frozen-index serving is
+    * bit-identical to the in-row computation (the cross-engine IEEE
+    * op-order argument lives in one place). `n`/`toks` are the 1-row
+    * broadcast-cross columns in the in-row version and driver literals
+    * in the serving version — same exact longs, same double ops.
+    * Postings must carry (term, doc_id, len, tf); dfreq (term, df);
+    * queries (query_id, term).
+    */
+  private def bm25Tail(postings: DataFrame, dfreq: DataFrame,
+      queries: DataFrame, n: Column, toks: Column): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
+    val idf = (lit(2L) * n - lit(2L) * $"df" + lit(1L)).cast("double") /
       (lit(2L) * $"df" + lit(1L)).cast("double")
     val denom = $"tf".cast("double") + lit(1.2) *
       (lit(0.25) + lit(0.75) *
-        ($"len".cast("double") * $"n".cast("double") / $"toks".cast("double")))
+        ($"len".cast("double") * n.cast("double") / toks.cast("double")))
     val w = idf * (($"tf".cast("double") * lit(2.2)) / denom)
     val hits = postings
       .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(queries), Seq("term"))
-      .crossJoin(broadcast(stats))
       .select($"query_id", $"doc_id", w.as("w"))
       .groupBy($"query_id", $"doc_id")
       .agg(sum(round($"w" * lit(1e6)).cast("long")).as("s6"),
@@ -327,6 +352,117 @@ object TextAnalysis {
         ($"s6".cast("double") / lit(1e6)).as("score"), $"n_terms")
       .orderBy($"query_id", $"rank")
   }
+
+  /** Bucket count for [[saveBm25Index]]'s term-hashed postings layout:
+    * 64 directories (the [[graft.ops.Dedup.defaultAdmitBuckets]]
+    * convention) — listing rent stays trivial while a serving batch
+    * prunes its postings scan to the buckets its terms hash into.
+    */
+  val defaultBm25Buckets = 64
+
+  /** Persist a FROZEN BM25 inverted index at `path` — the artifact a
+    * 100 TB deployment builds once and serves query batches against,
+    * instead of re-exploding the corpus per batch (the [[bm25]] gate
+    * row's shape, kept for oracle coverage). Layout:
+    *
+    *  - `postings/bucket=<h>/` — (term, doc_id, len, tf), hive-
+    *    partitioned by `hash(term) mod buckets`, repartitioned on the
+    *    layout key before the write (one file per bucket per job, not
+    *    shuffle-partitions × buckets);
+    *  - `dfreq/` — (term, df), vocabulary-sized;
+    *  - `_bm25_stats` — "N totalTokens buckets" exact longs, the
+    *    corpus constants every score needs (driver-readable, no scan).
+    *
+    * Incremental maintenance would follow the admission-index pattern
+    * (per-batch subdirs + compaction); this artifact freezes one
+    * corpus snapshot — the decontamination / data-selection shape.
+    */
+  def saveBm25Index(docs: DataFrame, path: String,
+      buckets: Int = defaultBm25Buckets): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs.select($"doc_id", split($"text", " ").as("words"))
+    val postings = words
+      .select($"doc_id", size($"words").cast("long").as("len"),
+        explode($"words").as("term"))
+      .groupBy($"term", $"doc_id", $"len").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash($"term"), lit(buckets)))
+      .persistScoped() // feeds the postings write AND the df rollup
+    postings.repartition($"bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    postings.groupBy($"term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfreq")
+    val (n, toks) = words
+      .agg(count(lit(1)), sum(size($"words").cast("long")))
+      .as[(Long, Long)].head()
+    graft.connect.Hfs.writeSmall(graft.connect.Hfs.fs(s, path),
+      new org.apache.hadoop.fs.Path(path, "_bm25_stats"),
+      s"$n $toks $buckets", overwrite = true)
+  }
+
+  /** BM25 top-5 served from a [[saveBm25Index]] artifact — identical
+    * output to the in-row [[bm25]] on the same corpus and query batch
+    * (InvariantSpec pins it; both run [[bm25Tail]]). Per batch the
+    * index pays: one tiny job hashing the query terms to their
+    * buckets, a postings scan pruned to those PARTITIONS (bucket INSET
+    * in PartitionFilters) with the term INSET pushed for row-group
+    * stats inside them, and a vocabulary scan pruned the same way —
+    * no corpus re-scan, no re-explode, whatever the index has grown
+    * to. `queries` must carry (query_id, term) and be serving-batch
+    * sized (both sides of the score join broadcast it).
+    */
+  def bm25Serve(s: SparkSession, queries: DataFrame,
+      indexPath: String): DataFrame = {
+    import s.implicits._
+    val fs = graft.connect.Hfs.fs(s, indexPath)
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_bm25_stats")
+    require(fs.exists(marker),
+      s"$indexPath is not a BM25 index (no _bm25_stats marker) — " +
+        "build one with saveBm25Index")
+    val Array(n, toks, buckets) =
+      graft.connect.Hfs.readSmall(fs, marker).trim.split(" ").map(_.toLong)
+    val q = queries.select($"query_id", $"term").distinct().persistScoped()
+    // driver-side prune lists: the batch is bounded by contract, so
+    // collecting its distinct terms/buckets is metadata-sized — and
+    // buys scan-level pruning no join could
+    val terms = q.select($"term").distinct().as[String].collect().toSeq
+    val bucketIds = q
+      .select(pmod(hash($"term"), lit(buckets.toInt)).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val postings = s.read.parquet(s"$indexPath/postings")
+      .filter($"bucket".isin(bucketIds: _*) && $"term".isin(terms: _*))
+    val dfq = s.read.parquet(s"$indexPath/dfreq")
+      .filter($"term".isin(terms: _*))
+    bm25Tail(postings, dfq, q, lit(n), lit(toks))
+  }
+
+  /** The `q_text_bm25_serve` catalog row: [[bm25]]'s fixed query batch
+    * served from a frozen [[saveBm25Index]] artifact. Oracle = the
+    * same SQL as `q_text_bm25` (frozen ≡ in-row, bit-for-bit). The
+    * artifact is cached per (fixture dir, listing fingerprint) — the
+    * [[graft.ops.Similarity.ivfPq]] convention — so the board's warm
+    * iterations measure the pruned-scan SERVING cost, and the gate's
+    * single execution differentially checks the build+serve chain.
+    */
+  def bm25ServeRow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = (dir, graft.connect.Hfs.listingFingerprint(s, s"$dir/documents.parquet"))
+    val path = bm25Artifacts.getOrElseUpdate(key, {
+      val base = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
+      saveBm25Index(Tables.t(s, dir, "documents").select($"doc_id", $"text"), base)
+      base
+    })
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+    bm25Serve(s, bm25QueryBatch(docs), path)
+  }
+
+  /** Frozen BM25 index paths keyed by (fixture dir, content
+    * fingerprint) — paths, never DataFrames (cached plans would be
+    * invalidated by the bench's per-query cache drains).
+    */
+  private val bm25Artifacts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private val bm25Sql =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -2521,6 +2657,7 @@ object TextAnalysis {
     CatalogEntry("q_text_pii", pii, Some(piiSql)),
     CatalogEntry("q_text_tfidf", tfidf, Some(tfidfSql)),
     CatalogEntry("q_text_bm25", bm25, Some(bm25Sql)),
+    CatalogEntry("q_text_bm25_serve", bm25ServeRow, Some(bm25Sql)),
     CatalogEntry("q_text_stats", stats, Some(statsSql)),
     CatalogEntry("q_text_lang_id", langId, Some(langIdSql)),
     CatalogEntry("q_text_quality", quality, Some(qualitySql)),

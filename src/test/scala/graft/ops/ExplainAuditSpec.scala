@@ -85,7 +85,11 @@ class ExplainAuditSpec extends SparkSpec {
     // round 14: exact dedup application = the prefix join + label
     // rounds (doc-keyed equi-joins) + keep-best rollup join — hash
     // joins end to end
-    "q_dedup_exact_apply")
+    "q_dedup_exact_apply",
+    // round 15: frozen-index BM25 serving — the corpus stats ride in
+    // as driver LITERALS (no 1-row cross at all); df/score joins
+    // broadcast; its scan pruning is pinned by its dedicated test
+    "q_text_bm25_serve")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -263,6 +267,20 @@ class ExplainAuditSpec extends SparkSpec {
       s"postings joins regressed to shuffle joins:\n$plan")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(bnlj == 1, s"expected exactly 1 BNLJ (the 1-row stats cross), got $bnlj:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"top-5 lost the group-limit pushdown:\n$plan")
+  }
+
+  test("q_text_bm25_serve: postings scan prunes bucket partitions and pushes the term INSET") {
+    // the frozen index's point: a query batch reads only the postings
+    // buckets its terms hash into — the bucket INSET must appear as a
+    // PartitionFilters entry (directory pruning at the SCAN), with the
+    // term membership pushed alongside for row-group stats inside them
+    val plan = planOf("q_text_bm25_serve")
+    assert("PartitionFilters: \\[bucket[^\\]]*IN".r.findFirstIn(plan).isDefined ||
+      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"postings scan lost bucket partition pruning:\n$plan")
+    assert(plan.contains("In(term"),
+      s"postings scan lost the pushed term INSET:\n$plan")
     assert(plan.contains("WindowGroupLimit"), s"top-5 lost the group-limit pushdown:\n$plan")
   }
 

@@ -508,5 +508,25 @@ class TextAnalysisSpec extends SparkSpec {
     // matched-term counts: doc 3 all three, 10/11 two, 12 one
     assert(out.map(r => r._3 -> r._4).toMap ==
       Map(3L -> 3L, 10L -> 2L, 11L -> 2L, 12L -> 1L))
+
+    // frozen-index serving ≡ in-row, bit for bit (same query batch,
+    // same corpus, both via bm25Tail) — scores included
+    val inRow = TextAnalysis.bm25(spark, dir).collect().toSeq
+    val idx = tmpDir("graft-bm25-idx").toString
+    TextAnalysis.saveBm25Index(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), idx)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') AS words")
+    val served = TextAnalysis.bm25Serve(spark,
+      docs.filter($"doc_id" % 97 === 3)
+        .selectExpr("doc_id AS query_id", "explode(slice(words, 1, 8)) AS term")
+        .distinct(), idx).collect().toSeq
+    assert(served == inRow, s"frozen != in-row:\n$served\n$inRow")
+    // a non-index path is refused loudly, not served as empty
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Serve(spark, docs.limit(0)
+        .selectExpr("doc_id AS query_id", "'x' AS term"), tmpDir("not-an-index").toString)
+    }
+    assert(err.getMessage.contains("_bm25_stats"))
   }
 }
