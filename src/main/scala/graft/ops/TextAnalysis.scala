@@ -388,7 +388,11 @@ object TextAnalysis {
       .groupBy($"term", $"doc_id", $"len").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(hash($"term"), lit(buckets)))
       .persistScoped() // feeds the postings write AND the df rollup
-    postings.repartition($"bucket")
+    // layout-keyed repartition (one file per bucket per job), then
+    // term-clustered WITHIN each bucket: parquet row-group min/max on
+    // term only prunes if rows are sorted — without this the pushed
+    // term INSET reads every row group in every touched bucket
+    postings.repartition($"bucket").sortWithinPartitions($"term", $"doc_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     postings.groupBy($"term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/dfreq")
