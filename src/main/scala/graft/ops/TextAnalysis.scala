@@ -332,6 +332,23 @@ object TextAnalysis {
       queries: DataFrame, n: Column, toks: Column): DataFrame = {
     val s = postings.sparkSession
     import s.implicits._
+    bm25Ranks(postings, dfreq, queries, n, toks)
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"doc_id",
+        ($"s6".cast("double") / lit(1e6)).as("score"), $"n_terms")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** BM25 score-and-rank core: every (query, matched doc) with its
+    * fixed-point score `s6`, matched-term count, and dense rank-1..N
+    * position (score desc, doc_id tiebreak). [[bm25Tail]] cuts it to
+    * the top-5 gate shape; [[hybridRrf]] consumes the positions as one
+    * of its fused rank lists.
+    */
+  private def bm25Ranks(postings: DataFrame, dfreq: DataFrame,
+      queries: DataFrame, n: Column, toks: Column): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
     val idf = (lit(2L) * n - lit(2L) * $"df" + lit(1L)).cast("double") /
       (lit(2L) * $"df" + lit(1L)).cast("double")
     val denom = $"tf".cast("double") + lit(1.2) *
@@ -347,10 +364,6 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
     val win = Window.partitionBy($"query_id").orderBy($"s6".desc, $"doc_id".asc)
     hits.withColumn("rank", row_number().over(win).cast("long"))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"doc_id",
-        ($"s6".cast("double") / lit(1e6)).as("score"), $"n_terms")
-      .orderBy($"query_id", $"rank")
   }
 
   /** Bucket count for [[saveBm25Index]]'s term-hashed postings layout:
@@ -467,6 +480,153 @@ object TextAnalysis {
     */
   private val bm25Artifacts =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Hybrid retrieval — BM25 ∪ embedding-cosine fused by reciprocal
+    * rank fusion (Cormack, Clarke & Büttcher 2009: score = Σ 1/(60+r)
+    * over the systems that returned the doc). The modern retrieval
+    * stack a training pipeline runs for decontamination and targeted
+    * selection is exactly this two-tower shape: a sparse lexical list
+    * catches exact token overlap that embeddings smooth away, the
+    * dense list catches paraphrase the lexicon misses, and RRF fuses
+    * them without any score calibration (ranks only — the property
+    * that makes the fusion robust AND hash-exact: 1/(60+r) is one IEEE
+    * division of exact longs, summed via the dsum discipline, so the
+    * float subtleties of both underlying scorers never cross the
+    * fusion boundary).
+    *
+    * Query batch: the fixed serving ids (≡ 3 mod 97, replica-0) that
+    * have BOTH a document and an embedding — defined from the
+    * embeddings side, which is a subset of documents in every fixture.
+    * Each side contributes its top-20 (score desc, doc_id tiebreak);
+    * fused top-5 emits both per-system ranks (0 = that system did not
+    * return the doc) so the gate hash covers the full fusion evidence.
+    *
+    * Plan at 100 TB: the lexical side is [[bm25Ranks]] (map-side
+    * pruned postings — see [[bm25]]); the dense side broadcasts the
+    * fixed query batch under the embeddings scan (one pass, one
+    * integer dot per pair — the exact-rescore baseline; a deployment
+    * would swap in the IVF-PQ probe for this side, same fusion tail);
+    * the fusion itself is a full-outer join of two ≤20·|Q|-row lists —
+    * metadata-sized whatever the corpus.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+    val emb = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", Similarity.quantize1e4($"embedding").as("xq"))
+      .withColumn("n2", Similarity.dot64($"xq", $"xq"))
+      .persistScoped() // feeds the query subset AND the candidate side
+    val qv = emb.filter($"vec_id" % 97 === 3 && $"vec_id" < 100000)
+      .select($"vec_id".as("query_id"), $"xq".as("qx"), $"n2".as("qn2"))
+    // lexical side: the bm25 pipeline over the SAME ids, top-20
+    val queries = docs
+      .join(broadcast(qv.select($"query_id".as("doc_id"))), Seq("doc_id"))
+      .select($"doc_id".as("query_id"), explode(slice($"words", 1, 8)).as("term"))
+      .distinct()
+      .persistScoped()
+    val qterms = queries.select($"term").distinct()
+    val stats = docs.agg(
+      count(lit(1)).as("n"), sum(size($"words").cast("long")).as("toks"))
+    val postings = docs
+      .select($"doc_id", size($"words").cast("long").as("len"),
+        explode($"words").as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy($"term", $"doc_id", $"len").agg(count(lit(1)).as("tf"))
+      .persistScoped()
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val lex = bm25Ranks(postings.crossJoin(broadcast(stats)), dfreq, queries,
+        $"n", $"toks")
+      .filter($"rank" <= 20)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    // dense side: exact bridged cosine against every vector, top-20
+    val cosd = emb.crossJoin(broadcast(qv))
+      .select($"query_id", $"vec_id".as("doc_id"),
+        Similarity.cosineFromDots(Similarity.dot64($"xq", $"qx"),
+          $"n2", $"qn2").as("cos"))
+    val wd = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc)
+    val dense = cosd.withColumn("vec_rank", row_number().over(wd).cast("long"))
+      .filter($"vec_rank" <= 20)
+      .select($"query_id", $"doc_id", $"vec_rank")
+    // fuse: 1/(60+r) per contributing system, fixed-point
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        (coalesce(round(lit(1e6) / (lit(60L) + $"lex_rank")).cast("long"), lit(0L)) +
+          coalesce(round(lit(1e6) / (lit(60L) + $"vec_rank")).cast("long"), lit(0L))).as("s6"),
+        coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+        coalesce($"vec_rank", lit(0L)).as("vec_rank"))
+    val wf = Window.partitionBy($"query_id").orderBy($"s6".desc, $"doc_id".asc)
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"doc_id",
+        ($"s6".cast("double") / lit(1e6)).as("rrf"), $"lex_rank", $"vec_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val hybridRrfSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |q AS (SELECT DISTINCT d.doc_id AS query_id, unnest(list_slice(d.words, 1, 8)) AS term
+      |      FROM d JOIN embeddings em ON em.vec_id = d.doc_id
+      |      WHERE d.doc_id % 97 = 3 AND d.doc_id < 100000),
+      |st AS (SELECT COUNT(*)::BIGINT AS n, SUM(len(words))::BIGINT AS toks FROM d),
+      |post AS (
+      |  SELECT term, doc_id, len, COUNT(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, len(words)::BIGINT AS len, unnest(words) AS term FROM d)
+      |  WHERE term IN (SELECT term FROM q)
+      |  GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY 1),
+      |sc AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    (CAST(2 * st.n - 2 * f.df + 1 AS DOUBLE) / CAST(2 * f.df + 1 AS DOUBLE))
+      |      * ((CAST(p.tf AS DOUBLE) * 2.2) /
+      |         (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(p.len AS DOUBLE) * CAST(st.n AS DOUBLE) / CAST(st.toks AS DOUBLE))))) AS w
+      |  FROM post p JOIN dfq f USING (term) JOIN q ON q.term = p.term CROSS JOIN st),
+      |hits AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(SUM(CAST(round(w * 1e6) AS BIGINT)) AS BIGINT) AS s6
+      |  FROM sc GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+      |  SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id ASC) AS lex_rank
+      |  FROM hits) WHERE lex_rank <= 20),
+      |eq AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |       CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e4) AS BIGINT) AS xq
+      |       FROM embeddings),
+      |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM eq GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+      |    CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot
+      |  FROM eq a JOIN eq b ON a.i = b.i
+      |  WHERE a.vec_id % 97 = 3 AND a.vec_id < 100000
+      |  GROUP BY 1, 2),
+      |cosd AS (
+      |  SELECT query_id, doc_id,
+      |    (dot / 1e8) / (sqrt(nd.n2 / 1e8) * sqrt(nq.n2 / 1e8)) AS cos
+      |  FROM dots JOIN norms nd ON doc_id = nd.vec_id
+      |    JOIN norms nq ON query_id = nq.vec_id),
+      |dense AS (SELECT query_id, doc_id, vec_rank FROM (
+      |  SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS vec_rank
+      |  FROM cosd) WHERE vec_rank <= 20),
+      |fused AS (
+      |  SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+      |    COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+      |    COALESCE(CAST(round(1e6 / (60 + l.lex_rank)) AS BIGINT), 0)
+      |      + COALESCE(CAST(round(1e6 / (60 + dn.vec_rank)) AS BIGINT), 0) AS s6,
+      |    COALESCE(l.lex_rank, 0) AS lex_rank,
+      |    COALESCE(dn.vec_rank, 0) AS vec_rank
+      |  FROM lex l FULL OUTER JOIN dense dn
+      |    ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id),
+      |ranked AS (
+      |  SELECT query_id, doc_id, s6, lex_rank, vec_rank,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id ASC) AS rank
+      |  FROM fused)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+      |  CAST(s6 AS DOUBLE) / 1e6 AS rrf,
+      |  CAST(lex_rank AS BIGINT) AS lex_rank, CAST(vec_rank AS BIGINT) AS vec_rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val bm25Sql =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -2662,6 +2822,7 @@ object TextAnalysis {
     CatalogEntry("q_text_tfidf", tfidf, Some(tfidfSql)),
     CatalogEntry("q_text_bm25", bm25, Some(bm25Sql)),
     CatalogEntry("q_text_bm25_serve", bm25ServeRow, Some(bm25Sql)),
+    CatalogEntry("q_text_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     CatalogEntry("q_text_stats", stats, Some(statsSql)),
     CatalogEntry("q_text_lang_id", langId, Some(langIdSql)),
     CatalogEntry("q_text_quality", quality, Some(qualitySql)),

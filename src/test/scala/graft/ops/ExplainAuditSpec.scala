@@ -147,7 +147,12 @@ class ExplainAuditSpec extends SparkSpec {
     // (map-side by construction); its real scale property — postings
     // pruned by the broadcast query vocabulary BEFORE any exchange —
     // is pinned by its own dedicated test below
-    "q_text_bm25")
+    "q_text_bm25",
+    // hybrid RRF: the lexical side is bm25's shape (1-row stats
+    // cross); the dense side broadcasts the FIXED query batch under
+    // the embeddings scan for the exact-rescore baseline — the
+    // q_sim_topk shape, map-side by construction
+    "q_text_hybrid_rrf")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString

@@ -529,4 +529,38 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("_bm25_stats"))
   }
+
+  test("hybrid RRF: fused score is exactly the rank formula; lexical ranks agree with bm25") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.hybridRrf(spark, dir)
+      .select("query_id", "rank", "doc_id", "rrf", "lex_rank", "vec_rank")
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // per query: ranks are 1..k contiguous, per-system ranks in [0, 20]
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    assert(out.forall(r => r._5 >= 0 && r._5 <= 20 && r._6 >= 0 && r._6 <= 20))
+    // a doc in the top-5 was returned by at least one system
+    assert(out.forall(r => r._5 > 0 || r._6 > 0))
+    // the fused score IS the RRF formula over the emitted ranks —
+    // recompute 1/(60+r) fixed-point from the output and match exactly
+    out.foreach { r =>
+      val expect = (if (r._5 > 0) math.round(1e6 / (60 + r._5)) else 0L) +
+        (if (r._6 > 0) math.round(1e6 / (60 + r._6)) else 0L)
+      assert(math.round(r._4 * 1e6) == expect, s"row $r")
+    }
+    // cross-operator consistency: where a fused doc carries a lexical
+    // rank <= 5, the standalone bm25 row reports the SAME rank
+    val bm = TextAnalysis.bm25(spark, dir)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val checked = out.filter(r => r._5 >= 1 && r._5 <= 5)
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(bm.get((r._1, r._3)).contains(r._5),
+        s"lex rank disagrees with bm25 for query ${r._1} doc ${r._3}")
+    }
+  }
 }
