@@ -48,6 +48,32 @@ object CurationTransforms {
     })
   }
 
+  /** Register `bm25_select`: retrieval-GUIDED data selection — keep
+    * exactly the corpus documents that appear in some target query's
+    * BM25 top-`k` (targets read from `benchPath`, each contributing
+    * its first 8 distinct tokens as a query). The inverse of
+    * decontamination: instead of dropping what matches a benchmark,
+    * keep what matches a TARGET DOMAIN — the lexical sibling of DSIR
+    * selection, and the standard recipe for carving a domain-relevant
+    * pretraining subset out of a web-scale corpus. Scoring is
+    * [[graft.ops.TextAnalysis.bm25TopKOn]] (map-side-pruned postings,
+    * exact fixed-point arithmetic); the keep is a left-semi join on
+    * doc_id. Targets are read lazily at first use and must be
+    * serving-batch sized (they broadcast).
+    */
+  def registerBm25Select(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      benchPath: String,
+      k: Int = 20): Unit = {
+    lazy val targets = spark.read.parquet(benchPath)
+    registry.register("bm25_select", { corpus: DataFrame =>
+      val hits = graft.ops.TextAnalysis.bm25TopKOn(corpus, targets, k)
+        .select(col("doc_id")).distinct()
+      corpus.join(hits, Seq("doc_id"), "left_semi")
+    })
+  }
+
   /** Register `classifier_filter`: the CCNet/GPT-3-shaped quality
     * gate — TRAIN the batch-perceptron classifier on the in-flight
     * corpus (curated-vs-crawl labels from `posSources`) and keep the

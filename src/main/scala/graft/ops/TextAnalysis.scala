@@ -366,6 +366,44 @@ object TextAnalysis {
     hits.withColumn("rank", row_number().over(win).cast("long"))
   }
 
+  /** BM25 top-k over ARBITRARY frames — the library form behind the
+    * `bm25_select` curation transform: `corpus` and `queryDocs` each
+    * carry (doc_id, text); each query doc contributes its first 8
+    * distinct tokens, and the result is each query's top-`k` corpus
+    * docs under the same exact-arithmetic scoring as the [[bm25]] gate
+    * row (one shared [[bm25Ranks]] tail). Same plan shape: postings
+    * pruned map-side by the broadcast query vocabulary, so the corpus
+    * is scanned once and never shuffled unpruned — `queryDocs` must be
+    * serving-batch sized (it is broadcast twice).
+    */
+  def bm25TopKOn(corpus: DataFrame, queryDocs: DataFrame, k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    require(k >= 1, s"bm25TopKOn: k must be >= 1, got $k")
+    val docs = corpus.select($"doc_id", split($"text", " ").as("words"))
+    val queries = queryDocs
+      .select($"doc_id".as("query_id"),
+        explode(slice(split($"text", " "), 1, 8)).as("term"))
+      .distinct()
+      .persistScoped()
+    val qterms = queries.select($"term").distinct()
+    val stats = docs.agg(
+      count(lit(1)).as("n"), sum(size($"words").cast("long")).as("toks"))
+    val postings = docs
+      .select($"doc_id", size($"words").cast("long").as("len"),
+        explode($"words").as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy($"term", $"doc_id", $"len").agg(count(lit(1)).as("tf"))
+      .persistScoped()
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    bm25Ranks(postings.crossJoin(broadcast(stats)), dfreq, queries,
+        $"n", $"toks")
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id",
+        ($"s6".cast("double") / lit(1e6)).as("score"), $"n_terms")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Bucket count for [[saveBm25Index]]'s term-hashed postings layout:
     * 64 directories (the [[graft.ops.Dedup.defaultAdmitBuckets]]
     * convention) — listing rent stays trivial while a serving batch

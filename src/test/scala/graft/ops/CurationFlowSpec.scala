@@ -749,4 +749,34 @@ class CurationFlowSpec extends SparkSpec {
         s"phase interleaving in ${f.getName}")
     }
   }
+
+  test("bm25_select keeps exactly the target-matching docs, full schema, zero-overlap drops") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    val corpus = Seq(
+      (1L, "quantum flux capacitor tuning guide", "en", "s", 35L),
+      (2L, "banana bread recipe with walnuts steps", "en", "s", 39L),
+      (3L, "flux measurements in quantum systems data", "en", "s", 42L),
+      (4L, "gardening tips for tomato plants soil", "en", "s", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val benchDir = tmpDir("bm25-select-bench").toString
+    Seq((100L, "quantum flux theory overview intro primer"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir)
+    val registry = new TransformRegistry
+    CurationTransforms.registerBm25Select(registry, spark, benchDir, k = 2)
+    val kept = registry("bm25_select")(corpus)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    // only docs 1 and 3 share any query term; 2 and 4 never enter the
+    // candidate set (no posting matches), so top-2 is exactly {1, 3}
+    assert(kept.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    graft.CacheScope.drain()
+    // k = 1 keeps only the best match
+    val registry1 = new TransformRegistry
+    CurationTransforms.registerBm25Select(registry1, spark, benchDir, k = 1)
+    val kept1 = registry1("bm25_select")(corpus)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept1.size == 1 && kept1.subsetOf(Set(1L, 3L)))
+    graft.CacheScope.drain()
+  }
 }
