@@ -74,6 +74,28 @@ object CurationTransforms {
     })
   }
 
+  /** Register `bm25_decontaminate`: the inverse verb of
+    * [[registerBm25Select]] — DROP every corpus document that appears
+    * in some benchmark query's BM25 top-`k` (anti join instead of
+    * semi). Complements the exact-overlap routes (`bloom_decontaminate`,
+    * `exact_decontaminate`): those guarantee no missed n-gram overlap;
+    * this one catches lexically-close rephrasings those are blind to,
+    * at the cost of dropping top-k near matches that may be clean —
+    * the standard belt-and-suspenders pairing for eval-set hygiene.
+    */
+  def registerBm25Decontaminate(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      benchPath: String,
+      k: Int = 20): Unit = {
+    lazy val targets = spark.read.parquet(benchPath)
+    registry.register("bm25_decontaminate", { corpus: DataFrame =>
+      val hits = graft.ops.TextAnalysis.bm25TopKOn(corpus, targets, k)
+        .select(col("doc_id")).distinct()
+      corpus.join(hits, Seq("doc_id"), "left_anti")
+    })
+  }
+
   /** Register `classifier_filter`: the CCNet/GPT-3-shaped quality
     * gate — TRAIN the batch-perceptron classifier on the in-flight
     * corpus (curated-vs-crawl labels from `posSources`) and keep the

@@ -778,5 +778,12 @@ class CurationFlowSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(kept1.size == 1 && kept1.subsetOf(Set(1L, 3L)))
     graft.CacheScope.drain()
+    // the inverse verb: bm25_decontaminate drops exactly what select keeps
+    val registryD = new TransformRegistry
+    CurationTransforms.registerBm25Decontaminate(registryD, spark, benchDir, k = 2)
+    val cleaned = registryD("bm25_decontaminate")(corpus)
+    assert(cleaned.columns.toSeq == corpus.columns.toSeq)
+    assert(cleaned.select($"doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    graft.CacheScope.drain()
   }
 }
