@@ -968,7 +968,8 @@ object Similarity {
       assigned: DataFrame, codes: DataFrame, queries: DataFrame,
       nprobe: Int, shortlist: Int,
       probesOpt: Option[DataFrame] = None,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      topK: Int = 3): DataFrame = {
     import e.sparkSession.implicits._
     val centCols = cents.select($"cid".as("centroid"), $"cq".as("ccq"))
     val probes = probesOpt.getOrElse(probeLists(cents, queries, nprobe))
@@ -1022,7 +1023,7 @@ object Similarity {
         cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
     rescored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
+      .filter($"rank" <= topK)
       .select($"qid", $"rank", $"cid", $"cos")
       .orderBy($"qid", $"rank")
   }
@@ -1309,7 +1310,8 @@ object Similarity {
       model: IvfPqModel, index: DataFrame,
       nprobe: Int = ivfPqNprobe, shortlist: Int = ivfPqShortlist,
       excludeSelf: Boolean = true,
-      listsPerDir: Option[Int] = None): DataFrame = {
+      listsPerDir: Option[Int] = None,
+      topK: Int = 3): DataFrame = {
     import s.implicits._
     import graft.CacheScope._
     val base = embBase(s, corpus)
@@ -1344,7 +1346,7 @@ object Similarity {
     val assigned = pruned.filter($"sub" === 0).select($"vec_id", $"centroid")
     val codes = pruned.select($"vec_id", $"sub", $"code")
     ivfPqProbe(base, model.coarse, model.pq, assigned, codes, qbase,
-      nprobe, shortlist, Some(probes), excludeSelf)
+      nprobe, shortlist, Some(probes), excludeSelf, topK)
   }
 
   /** IVF-PQ catalog constants — the r9 operating point (PLANS.md
