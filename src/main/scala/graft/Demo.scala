@@ -171,6 +171,25 @@ object Demo {
     ops.Similarity.probeIvfPq(spark, emb, emb.filter("vec_id % 50 = 0"),
       annModel, gIdx, listsPerDir = gW).show(3)
 
+    // round-15 surface: the retrieval family — frozen inverted index,
+    // point-lookup serving, and retrieval-guided selection
+    println("[demo] retrieval: freeze a BM25 inverted index, serve a query batch")
+    val bm25Idx = work.resolve("bm25-index").toString
+    ops.TextAnalysis.saveBm25Index(docs.select($"doc_id", $"text"), bm25Idx)
+    ops.TextAnalysis.bm25Serve(spark,
+      docs.filter($"doc_id" % 97 === 3)
+        .selectExpr("doc_id AS query_id",
+          "explode(slice(split(text, ' '), 1, 8)) AS term").distinct(),
+      bm25Idx).show(5)
+    println("[demo] retrieval-guided selection: keep the corpus docs a target set retrieves")
+    val benchPath = work.resolve("targets").toString
+    docs.filter($"doc_id" % 100 === 0).select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(benchPath)
+    val registry3 = new TransformRegistry
+    exec.CurationTransforms.registerBm25Select(registry3, spark, benchPath, k = 5)
+    println(s"[demo] bm25_select kept ${registry3("bm25_select")(docs).count()} " +
+      s"of ${docs.count()} docs")
+
     spark.stop()
   }
 }
