@@ -522,6 +522,19 @@ class TextAnalysisSpec extends SparkSpec {
         .selectExpr("doc_id AS query_id", "explode(slice(words, 1, 8)) AS term")
         .distinct(), idx).collect().toSeq
     assert(served == inRow, s"frozen != in-row:\n$served\n$inRow")
+    // bucket count is pure LAYOUT: a 5-bucket index serves the exact
+    // same rows as the 64-bucket default (and as the in-row query) —
+    // if results ever depended on the partitioning, the serving path
+    // would silently fork from the gate row
+    val idx5 = tmpDir("graft-bm25-idx5").toString
+    TextAnalysis.saveBm25Index(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+      idx5, buckets = 5)
+    val served5 = TextAnalysis.bm25Serve(spark,
+      docs.filter($"doc_id" % 97 === 3)
+        .selectExpr("doc_id AS query_id", "explode(slice(words, 1, 8)) AS term")
+        .distinct(), idx5).collect().toSeq
+    assert(served5 == inRow, "bucket count leaked into results")
     // a non-index path is refused loudly, not served as empty
     val err = intercept[IllegalArgumentException] {
       TextAnalysis.bm25Serve(spark, docs.limit(0)
