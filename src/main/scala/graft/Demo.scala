@@ -176,8 +176,10 @@ object Demo {
     println("[demo] retrieval: freeze a BM25 inverted index, serve a query batch")
     val bm25Idx = work.resolve("bm25-index").toString
     ops.TextAnalysis.saveBm25Index(docs.select($"doc_id", $"text"), bm25Idx)
+    // the fixed-batch discipline: the % filter alone would grow the
+    // "serving batch" with the corpus — the id cap keeps it bounded
     ops.TextAnalysis.bm25Serve(spark,
-      docs.filter($"doc_id" % 97 === 3)
+      docs.filter($"doc_id" % 97 === 3 && $"doc_id" < 100000)
         .selectExpr("doc_id AS query_id",
           "explode(slice(split(text, ' '), 1, 8)) AS term").distinct(),
       bm25Idx).show(5)

@@ -51,6 +51,11 @@ object Hfs {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
 
+  /** Files directly under `p` (empty if `p` doesn't exist). */
+  def listFiles(fs: FileSystem, p: Path): Seq[Path] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath).toSeq
+
   /** Data files of a parquet directory (excludes _SUCCESS etc.). */
   def countParquetFiles(fs: FileSystem, p: Path): Long =
     if (!fs.exists(p)) 0L

@@ -51,24 +51,27 @@ object CurationTransforms {
   /** Register `bm25_select`: retrieval-GUIDED data selection — keep
     * exactly the corpus documents that appear in some target query's
     * BM25 top-`k` (targets read from `benchPath`, each contributing
-    * its first 8 distinct tokens as a query). The inverse of
-    * decontamination: instead of dropping what matches a benchmark,
+    * its first `queryTokens` distinct tokens as a query). The inverse
+    * of decontamination: instead of dropping what matches a benchmark,
     * keep what matches a TARGET DOMAIN — the lexical sibling of DSIR
     * selection, and the standard recipe for carving a domain-relevant
     * pretraining subset out of a web-scale corpus. Scoring is
     * [[graft.ops.TextAnalysis.bm25TopKOn]] (map-side-pruned postings,
     * exact fixed-point arithmetic); the keep is a left-semi join on
-    * doc_id. Targets are read lazily at first use and must be
-    * serving-batch sized (they broadcast).
+    * doc_id. Targets are read lazily at first use; their query
+    * vocabulary is counted there and fails loudly above the
+    * serving-batch broadcast ceiling
+    * ([[graft.ops.TextAnalysis.maxBm25QueryTerms]]).
     */
   def registerBm25Select(
       registry: TransformRegistry,
       spark: SparkSession,
       benchPath: String,
-      k: Int = 20): Unit = {
+      k: Int = 20,
+      queryTokens: Int = 8): Unit = {
     lazy val targets = spark.read.parquet(benchPath)
     registry.register("bm25_select", { corpus: DataFrame =>
-      val hits = graft.ops.TextAnalysis.bm25TopKOn(corpus, targets, k)
+      val hits = graft.ops.TextAnalysis.bm25TopKOn(corpus, targets, k, queryTokens)
         .select(col("doc_id")).distinct()
       corpus.join(hits, Seq("doc_id"), "left_semi")
     })
@@ -82,19 +85,68 @@ object CurationTransforms {
     * this one catches lexically-close rephrasings those are blind to,
     * at the cost of dropping top-k near matches that may be clean —
     * the standard belt-and-suspenders pairing for eval-set hygiene.
+    *
+    * RECALL LIMITS — read before relying on this as the only gate:
+    * each benchmark doc contributes only its first `queryTokens`
+    * (default 8) distinct tokens as the query, so contamination that
+    * only appears PAST that prefix never matches (raise `queryTokens`
+    * when the benchmark's identifying text sits deep in the doc); and
+    * with the default top-`k` cut, a corpus holding more than `k`
+    * near-copies of one benchmark doc keeps the overflow. For the
+    * unbounded form pass `minScore6`: every doc scoring ≥
+    * `minScore6`/1e6 against ANY benchmark query is dropped — no
+    * per-query cap, at the cost of tuning an absolute threshold
+    * (calibrate on a held-out slice; the score scale is the
+    * [[graft.ops.TextAnalysis.bm25RanksOn]] odds-ratio arithmetic).
+    * For GUARANTEED n-gram coverage, pair with `exact_decontaminate` —
+    * this transform is the rephrasing net, not the exactness one.
     */
   def registerBm25Decontaminate(
       registry: TransformRegistry,
       spark: SparkSession,
       benchPath: String,
-      k: Int = 20): Unit = {
+      k: Int = 20,
+      queryTokens: Int = 8,
+      minScore6: Option[Long] = None): Unit = {
     lazy val targets = spark.read.parquet(benchPath)
     registry.register("bm25_decontaminate", { corpus: DataFrame =>
-      val hits = graft.ops.TextAnalysis.bm25TopKOn(corpus, targets, k)
-        .select(col("doc_id")).distinct()
+      val hits = (minScore6 match {
+        case Some(t) =>
+          graft.ops.TextAnalysis.bm25RanksOn(corpus, targets, queryTokens)
+            .filter(col("s6") >= t)
+        case None =>
+          graft.ops.TextAnalysis.bm25TopKOn(corpus, targets, k, queryTokens)
+      }).select(col("doc_id")).distinct()
       corpus.join(hits, Seq("doc_id"), "left_anti")
     })
   }
+
+  /** Register `hybrid_select`: the two-tower form of
+    * [[registerBm25Select]] — keep exactly the corpus documents that
+    * appear in some target's FUSED top-`k` under BM25 + embedding-
+    * cosine reciprocal-rank fusion
+    * ([[graft.ops.TextAnalysis.hybridTopKOn]]): the sparse list
+    * catches exact token overlap that embeddings smooth away, the
+    * dense list catches paraphrase the lexicon misses, and RRF fuses
+    * ranks only. The in-flight frame and the targets at `benchPath`
+    * must both carry (doc_id, text, embedding). Targets are read
+    * lazily at first use against the IN-FLIGHT frame's session
+    * (cloned-session rule) and are size-guarded like every serving
+    * batch here.
+    */
+  def registerHybridSelect(
+      registry: TransformRegistry,
+      benchPath: String,
+      k: Int = 20,
+      queryTokens: Int = 8,
+      perSide: Int = 20): Unit =
+    registry.register("hybrid_select", { corpus: DataFrame =>
+      val targets = corpus.sparkSession.read.parquet(benchPath)
+      val hits = graft.ops.TextAnalysis
+        .hybridTopKOn(corpus, targets, k, queryTokens, perSide)
+        .select(col("doc_id")).distinct()
+      corpus.join(hits, Seq("doc_id"), "left_semi")
+    })
 
   /** Register `classifier_filter`: the CCNet/GPT-3-shaped quality
     * gate — TRAIN the batch-perceptron classifier on the in-flight
@@ -477,6 +529,29 @@ object CurationTransforms {
           "streaming plan would run the rewrite once at query setup, " +
           "not per tick — schedule it via PipelineScheduler instead")
       graft.ops.Dedup.compactExactDedupIndex(spark, indexPath)
+      frame
+    })
+
+  /** Register `compact_bm25_index`: fold a BM25 inverted index's
+    * per-batch generations ([[graft.ops.TextAnalysis.compactBm25Index]])
+    * as a PIPELINE step — the retrieval-index sibling of
+    * `compact_dedup_index`, schedulable the same way (A13 tick loop,
+    * A11 history contract). The newest live batch is never folded
+    * (replay safety) and the fold commits through the write-ahead
+    * intent, so running this between streaming drains is always safe;
+    * batch-only for the same setup-time-vs-per-tick reason as every
+    * compaction transform.
+    */
+  def registerBm25IndexCompaction(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      indexPath: String): Unit =
+    registry.register("compact_bm25_index", { frame: DataFrame =>
+      require(!frame.isStreaming,
+        "compact_bm25_index is a batch-pipeline transform: a " +
+          "streaming plan would run the rewrite once at query setup, " +
+          "not per tick — schedule it via PipelineScheduler instead")
+      graft.ops.TextAnalysis.compactBm25Index(spark, indexPath)
       frame
     })
 

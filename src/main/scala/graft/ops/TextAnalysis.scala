@@ -366,26 +366,73 @@ object TextAnalysis {
     hits.withColumn("rank", row_number().over(win).cast("long"))
   }
 
-  /** BM25 top-k over ARBITRARY frames — the library form behind the
-    * `bm25_select` curation transform: `corpus` and `queryDocs` each
-    * carry (doc_id, text); each query doc contributes its first 8
-    * distinct tokens, and the result is each query's top-`k` corpus
-    * docs under the same exact-arithmetic scoring as the [[bm25]] gate
-    * row (one shared [[bm25Ranks]] tail). Same plan shape: postings
-    * pruned map-side by the broadcast query vocabulary, so the corpus
-    * is scanned once and never shuffled unpruned — `queryDocs` must be
-    * serving-batch sized (it is broadcast twice).
+  /** Loud ceiling on a BM25 serving batch's distinct query terms. The
+    * query vocabulary is broadcast under the corpus scan and the batch
+    * itself is broadcast into the score join — "serving-batch sized"
+    * is a contract, and contracts here fail loudly before they OOM
+    * (the [[graft.ops.Dedup.maxServeBenchShingles]] convention). 10k
+    * distinct terms ≈ a few hundred KB broadcast, far past any real
+    * serving batch (the gate rows carry ~400).
     */
-  def bm25TopKOn(corpus: DataFrame, queryDocs: DataFrame, k: Int): DataFrame = {
+  val maxBm25QueryTerms = 10000L
+
+  /** Fail loudly when a query vocabulary exceeds the serving-batch
+    * broadcast ceiling, naming the routes an oversized set belongs on.
+    */
+  private def requireServingBatch(nTerms: Long, maxQueryTerms: Long,
+      what: String): Unit =
+    require(nTerms <= maxQueryTerms,
+      s"$what: the query set expands to $nTerms distinct terms — above " +
+        s"the $maxQueryTerms serving-batch broadcast ceiling (the query " +
+        "vocabulary is broadcast under the corpus scan and the batch is " +
+        "broadcast into the score join). A target set this size is not " +
+        "a serving batch: route it through the exact-overlap " +
+        "decontamination paths (bloom_decontaminate / exact_decontaminate " +
+        "— Dedup.exactDecontaminateFrozen scales to any bench size), or " +
+        "split the batch and serve the slices.")
+
+  /** BM25 score-and-rank over ARBITRARY frames — the engine behind
+    * [[bm25TopKOn]] and the `bm25_select` / `bm25_decontaminate` /
+    * `hybrid_select` curation transforms. `corpus` and `queryDocs`
+    * each carry (doc_id, text); each query doc contributes its first
+    * `queryTokens` distinct tokens as the query (TRUNCATION, not a
+    * sample: content past token `queryTokens` never matches — raise it
+    * when the targets' identifying text sits deep in the doc). Returns
+    * every (query, matched doc) with its fixed-point score `s6`,
+    * matched-term count and dense rank ([[bm25Ranks]] columns).
+    *
+    * The query vocabulary is counted at first use and guarded by
+    * `maxQueryTerms` ([[requireServingBatch]] — broadcastability is a
+    * contract, not a docstring).
+    *
+    * RANKING CAVEAT (cross-engine exactness vs standard Okapi): the
+    * idf here is the log-free exact-integer odds ratio
+    * (2N−2df+1)/(2df+1), which is rank-equivalent to ln-idf for
+    * SINGLE-term queries but NOT for multi-term sums — a sum of odds
+    * ratios weights rare terms more steeply than a sum of logs, so
+    * top-k sets can diverge from an external ln-based BM25 retriever.
+    * The trade is deliberate: ln() is libm-dependent and would break
+    * the bit-exact hash gate ([[bm25]]'s scaladoc). Overflow headroom:
+    * per-term weights scale linearly with N (idf ≈ 2N/df for rare
+    * terms), so s6 ≈ Σ round(w·1e6) stays far from Long range until
+    * N·1e6 approaches 2⁶³ — i.e. corpora beyond ~10¹² docs with
+    * singleton dfs; at that scale rescale the fixed point before the
+    * sum.
+    */
+  private[graft] def bm25RanksOn(corpus: DataFrame, queryDocs: DataFrame,
+      queryTokens: Int = 8,
+      maxQueryTerms: Long = maxBm25QueryTerms): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    require(k >= 1, s"bm25TopKOn: k must be >= 1, got $k")
+    require(queryTokens >= 1, s"bm25RanksOn: queryTokens must be >= 1, got $queryTokens")
     val docs = corpus.select($"doc_id", split($"text", " ").as("words"))
     val queries = queryDocs
       .select($"doc_id".as("query_id"),
-        explode(slice(split($"text", " "), 1, 8)).as("term"))
+        explode(slice(split($"text", " "), 1, queryTokens)).as("term"))
       .distinct()
       .persistScoped()
+    requireServingBatch(queries.select($"term").distinct().count(),
+      maxQueryTerms, "bm25RanksOn")
     val qterms = queries.select($"term").distinct()
     val stats = docs.agg(
       count(lit(1)).as("n"), sum(size($"words").cast("long")).as("toks"))
@@ -397,39 +444,49 @@ object TextAnalysis {
       .persistScoped()
     val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
     bm25Ranks(postings.crossJoin(broadcast(stats)), dfreq, queries,
-        $"n", $"toks")
+      $"n", $"toks")
+  }
+
+  /** BM25 top-k over ARBITRARY frames — the library form behind the
+    * `bm25_select` curation transform: each query's top-`k` corpus
+    * docs under the same exact-arithmetic scoring as the [[bm25]] gate
+    * row (one shared [[bm25Ranks]] tail; see [[bm25RanksOn]] for the
+    * query-truncation, size-guard and multi-term-ranking caveats).
+    * Same plan shape: postings pruned map-side by the broadcast query
+    * vocabulary, so the corpus is scanned once and never shuffled
+    * unpruned.
+    */
+  def bm25TopKOn(corpus: DataFrame, queryDocs: DataFrame, k: Int,
+      queryTokens: Int = 8): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    require(k >= 1, s"bm25TopKOn: k must be >= 1, got $k")
+    bm25RanksOn(corpus, queryDocs, queryTokens)
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"doc_id",
         ($"s6".cast("double") / lit(1e6)).as("score"), $"n_terms")
       .orderBy($"query_id", $"rank")
   }
 
-  /** Bucket count for [[saveBm25Index]]'s term-hashed postings layout:
+  /** Bucket count for the BM25 index's term-hashed postings layout:
     * 64 directories (the [[graft.ops.Dedup.defaultAdmitBuckets]]
     * convention) — listing rent stays trivial while a serving batch
     * prunes its postings scan to the buckets its terms hash into.
     */
   val defaultBm25Buckets = 64
 
-  /** Persist a FROZEN BM25 inverted index at `path` — the artifact a
-    * 100 TB deployment builds once and serves query batches against,
-    * instead of re-exploding the corpus per batch (the [[bm25]] gate
-    * row's shape, kept for oracle coverage). Layout:
-    *
-    *  - `postings/bucket=<h>/` — (term, doc_id, len, tf), hive-
-    *    partitioned by `hash(term) mod buckets`, repartitioned on the
-    *    layout key before the write (one file per bucket per job, not
-    *    shuffle-partitions × buckets);
-    *  - `dfreq/` — (term, df), vocabulary-sized;
-    *  - `_bm25_stats` — "N totalTokens buckets" exact longs, the
-    *    corpus constants every score needs (driver-readable, no scan).
-    *
-    * Incremental maintenance would follow the admission-index pattern
-    * (per-batch subdirs + compaction); this artifact freezes one
-    * corpus snapshot — the decontamination / data-selection shape.
+  private val bm25BucketsMarker = "_bm25_buckets"
+  private val bm25IntentMarker = "_bm25_compact_intent"
+
+  /** Postings rows (term, doc_id, len, tf, bucket) for one corpus
+    * slice, plus the slice's exact (docCount, tokenCount) — ONE
+    * expression tree shared by [[saveBm25Index]] and
+    * [[maintainBm25Index]], so append ≡ rebuild reduces to the
+    * additivity of the three stats (df, N, tokens are sums over
+    * disjoint batches), not to two code paths agreeing.
     */
-  def saveBm25Index(docs: DataFrame, path: String,
-      buckets: Int = defaultBm25Buckets): Unit = {
+  private def writeBm25Batch(docs: DataFrame, path: String,
+      batchId: Long, buckets: Int): Unit = {
     val s = docs.sparkSession
     import s.implicits._
     val words = docs.select($"doc_id", split($"text", " ").as("words"))
@@ -439,55 +496,276 @@ object TextAnalysis {
       .groupBy($"term", $"doc_id", $"len").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(hash($"term"), lit(buckets)))
       .persistScoped() // feeds the postings write AND the df rollup
+    val (n, toks) = words
+      .agg(count(lit(1)), coalesce(sum(size($"words").cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
+    // an empty batch writes NOTHING: a file-less batch directory would
+    // break schema inference on later reads (the admission-index rule),
+    // and contributing (0, 0) to the stats is the same as not existing
+    if (n == 0L) return
     // layout-keyed repartition (one file per bucket per job), then
     // term-clustered WITHIN each bucket: parquet row-group min/max on
     // term only prunes if rows are sorted — without this the pushed
     // term INSET reads every row group in every touched bucket
     postings.repartition($"bucket").sortWithinPartitions($"term", $"doc_id")
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/batch=$batchId")
     postings.groupBy($"term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/dfreq")
-    val (n, toks) = words
-      .agg(count(lit(1)), sum(size($"words").cast("long")))
-      .as[(Long, Long)].head()
+      .write.mode("overwrite").parquet(s"$path/dfreq/batch=$batchId")
     graft.connect.Hfs.writeSmall(graft.connect.Hfs.fs(s, path),
-      new org.apache.hadoop.fs.Path(path, "_bm25_stats"),
-      s"$n $toks $buckets", overwrite = true)
+      new org.apache.hadoop.fs.Path(path, s"stats/batch=$batchId"),
+      s"$n $toks", overwrite = true)
   }
 
-  /** BM25 top-5 served from a [[saveBm25Index]] artifact — identical
-    * output to the in-row [[bm25]] on the same corpus and query batch
-    * (InvariantSpec pins it; both run [[bm25Tail]]). Per batch the
-    * index pays: one tiny job hashing the query terms to their
-    * buckets, a postings scan pruned to those PARTITIONS (bucket INSET
-    * in PartitionFilters) with the term INSET pushed for row-group
-    * stats inside them, and a vocabulary scan pruned the same way —
-    * no corpus re-scan, no re-explode, whatever the index has grown
-    * to. `queries` must carry (query_id, term) and be serving-batch
-    * sized (both sides of the score join broadcast it).
+  /** Persist a BM25 inverted index at `path` — the artifact a 100 TB
+    * deployment builds once, APPENDS corpus batches to
+    * ([[maintainBm25Index]] — streaming hook: the shard-load's
+    * `bm25Index` option), compacts ([[compactBm25Index]]) and serves
+    * query batches against ([[bm25Serve]]), instead of re-exploding
+    * the corpus per batch (the [[bm25]] gate row's shape, kept for
+    * oracle coverage). Layout (the admission-index generational
+    * pattern, `Dedup.createExactDedupIndex`):
+    *
+    *  - `postings/batch=<id>/bucket=<h>/` — (term, doc_id, len, tf),
+    *    hive-partitioned by `hash(term) mod buckets` inside a
+    *    per-batch directory (the replay/idempotence unit),
+    *    repartitioned on the layout key before the write (one file per
+    *    bucket per job) and term-clustered within each bucket;
+    *  - `dfreq/batch=<id>/` — (term, df) PER BATCH; a term's global df
+    *    is the exact long sum over batch directories (each doc lives
+    *    in exactly one batch), rolled up at serve time on the
+    *    vocabulary-pruned rows;
+    *  - `stats/batch=<id>` — "N totalTokens" exact longs per batch;
+    *    the corpus constants are the driver-side sum of these files
+    *    (bounded by the batch count, which compaction folds);
+    *  - `_bm25_buckets` — the bucket modulus, fixed at creation
+    *    (every batch must hash terms with the same function).
+    *
+    * All three statistics are ADDITIVE, so append ≡ rebuild holds
+    * EXACTLY — an index grown batch-by-batch serves bit-identical
+    * scores to one built in a single shot (InvariantSpec pins it).
+    * This is the overwrite verb: any prior index at `path` is
+    * replaced.
     */
-  def bm25Serve(s: SparkSession, queries: DataFrame,
-      indexPath: String): DataFrame = {
+  def saveBm25Index(docs: DataFrame, path: String,
+      buckets: Int = defaultBm25Buckets): Unit = {
+    val s = docs.sparkSession
+    require(buckets > 0, s"saveBm25Index: buckets must be positive, got $buckets")
+    val fs = graft.connect.Hfs.fs(s, path)
+    Seq("postings", "dfreq", "stats", bm25IntentMarker).foreach { sub =>
+      graft.connect.Hfs.deleteIfExists(fs,
+        new org.apache.hadoop.fs.Path(path, sub))
+    }
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, bm25BucketsMarker),
+      buckets.toString, overwrite = true)
+    writeBm25Batch(docs, path, 0L, buckets)
+  }
+
+  /** Append a corpus batch to a [[saveBm25Index]] layout — the
+    * incremental-maintenance verb every other serving artifact here
+    * already has (ANN index, admission index). Creates the layout on
+    * first use (`buckets` is read from the marker afterwards — the
+    * modulus is part of the layout and cannot drift per batch).
+    *
+    * Replay semantics are IDEMPOTENT PER BATCH ID (the
+    * [[graft.ops.Dedup.admitExactDedup]] discipline): the batch's own
+    * postings/dfreq/stats entries are deleted up front, so a batch
+    * replayed after a partial failure contributes exactly once —
+    * stats can never double-count. Pass the foreachBatch batch id;
+    * non-streaming callers pass any monotone non-negative sequence
+    * (negative ids are reserved for compaction generations). Batches
+    * must be DISJOINT corpus slices — appending the same doc under two
+    * batch ids double-counts it, like any append sink.
+    */
+  def maintainBm25Index(batch: DataFrame, path: String, batchId: Long,
+      buckets: Int = defaultBm25Buckets): Unit = {
+    val s = batch.sparkSession
+    require(batchId >= 0,
+      s"batchId must be non-negative (got $batchId) — negative ids are " +
+        "reserved for compactBm25Index generations")
+    val fs = graft.connect.Hfs.fs(s, path)
+    recoverBm25Compaction(s, path)
+    val marker = new org.apache.hadoop.fs.Path(path, bm25BucketsMarker)
+    val nb =
+      if (fs.exists(marker)) graft.connect.Hfs.readSmall(fs, marker).trim.toInt
+      else {
+        require(buckets > 0,
+          s"maintainBm25Index: buckets must be positive, got $buckets")
+        graft.connect.Hfs.writeSmall(fs, marker, buckets.toString,
+          overwrite = true)
+        buckets
+      }
+    // idempotence: drop any prior attempt of THIS batch before writing
+    Seq(s"postings/batch=$batchId", s"dfreq/batch=$batchId",
+      s"stats/batch=$batchId").foreach { sub =>
+      graft.connect.Hfs.deleteIfExists(fs,
+        new org.apache.hadoop.fs.Path(path, sub))
+    }
+    writeBm25Batch(batch, path, batchId, nb)
+  }
+
+  /** Compact a BM25 index: fold every batch directory EXCEPT the
+    * newest live one into a single consolidated generation (negative
+    * batch id) — postings re-bucketed and re-sorted, per-batch dfreq
+    * SUMMED per term (exact longs — the consolidated df is by
+    * construction the value a rebuild would compute), stats files
+    * summed into one. The newest non-negative batch stays untouched
+    * because it is the only batch a restarted stream can replay, and
+    * replay safety is "delete your own batch=<id> entries, recompute"
+    * (the [[graft.ops.Dedup.compactExactDedupIndex]] contract). Run
+    * between stream runs or from the scheduler, never concurrently
+    * with an active drain.
+    *
+    * Crash windows: unlike the admission index — where a leftover
+    * duplicate row flags exactly what the single row flags — duplicate
+    * BM25 rows would DOUBLE-COUNT tf/df and corrupt every score, so
+    * leftover-duplicates-until-next-compaction is not an acceptable
+    * window here. Compaction therefore commits through a write-ahead
+    * intent: the consolidated generation is staged in dot-prefixed
+    * temp dirs (invisible to readers), a `_bm25_compact_intent` marker
+    * records (generation, folded ids) in one small-file write, and
+    * only then are sources deleted and temps renamed into place. Every
+    * entry point ([[bm25Serve]], [[maintainBm25Index]], this) first
+    * REPLAYS a pending intent to completion ([[recoverBm25Compaction]]),
+    * so a crash at any point leaves either the old state (no intent:
+    * stale temps are garbage-collected) or a state that deterministically
+    * finishes into the new one — never a double-counted index. Returns
+    * the number of batch directories folded (0 = nothing to do).
+    */
+  def compactBm25Index(s: SparkSession, path: String): Int = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    recoverBm25Compaction(s, path)
+    def ids(sub: String): Seq[Long] =
+      graft.connect.Hfs.listDirs(fs, new org.apache.hadoop.fs.Path(path, sub))
+        .map(_.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+    val all = ids("postings")
+    val live = all.filter(_ >= 0).sorted.lastOption
+    val fold = all.filterNot(live.contains).sorted
+    if (fold.size < 2) return 0
+    val gen = math.min(fold.min, 0L) - 1L
+    // stale temps from a pre-intent crash are invisible garbage: clear
+    Seq("postings/.compact-tmp", "dfreq/.compact-tmp", "stats/.compact-tmp")
+      .foreach(t => graft.connect.Hfs.deleteIfExists(fs,
+        new org.apache.hadoop.fs.Path(path, t)))
+    s.read.option("basePath", s"$path/postings")
+      .parquet(fold.map(b => s"$path/postings/batch=$b"): _*)
+      .drop("batch")
+      .repartition(col("bucket")).sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/.compact-tmp")
+    val dfSrc = fold.filter(b => graft.connect.Hfs.isDir(fs,
+      new org.apache.hadoop.fs.Path(path, s"dfreq/batch=$b")))
+    s.read.option("basePath", s"$path/dfreq")
+      .parquet(dfSrc.map(b => s"$path/dfreq/batch=$b"): _*)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfreq/.compact-tmp")
+    val summed = fold.flatMap { b =>
+      val p = new org.apache.hadoop.fs.Path(path, s"stats/batch=$b")
+      if (graft.connect.Hfs.isFile(fs, p))
+        Some(graft.connect.Hfs.readSmall(fs, p).trim.split(" ").map(_.toLong))
+      else None
+    }
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, "stats/.compact-tmp"),
+      s"${summed.map(_(0)).sum} ${summed.map(_(1)).sum}", overwrite = true)
+    // commit point: one small-file write; everything after is replayable
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, bm25IntentMarker),
+      s"$gen ${fold.mkString(",")}", overwrite = true)
+    applyBm25Compaction(fs, path, gen, fold)
+    fold.size
+  }
+
+  /** The post-intent half of [[compactBm25Index]] — idempotent, so a
+    * crashed run replays to the identical end state: folded sources
+    * deleted, staged temps renamed to `batch=<gen>` (each skipped if a
+    * prior attempt already moved it), intent dropped last. */
+  private def applyBm25Compaction(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long, fold: Seq[Long]): Unit = {
+    fold.foreach { b =>
+      Seq(s"postings/batch=$b", s"dfreq/batch=$b", s"stats/batch=$b")
+        .foreach(sub => graft.connect.Hfs.deleteIfExists(fs,
+          new org.apache.hadoop.fs.Path(path, sub)))
+    }
+    Seq("postings", "dfreq", "stats").foreach { sub =>
+      val tmp = new org.apache.hadoop.fs.Path(path, s"$sub/.compact-tmp")
+      if (fs.exists(tmp))
+        graft.connect.Hfs.renameChecked(fs, tmp,
+          new org.apache.hadoop.fs.Path(path, s"$sub/batch=$gen"),
+          s"bm25-index compaction for $path/$sub")
+    }
+    graft.connect.Hfs.deleteIfExists(fs,
+      new org.apache.hadoop.fs.Path(path, bm25IntentMarker))
+  }
+
+  /** Replay a crashed [[compactBm25Index]] to completion if its intent
+    * marker exists (no-op otherwise — one existence check). Called by
+    * every lifecycle entry point, so readers can never observe the
+    * double-counted middle of a compaction. */
+  def recoverBm25Compaction(s: SparkSession, path: String): Unit = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    val m = new org.apache.hadoop.fs.Path(path, bm25IntentMarker)
+    if (!fs.exists(m)) return
+    val parts = graft.connect.Hfs.readSmall(fs, m).trim.split(" ")
+    val fold = if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
+      else parts(1).split(",").map(_.toLong).toSeq
+    applyBm25Compaction(fs, path, parts(0).toLong, fold)
+  }
+
+  /** BM25 top-5 served from a [[saveBm25Index]] /
+    * [[maintainBm25Index]] layout — identical output to the in-row
+    * [[bm25]] on the same corpus and query batch (InvariantSpec pins
+    * it; both run [[bm25Tail]]). Per batch the index pays: one tiny
+    * job hashing the query terms to their buckets, a postings scan
+    * pruned to those PARTITIONS (bucket INSET in PartitionFilters)
+    * with the term INSET pushed for row-group stats inside them, a
+    * vocabulary scan pruned the same way plus a candidate-sized df
+    * rollup across batch generations, and a driver-side sum of the
+    * per-batch stats files — no corpus re-scan, no re-explode,
+    * whatever the index has grown to. `queries` must carry
+    * (query_id, term) and be serving-batch sized — enforced loudly via
+    * `maxQueryTerms` ([[requireServingBatch]]), since both sides of
+    * the score join broadcast the batch.
+    */
+  def bm25Serve(s: SparkSession, queries: DataFrame, indexPath: String,
+      maxQueryTerms: Long = maxBm25QueryTerms): DataFrame = {
     import s.implicits._
     val fs = graft.connect.Hfs.fs(s, indexPath)
-    val marker = new org.apache.hadoop.fs.Path(indexPath, "_bm25_stats")
+    val marker = new org.apache.hadoop.fs.Path(indexPath, bm25BucketsMarker)
     require(fs.exists(marker),
-      s"$indexPath is not a BM25 index (no _bm25_stats marker) — " +
-        "build one with saveBm25Index")
-    val Array(n, toks, buckets) =
-      graft.connect.Hfs.readSmall(fs, marker).trim.split(" ").map(_.toLong)
+      s"$indexPath is not a BM25 index (no $bm25BucketsMarker marker) — " +
+        "build one with saveBm25Index or maintainBm25Index")
+    recoverBm25Compaction(s, indexPath)
+    val buckets = graft.connect.Hfs.readSmall(fs, marker).trim.toInt
+    val statFiles = graft.connect.Hfs.listFiles(fs,
+      new org.apache.hadoop.fs.Path(indexPath, "stats"))
+      .filter(_.getName.startsWith("batch="))
+    require(statFiles.nonEmpty,
+      s"$indexPath holds no corpus batches — append one with maintainBm25Index")
+    // the corpus constants roll forward additively: exact long sums of
+    // the per-batch stats files (bounded by batch count; compaction folds)
+    val stats = statFiles
+      .map(p => graft.connect.Hfs.readSmall(fs, p).trim.split(" ").map(_.toLong))
+    val n = stats.map(_(0)).sum
+    val toks = stats.map(_(1)).sum
     val q = queries.select($"query_id", $"term").distinct().persistScoped()
-    // driver-side prune lists: the batch is bounded by contract, so
-    // collecting its distinct terms/buckets is metadata-sized — and
-    // buys scan-level pruning no join could
+    // driver-side prune lists: the batch is bounded by contract (and
+    // the guard below), so collecting its distinct terms/buckets is
+    // metadata-sized — and buys scan-level pruning no join could
     val terms = q.select($"term").distinct().as[String].collect().toSeq
+    requireServingBatch(terms.size.toLong, maxQueryTerms, "bm25Serve")
     val bucketIds = q
-      .select(pmod(hash($"term"), lit(buckets.toInt)).as("b"))
+      .select(pmod(hash($"term"), lit(buckets)).as("b"))
       .distinct().as[Int].collect().toSeq
     val postings = s.read.parquet(s"$indexPath/postings")
       .filter($"bucket".isin(bucketIds: _*) && $"term".isin(terms: _*))
+    // global df = exact sum of the per-batch counts (each doc lives in
+    // exactly one batch) — rolled up on vocabulary-pruned rows only
     val dfq = s.read.parquet(s"$indexPath/dfreq")
       .filter($"term".isin(terms: _*))
+      .groupBy($"term").agg(sum($"df").as("df"))
     bm25Tail(postings, dfq, q, lit(n), lit(toks))
   }
 
@@ -501,7 +779,8 @@ object TextAnalysis {
     */
   def bm25ServeRow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = (dir, graft.connect.Hfs.listingFingerprint(s, s"$dir/documents.parquet"))
+    val key = (s"$dir#oneshot",
+      graft.connect.Hfs.listingFingerprint(s, s"$dir/documents.parquet"))
     val path = bm25Artifacts.getOrElseUpdate(key, {
       val base = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
       saveBm25Index(Tables.t(s, dir, "documents").select($"doc_id", $"text"), base)
@@ -512,12 +791,62 @@ object TextAnalysis {
     bm25Serve(s, bm25QueryBatch(docs), path)
   }
 
-  /** Frozen BM25 index paths keyed by (fixture dir, content
-    * fingerprint) — paths, never DataFrames (cached plans would be
-    * invalidated by the bench's per-query cache drains).
+  /** The `q_text_bm25_incr` catalog row: the SAME fixed query batch
+    * served from an index grown INCREMENTALLY — three disjoint
+    * [[maintainBm25Index]] appends (doc_id mod 3 slices) followed by a
+    * [[compactBm25Index]] fold — against the same oracle SQL as
+    * `q_text_bm25`. This runs the append ≡ rebuild invariant through
+    * the DuckDB hash gate at every scale factor: df/N/token roll-
+    * forward, the per-batch layout, compaction's summed dfreq and
+    * stats, and serving across generations all sit on the hash path,
+    * so a single bit of drift between the split build and the one-shot
+    * scoring fails the row.
+    */
+  def bm25IncrRow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = (s"$dir#incr",
+      graft.connect.Hfs.listingFingerprint(s, s"$dir/documents.parquet"))
+    val path = bm25Artifacts.getOrElseUpdate(key, {
+      val base = java.nio.file.Files.createTempDirectory("graft-bm25-incr").toString
+      val docs = Tables.t(s, dir, "documents").select($"doc_id", $"text")
+      (0 to 2).foreach { r =>
+        maintainBm25Index(docs.filter($"doc_id" % 3 === r), base, r.toLong)
+      }
+      // folds batches 0 and 1 into a generation; batch 2 stays live —
+      // serving then spans a compacted generation AND a live batch
+      compactBm25Index(s, base)
+      base
+    })
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+    bm25Serve(s, bm25QueryBatch(docs), path)
+  }
+
+  /** Frozen BM25 index paths keyed by (fixture dir + build shape,
+    * content fingerprint) — paths, never DataFrames (cached plans
+    * would be invalidated by the bench's per-query cache drains).
     */
   private val bm25Artifacts =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Drop the per-JVM BM25 artifact cache — the
+    * [[graft.ops.Similarity.clearIvfPqArtifacts]] convention, for
+    * specs that regenerate fixtures in place. `deleteDirs = true` also
+    * removes the temp index directories (they are
+    * `Files.createTempDirectory` locals; without this each fixture
+    * regeneration strands one for the life of the JVM). */
+  private[graft] def clearBm25Artifacts(deleteDirs: Boolean = false): Unit = {
+    if (deleteDirs) bm25Artifacts.values.foreach { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+        try it.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally it.close()
+      }
+    }
+    bm25Artifacts.clear()
+  }
 
   /** Hybrid retrieval — BM25 ∪ embedding-cosine fused by reciprocal
     * rank fusion (Cormack, Clarke & Büttcher 2009: score = Σ 1/(60+r)
@@ -665,6 +994,66 @@ object TextAnalysis {
       |  CAST(s6 AS DOUBLE) / 1e6 AS rrf,
       |  CAST(lex_rank AS BIGINT) AS lex_rank, CAST(vec_rank AS BIGINT) AS vec_rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid retrieval over ARBITRARY frames — the library form behind
+    * the `hybrid_select` curation transform, the two-tower shape the
+    * [[hybridRrf]] gate row pins on fixed ids: `corpus` carries
+    * (doc_id, text, embedding), `targets` carries the same, and the
+    * result is each target's fused top-`k` corpus docs — BM25 over the
+    * target's first `queryTokens` distinct tokens ([[bm25RanksOn]],
+    * incl. its size guard and ranking caveats) and exact bridged
+    * cosine over the embeddings, each side contributing its top
+    * `perSide`, fused by reciprocal rank fusion (ranks only, so the
+    * two scorers' float subtleties never cross the fusion boundary).
+    * Output: (query_id, rank, doc_id, rrf, lex_rank, vec_rank) —
+    * per-system rank 0 = that system did not return the doc.
+    *
+    * Plan at 100 TB: the lexical side never shuffles an unpruned
+    * posting; the dense side is one corpus pass against the broadcast
+    * target batch (exact rescore — `tools/hybrid_probe_r15.json`
+    * measured brute beating grouped IVF-PQ ≥10× for a fixed batch
+    * through 100×); the fusion is a full-outer of two
+    * ≤perSide·|targets|-row lists — metadata-sized whatever the
+    * corpus.
+    */
+  def hybridTopKOn(corpus: DataFrame, targets: DataFrame, k: Int,
+      queryTokens: Int = 8, perSide: Int = 20): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    require(k >= 1, s"hybridTopKOn: k must be >= 1, got $k")
+    require(perSide >= 1, s"hybridTopKOn: perSide must be >= 1, got $perSide")
+    graft.functions.GraftExtensions.register(s)
+    val lex = bm25RanksOn(corpus, targets, queryTokens)
+      .filter($"rank" <= perSide)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    val emb = corpus
+      .select($"doc_id", Similarity.quantize1e4($"embedding").as("xq"))
+      .withColumn("n2", Similarity.dot64($"xq", $"xq"))
+    val qv = targets
+      .select($"doc_id".as("query_id"),
+        Similarity.quantize1e4($"embedding").as("qx"))
+      .withColumn("qn2", Similarity.dot64($"qx", $"qx"))
+    val cosd = emb.crossJoin(broadcast(qv))
+      .select($"query_id", $"doc_id",
+        Similarity.cosineFromDots(Similarity.dot64($"xq", $"qx"),
+          $"n2", $"qn2").as("cos"))
+    val wd = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc)
+    val dense = cosd.withColumn("vec_rank", row_number().over(wd).cast("long"))
+      .filter($"vec_rank" <= perSide)
+      .select($"query_id", $"doc_id", $"vec_rank")
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        (coalesce(round(lit(1e6) / (lit(60L) + $"lex_rank")).cast("long"), lit(0L)) +
+          coalesce(round(lit(1e6) / (lit(60L) + $"vec_rank")).cast("long"), lit(0L))).as("s6"),
+        coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+        coalesce($"vec_rank", lit(0L)).as("vec_rank"))
+    val wf = Window.partitionBy($"query_id").orderBy($"s6".desc, $"doc_id".asc)
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id",
+        ($"s6".cast("double") / lit(1e6)).as("rrf"), $"lex_rank", $"vec_rank")
+      .orderBy($"query_id", $"rank")
+  }
 
   private val bm25Sql =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -2860,6 +3249,7 @@ object TextAnalysis {
     CatalogEntry("q_text_tfidf", tfidf, Some(tfidfSql)),
     CatalogEntry("q_text_bm25", bm25, Some(bm25Sql)),
     CatalogEntry("q_text_bm25_serve", bm25ServeRow, Some(bm25Sql)),
+    CatalogEntry("q_text_bm25_incr", bm25IncrRow, Some(bm25Sql)),
     CatalogEntry("q_text_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     CatalogEntry("q_text_stats", stats, Some(statsSql)),
     CatalogEntry("q_text_lang_id", langId, Some(langIdSql)),

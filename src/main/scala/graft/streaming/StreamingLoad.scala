@@ -193,6 +193,22 @@ object StreamingLoad {
           }
           ()
         }.outputMode("append")
+      case "append" if merged.contains("bm25Index") =>
+        // streaming BM25-index maintenance: each drained micro-batch is
+        // appended to the inverted-index layout as its own generation
+        // (TextAnalysis.maintainBm25Index — the annIndex sibling for
+        // the retrieval family). All index statistics are additive, so
+        // append ≡ rebuild holds EXACTLY whatever the arrival order;
+        // crash-and-retry is IDEMPOTENT PER BATCH ID (the batch's own
+        // generation is replaced, never double-counted). Schedule
+        // compact_bm25_index between drains to fold generations.
+        require(conn.format == "parquet",
+          s"load '${step.name}': bm25Index layout requires parquet, got '${conn.format}'")
+        val buckets = merged.get("bm25Buckets").map(_.toInt)
+          .getOrElse(graft.ops.TextAnalysis.defaultBm25Buckets)
+        df.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
+          graft.ops.TextAnalysis.maintainBm25Index(b, full, bid, buckets); ()
+        }.outputMode("append")
       case "append" if merged.contains("shardBy") || merged.contains("shards") =>
         // streaming curation endpoint: each drained micro-batch extends
         // the deterministic training-shard layout additively
@@ -224,10 +240,35 @@ object StreamingLoad {
         // serving threshold above the built one (lowering errors).
         val deconIdx = merged.get("exactDecontaminateIndex").map(resolve(base, _))
         val deconTau = merged.get("exactDecontaminateTau").map(_.toLong)
+        // optional "bm25DecontaminateIndex": LEXICAL decontamination per
+        // tick — score each drained micro-batch against the frozen
+        // benchmark targets at the given path (corpus = the tick, so
+        // per-tick cost is batch-sized by construction) and anti-join
+        // the docs that land in some target's BM25 top-k. Catches
+        // lexically-close rephrasings the exact n-gram routes are blind
+        // to; pair with exactDecontaminateIndex for guaranteed overlap
+        // coverage. NOTE top-k is per TICK here: a near-copy that ranks
+        // below k within one tick survives (smaller ticks = stricter),
+        // which is the price of scoring incrementally — the batch
+        // bm25_decontaminate transform ranks against the full corpus.
+        val bm25Bench = merged.get("bm25DecontaminateIndex").map(resolve(base, _))
+        val bm25K = merged.get("bm25DecontaminateK").map(_.toInt).getOrElse(20)
+        val bm25Toks = merged.get("bm25DecontaminateTokens").map(_.toInt).getOrElse(8)
         df.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
-          val cleaned = deconIdx match {
-            case Some(p) => graft.ops.Dedup.exactDecontaminateFrozen(b, p, deconTau)
+          val lexCleaned = bm25Bench match {
+            case Some(p) =>
+              // bench read against the micro-batch's session
+              // (cloned-session rule); serving-batch size is guarded
+              // loudly inside bm25RanksOn
+              val hits = graft.ops.TextAnalysis
+                .bm25TopKOn(b, b.sparkSession.read.parquet(p), bm25K, bm25Toks)
+                .select(org.apache.spark.sql.functions.col("doc_id")).distinct()
+              b.join(hits, Seq("doc_id"), "left_anti")
             case None => b
+          }
+          val cleaned = deconIdx match {
+            case Some(p) => graft.ops.Dedup.exactDecontaminateFrozen(lexCleaned, p, deconTau)
+            case None => lexCleaned
           }
           // the batch id makes the index append idempotent per batch:
           // a replay after a partial failure recomputes the same

@@ -540,7 +540,111 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25Serve(spark, docs.limit(0)
         .selectExpr("doc_id AS query_id", "'x' AS term"), tmpDir("not-an-index").toString)
     }
-    assert(err.getMessage.contains("_bm25_stats"))
+    assert(err.getMessage.contains("_bm25_buckets"))
+  }
+
+  test("BM25 index lifecycle: append == rebuild bit-for-bit, compaction exact, crash intent replays") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val queries = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("doc_id % 97 = 3 AND doc_id < 100000")
+      .selectExpr("doc_id AS query_id",
+        "explode(slice(split(text, ' '), 1, 8)) AS term").distinct()
+    def servedRows(idx: String) =
+      TextAnalysis.bm25Serve(spark, queries, idx).collect().toSeq
+    // one-shot build = the reference output
+    val oneShot = tmpDir("bm25-oneshot").toString
+    TextAnalysis.saveBm25Index(docs, oneShot)
+    val ref = servedRows(oneShot)
+    assert(ref.nonEmpty)
+    // split build: three disjoint maintain appends — identical rows,
+    // scores included (df/N/token roll-forward is exact, not approximate)
+    val incr = tmpDir("bm25-incr").toString
+    (0 to 2).foreach { r =>
+      TextAnalysis.maintainBm25Index(
+        docs.filter(s"doc_id % 3 = $r"), incr, r.toLong)
+    }
+    assert(servedRows(incr) == ref, "append != rebuild")
+    // batch replay is idempotent: re-appending batch 1 replaces its
+    // generation instead of double-counting its docs
+    TextAnalysis.maintainBm25Index(docs.filter("doc_id % 3 = 1"), incr, 1L)
+    assert(servedRows(incr) == ref, "batch replay double-counted")
+    // compaction folds batches 0,1 into a generation (2 stays live as
+    // the replayable batch) and serving stays bit-identical
+    assert(TextAnalysis.compactBm25Index(spark, incr) == 2)
+    assert(servedRows(incr) == ref, "compaction changed scores")
+    val fs = graft.connect.Hfs.fs(spark, incr)
+    def batches(sub: String) = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(incr, sub)).map(_.getName).sorted
+    assert(batches("postings") == Seq("batch=-1", "batch=2"))
+    assert(batches("dfreq") == Seq("batch=-1", "batch=2"))
+    // a second compaction has a single foldable batch -> no-op
+    assert(TextAnalysis.compactBm25Index(spark, incr) == 0)
+    // crash-window replay: stage a compaction by hand (temps + intent,
+    // sources still present — the state right after the commit point)
+    // and serving must first fold it to completion, never double-count
+    val crash = tmpDir("bm25-crash").toString
+    (0 to 1).foreach { r =>
+      TextAnalysis.maintainBm25Index(
+        docs.filter(s"doc_id % 3 = $r"), crash, r.toLong)
+    }
+    TextAnalysis.maintainBm25Index(docs.filter("doc_id % 3 = 2"), crash, 2L)
+    val cfs = graft.connect.Hfs.fs(spark, crash)
+    // stage: copy batch 0+1 consolidations into temps exactly as
+    // compactBm25Index would, then write the intent and STOP (the
+    // simulated crash before any delete/rename)
+    spark.read.option("basePath", s"$crash/postings")
+      .parquet(s"$crash/postings/batch=0", s"$crash/postings/batch=1")
+      .drop("batch")
+      .repartition(org.apache.spark.sql.functions.col("bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$crash/postings/.compact-tmp")
+    spark.read.option("basePath", s"$crash/dfreq")
+      .parquet(s"$crash/dfreq/batch=0", s"$crash/dfreq/batch=1")
+      .groupBy("term")
+      .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$crash/dfreq/.compact-tmp")
+    val s01 = Seq(0L, 1L).map { b =>
+      graft.connect.Hfs.readSmall(cfs,
+        new org.apache.hadoop.fs.Path(crash, s"stats/batch=$b"))
+        .trim.split(" ").map(_.toLong)
+    }
+    graft.connect.Hfs.writeSmall(cfs,
+      new org.apache.hadoop.fs.Path(crash, "stats/.compact-tmp"),
+      s"${s01.map(_(0)).sum} ${s01.map(_(1)).sum}", overwrite = true)
+    graft.connect.Hfs.writeSmall(cfs,
+      new org.apache.hadoop.fs.Path(crash, "_bm25_compact_intent"),
+      "-1 0,1", overwrite = true)
+    // serve entry replays the intent: same rows, sources folded
+    assert(servedRows(crash) == ref, "intent replay double-counted")
+    assert(!cfs.exists(new org.apache.hadoop.fs.Path(crash, "_bm25_compact_intent")))
+    assert(batches("postings") == Seq("batch=-1", "batch=2")) // incr untouched
+    val crashBatches = graft.connect.Hfs.listDirs(cfs,
+      new org.apache.hadoop.fs.Path(crash, "postings")).map(_.getName).sorted
+    assert(crashBatches == Seq("batch=-1", "batch=2"))
+  }
+
+  test("bm25 serving-batch ceiling: oversized query vocabulary fails loudly, names the routes") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      // ceiling of 3 distinct terms makes any real target set oversized
+      TextAnalysis.bm25RanksOn(docs, docs.limit(5), maxQueryTerms = 3L).count()
+    }
+    assert(err.getMessage.contains("serving-batch broadcast ceiling"))
+    assert(err.getMessage.contains("exact_decontaminate"))
+    // under the ceiling nothing changes: default guard admits the batch
+    assert(TextAnalysis.bm25TopKOn(docs, docs.limit(2), 3).collect().nonEmpty)
+    val idx = tmpDir("bm25-guard-idx").toString
+    TextAnalysis.saveBm25Index(docs, idx)
+    val q = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id AS query_id",
+        "explode(slice(split(text, ' '), 1, 8)) AS term").distinct()
+    val err2 = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Serve(spark, q, idx, maxQueryTerms = 3L)
+    }
+    assert(err2.getMessage.contains("serving-batch broadcast ceiling"))
   }
 
   test("hybrid RRF: fused score is exactly the rank formula; lexical ranks agree with bm25") {
