@@ -542,6 +542,308 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(batches == 3, s"5 files at maxFilesPerTrigger=2 must drain as 3 batches, got $batches")
   }
 
+  /** Poll the run history until pipeline `id` has `n` rows and the
+    * last one succeeded — the scheduler's worker pool is asynchronous,
+    * and the lifecycle tests below must not land the next tick's files
+    * (or run a compaction) while a drain is still in flight. */
+  private def waitRuns(repo: Repository, id: String, n: Int): Unit = {
+    val deadline = System.currentTimeMillis() + 120000
+    while (repo.history(id).size < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    val h = repo.history(id)
+    assert(h.size == n && h.last.status == "success",
+      s"runs for $id: ${h.map(_.status)}")
+  }
+
+  test("streaming BM25 maintenance: landing docs -> index generations across three ticks, compaction, serve == rebuild") {
+    import graft.ops.TextAnalysis
+    val dataDir = tmpDir("graft-stream-bm25").toString
+    val repo = new Repository(tmpDir("graft-stream-bm25-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    // overlapping vocabulary so df/len statistics matter: shared w#
+    // tokens + a unique token per doc
+    val all = (0 until 60).map { i =>
+      (i.toLong, (0 until 6).map(j => s"w${(i + j) % 9}").mkString(" ") + s" u$i")
+    }
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"bm25-stream","name":"landing-to-bm25-index","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"index","order":2,"connectionId":"local",
+         | "path":"bm25idx","mode":"append",
+         | "options":{"bm25Index":"true","checkpointLocation":"ck"}}
+         |]}""".stripMargin))
+
+    var now = Instant.parse("2026-03-05T08:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched.tick().isEmpty) // first-seen skip
+    Seq((all.take(20), "08:15"), (all.slice(20, 40), "08:30"),
+        (all.drop(40), "08:45")).zipWithIndex.foreach { case ((slice, t), i) =>
+      slice.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+      now = Instant.parse(s"2026-03-05T$t:05Z")
+      assert(sched.tick() == Seq("bm25-stream"))
+      waitRuns(repo, "bm25-stream", 2 * (i + 1))
+    }
+    sched.stop()
+
+    val idx = s"$dataDir/bm25idx"
+    val fs = graft.connect.Hfs.fs(spark, idx)
+    def batches() = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "postings")).map(_.getName).sorted
+    assert(batches() == Seq("batch=0", "batch=1", "batch=2"))
+
+    // scheduled maintenance: the declarative compact_bm25_index step
+    // folds batches 0+1 (2 stays live as the replayable batch)
+    Seq((0L, "seed")).toDF("id", "tag").write.mode("overwrite")
+      .parquet(s"$dataDir/src")
+    val registry = new TransformRegistry
+    CurationTransforms.registerBm25IndexCompaction(registry, spark, idx)
+    val maint = PipelineJson.parsePipeline(
+      s"""{"id":"bm25-maint","name":"nightly bm25 compaction","recurrence":"0 4 * * *","enabled":true,"steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"compact","order":2,"kind":"named","transformName":"compact_bm25_index"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"maint_out","mode":"replace"}
+         |]}""".stripMargin)
+    repo.savePipeline(maint)
+    assert(new PipelineRunner(spark, repo, registry).run(maint).status == "success")
+    assert(batches() == Seq("batch=-1", "batch=2"))
+    // streaming guard mirrors the other compaction transforms
+    val err = intercept[IllegalArgumentException](
+      registry("compact_bm25_index")(spark.readStream.format("rate").load()))
+    assert(err.getMessage.contains("PipelineScheduler"))
+
+    // the streamed-and-compacted index serves BIT-IDENTICALLY to a
+    // one-shot offline rebuild over the same corpus — the append ==
+    // rebuild invariant through the real streaming machinery
+    val queries = all.take(4).map { case (id, text) => (id, text) }
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id AS query_id",
+        "explode(slice(split(text, ' '), 1, 8)) AS term").distinct()
+    val rebuilt = s"$dataDir/bm25-rebuilt"
+    TextAnalysis.saveBm25Index(all.toDF("doc_id", "text"), rebuilt)
+    graft.CacheScope.drain()
+    val servedStream = TextAnalysis.bm25Serve(spark, queries, idx).collect().toSeq
+    graft.CacheScope.drain()
+    val servedRebuild = TextAnalysis.bm25Serve(spark, queries, rebuilt).collect().toSeq
+    assert(servedStream == servedRebuild && servedStream.nonEmpty,
+      "streamed index diverged from offline rebuild")
+  }
+
+  test("streaming lexical decontamination: bm25DecontaminateIndex drops a rephrasing the exact route provably misses") {
+    val dataDir = tmpDir("graft-stream-bm25dec").toString
+    val repo = new Repository(tmpDir("graft-stream-bm25dec-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    // the planted leak: SAME eight words, reordered — every 3-gram
+    // shingle differs, so n-gram containment can never flag it, but
+    // every BM25 query term matches
+    val rephrase = "beta alpha delta gamma theta eta zeta epsilon"
+    val benchDf = Seq((1L, benchText)).toDF("doc_id", "text")
+    benchDf.write.mode("overwrite").parquet(s"$dataDir/benchdocs")
+    val exactIdx = s"$dataDir/benchidx"
+    graft.ops.Dedup.saveBenchPrefixIndex(benchDf, benchDf, 1000L, exactIdx)
+    graft.CacheScope.drain()
+
+    // PROOF the exact route is blind to this shape: the frozen-index
+    // shuffle path keeps the rephrasing (zero shared shingles)
+    val exactOnly = graft.ops.Dedup.exactDecontaminateFrozen(
+      Seq((201L, rephrase)).toDF("doc_id", "text"), exactIdx, None)
+      .select($"doc_id").as[Long].collect().toSet
+    graft.CacheScope.drain()
+    assert(exactOnly == Set(201L),
+      "exact route unexpectedly caught the rephrasing — test premise broken")
+
+    // belt-and-suspenders pipeline: BOTH routes on the shard load
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"lexdec-stream","name":"landing-lexically-decontaminated","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"shards","order":2,"connectionId":"local",
+         | "path":"shards","mode":"append",
+         | "options":{"shardBy":"doc_id","shards":"4","checkpointLocation":"ck",
+         |            "exactDecontaminateIndex":"benchidx",
+         |            "bm25DecontaminateIndex":"benchdocs"}}
+         |]}""".stripMargin))
+
+    def clean(ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 6).map(j => s"c${i}w$j").mkString(" ")))
+    // tick 1: clean docs + an EXACT bench copy (the exact route's case)
+    (clean(100 until 120) :+ (200L, benchText))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-05T09:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    now = Instant.parse("2026-03-05T09:15:05Z")
+    assert(sched.tick() == Seq("lexdec-stream"))
+    waitRuns(repo, "lexdec-stream", 2)
+    // tick 2: clean docs + the rephrasing only BM25 can catch
+    (clean(120 until 140) :+ (201L, rephrase))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-05T09:30:05Z")
+    assert(sched.tick() == Seq("lexdec-stream"))
+    waitRuns(repo, "lexdec-stream", 4)
+    sched.stop()
+
+    // both planted leaks dropped at their tick; every clean doc landed
+    // (clean vocab shares no query term, so BM25 never scores it)
+    val written = spark.read.parquet(s"$dataDir/shards")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(written == (100L until 140L).toSet,
+      s"unexpected shard contents: missing=${(100L until 140L).toSet -- written} " +
+        s"extra=${written -- (100L until 140L).toSet}")
+  }
+
+  test("admission-index lifecycle end-to-end: scheduled ticks + scheduled compactions + mid-stream replay == brute-force arrival-order dedup") {
+    val dataDir = tmpDir("graft-adm-e2e").toString
+    val repo = new Repository(tmpDir("graft-adm-e2e-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    def words(prefix: String, n: Int) = (0 until n).map(j => s"$prefix$j").mkString(" ")
+    val idx = s"$dataDir/dedupidx"
+    graft.ops.Dedup.createExactDedupIndex(spark, idx,
+      Seq((0L, words("r", 10))).toDF("doc_id", "text"), 800L)
+    graft.CacheScope.drain()
+
+    // the full arrival schedule: in-batch exact dup (tick 1), cross-
+    // tick near-dups against earlier ticks (2: of 101; 3: of 103;
+    // 4: of 202), an in-batch FAMILY whose representative survives
+    // (tick 3), and fresh docs throughout
+    val ticks: Seq[Seq[(Long, String)]] = Seq(
+      Seq((101L, words("a", 12)), (102L, words("a", 12)), (103L, words("b", 12))),
+      Seq((201L, words("a", 12) + " extra"), (202L, words("c", 12))),
+      Seq((301L, words("b", 12) + " extra"), (302L, words("d", 12)),
+        (303L, words("d", 12) + " extra")),
+      Seq((401L, words("e", 12)), (402L, words("c", 12) + " extra")))
+
+    // stream fires at :15/:45, compaction at :30 — the scheduler
+    // interleaves data ticks with maintenance, never concurrently
+    // (waitRuns barriers between firings)
+    Seq((0L, "seed")).toDF("id", "tag").write.mode("overwrite")
+      .parquet(s"$dataDir/src")
+    val registry = new TransformRegistry
+    CurationTransforms.registerDedupIndexCompaction(registry, spark, idx)
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"adm-stream","name":"landing-admitted-shards","recurrence":"15,45 * * * *","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"shards","order":2,"connectionId":"local",
+         | "path":"shards","mode":"append",
+         | "options":{"shardBy":"doc_id","shards":"4","checkpointLocation":"ck",
+         |            "exactDedupIndex":"dedupidx"}}
+         |]}""".stripMargin))
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"adm-maint","name":"dedup-index compaction","recurrence":"30 * * * *","enabled":true,"steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"compact","order":2,"kind":"named","transformName":"compact_dedup_index"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"maint_out","mode":"replace"}
+         |]}""".stripMargin))
+
+    var now = Instant.parse("2026-03-06T08:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched.tick().isEmpty) // first-seen skip for both
+    def land(t: Seq[(Long, String)]): Unit =
+      t.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dataDir/landing")
+    var streamRuns = 0
+    var maintRuns = 0
+    def fireStream(at: String, tick: Seq[(Long, String)]): Unit = {
+      land(tick)
+      now = Instant.parse(at)
+      assert(sched.tick() == Seq("adm-stream"))
+      streamRuns += 1; waitRuns(repo, "adm-stream", 2 * streamRuns)
+    }
+    def fireMaint(at: String): Unit = {
+      now = Instant.parse(at)
+      assert(sched.tick() == Seq("adm-maint"))
+      maintRuns += 1; waitRuns(repo, "adm-maint", 2 * maintRuns)
+    }
+    fireStream("2026-03-06T08:15:05Z", ticks(0)) // batch 0
+    fireMaint("2026-03-06T08:30:05Z")            // 1 batch dir: no-op
+    fireStream("2026-03-06T08:45:05Z", ticks(1)) // batch 1
+    fireStream("2026-03-06T09:15:05Z", ticks(2)) // batch 2
+    fireMaint("2026-03-06T09:30:05Z")            // folds batches 0+1
+    fireStream("2026-03-06T09:45:05Z", ticks(3)) // batch 3
+    sched.stop()
+
+    val fs = graft.connect.Hfs.fs(spark, idx)
+    def docDirs() = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "docs")).map(_.getName).sorted
+    assert(docDirs() == Seq("batch=-1", "batch=2", "batch=3"),
+      s"compaction interleave produced ${docDirs()}")
+
+    // MID-STREAM CRASH: batch 3's index write + shard append landed but
+    // the offsets commit did not — delete the newest commit marker, as
+    // a crash between foreachBatch and commit leaves it, and restart
+    val commits = new java.io.File(s"$dataDir/ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    // drop the checksum sidecar too — the local ChecksumFileSystem
+    // would otherwise refuse the replayed commit's rename (a real HDFS
+    // crash leaves neither file)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(commits.last.delete())
+    val sched2 = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched2.tick().isEmpty) // first-seen skip (fresh process)
+    now = Instant.parse("2026-03-06T10:15:05Z")
+    assert(sched2.tick() == Seq("adm-stream"))
+    waitRuns(repo, "adm-stream", 2 * streamRuns + 2)
+    sched2.stop()
+
+    // brute-force oracle: arrival-order admission over 3-gram shingle
+    // sets in plain Scala — per tick, families by pairwise J >= 0.8
+    // (transitive closure), min-id representative tested against
+    // everything admitted so far; representative duplicates reject the
+    // whole family (the admitExactDedup contract)
+    def shingles(text: String): Set[String] =
+      text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else (a & b).size.toDouble / (a | b).size.toDouble
+    var admitted = Map.empty[Long, Set[String]]
+    ticks.foreach { tick =>
+      val sh = tick.map { case (id, t) => id -> shingles(t) }.toMap
+      // transitive families within the tick
+      var fam = tick.map { case (id, _) => id -> id }.toMap
+      def root(x: Long): Long = if (fam(x) == x) x else root(fam(x))
+      for ((i, _) <- tick; (j, _) <- tick if i < j)
+        if (jac(sh(i), sh(j)) >= 0.8) fam += (root(j) -> root(i))
+      tick.map { case (id, _) => root(id) }.distinct.foreach { rep =>
+        val members = tick.collect { case (id, _) if root(id) == rep => id }
+        val repId = members.min
+        if (!admitted.values.exists(s => jac(sh(repId), s) >= 0.8))
+          admitted += (repId -> sh(repId))
+      }
+    }
+    val expected = admitted.keySet
+    assert(expected == Set(101L, 103L, 202L, 302L, 401L)) // sanity: hand-checked
+    val idxIds = spark.read.parquet(s"$idx/docs")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(idxIds.toSet == expected,
+      s"index diverged from brute force: got ${idxIds.toSet}")
+    // the replay neither self-rejected (losing batch 3's docs) nor
+    // double-admitted (duplicate index rows for batch 3)
+    assert(idxIds.size == idxIds.distinct.size,
+      "replay left duplicate index rows")
+    // shard sink is at-least-once by contract: set-level it holds
+    // exactly the admitted docs
+    val written = spark.read.parquet(s"$dataDir/shards")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(written == expected, s"shards diverged: $written vs $expected")
+  }
+
   test("streaming load without checkpointLocation fails fast") {
     val dataDir = tmpDir("graft-stream-nockpt").toString
     val repo = new Repository(tmpDir("graft-stream-repo2"))

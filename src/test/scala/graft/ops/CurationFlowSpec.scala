@@ -786,4 +786,89 @@ class CurationFlowSpec extends SparkSpec {
     assert(cleaned.select($"doc_id").as[Long].collect().toSet == Set(2L, 4L))
     graft.CacheScope.drain()
   }
+
+  test("bm25_decontaminate minScore6 threshold: drops ALL matches above the score, ignoring the top-k cap") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    // four near-copies of the benchmark doc + two clean docs: a top-k
+    // cut at k=1 keeps three of the copies (the documented blind
+    // spot); the score-threshold form drops every one of them
+    val benchText = "quantum flux theory overview intro primer"
+    val corpus = Seq(
+      (1L, s"$benchText copy one", "en", "s", 10L),
+      (2L, s"$benchText copy two", "en", "s", 10L),
+      (3L, s"$benchText copy three", "en", "s", 10L),
+      (4L, s"$benchText copy four", "en", "s", 10L),
+      (5L, "banana bread recipe with walnuts steps", "en", "s", 39L),
+      (6L, "gardening tips for tomato plants soil", "en", "s", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val benchDir = tmpDir("bm25-minscore-bench").toString
+    Seq((100L, benchText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir)
+    // top-k form at k=1: exactly one copy dropped, three survive —
+    // the recall limit the docstring documents
+    val regK = new TransformRegistry
+    CurationTransforms.registerBm25Decontaminate(regK, spark, benchDir, k = 1)
+    val keptK = regK("bm25_decontaminate")(corpus)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptK.size == 5 && Set(5L, 6L).subsetOf(keptK),
+      s"k=1 should keep 3 of 4 copies plus the clean docs: $keptK")
+    graft.CacheScope.drain()
+    // threshold form: any positive score means a shared term here, so
+    // minScore6 = 1 drops all four copies and keeps the clean docs
+    val regT = new TransformRegistry
+    CurationTransforms.registerBm25Decontaminate(regT, spark, benchDir,
+      k = 1, minScore6 = Some(1L))
+    val keptT = regT("bm25_decontaminate")(corpus)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptT == Set(5L, 6L), s"threshold form left copies behind: $keptT")
+    graft.CacheScope.drain()
+  }
+
+  test("hybrid_select: fused keep == standalone hybridTopKOn hits; catches what each single tower misses") {
+    import spark.implicits._
+    import graft.exec.{CurationTransforms, TransformRegistry}
+    // corpus rows carry text AND embedding. Doc 1 is a LEXICAL match
+    // (shares target tokens, far embedding); doc 3 is a SEMANTIC match
+    // (near embedding, disjoint text); docs 2/4 match neither.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val corpus = Seq(
+      (1L, "quantum flux capacitor tuning guide", v(0.0, 1.0)),
+      (2L, "banana bread recipe with walnuts steps", v(-1.0, 0.2)),
+      (3L, "unrelated words entirely different topic", v(1.0, 0.02)),
+      (4L, "gardening tips for tomato plants soil", v(-0.5, -1.0)))
+      .toDF("doc_id", "text", "embedding")
+    val benchDir = tmpDir("hybrid-select-bench").toString
+    Seq((100L, "quantum flux theory overview intro primer", v(1.0, 0.0)))
+      .toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(benchDir)
+    val registry = new TransformRegistry
+    CurationTransforms.registerHybridSelect(registry, benchDir, k = 2)
+    val kept = registry("hybrid_select")(corpus)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    // fused top-2 = the lexical hit + the semantic hit: each tower
+    // contributes the doc the other is blind to
+    assert(kept.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    graft.CacheScope.drain()
+    // keep/drop parity with the standalone library row: the transform
+    // keeps EXACTLY the doc_ids hybridTopKOn emits at the same k
+    val hits = graft.ops.TextAnalysis
+      .hybridTopKOn(corpus, spark.read.parquet(benchDir), k = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.select($"doc_id").as[Long].collect().toSet == hits)
+    graft.CacheScope.drain()
+    // the fused frame carries both per-system ranks and the exact RRF
+    // fixed-point score (the gate-row invariant, on arbitrary frames)
+    val fused = graft.ops.TextAnalysis
+      .hybridTopKOn(corpus, spark.read.parquet(benchDir), k = 4)
+      .select($"rank", $"rrf", $"lex_rank", $"vec_rank")
+      .as[(Long, Double, Long, Long)].collect()
+    fused.foreach { case (_, rrf, lr, vr) =>
+      val expect = (if (lr > 0) math.round(1e6 / (60 + lr)) else 0L) +
+        (if (vr > 0) math.round(1e6 / (60 + vr)) else 0L)
+      assert(math.round(rrf * 1e6) == expect)
+      assert(lr > 0 || vr > 0)
+    }
+    graft.CacheScope.drain()
+  }
 }

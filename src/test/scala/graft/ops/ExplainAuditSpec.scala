@@ -89,7 +89,11 @@ class ExplainAuditSpec extends SparkSpec {
     // round 15: frozen-index BM25 serving — the corpus stats ride in
     // as driver LITERALS (no 1-row cross at all); df/score joins
     // broadcast; its scan pruning is pinned by its dedicated test
-    "q_text_bm25_serve")
+    "q_text_bm25_serve",
+    // round 16: the incrementally-grown sibling serves the same shape
+    // across batch GENERATIONS (stats summed driver-side, df rolled up
+    // on vocabulary-pruned rows) — still literals + broadcasts only
+    "q_text_bm25_incr")
 
   /** Allow-listed by design: the brute-force exact-rescore baseline
     * (its all-pairs scan IS its job) and IVF (the ≤16-row codebook
@@ -283,6 +287,18 @@ class ExplainAuditSpec extends SparkSpec {
     val plan = planOf("q_text_bm25_serve")
     assert("PartitionFilters: \\[bucket[^\\]]*IN".r.findFirstIn(plan).isDefined ||
       "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"postings scan lost bucket partition pruning:\n$plan")
+    assert(plan.contains("In(term"),
+      s"postings scan lost the pushed term INSET:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"top-5 lost the group-limit pushdown:\n$plan")
+  }
+
+  test("q_text_bm25_incr: cross-generation serve keeps bucket pruning + pushed term INSET") {
+    // the incremental layout adds a batch= partition level; the
+    // serving scan must still prune to the query's buckets at planning
+    // time (across ALL generations) and push the term membership down
+    val plan = planOf("q_text_bm25_incr")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"postings scan lost bucket partition pruning:\n$plan")
     assert(plan.contains("In(term"),
       s"postings scan lost the pushed term INSET:\n$plan")
