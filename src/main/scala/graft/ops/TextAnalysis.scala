@@ -505,9 +505,16 @@ object TextAnalysis {
     if (n == 0L) return
     // layout-keyed repartition (one file per bucket per job), then
     // term-clustered WITHIN each bucket: parquet row-group min/max on
-    // term only prunes if rows are sorted — without this the pushed
-    // term INSET reads every row group in every touched bucket
-    postings.repartition($"bucket").sortWithinPartitions($"term", $"doc_id")
+    // term only prunes if rows are sorted. The sort keys MUST lead
+    // with the partition column: a dynamic-partition write requires
+    // ordering by its partition columns, and when the child's
+    // ordering doesn't already satisfy that, Spark inserts its own
+    // Sort(bucket) ON TOP — silently destroying the term clustering
+    // (tools/Bm25PruneProbe caught exactly this: r15's
+    // sort(term, doc_id) produced row groups whose term range spanned
+    // the whole bucket, byte-identical to an unsorted write)
+    postings.repartition($"bucket")
+      .sortWithinPartitions($"bucket", $"term", $"doc_id")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/batch=$batchId")
     postings.groupBy($"term").agg(count(lit(1)).as("df"))
@@ -652,7 +659,9 @@ object TextAnalysis {
     s.read.option("basePath", s"$path/postings")
       .parquet(fold.map(b => s"$path/postings/batch=$b"): _*)
       .drop("batch")
-      .repartition(col("bucket")).sortWithinPartitions(col("term"), col("doc_id"))
+      .repartition(col("bucket"))
+      // partition column leads the sort keys (see writeBm25Batch)
+      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/.compact-tmp")
     val dfSrc = fold.filter(b => graft.connect.Hfs.isDir(fs,
@@ -728,6 +737,15 @@ object TextAnalysis {
     * (query_id, term) and be serving-batch sized — enforced loudly via
     * `maxQueryTerms` ([[requireServingBatch]]), since both sides of
     * the score join broadcast the batch.
+    *
+    * Tuning (measured, `tools/bm25_prune_r16.json`): term-clustered
+    * row groups prune the postings read ~4.8× at stock conf via page
+    * column indexes; raising
+    * `spark.sql.parquet.pushdown.inFilterThreshold` above the batch's
+    * distinct-term count lets the native IN predicate reach row-group
+    * stats for ~16×. Serving sessions should set that conf — it is a
+    * session conf, so this library function deliberately does not
+    * mutate it.
     */
   def bm25Serve(s: SparkSession, queries: DataFrame, indexPath: String,
       maxQueryTerms: Long = maxBm25QueryTerms): DataFrame = {
