@@ -517,8 +517,16 @@ object TextAnalysis {
       .sortWithinPartitions($"bucket", $"term", $"doc_id")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/batch=$batchId")
-    postings.groupBy($"term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/dfreq/batch=$batchId")
+    // dfreq is bucketed by the SAME hash(term) modulus as postings:
+    // the vocabulary is corpus-scale at 100 TB (a full-vocab scan per
+    // serving batch would dwarf the pruned postings read), and one
+    // shared bucket function means the serve's single driver-side
+    // bucket list prunes BOTH scans at planning time
+    postings.groupBy($"term", $"bucket").agg(count(lit(1)).as("df"))
+      .repartition($"bucket")
+      .sortWithinPartitions($"bucket", $"term")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/dfreq/batch=$batchId")
     graft.connect.Hfs.writeSmall(graft.connect.Hfs.fs(s, path),
       new org.apache.hadoop.fs.Path(path, s"stats/batch=$batchId"),
       s"$n $toks", overwrite = true)
@@ -538,10 +546,14 @@ object TextAnalysis {
     *    per-batch directory (the replay/idempotence unit),
     *    repartitioned on the layout key before the write (one file per
     *    bucket per job) and term-clustered within each bucket;
-    *  - `dfreq/batch=<id>/` — (term, df) PER BATCH; a term's global df
-    *    is the exact long sum over batch directories (each doc lives
-    *    in exactly one batch), rolled up at serve time on the
-    *    vocabulary-pruned rows;
+    *  - `dfreq/batch=<id>/bucket=<h>/` — (term, df) PER BATCH,
+    *    hive-partitioned by the SAME `hash(term) mod buckets` as the
+    *    postings (one driver-side bucket list prunes both scans at
+    *    planning time — the vocabulary is corpus-scale at 100 TB, so
+    *    an unpruned per-batch vocab scan would dwarf the pruned
+    *    postings read); a term's global df is the exact long sum over
+    *    batch directories (each doc lives in exactly one batch),
+    *    rolled up at serve time on the pruned rows;
     *  - `stats/batch=<id>` — "N totalTokens" exact longs per batch;
     *    the corpus constants are the driver-side sum of these files
     *    (bounded by the batch count, which compaction folds);
@@ -584,6 +596,14 @@ object TextAnalysis {
     * (negative ids are reserved for compaction generations). Batches
     * must be DISJOINT corpus slices — appending the same doc under two
     * batch ids double-counts it, like any append sink.
+    *
+    * A batch interrupted MID-WRITE (postings landed, dfreq/stats not)
+    * must be replayed under the same id before the index is served —
+    * serving the torn middle would undercount that batch's dfs. The
+    * streaming hook gets this for free: a crash inside foreachBatch
+    * leaves the tick's offsets uncommitted, so the restarted drain
+    * replays the same batch id and the delete-own-generation step
+    * heals the tear (the admitExactDedup window and discipline).
     */
   def maintainBm25Index(batch: DataFrame, path: String, batchId: Long,
       buckets: Int = defaultBm25Buckets): Unit = {
@@ -668,8 +688,11 @@ object TextAnalysis {
       new org.apache.hadoop.fs.Path(path, s"dfreq/batch=$b")))
     s.read.option("basePath", s"$path/dfreq")
       .parquet(dfSrc.map(b => s"$path/dfreq/batch=$b"): _*)
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(s"$path/dfreq/.compact-tmp")
+      .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/dfreq/.compact-tmp")
     val summed = fold.flatMap { b =>
       val p = new org.apache.hadoop.fs.Path(path, s"stats/batch=$b")
       if (graft.connect.Hfs.isFile(fs, p))
@@ -780,9 +803,11 @@ object TextAnalysis {
     val postings = s.read.parquet(s"$indexPath/postings")
       .filter($"bucket".isin(bucketIds: _*) && $"term".isin(terms: _*))
     // global df = exact sum of the per-batch counts (each doc lives in
-    // exactly one batch) — rolled up on vocabulary-pruned rows only
+    // exactly one batch) — the scan prunes to the SAME bucket list as
+    // postings (shared hash(term) modulus), then rolls up the
+    // vocabulary-pruned rows only
     val dfq = s.read.parquet(s"$indexPath/dfreq")
-      .filter($"term".isin(terms: _*))
+      .filter($"bucket".isin(bucketIds: _*) && $"term".isin(terms: _*))
       .groupBy($"term").agg(sum($"df").as("df"))
     bm25Tail(postings, dfq, q, lit(n), lit(toks))
   }

@@ -298,8 +298,12 @@ class ExplainAuditSpec extends SparkSpec {
     // serving scan must still prune to the query's buckets at planning
     // time (across ALL generations) and push the term membership down
     val plan = planOf("q_text_bm25_incr")
-    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
-      s"postings scan lost bucket partition pruning:\n$plan")
+    // BOTH index scans — postings AND the bucketed dfreq — must carry
+    // the bucket INSET as a PartitionFilters entry (one shared
+    // hash(term) modulus, one driver-side prune list)
+    val pruned = "PartitionFilters: \\[[^\\]]*bucket".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected bucket partition pruning on postings AND dfreq scans, got $pruned:\n$plan")
     assert(plan.contains("In(term"),
       s"postings scan lost the pushed term INSET:\n$plan")
     assert(plan.contains("WindowGroupLimit"), s"top-5 lost the group-limit pushdown:\n$plan")

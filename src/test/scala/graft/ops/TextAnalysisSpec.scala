@@ -602,9 +602,12 @@ class TextAnalysisSpec extends SparkSpec {
       .parquet(s"$crash/postings/.compact-tmp")
     spark.read.option("basePath", s"$crash/dfreq")
       .parquet(s"$crash/dfreq/batch=0", s"$crash/dfreq/batch=1")
-      .groupBy("term")
+      .groupBy("term", "bucket")
       .agg(org.apache.spark.sql.functions.sum("df").as("df"))
-      .write.mode("overwrite").parquet(s"$crash/dfreq/.compact-tmp")
+      .repartition(org.apache.spark.sql.functions.col("bucket"))
+      .sortWithinPartitions("bucket", "term")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$crash/dfreq/.compact-tmp")
     val s01 = Seq(0L, 1L).map { b =>
       graft.connect.Hfs.readSmall(cfs,
         new org.apache.hadoop.fs.Path(crash, s"stats/batch=$b"))
