@@ -173,9 +173,16 @@ object Demo {
 
     // round-15 surface: the retrieval family — frozen inverted index,
     // point-lookup serving, and retrieval-guided selection
-    println("[demo] retrieval: freeze a BM25 inverted index, serve a query batch")
+    println("[demo] retrieval: grow a BM25 inverted index incrementally, fold, serve")
     val bm25Idx = work.resolve("bm25-index").toString
-    ops.TextAnalysis.saveBm25Index(docs.select($"doc_id", $"text"), bm25Idx)
+    // the round-16 lifecycle: three disjoint appends + a compaction —
+    // append ≡ rebuild exactly (additive stats), so the serve below is
+    // bit-identical to a one-shot saveBm25Index of the full corpus
+    (0 to 2).foreach { r =>
+      ops.TextAnalysis.maintainBm25Index(
+        docs.filter($"doc_id" % 3 === r).select($"doc_id", $"text"), bm25Idx, r.toLong)
+    }
+    println(s"[demo] compacted ${ops.TextAnalysis.compactBm25Index(spark, bm25Idx)} generations")
     // the fixed-batch discipline: the % filter alone would grow the
     // "serving batch" with the corpus — the id cap keeps it bounded
     ops.TextAnalysis.bm25Serve(spark,

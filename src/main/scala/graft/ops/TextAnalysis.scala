@@ -606,7 +606,7 @@ object TextAnalysis {
     * heals the tear (the admitExactDedup window and discipline).
     */
   def maintainBm25Index(batch: DataFrame, path: String, batchId: Long,
-      buckets: Int = defaultBm25Buckets): Unit = {
+      buckets: Option[Int] = None): Unit = {
     val s = batch.sparkSession
     require(batchId >= 0,
       s"batchId must be non-negative (got $batchId) — negative ids are " +
@@ -615,13 +615,23 @@ object TextAnalysis {
     recoverBm25Compaction(s, path)
     val marker = new org.apache.hadoop.fs.Path(path, bm25BucketsMarker)
     val nb =
-      if (fs.exists(marker)) graft.connect.Hfs.readSmall(fs, marker).trim.toInt
-      else {
-        require(buckets > 0,
-          s"maintainBm25Index: buckets must be positive, got $buckets")
-        graft.connect.Hfs.writeSmall(fs, marker, buckets.toString,
-          overwrite = true)
-        buckets
+      if (fs.exists(marker)) {
+        val existing = graft.connect.Hfs.readSmall(fs, marker).trim.toInt
+        // the modulus is part of the layout: silently accepting a
+        // different request would strand new postings in buckets the
+        // serving prune never looks at (the maintainIvfPqIndex
+        // width-conflict convention — fail loudly, never drift)
+        buckets.foreach(b => require(b == existing,
+          s"maintainBm25Index: index at $path was created with " +
+            s"$existing buckets but this call asks for $b — the bucket " +
+            "modulus is fixed at creation; rebuild with saveBm25Index " +
+            "to change it"))
+        existing
+      } else {
+        val b = buckets.getOrElse(defaultBm25Buckets)
+        require(b > 0, s"maintainBm25Index: buckets must be positive, got $b")
+        graft.connect.Hfs.writeSmall(fs, marker, b.toString, overwrite = true)
+        b
       }
     // idempotence: drop any prior attempt of THIS batch before writing
     Seq(s"postings/batch=$batchId", s"dfreq/batch=$batchId",

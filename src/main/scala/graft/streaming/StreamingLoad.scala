@@ -205,7 +205,6 @@ object StreamingLoad {
         require(conn.format == "parquet",
           s"load '${step.name}': bm25Index layout requires parquet, got '${conn.format}'")
         val buckets = merged.get("bm25Buckets").map(_.toInt)
-          .getOrElse(graft.ops.TextAnalysis.defaultBm25Buckets)
         df.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
           graft.ops.TextAnalysis.maintainBm25Index(b, full, bid, buckets); ()
         }.outputMode("append")

@@ -580,6 +580,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(batches("dfreq") == Seq("batch=-1", "batch=2"))
     // a second compaction has a single foldable batch -> no-op
     assert(TextAnalysis.compactBm25Index(spark, incr) == 0)
+    // the bucket modulus is part of the layout: a conflicting request
+    // fails loudly BEFORE touching anything (ivfpq width convention)
+    val conflict = intercept[IllegalArgumentException] {
+      TextAnalysis.maintainBm25Index(docs.limit(1), incr, 5L, Some(7))
+    }
+    assert(conflict.getMessage.contains("bucket modulus is fixed"))
+    // a MATCHING explicit request is accepted
+    TextAnalysis.maintainBm25Index(docs.limit(0), incr, 5L,
+      Some(TextAnalysis.defaultBm25Buckets))
+    assert(servedRows(incr) == ref, "guard path disturbed the index")
     // crash-window replay: stage a compaction by hand (temps + intent,
     // sources still present — the state right after the commit point)
     // and serving must first fold it to completion, never double-count
