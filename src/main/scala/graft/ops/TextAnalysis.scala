@@ -329,10 +329,14 @@ object TextAnalysis {
     * queries (query_id, term).
     */
   private def bm25Tail(postings: DataFrame, dfreq: DataFrame,
-      queries: DataFrame, n: Column, toks: Column): DataFrame = {
-    val s = postings.sparkSession
+      queries: DataFrame, n: Column, toks: Column): DataFrame =
+    bm25TopCut(bm25Ranks(postings, dfreq, queries, n, toks))
+
+  /** The gate rows' top-5 presentation cut over a [[bm25Ranks]] frame. */
+  private def bm25TopCut(ranked: DataFrame): DataFrame = {
+    val s = ranked.sparkSession
     import s.implicits._
-    bm25Ranks(postings, dfreq, queries, n, toks)
+    ranked
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"doc_id",
         ($"s6".cast("double") / lit(1e6)).as("score"), $"n_terms")
@@ -781,6 +785,19 @@ object TextAnalysis {
     * mutate it.
     */
   def bm25Serve(s: SparkSession, queries: DataFrame, indexPath: String,
+      maxQueryTerms: Long = maxBm25QueryTerms): DataFrame =
+    bm25TopCut(bm25ServeRanks(s, queries, indexPath, maxQueryTerms))
+
+  /** [[bm25Serve]]'s full-rank core: every (query, matched doc) with
+    * its fixed-point score and rank position, straight off the frozen
+    * index ([[bm25Ranks]] columns — the serving twin of
+    * [[bm25RanksOn]]). [[hybridServeRow]] consumes the positions as
+    * the lexical list of its fusion; [[bm25Serve]] cuts to the top-5
+    * gate shape. Same pruned-scan plan and serving-batch guard as the
+    * docstring above.
+    */
+  private[graft] def bm25ServeRanks(s: SparkSession, queries: DataFrame,
+      indexPath: String,
       maxQueryTerms: Long = maxBm25QueryTerms): DataFrame = {
     import s.implicits._
     val fs = graft.connect.Hfs.fs(s, indexPath)
@@ -819,7 +836,7 @@ object TextAnalysis {
     val dfq = s.read.parquet(s"$indexPath/dfreq")
       .filter($"bucket".isin(bucketIds: _*) && $"term".isin(terms: _*))
       .groupBy($"term").agg(sum($"df").as("df"))
-    bm25Tail(postings, dfq, q, lit(n), lit(toks))
+    bm25Ranks(postings, dfq, q, lit(n), lit(toks))
   }
 
   /** The `q_text_bm25_serve` catalog row: [[bm25]]'s fixed query batch
@@ -832,16 +849,26 @@ object TextAnalysis {
     */
   def bm25ServeRow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+    bm25Serve(s, bm25QueryBatch(docs), oneShotBm25Index(s, dir))
+  }
+
+  /** The one-shot frozen index over the fixture's documents table,
+    * cached per (dir, listing fingerprint) — shared by
+    * [[bm25ServeRow]] and [[hybridServeRow]], so the board pays ONE
+    * build for both serving rows and their warm iterations measure
+    * serving cost only.
+    */
+  private def oneShotBm25Index(s: SparkSession, dir: String): String = {
+    import s.implicits._
     val key = (s"$dir#oneshot",
       graft.connect.Hfs.listingFingerprint(s, s"$dir/documents.parquet"))
-    val path = bm25Artifacts.getOrElseUpdate(key, {
+    bm25Artifacts.getOrElseUpdate(key, {
       val base = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
       saveBm25Index(Tables.t(s, dir, "documents").select($"doc_id", $"text"), base)
       base
     })
-    val docs = Tables.t(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("words"))
-    bm25Serve(s, bm25QueryBatch(docs), path)
   }
 
   /** The `q_text_bm25_incr` catalog row: the SAME fixed query batch
@@ -961,15 +988,45 @@ object TextAnalysis {
       .filter($"rank" <= 20)
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
     // dense side: exact bridged cosine against every vector, top-20
+    val dense = denseRanks(
+      emb.select($"vec_id".as("doc_id"), $"xq", $"n2"), qv, 20)
+    rrfFuse(lex, dense, 5)
+  }
+
+  /** Dense retrieval list: exact bridged cosine of every corpus vector
+    * (`doc_id`, `xq`, `n2` — pre-quantized) against the broadcast
+    * query batch (`query_id`, `qx`, `qn2`), cut to each query's top
+    * `perSide` (cos desc, doc_id tiebreak). One corpus pass, one
+    * integer dot per pair — the exact-rescore baseline
+    * (`tools/hybrid_probe_r15.json`: brute beats grouped IVF-PQ ≥10×
+    * for a fixed batch through 100×).
+    */
+  private def denseRanks(emb: DataFrame, qv: DataFrame,
+      perSide: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val cosd = emb.crossJoin(broadcast(qv))
-      .select($"query_id", $"vec_id".as("doc_id"),
+      .select($"query_id", $"doc_id",
         Similarity.cosineFromDots(Similarity.dot64($"xq", $"qx"),
           $"n2", $"qn2").as("cos"))
     val wd = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc)
-    val dense = cosd.withColumn("vec_rank", row_number().over(wd).cast("long"))
-      .filter($"vec_rank" <= 20)
+    cosd.withColumn("vec_rank", row_number().over(wd).cast("long"))
+      .filter($"vec_rank" <= perSide)
       .select($"query_id", $"doc_id", $"vec_rank")
-    // fuse: 1/(60+r) per contributing system, fixed-point
+  }
+
+  /** Reciprocal rank fusion of a lexical list (`query_id`, `doc_id`,
+    * `lex_rank`) and a dense list (`query_id`, `doc_id`, `vec_rank`):
+    * score = Σ 1/(60+r) over contributing systems, fixed-point (one
+    * IEEE division of exact longs per side, summed as longs — the two
+    * scorers' float subtleties never cross the fusion boundary), cut
+    * to each query's fused top `k` with both per-system ranks emitted
+    * (0 = that system did not return the doc). The fusion input is two
+    * ≤perSide·|Q|-row lists — metadata-sized whatever the corpus.
+    */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
+    val s = lex.sparkSession
+    import s.implicits._
     val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .select($"query_id", $"doc_id",
         (coalesce(round(lit(1e6) / (lit(60L) + $"lex_rank")).cast("long"), lit(0L)) +
@@ -978,10 +1035,51 @@ object TextAnalysis {
         coalesce($"vec_rank", lit(0L)).as("vec_rank"))
     val wf = Window.partitionBy($"query_id").orderBy($"s6".desc, $"doc_id".asc)
     fused.withColumn("rank", row_number().over(wf).cast("long"))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
       .select($"query_id", $"rank", $"doc_id",
         ($"s6".cast("double") / lit(1e6)).as("rrf"), $"lex_rank", $"vec_rank")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** The `q_text_hybrid_serve` catalog row: [[hybridRrf]]'s fusion
+    * with the lexical side served from the FROZEN inverted index
+    * ([[bm25ServeRanks]] over the [[oneShotBm25Index]] artifact)
+    * instead of re-exploding the corpus per batch — the deployment
+    * shape of the two-tower stack. Oracle = the same SQL as
+    * `q_text_hybrid_rrf`: the frozen index serves bit-identical
+    * scores to the in-row pipeline (shared [[bm25Ranks]] tree,
+    * additive stats — the `q_text_bm25_serve` argument), so the
+    * fused output is bit-identical too, and the gate hash checks the
+    * whole chain differentially: index build + pruned serve + dense
+    * rescore + fusion against DuckDB's from-scratch computation.
+    *
+    * Plan at 100 TB: the lexical side reads ONLY the query batch's
+    * buckets/terms off the index (e = 0.12 measured on the serve
+    * row); the dense side is the one-pass exact rescore; the fusion
+    * is metadata-sized. Nothing re-scans the text corpus.
+    */
+  def hybridServeRow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExtensions.register(s)
+    val path = oneShotBm25Index(s, dir)
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+    val emb = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", Similarity.quantize1e4($"embedding").as("xq"))
+      .withColumn("n2", Similarity.dot64($"xq", $"xq"))
+      .persistScoped() // feeds the query subset AND the candidate side
+    val qv = emb.filter($"vec_id" % 97 === 3 && $"vec_id" < 100000)
+      .select($"vec_id".as("query_id"), $"xq".as("qx"), $"n2".as("qn2"))
+    val queries = docs
+      .join(broadcast(qv.select($"query_id".as("doc_id"))), Seq("doc_id"))
+      .select($"doc_id".as("query_id"), explode(slice($"words", 1, 8)).as("term"))
+      .distinct()
+    val lex = bm25ServeRanks(s, queries, path)
+      .filter($"rank" <= 20)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    val dense = denseRanks(
+      emb.select($"vec_id".as("doc_id"), $"xq", $"n2"), qv, 20)
+    rrfFuse(lex, dense, 5)
   }
 
   private val hybridRrfSql =
@@ -1086,26 +1184,8 @@ object TextAnalysis {
       .select($"doc_id".as("query_id"),
         Similarity.quantize1e4($"embedding").as("qx"))
       .withColumn("qn2", Similarity.dot64($"qx", $"qx"))
-    val cosd = emb.crossJoin(broadcast(qv))
-      .select($"query_id", $"doc_id",
-        Similarity.cosineFromDots(Similarity.dot64($"xq", $"qx"),
-          $"n2", $"qn2").as("cos"))
-    val wd = Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc)
-    val dense = cosd.withColumn("vec_rank", row_number().over(wd).cast("long"))
-      .filter($"vec_rank" <= perSide)
-      .select($"query_id", $"doc_id", $"vec_rank")
-    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
-      .select($"query_id", $"doc_id",
-        (coalesce(round(lit(1e6) / (lit(60L) + $"lex_rank")).cast("long"), lit(0L)) +
-          coalesce(round(lit(1e6) / (lit(60L) + $"vec_rank")).cast("long"), lit(0L))).as("s6"),
-        coalesce($"lex_rank", lit(0L)).as("lex_rank"),
-        coalesce($"vec_rank", lit(0L)).as("vec_rank"))
-    val wf = Window.partitionBy($"query_id").orderBy($"s6".desc, $"doc_id".asc)
-    fused.withColumn("rank", row_number().over(wf).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"doc_id",
-        ($"s6".cast("double") / lit(1e6)).as("rrf"), $"lex_rank", $"vec_rank")
-      .orderBy($"query_id", $"rank")
+    val dense = denseRanks(emb, qv, perSide)
+    rrfFuse(lex, dense, k)
   }
 
   private val bm25Sql =
@@ -3304,6 +3384,7 @@ object TextAnalysis {
     CatalogEntry("q_text_bm25_serve", bm25ServeRow, Some(bm25Sql)),
     CatalogEntry("q_text_bm25_incr", bm25IncrRow, Some(bm25Sql)),
     CatalogEntry("q_text_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    CatalogEntry("q_text_hybrid_serve", hybridServeRow, Some(hybridRrfSql)),
     CatalogEntry("q_text_stats", stats, Some(statsSql)),
     CatalogEntry("q_text_lang_id", langId, Some(langIdSql)),
     CatalogEntry("q_text_quality", quality, Some(qualitySql)),

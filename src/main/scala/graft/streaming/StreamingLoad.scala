@@ -163,8 +163,33 @@ object StreamingLoad {
             throw new IllegalArgumentException(
               s"load '${step.name}': annIndex=ivfpq requires option " +
                 "'ivfpqModel' (frozen model path — train offline)")))
-        df.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
-          val bs = b.sparkSession
+        // optional "semanticDecontaminateIndex": EMBEDDING-space
+        // decontamination per tick — the third member of the streaming
+        // decontamination trio (exact n-gram overlap and lexical BM25
+        // live on the shard route, where TEXT streams; the semantic
+        // route lives HERE, on the embedding route, because paraphrased
+        // test leakage is only visible in representation space). Each
+        // drained micro-batch drops every row within cosine
+        // "semanticDecontaminateTau"/1000 of ANY vector in the frozen
+        // benchmark set at the given path BEFORE encoding and appending
+        // (Similarity.semanticDecontaminate: exact full-dim cosine, the
+        // bench side broadcast under its maxBenchRows guard — a
+        // decontamination pass must not have false negatives within its
+        // threshold). Corpus = the tick, so per-tick cost is
+        // batch-sized by construction, and because the drop is a pure
+        // per-row predicate against a FROZEN set, stream ≡ batch: the
+        // accumulated index equals an offline decontaminate-then-build
+        // whatever the tick boundaries (spec-pinned). Default τ = 950‰,
+        // the q_emb_decontam gate row's threshold.
+        val semBench = merged.get("semanticDecontaminateIndex").map(resolve(base, _))
+        val semTau = merged.get("semanticDecontaminateTau").map(_.toLong).getOrElse(950L)
+        df.writeStream.foreachBatch { (b0: DataFrame, _: Long) =>
+          val bs = b0.sparkSession
+          val b = semBench match {
+            case Some(p) => graft.ops.Similarity.semanticDecontaminate(
+              bs, b0, bs.read.parquet(p), semTau)
+            case None => b0
+          }
           ivfModelPath match {
             case Some(mp) =>
               val im = graft.ops.Similarity.loadIvfPqModel(bs, mp)

@@ -702,6 +702,83 @@ class StreamingPipelineSpec extends SparkSpec {
         s"extra=${written -- (100L until 140L).toSet}")
   }
 
+  test("streaming semantic decontamination: semanticDecontaminateIndex drops embedding-space leaks before the index append") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.concat_ws
+    val dataDir = tmpDir("graft-stream-semdec").toString
+    val repo = new Repository(tmpDir("graft-stream-semdec-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    // frozen benchmark embeddings: two held-out eval vectors. The
+    // planted leaks are an EXACT copy (tick 1) and a paraphrase-shaped
+    // near-copy (tick 2: the bench vector nudged by a small delta,
+    // cosine ≈ 0.9999) — the representation-space shape no text route
+    // can see. Clean rows are independent 16-dim Gaussians: near-
+    // orthogonal to everything (cos ≈ 0), far under τ = 0.95.
+    val rnd = new scala.util.Random(31)
+    def gauss() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val bench = Seq((9001L, gauss()), (9002L, gauss()))
+    bench.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dataDir/benchemb")
+    val nearCopy = bench(1)._2.map(x => x + 0.01f)
+    val tick1 = (100L until 110L).map(id => (id, gauss())) :+ (200L, bench.head._2)
+    val tick2 = (110L until 120L).map(id => (id, gauss())) :+ (201L, nearCopy)
+    val kept = (tick1 ++ tick2).filterNot { case (id, _) => id >= 200L }
+
+    // the basis is frozen offline on what a deployment has: the
+    // DECONTAMINATED corpus (leaks never reach training artifacts)
+    val pcaPath = s"$dataDir/pcam"
+    Similarity.savePcaModel(spark,
+      Similarity.trainPcaModel(spark, kept.toDF("vec_id", "embedding"), k = 2), pcaPath)
+    graft.CacheScope.drain()
+
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"semdec-stream","name":"landing-semantically-decontaminated","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"index","order":2,"connectionId":"local",
+         | "path":"annidx","mode":"append",
+         | "options":{"annIndex":"prefix","pcaModel":"$pcaPath","checkpointLocation":"ck",
+         |            "semanticDecontaminateIndex":"benchemb"}}
+         |]}""".stripMargin))
+
+    tick1.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-06T09:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    now = Instant.parse("2026-03-06T09:15:05Z")
+    assert(sched.tick() == Seq("semdec-stream"))
+    waitRuns(repo, "semdec-stream", 2)
+    tick2.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-06T09:30:05Z")
+    assert(sched.tick() == Seq("semdec-stream"))
+    waitRuns(repo, "semdec-stream", 4)
+    sched.stop()
+
+    // both planted leaks dropped at their tick, every clean row
+    // indexed — and because the drop is a per-row predicate against a
+    // FROZEN set, the streamed index ≡ offline decontaminate-then-
+    // build, row for row, whatever the tick boundaries
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", concat_ws(",", $"pq".cast("array<string>")), $"pn2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$dataDir/annidx"))
+    assert(streamed.map(_._1) == kept.map(_._1).toSet,
+      s"index ids diverged: extra=${streamed.map(_._1) -- kept.map(_._1)}")
+    val model = Similarity.loadPcaModel(spark, pcaPath)
+    val offline = rows(Similarity.buildRotatedPrefixIndex(spark,
+      Similarity.semanticDecontaminate(spark,
+        (tick1 ++ tick2).toDF("vec_id", "embedding"),
+        bench.toDF("vec_id", "embedding"), tauMilli = 950L),
+      model, dims = 2))
+    graft.CacheScope.drain()
+    assert(streamed == offline)
+  }
+
   test("admission-index lifecycle end-to-end: scheduled ticks + scheduled compactions + mid-stream replay == brute-force arrival-order dedup") {
     val dataDir = tmpDir("graft-adm-e2e").toString
     val repo = new Repository(tmpDir("graft-adm-e2e-repo"))

@@ -693,4 +693,21 @@ class TextAnalysisSpec extends SparkSpec {
         s"lex rank disagrees with bm25 for query ${r._1} doc ${r._3}")
     }
   }
+
+  test("hybrid frozen-index serving == in-row fusion, bit for bit") {
+    // the q_text_hybrid_serve argument: the frozen index serves
+    // bit-identical lexical ranks (shared bm25Ranks tree, additive
+    // stats), so the whole fused frame — scores included — must equal
+    // the in-row row. Collected equality, not set equality: ordering
+    // is part of both rows' contracts.
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "doc_id", "rrf", "lex_rank", "vec_rank")
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    val served = rows(TextAnalysis.hybridServeRow(spark, dir))
+    graft.CacheScope.drain()
+    val inRow = rows(TextAnalysis.hybridRrf(spark, dir))
+    graft.CacheScope.drain()
+    assert(served.nonEmpty && served == inRow)
+  }
 }
