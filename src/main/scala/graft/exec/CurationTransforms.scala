@@ -532,6 +532,28 @@ object CurationTransforms {
       frame
     })
 
+  /** Register `compact_semantic_dedup_index`: fold a semantic-dedup
+    * admission index's per-batch generations
+    * ([[graft.ops.Similarity.compactSemanticDedupIndex]]) as a
+    * PIPELINE step — the embedding sibling of `compact_dedup_index`,
+    * schedulable the same way. The newest live batch is never folded
+    * (replay safety); duplicate rows from a crash window are
+    * candidate-volume rent, folded by the next run. Batch-only for the
+    * same setup-time-vs-per-tick reason as every compaction transform.
+    */
+  def registerSemanticDedupIndexCompaction(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      indexPath: String): Unit =
+    registry.register("compact_semantic_dedup_index", { frame: DataFrame =>
+      require(!frame.isStreaming,
+        "compact_semantic_dedup_index is a batch-pipeline transform: a " +
+          "streaming plan would run the rewrite once at query setup, " +
+          "not per tick — schedule it via PipelineScheduler instead")
+      graft.ops.Similarity.compactSemanticDedupIndex(spark, indexPath)
+      frame
+    })
+
   /** Register `compact_bm25_index`: fold a BM25 inverted index's
     * per-batch generations ([[graft.ops.TextAnalysis.compactBm25Index]])
     * as a PIPELINE step — the retrieval-index sibling of

@@ -1838,6 +1838,313 @@ object Similarity {
        |ORDER BY max_cluster, vec_id""".stripMargin
   }
 
+  /** Create an arrival-order SEMANTIC dedup admission index at `path` —
+    * the embedding-space sibling of [[graft.ops.Dedup.createExactDedupIndex]]:
+    * where the exact index admits documents whose shingle Jaccard
+    * clears τ against nothing already admitted, this admits VECTORS
+    * whose cosine clears τ against nothing already admitted, under the
+    * SemDeDup within-cluster comparison discipline ([[semanticDedup]]).
+    * "Dedup embeddings as they arrive" is the streaming form of the
+    * semantic dedup every training pipeline runs offline.
+    *
+    * Layout:
+    *  - `centroids/` — the frozen coarse codebook (cid, cq): the exact
+    *    `q_sim_ivf` k-means ([[kmeansTrain]] — seed = first k vectors
+    *    of `corpusRef`, `iters` refinement rounds, integer-grid
+    *    determinism), trained ONCE at creation. Every admitted batch
+    *    assigns against this codebook; moving it would re-bucket
+    *    history and silently change which pairs are ever compared
+    *    (the IVF-PQ maintenance rule).
+    *  - `vecs/batch=<id>/centroid=<c>/` — admitted (vec_id, xq, n2),
+    *    hive-partitioned by the coarse centroid (the comparison unit),
+    *    in per-batch generations (the replay/idempotence unit).
+    *  - `_sem_tau_milli` — cosine·1000 admission threshold.
+    *
+    * This is the overwrite verb: any prior index at `path` is replaced.
+    */
+  def createSemanticDedupIndex(s: SparkSession, path: String,
+      corpusRef: DataFrame, tauMilli: Long,
+      k: Int = ivfK, iters: Int = ivfIters): Unit = {
+    require(tauMilli >= -1000L && tauMilli <= 1000L,
+      s"tauMilli is cosine·1000, must be in [-1000, 1000]: $tauMilli")
+    require(k >= 1 && iters >= 1,
+      s"k and iters must be positive: k=$k iters=$iters")
+    val base = embBase(s, corpusRef)
+    val cents = kmeansTrain(base, k, iters)
+    // loud, not silent: the deterministic k-means seeds on vec_id < k,
+    // so a reference corpus without those ids trains an EMPTY codebook
+    // — every later assignment would produce nothing and admission
+    // would quietly admit everything uncompared
+    require(cents.count() >= 1,
+      s"createSemanticDedupIndex: trained codebook is empty — corpusRef " +
+        s"must contain rows with vec_id < k=$k (the deterministic " +
+        "k-means seeds)")
+    val fs = graft.connect.Hfs.fs(s, path)
+    Seq("vecs", "centroids").foreach(sub => graft.connect.Hfs.deleteIfExists(
+      fs, new org.apache.hadoop.fs.Path(path, sub)))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, "_sem_tau_milli"),
+      tauMilli.toString, overwrite = true)
+  }
+
+  /** Admit a batch of embeddings against (and into) a
+    * [[createSemanticDedupIndex]] layout: arrival-order semantic
+    * dedup. Within the batch, [[semanticDedup]]'s exact pair rule
+    * under the FROZEN codebook — a vector is dropped iff some
+    * lower-id batch vector in its coarse cluster has cos ≥ τ (the
+    * anchor may itself be dropped: the standard SemDeDup greedy
+    * approximation, and exactly what admitting the whole corpus as
+    * one batch must reproduce — spec-pinned against `q_dedup_semantic`).
+    * Against the index, an in-batch survivor is rejected iff some
+    * already-ADMITTED vector in its cluster has cos ≥ τ. Survivors
+    * land in `vecs/batch=<id>/centroid=<c>/` so the next tick sees
+    * them; returns the admitted rows with the batch's original
+    * columns.
+    *
+    * Replay semantics are IDEMPOTENT PER BATCH ID (the
+    * [[graft.ops.Dedup.admitExactDedup]] discipline): the batch's own
+    * generation is deleted up front, so a replay after a partial
+    * failure recomputes the SAME admitted set instead of self-
+    * rejecting against its own orphaned rows. Duplicate index rows
+    * from a compaction crash window are candidate-volume rent, never
+    * corruption — a duplicate admitted vector flags exactly what the
+    * single row flags (unlike BM25's additive stats, which is why THAT
+    * family needs a write-ahead intent and this one does not).
+    *
+    * At 100 TB: the batch assigns map-side against the ≤k-row
+    * broadcast codebook; the index scan prunes at planning time to the
+    * ≤k centroid partitions the batch touches; the pair work is
+    * within-cluster only (the SemDeDup bound — k scales ~√N as a
+    * deployment knob), and only batch-sized frames ever shuffle. The
+    * centroid list is driver-collected but bounded by the codebook
+    * size, not the corpus.
+    */
+  def admitSemanticDedup(batch: DataFrame, path: String,
+      batchId: Long): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    import graft.CacheScope._
+    require(batchId >= 0,
+      s"batchId must be non-negative (got $batchId) — negative ids are " +
+        "reserved for compactSemanticDedupIndex generations")
+    val fs = graft.connect.Hfs.fs(s, path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_sem_tau_milli")
+    require(fs.exists(marker),
+      s"$path is not a semantic-dedup index (no _sem_tau_milli marker) — " +
+        "create one with createSemanticDedupIndex")
+    val tauD = graft.connect.Hfs.readSmall(fs, marker).trim.toLong.toDouble / 1000.0
+    // idempotence: drop this batch's own generation before anything reads
+    graft.connect.Hfs.deleteIfExists(fs,
+      new org.apache.hadoop.fs.Path(path, s"vecs/batch=$batchId"))
+    val cents = s.read.parquet(s"$path/centroids")
+    val base = embBase(s, batch)
+    val rows = base.join(coarseAssign(base, cents), Seq("vec_id"))
+      .persistScoped() // both pair sides + the survivor roster
+    // in-batch phase: semanticDedup's pair rule, frozen codebook
+    val inDrop = rows.as("a").join(rows.as("b"),
+        col("a.centroid") === col("b.centroid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineFromDots(dot64(col("a.xq"), col("b.xq")),
+        col("a.n2"), col("b.n2")) >= lit(tauD))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val inKept = rows.join(inDrop, Seq("vec_id"), "left_anti").persistScoped()
+    val hasVecs = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(path, "vecs")).nonEmpty
+    val admitted0 = if (!hasVecs) inKept else {
+      // planning-time prune: the index is scanned ONLY through the
+      // centroid partitions the batch's survivors occupy (≤k ids)
+      val touched = inKept.select($"centroid").distinct()
+        .as[Long].collect().toSeq
+      if (touched.isEmpty) inKept else {
+        val idx = s.read.option("basePath", s"$path/vecs")
+          .parquet(s"$path/vecs")
+          .filter($"centroid".isin(touched: _*))
+          .select($"centroid".cast("long").as("centroid"),
+            $"xq".as("ixq"), $"n2".as("in2"))
+        val flagged = inKept.join(idx, Seq("centroid"))
+          .filter(cosineFromDots(dot64($"xq", $"ixq"), $"n2", $"in2")
+            >= lit(tauD))
+          .select($"vec_id").distinct()
+        inKept.join(flagged, Seq("vec_id"), "left_anti")
+      }
+    }
+    // localCheckpoint BEFORE the write: the admitted frame reads the
+    // index, and the write below mutates it — an unpinned plan
+    // re-evaluated by the caller would see its own rows and
+    // self-reject (the admitExactDedup lesson)
+    val keep = admitted0.select($"vec_id", $"xq", $"n2", $"centroid")
+      .localCheckpoint()
+    // an all-rejected or empty batch writes NOTHING: a file-less batch
+    // directory would break schema inference on later reads
+    if (!keep.isEmpty) {
+      keep.repartition(col("centroid"))
+        .write.mode("overwrite").partitionBy("centroid")
+        .parquet(s"$path/vecs/batch=$batchId")
+    }
+    batch.join(keep.select($"vec_id"), Seq("vec_id"), "left_semi")
+  }
+
+  /** Compact a [[createSemanticDedupIndex]] layout: fold every batch
+    * generation EXCEPT the newest live one into a consolidated
+    * negative generation ([[graft.ops.Dedup.compactExactDedupIndex]]'s
+    * contract verbatim — the newest batch stays untouched because it
+    * is the only one a restarted stream can replay, and replay safety
+    * is "delete your own generation, recompute"). Crash windows leave
+    * duplicate vectors across generations — candidate-volume rent,
+    * folded away by the next compaction, never a correctness issue.
+    * Run between drains (or from the scheduler via
+    * `compact_semantic_dedup_index`), never concurrently with an
+    * active admission. Returns the number of generations folded.
+    */
+  def compactSemanticDedupIndex(s: SparkSession, path: String): Int = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    val all = graft.connect.Hfs.listDirs(fs,
+        new org.apache.hadoop.fs.Path(path, "vecs"))
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    val live = all.filter(_ >= 0).sorted.lastOption
+    val fold = all.filterNot(live.contains).sorted
+    if (fold.size < 2) return 0
+    val gen = math.min(fold.min, 0L) - 1L
+    val src = fold.map(b => s"$path/vecs/batch=$b")
+    val tmp = new org.apache.hadoop.fs.Path(path, "vecs/.compact-tmp")
+    graft.connect.Hfs.deleteIfExists(fs, tmp)
+    s.read.option("basePath", s"$path/vecs").parquet(src: _*)
+      .drop("batch").dropDuplicates("vec_id")
+      .repartition(col("centroid")).write.mode("overwrite")
+      .partitionBy("centroid").parquet(tmp.toString)
+    graft.connect.Hfs.renameChecked(fs, tmp,
+      new org.apache.hadoop.fs.Path(path, s"vecs/batch=$gen"),
+      s"semantic-dedup-index compaction for $path/vecs")
+    src.foreach(d => graft.connect.Hfs.deleteIfExists(fs,
+      new org.apache.hadoop.fs.Path(d)))
+    fold.size
+  }
+
+  /** Fixed temp index dirs for [[semanticAdmitRow]], keyed by
+    * (fixture dir, content fingerprint) — the path is reused so
+    * repeated executions do not strand directories, but the index is
+    * RECREATED inside the row each time (admission mutates it, so
+    * unlike the frozen serving artifacts it cannot be served warm).
+    */
+  private val semanticAdmitDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The `q_dedup_semantic_admit` catalog row: the full admission
+    * lifecycle through the DuckDB hash gate. Create the index with the
+    * corpus-trained frozen codebook at τ = [[semanticTau]], admit the
+    * three disjoint `vec_id mod 3` slices IN ORDER, then read the
+    * result straight OFF THE PERSISTED LAYOUT — (vec_id, batch,
+    * centroid) of every admitted vector — so the oracle differentially
+    * checks the codebook training, per-batch assignment, in-batch pair
+    * rule, cross-generation index test, and the physical layout's
+    * contents in one hash.
+    */
+  def semanticAdmitRow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.t(s, dir, "embeddings")
+    val key = (s"$dir#semadmit",
+      graft.connect.Hfs.listingFingerprint(s, s"$dir/embeddings.parquet"))
+    val path = semanticAdmitDirs.getOrElseUpdate(key,
+      java.nio.file.Files.createTempDirectory("graft-sem-admit").toString)
+    createSemanticDedupIndex(s, path, emb, (semanticTau * 1000).toLong)
+    (0 to 2).foreach { r =>
+      admitSemanticDedup(emb.filter($"vec_id" % 3 === r), path, r.toLong)
+        .count() // materialize the admission (the return frame is lazy)
+    }
+    s.read.option("basePath", s"$path/vecs").parquet(s"$path/vecs")
+      .select($"vec_id", $"batch".cast("long").as("batch"),
+        $"centroid".cast("long").as("centroid"))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: the proven ivf coarse-training chain, all same-centroid
+    * pair cosines once (v1 < v2), then the three admission stages
+    * unrolled — per batch, in-batch drops are sim edges inside the
+    * batch (lower id is the anchor), and cross-batch flags are sim
+    * edges in EITHER direction against the union of previously
+    * admitted vectors.
+    */
+  private val semanticAdmitSql = {
+    val iters = (1 to ivfIters).map { it =>
+      val prevC = if (it == 1) "c0" else s"c${it - 1}"
+      s"""d$it AS (
+         |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+         |  FROM q v JOIN $prevC c ON v.i = c.i GROUP BY 1, 2),
+         |a$it AS (
+         |  SELECT vec_id, cid AS centroid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM d$it) t WHERE rn = 1),
+         |c$it AS (
+         |  SELECT a.centroid AS cid, v.i,
+         |    CAST(round(CAST(SUM(v.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+         |  FROM a$it a JOIN q v ON a.vec_id = v.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin = ivfIters + 1
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |           unnest(embedding) AS x FROM embeddings),
+       |q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT) AS xq FROM ex),
+       |norms AS (SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY 1),
+       |c0 AS (SELECT vec_id AS cid, i, xq AS cq FROM q WHERE vec_id < $ivfK),
+       |$iters,
+       |d$fin AS (
+       |  SELECT v.vec_id, c.cid, SUM((v.xq - c.cq) * (v.xq - c.cq)) AS d
+       |  FROM q v JOIN c$ivfIters c ON v.i = c.i GROUP BY 1, 2),
+       |a$fin AS MATERIALIZED (
+       |  SELECT vec_id, cid AS centroid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM d$fin) t WHERE rn = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM a$fin a JOIN a$fin b
+       |    ON a.centroid = b.centroid AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT c.v1, c.v2, CAST(SUM(qa.xq * qb.xq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN q qa ON qa.vec_id = c.v1
+       |  JOIN q qb ON qb.vec_id = c.v2 AND qa.i = qb.i
+       |  GROUP BY 1, 2),
+       |sim AS MATERIALIZED (
+       |  SELECT v1, v2 FROM dots
+       |  JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id
+       |  WHERE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) >= $semanticTau),
+       |b0 AS (SELECT vec_id FROM a$fin WHERE vec_id % 3 = 0),
+       |b1 AS (SELECT vec_id FROM a$fin WHERE vec_id % 3 = 1),
+       |b2 AS (SELECT vec_id FROM a$fin WHERE vec_id % 3 = 2),
+       |adm0 AS (SELECT vec_id FROM b0 WHERE vec_id NOT IN (
+       |  SELECT s.v2 FROM sim s JOIN b0 x ON s.v1 = x.vec_id
+       |    JOIN b0 y ON s.v2 = y.vec_id)),
+       |s1 AS (SELECT vec_id FROM b1 WHERE vec_id NOT IN (
+       |  SELECT s.v2 FROM sim s JOIN b1 x ON s.v1 = x.vec_id
+       |    JOIN b1 y ON s.v2 = y.vec_id)),
+       |flag1 AS (
+       |  SELECT s.v2 AS vec_id FROM sim s JOIN adm0 a ON s.v1 = a.vec_id
+       |  UNION
+       |  SELECT s.v1 FROM sim s JOIN adm0 a ON s.v2 = a.vec_id),
+       |adm1 AS (SELECT vec_id FROM s1
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM flag1)),
+       |s2 AS (SELECT vec_id FROM b2 WHERE vec_id NOT IN (
+       |  SELECT s.v2 FROM sim s JOIN b2 x ON s.v1 = x.vec_id
+       |    JOIN b2 y ON s.v2 = y.vec_id)),
+       |prev2 AS (SELECT vec_id FROM adm0 UNION ALL SELECT vec_id FROM adm1),
+       |flag2 AS (
+       |  SELECT s.v2 AS vec_id FROM sim s JOIN prev2 a ON s.v1 = a.vec_id
+       |  UNION
+       |  SELECT s.v1 FROM sim s JOIN prev2 a ON s.v2 = a.vec_id),
+       |adm2 AS (SELECT vec_id FROM s2
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM flag2)),
+       |adm AS (
+       |  SELECT vec_id, CAST(0 AS BIGINT) AS batch FROM adm0
+       |  UNION ALL SELECT vec_id, CAST(1 AS BIGINT) FROM adm1
+       |  UNION ALL SELECT vec_id, CAST(2 AS BIGINT) FROM adm2)
+       |SELECT v.vec_id, v.batch, a.centroid
+       |FROM adm v JOIN a$fin a ON v.vec_id = a.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
   /** ANN-mined hard negatives — the contrastive-training data op
     * (public method: ANCE, Xiong et al. 2021, mines negatives from an
     * ANN index over the current embeddings; DPR's in-batch negatives
@@ -2447,6 +2754,7 @@ object Similarity {
     CatalogEntry("q_sim_ivfpq_serve", ivfPqServe, Some(ivfPqServeSql)),
     CatalogEntry("q_dedup_semantic", semanticDedup, Some(semanticDedupSql)),
     CatalogEntry("q_dedup_semantic_capped", semanticCappedQuery, Some(semanticCappedSql)),
+    CatalogEntry("q_dedup_semantic_admit", semanticAdmitRow, Some(semanticAdmitSql)),
     CatalogEntry("q_emb_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     CatalogEntry("q_emb_centroid", labelCentroids, Some(labelCentroidsSql)))
 }

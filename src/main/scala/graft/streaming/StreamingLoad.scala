@@ -183,12 +183,31 @@ object StreamingLoad {
         // the q_emb_decontam gate row's threshold.
         val semBench = merged.get("semanticDecontaminateIndex").map(resolve(base, _))
         val semTau = merged.get("semanticDecontaminateTau").map(_.toLong).getOrElse(950L)
-        df.writeStream.foreachBatch { (b0: DataFrame, _: Long) =>
+        // optional "semanticDedupIndex": arrival-order SEMANTIC dedup
+        // admission per tick — the embedding sibling of the shard
+        // route's exactDedupIndex. Each drained micro-batch is admitted
+        // against (and into) a createSemanticDedupIndex layout BEFORE
+        // the ANN-index append: within the tick, SemDeDup's pair rule
+        // under the index's frozen codebook; across ticks, any vector
+        // within cosine τ of an already-admitted one is rejected.
+        // Replay after a crash is idempotent per batch id (the batch's
+        // own generation is replaced, never self-rejected); schedule
+        // compact_semantic_dedup_index between drains to fold
+        // generations. Order per tick: decontaminate (drop benchmark
+        // leakage first — a leaked vector must never become the
+        // admitted representative that rejects clean arrivals), then
+        // admit, then append.
+        val semDedupIdx = merged.get("semanticDedupIndex").map(resolve(base, _))
+        df.writeStream.foreachBatch { (b0: DataFrame, bid: Long) =>
           val bs = b0.sparkSession
-          val b = semBench match {
+          val cleaned = semBench match {
             case Some(p) => graft.ops.Similarity.semanticDecontaminate(
               bs, b0, bs.read.parquet(p), semTau)
             case None => b0
+          }
+          val b = semDedupIdx match {
+            case Some(p) => graft.ops.Similarity.admitSemanticDedup(cleaned, p, bid)
+            case None => cleaned
           }
           ivfModelPath match {
             case Some(mp) =>

@@ -779,6 +779,87 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(streamed == offline)
   }
 
+  test("streaming semantic dedup admission: semanticDedupIndex rejects in-tick and cross-tick near-dups before the index append") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.concat_ws
+    val dataDir = tmpDir("graft-stream-semadm").toString
+    val repo = new Repository(tmpDir("graft-stream-semadm-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    // clean rows are independent Gaussians (near-orthogonal); the
+    // planted dups are tiny perturbations (cos ≈ 0.9999): 150 is an
+    // in-tick near-dup of 100 (lower id wins), 170 a CROSS-tick
+    // near-dup of 101 (already admitted ⇒ rejected at its tick)
+    val rnd = new scala.util.Random(37)
+    def gauss() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val clean1 = (100L until 105L).map(id => (id, gauss()))
+    val clean2 = (160L until 165L).map(id => (id, gauss()))
+    val tick1 = clean1 :+ (150L, clean1.head._2.map(x => x + 0.01f))
+    val tick2 = clean2 :+ (170L, clean1(1)._2.map(x => x + 0.01f))
+    val admitted = clean1 ++ clean2
+
+    // codebook reference: the expected stream content, re-keyed from 0
+    // so the deterministic k-means has its seeds (ids never interact
+    // with admission ids — only the centroids are kept)
+    val semIdx = s"$dataDir/semidx"
+    Similarity.createSemanticDedupIndex(spark, semIdx,
+      admitted.zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+        .toDF("vec_id", "embedding"),
+      tauMilli = 950L, k = 2, iters = 2)
+    val pcaPath = s"$dataDir/pcam"
+    Similarity.savePcaModel(spark,
+      Similarity.trainPcaModel(spark, admitted.toDF("vec_id", "embedding"), k = 2), pcaPath)
+    graft.CacheScope.drain()
+
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"semadm-stream","name":"landing-semantically-deduped","recurrence":"*/15","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"index","order":2,"connectionId":"local",
+         | "path":"annidx","mode":"append",
+         | "options":{"annIndex":"prefix","pcaModel":"$pcaPath","checkpointLocation":"ck",
+         |            "semanticDedupIndex":"semidx"}}
+         |]}""".stripMargin))
+
+    tick1.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    var now = Instant.parse("2026-03-07T09:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    now = Instant.parse("2026-03-07T09:15:05Z")
+    assert(sched.tick() == Seq("semadm-stream"))
+    waitRuns(repo, "semadm-stream", 2)
+    tick2.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$dataDir/landing")
+    now = Instant.parse("2026-03-07T09:30:05Z")
+    assert(sched.tick() == Seq("semadm-stream"))
+    waitRuns(repo, "semadm-stream", 4)
+    sched.stop()
+
+    // the ANN index holds exactly the admitted rows — and equals an
+    // offline build over that subset (the pipeline wiring proof)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", concat_ws(",", $"pq".cast("array<string>")), $"pn2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$dataDir/annidx"))
+    assert(streamed.map(_._1) == admitted.map(_._1).toSet,
+      s"ann index ids diverged: got ${streamed.map(_._1)}")
+    val model = Similarity.loadPcaModel(spark, pcaPath)
+    val offline = rows(Similarity.buildRotatedPrefixIndex(spark,
+      admitted.toDF("vec_id", "embedding"), model, dims = 2))
+    graft.CacheScope.drain()
+    assert(streamed == offline)
+    // the admission index itself carries the per-tick generations
+    val gens = spark.read.option("basePath", s"$semIdx/vecs")
+      .parquet(s"$semIdx/vecs")
+      .select($"vec_id", $"batch".cast("long")).as[(Long, Long)]
+      .collect().toSet
+    assert(gens == (clean1.map(c => (c._1, 0L)) ++
+      clean2.map(c => (c._1, 1L))).toSet, s"index generations: $gens")
+  }
+
   test("admission-index lifecycle end-to-end: scheduled ticks + scheduled compactions + mid-stream replay == brute-force arrival-order dedup") {
     val dataDir = tmpDir("graft-adm-e2e").toString
     val repo = new Repository(tmpDir("graft-adm-e2e-repo"))

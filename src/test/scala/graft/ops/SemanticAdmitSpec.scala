@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Arrival-order semantic dedup admission
+  * (Similarity.createSemanticDedupIndex / admitSemanticDedup /
+  * compactSemanticDedupIndex): the embedding sibling of the exact
+  * admission index. Pins the documented admission rule against a
+  * hand-checked corpus, replay idempotence per batch id, compaction
+  * transparency, the whole-corpus batch-twin against semanticDedup,
+  * and the loud failure modes.
+  */
+class SemanticAdmitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(x: Double*): Array[Float] = x.map(_.toFloat).toArray
+
+  // Hand-checked 4-d corpus, τ = 0.95. Within a batch the LOWER id is
+  // the anchor; across batches only ADMITTED vectors reject.
+  //   b0: 2 is an in-batch near-dup of 0            → adm {0, 1}
+  //   b1: 4 in-batch dup of 3; 6 in-batch dup of 5;
+  //       3 and 7 index-rejected (vs 0 / vs 1) — so 4's anchor is
+  //       itself rejected and the whole family dies (the SemDeDup
+  //       greedy collapse, mirroring exact admission)  → adm {5}
+  //   b2: 9 index-rejected vs 0; 10 is cos = −1 to 8 (NOT a dup)
+  //                                                   → adm {8, 10}
+  private val b0 = Seq(
+    0L -> v(10, 0, 0, 0), 1L -> v(0, 10, 0, 0), 2L -> v(10, 0.2, 0, 0))
+  private val b1 = Seq(
+    3L -> v(10, 0.4, 0, 0), 4L -> v(10, 0.45, 0, 0),
+    5L -> v(0, 0, 10, 0), 6L -> v(0, 0, 10, 0.1), 7L -> v(0, 9.8, 0.5, 0))
+  private val b2 = Seq(
+    8L -> v(0, 0, 0, 10), 9L -> v(10, 0, 0.3, 0), 10L -> v(0, 0, 0, -10))
+  private def df(rows: Seq[(Long, Array[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  private def newIndex(name: String): String = {
+    val path = tmpDir(name).toString + "/semidx"
+    // k = 1 ⇒ one cluster: the admission ORDER rules are under test
+    // here, not the clustering (the batch-twin and the gate row cover
+    // the trained-codebook path)
+    Similarity.createSemanticDedupIndex(spark, path,
+      df(b0 ++ b1 ++ b2), tauMilli = 950L, k = 1, iters = 1)
+    graft.CacheScope.drain()
+    path
+  }
+
+  private def admitIds(batch: Seq[(Long, Array[Float])], path: String,
+      id: Long): Set[Long] = {
+    val out = Similarity.admitSemanticDedup(df(batch), path, id)
+      .select($"vec_id").as[Long].collect().toSet
+    graft.CacheScope.drain()
+    out
+  }
+
+  private def indexRows(path: String): Seq[(Long, Long)] =
+    spark.read.option("basePath", s"$path/vecs").parquet(s"$path/vecs")
+      .select($"vec_id", $"batch".cast("long"))
+      .as[(Long, Long)].collect().toSeq
+
+  test("arrival-order admission matches the hand-checked rule, batch by batch") {
+    val path = newIndex("graft-semadmit")
+    assert(admitIds(b0, path, 0L) == Set(0L, 1L))
+    assert(admitIds(b1, path, 1L) == Set(5L))
+    assert(admitIds(b2, path, 2L) == Set(8L, 10L))
+    // the persisted layout holds exactly the admitted ids, each in its
+    // own generation
+    assert(indexRows(path).sorted ==
+      Seq((0L, 0L), (1L, 0L), (5L, 1L), (8L, 2L), (10L, 2L)))
+    // the admitted frame carries the batch's ORIGINAL columns
+    val cols = Similarity.admitSemanticDedup(df(b2), path, 2L).columns.toSeq
+    graft.CacheScope.drain()
+    assert(cols == Seq("vec_id", "embedding"))
+  }
+
+  test("replay is idempotent per batch id: same admitted set, no duplicate index rows") {
+    val path = newIndex("graft-semadmit-replay")
+    admitIds(b0, path, 0L)
+    val first = admitIds(b1, path, 1L)
+    // the replay sees its own orphaned generation in the index — it
+    // must be replaced, not self-reject the batch
+    val replay = admitIds(b1, path, 1L)
+    assert(replay == first && first == Set(5L))
+    val rows = indexRows(path)
+    assert(rows.map(_._1).distinct.size == rows.size,
+      s"duplicate index rows after replay: $rows")
+    assert(rows.toSet == Set((0L, 0L), (1L, 0L), (5L, 1L)))
+  }
+
+  test("compaction folds all but the live generation and is invisible to admission") {
+    val plain = newIndex("graft-semadmit-plain")
+    val folded = newIndex("graft-semadmit-folded")
+    val b3 = Seq(11L -> v(10, 0.1, 0, 0), 12L -> v(0, 0, 9, 9))
+    for (p <- Seq(plain, folded)) {
+      admitIds(b0, p, 0L); admitIds(b1, p, 1L); admitIds(b2, p, 2L)
+    }
+    // batches 0 and 1 fold into generation -1; live batch 2 untouched
+    assert(Similarity.compactSemanticDedupIndex(spark, folded) == 2)
+    graft.CacheScope.drain()
+    assert(indexRows(folded).toSet ==
+      Set((0L, -1L), (1L, -1L), (5L, -1L), (8L, 2L), (10L, 2L)))
+    // nothing to fold twice: only {-1, 2} remain, one is live
+    assert(Similarity.compactSemanticDedupIndex(spark, folded) == 0)
+    // 11 rejects against the FOLDED generation exactly as against the
+    // per-batch layout; 12 admits on both
+    val a = admitIds(b3, plain, 3L)
+    val b = admitIds(b3, folded, 3L)
+    assert(a == b && a == Set(12L))
+    assert(indexRows(plain).map(_._1).toSet == indexRows(folded).map(_._1).toSet)
+  }
+
+  test("whole-corpus single batch == semanticDedup's kept set (frozen-codebook batch twin)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val path = tmpDir("graft-semadmit-twin").toString + "/semidx"
+    Similarity.createSemanticDedupIndex(spark, path, emb,
+      (Similarity.semanticTau * 1000).toLong)
+    graft.CacheScope.drain()
+    val admitted = Similarity.admitSemanticDedup(emb, path, 0L)
+      .select($"vec_id").as[Long].collect().toSet
+    graft.CacheScope.drain()
+    val kept = Similarity.semanticDedup(spark, dir)
+      .filter($"kept" === 1L).select($"vec_id").as[Long].collect().toSet
+    graft.CacheScope.drain()
+    assert(admitted == kept && admitted.nonEmpty)
+  }
+
+  test("empty and all-rejected batches write no generation") {
+    val path = newIndex("graft-semadmit-empty")
+    admitIds(b0, path, 0L)
+    // all-rejected: both rows are near-dups of admitted vector 0
+    val rejected = Seq(20L -> v(10, 0.05, 0, 0), 21L -> v(10, 0.06, 0, 0))
+    assert(admitIds(rejected, path, 1L).isEmpty)
+    assert(admitIds(Seq.empty, path, 2L).isEmpty)
+    val gens = new java.io.File(s"$path/vecs").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens == Set("batch=0"), s"unexpected generations: $gens")
+  }
+
+  test("loud failure modes: missing index, negative batch id, seedless codebook") {
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.admitSemanticDedup(df(b0), tmpDir("graft-semadmit-noidx").toString, 0L)
+    }
+    assert(e1.getMessage.contains("not a semantic-dedup index"))
+    val path = newIndex("graft-semadmit-neg")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.admitSemanticDedup(df(b0), path, -1L)
+    }
+    assert(e2.getMessage.contains("non-negative"))
+    // a reference corpus without vec_id < k trains an empty codebook —
+    // that must fail at CREATE time, not silently admit uncompared
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.createSemanticDedupIndex(spark,
+        tmpDir("graft-semadmit-seedless").toString + "/idx",
+        Seq(50L -> v(1, 0, 0, 0)).toDF("vec_id", "embedding"),
+        tauMilli = 950L, k = 2, iters = 1)
+    }
+    graft.CacheScope.drain()
+    assert(e3.getMessage.contains("codebook is empty"))
+  }
+}
