@@ -190,6 +190,19 @@ object Demo {
         .selectExpr("doc_id AS query_id",
           "explode(slice(split(text, ' '), 1, 8)) AS term").distinct(),
       bm25Idx).show(5)
+    // round-16 surface: arrival-order semantic dedup — the embedding
+    // admission index ("dedup embeddings as they arrive")
+    println("[demo] semantic admission: freeze a codebook, admit batches in order, fold")
+    val semIdx = work.resolve("sem-admit-index").toString
+    ops.Similarity.createSemanticDedupIndex(spark, semIdx, emb,
+      (ops.Similarity.semanticTau * 1000).toLong)
+    (0 to 2).foreach { r =>
+      val n = ops.Similarity.admitSemanticDedup(
+        emb.filter($"vec_id" % 3 === r), semIdx, r.toLong).count()
+      println(s"[demo]   batch $r admitted $n vectors")
+    }
+    println(s"[demo] compacted ${ops.Similarity.compactSemanticDedupIndex(spark, semIdx)} generations")
+
     println("[demo] retrieval-guided selection: keep the corpus docs a target set retrieves")
     val benchPath = work.resolve("targets").toString
     docs.filter($"doc_id" % 100 === 0).select($"doc_id", $"text")
