@@ -98,12 +98,20 @@ object AdmitSweep {
             concat(lit("w"), pmod(xxhash64(col("doc_id") * 7919L + p), lit(40000L)))): _*))
         // ~4% of docs are exact dups of the PREVIOUS tick's rows: the
         // reject path must run every tick (flag + anti-join), or the
-        // sweep would time only the all-admit fast path
+        // sweep would time only the all-admit fast path. The copy
+        // source is offset by +1 (id ≡ 1 mod 25): the r15 formulation
+        // copied id − batchDocs exactly, whose row was ITSELF a copy
+        // and therefore rejected — from tick 2 on the "dup" text never
+        // matched anything admitted and the committed r15 series shows
+        // admitted = 2000 after tick 1 (the flag-then-anti-join still
+        // ran every tick — candidates from shared pool tokens — but
+        // found nothing; found and fixed while building SemAdmitSweep,
+        // which prints the same counts)
         .withColumn("text",
           when(col("doc_id") % 25 === 0 && col("doc_id") >= batchDocs,
             concat_ws(" ", (0 until docTokens).map(p =>
               concat(lit("w"), pmod(xxhash64(
-                (col("doc_id") - batchDocs) * 7919L + p), lit(40000L)))): _*))
+                (col("doc_id") - batchDocs + 1) * 7919L + p), lit(40000L)))): _*))
             .otherwise(col("text")))
     }
 

@@ -57,6 +57,14 @@ object SemAdmitSweep {
     // [-1, 1] — no Random, every tick schema- and size-identical. ~4%
     // of rows ≥ tick 1 are exact copies of the previous tick's vector
     // (cos = 1), so the cross-generation reject path runs every tick.
+    // The copy SOURCE is offset by +1: id ≡ 0 (mod 25) copies the
+    // vector of id − batch + 1 (≡ 1 mod 25), which carried its own
+    // hash content and was ADMITTED last tick. Copying id − batch
+    // exactly — the first formulation here, and the committed r15
+    // AdmitSweep's — silently breaks the chain at tick 2: that source
+    // id was itself a copy and was REJECTED, so its hash vector never
+    // entered the index and the "dup" matches nothing (caught because
+    // this sweep prints admitted counts: 2000, not 1920, from tick 2).
     def vecCol(id: org.apache.spark.sql.Column) =
       transform(sequence(lit(0), lit(dims - 1)),
         d => ((pmod(xxhash64(id * 7919L + d.cast("long")), lit(2001L))
@@ -66,7 +74,7 @@ object SemAdmitSweep {
       spark.range(lo, lo + batchVecs).toDF("vec_id")
         .withColumn("embedding",
           when(col("vec_id") % 25 === 0 && col("vec_id") >= batchVecs,
-            vecCol(col("vec_id") - batchVecs))
+            vecCol(col("vec_id") - batchVecs + 1))
             .otherwise(vecCol(col("vec_id"))))
     }
 

@@ -1002,6 +1002,141 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(written == expected, s"shards diverged: $written vs $expected")
   }
 
+  test("semantic-admission lifecycle end-to-end: scheduled ticks + scheduled compactions + mid-stream replay == brute-force arrival-order dedup") {
+    import graft.ops.Similarity
+    val dataDir = tmpDir("graft-semadm-e2e").toString
+    val repo = new Repository(tmpDir("graft-semadm-e2e-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+
+    def v(x: Double*): Array[Float] = x.map(_.toFloat).toArray
+    // the full arrival schedule: in-tick near-dup (ticks 0 and 2),
+    // cross-tick near-dups against earlier ticks (1: of 101; 2: of
+    // 200; 3: of 100), fresh directions throughout
+    val ticks: Seq[Seq[(Long, Array[Float])]] = Seq(
+      Seq((100L, v(10, 0, 0, 0)), (101L, v(0, 10, 0, 0)),
+        (102L, v(10, 0.1, 0, 0))),
+      Seq((200L, v(0, 0, 10, 0)), (201L, v(0, 9.9, 0.2, 0))),
+      Seq((300L, v(0, 0, 0, 10)), (301L, v(0, 0, 0.1, 10)),
+        (302L, v(0, 0.2, 9.9, 0))),
+      Seq((400L, v(10, 10, 0, 0)), (401L, v(10, 0, 0.2, 0))))
+
+    // k = 1 codebook (one cluster — the admission ORDER is under test;
+    // trained-codebook clustering is pinned by the gate row)
+    val idx = s"$dataDir/semidx"
+    Similarity.createSemanticDedupIndex(spark, idx,
+      ticks.flatten.zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+        .toDF("vec_id", "embedding"),
+      tauMilli = 950L, k = 1, iters = 1)
+    graft.CacheScope.drain()
+
+    Seq((0L, "seed")).toDF("id", "tag").write.mode("overwrite")
+      .parquet(s"$dataDir/src")
+    val registry = new TransformRegistry
+    CurationTransforms.registerSemanticDedupIndexCompaction(registry, spark, idx)
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"semadm-e2e","name":"landing-admitted-annidx","recurrence":"15,45 * * * *","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"index","order":2,"connectionId":"local",
+         | "path":"annidx","mode":"append",
+         | "options":{"annIndex":"prefix","checkpointLocation":"ck",
+         |            "semanticDedupIndex":"semidx"}}
+         |]}""".stripMargin))
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"semadm-maint","name":"semantic-index compaction","recurrence":"30 * * * *","enabled":true,"steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"compact","order":2,"kind":"named","transformName":"compact_semantic_dedup_index"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"maint_out","mode":"replace"}
+         |]}""".stripMargin))
+
+    var now = Instant.parse("2026-03-08T08:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    def land(t: Seq[(Long, Array[Float])]): Unit =
+      t.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(s"$dataDir/landing")
+    var streamRuns = 0
+    var maintRuns = 0
+    def fireStream(at: String, tick: Seq[(Long, Array[Float])]): Unit = {
+      land(tick)
+      now = Instant.parse(at)
+      assert(sched.tick() == Seq("semadm-e2e"))
+      streamRuns += 1; waitRuns(repo, "semadm-e2e", 2 * streamRuns)
+    }
+    def fireMaint(at: String): Unit = {
+      now = Instant.parse(at)
+      assert(sched.tick() == Seq("semadm-maint"))
+      maintRuns += 1; waitRuns(repo, "semadm-maint", 2 * maintRuns)
+    }
+    fireStream("2026-03-08T08:15:05Z", ticks(0)) // batch 0
+    fireMaint("2026-03-08T08:30:05Z")            // 1 generation: no-op
+    fireStream("2026-03-08T08:45:05Z", ticks(1)) // batch 1
+    fireStream("2026-03-08T09:15:05Z", ticks(2)) // batch 2
+    fireMaint("2026-03-08T09:30:05Z")            // folds batches 0+1
+    fireStream("2026-03-08T09:45:05Z", ticks(3)) // batch 3
+    sched.stop()
+
+    val fs = graft.connect.Hfs.fs(spark, idx)
+    def gens() = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "vecs")).map(_.getName).sorted
+    assert(gens() == Seq("batch=-1", "batch=2", "batch=3"),
+      s"compaction interleave produced ${gens()}")
+
+    // MID-STREAM CRASH: batch 3's admission + ann append landed but the
+    // offsets commit did not — delete the newest commit marker (and its
+    // local-FS checksum sidecar) and restart
+    val commits = new java.io.File(s"$dataDir/ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(commits.last.delete())
+    val sched2 = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched2.tick().isEmpty)
+    now = Instant.parse("2026-03-08T10:15:05Z")
+    assert(sched2.tick() == Seq("semadm-e2e"))
+    waitRuns(repo, "semadm-e2e", 2 * streamRuns + 2)
+    sched2.stop()
+
+    // brute-force oracle in plain Scala over the SAME quantized-cosine
+    // bridge: per tick, drop any vector within τ of a LOWER-id tick
+    // vector (admitted or not — the SemDeDup greedy rule), then reject
+    // survivors within τ of anything already admitted
+    def xq(e: Array[Float]): Array[Long] = e.map(x => math.round(x.toDouble * 1e4))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val n2a = a.map(x => x * x).sum; val n2b = b.map(x => x * x).sum
+      (dot / 1e8) / (math.sqrt(n2a / 1e8) * math.sqrt(n2b / 1e8))
+    }
+    var admitted = Map.empty[Long, Array[Long]]
+    ticks.foreach { tick =>
+      val q = tick.map { case (id, e) => id -> xq(e) }
+      val inKept = q.filter { case (id, x) =>
+        !q.exists { case (id2, x2) => id2 < id && cos(x2, x) >= 0.95 } }
+      inKept.foreach { case (id, x) =>
+        if (!admitted.values.exists(ax => cos(ax, x) >= 0.95))
+          admitted += (id -> x)
+      }
+    }
+    val expected = admitted.keySet
+    assert(expected == Set(100L, 101L, 200L, 300L, 400L)) // sanity: hand-checked
+    val idxIds = spark.read.parquet(s"$idx/vecs")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(idxIds.toSet == expected,
+      s"index diverged from brute force: got ${idxIds.toSet}")
+    // the replay neither self-rejected nor double-admitted
+    assert(idxIds.size == idxIds.distinct.size,
+      "replay left duplicate index rows")
+    // the ann sink is at-least-once by contract: set-level it holds
+    // exactly the admitted vectors
+    val annIds = spark.read.parquet(s"$dataDir/annidx")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(annIds == expected, s"ann index diverged: $annIds vs $expected")
+  }
+
   test("streaming load without checkpointLocation fails fast") {
     val dataDir = tmpDir("graft-stream-nockpt").toString
     val repo = new Repository(tmpDir("graft-stream-repo2"))

@@ -156,7 +156,11 @@ class ExplainAuditSpec extends SparkSpec {
     // cross); the dense side broadcasts the FIXED query batch under
     // the embeddings scan for the exact-rescore baseline — the
     // q_sim_topk shape, map-side by construction
-    "q_text_hybrid_rrf")
+    "q_text_hybrid_rrf",
+    // frozen-index hybrid: same dense-side broadcast cross; the
+    // lexical side has NO stats cross at all (driver literals off the
+    // index) — its scan pruning is pinned by its dedicated test below
+    "q_text_hybrid_serve")
 
   private def planOf(name: String): String = {
     val plan = Catalog.byName(name).fn(spark, dir).queryExecution.executedPlan.toString
@@ -291,6 +295,22 @@ class ExplainAuditSpec extends SparkSpec {
     assert(plan.contains("In(term"),
       s"postings scan lost the pushed term INSET:\n$plan")
     assert(plan.contains("WindowGroupLimit"), s"top-5 lost the group-limit pushdown:\n$plan")
+  }
+
+  test("q_text_hybrid_serve: lexical tower reads the pruned frozen index, fused top-k group-limited") {
+    // the deployment-shaped hybrid must inherit the serve row's scan
+    // economics unchanged: bucket partition pruning on BOTH index
+    // scans (postings + bucketed dfreq, one shared hash(term) modulus)
+    // with the term INSET pushed, while the fusion tail plans its
+    // per-query top-k as a group limit, not a global sort
+    val plan = planOf("q_text_hybrid_serve")
+    val pruned = "PartitionFilters: \\[[^\\]]*bucket".r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected bucket partition pruning on postings AND dfreq scans, got $pruned:\n$plan")
+    assert(plan.contains("In(term"),
+      s"postings scan lost the pushed term INSET:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"fused top-k lost the group-limit pushdown:\n$plan")
   }
 
   test("q_text_bm25_incr: cross-generation serve keeps bucket pruning + pushed term INSET") {
