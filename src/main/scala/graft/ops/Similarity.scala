@@ -2031,6 +2031,23 @@ object Similarity {
   private val semanticAdmitDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  /** Drop the per-JVM admission-row dir cache — the
+    * [[graft.ops.TextAnalysis.clearBm25Artifacts]] convention, for
+    * specs that regenerate fixtures in place. `deleteDirs = true` also
+    * removes the temp index directories. */
+  private[graft] def clearSemanticAdmitDirs(deleteDirs: Boolean = false): Unit = {
+    if (deleteDirs) semanticAdmitDirs.values.foreach { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+        try it.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally it.close()
+      }
+    }
+    semanticAdmitDirs.clear()
+  }
+
   /** The `q_dedup_semantic_admit` catalog row: the full admission
     * lifecycle through the DuckDB hash gate. Create the index with the
     * corpus-trained frozen codebook at τ = [[semanticTau]], admit the
