@@ -1880,8 +1880,13 @@ object Similarity {
         s"must contain rows with vec_id < k=$k (the deterministic " +
         "k-means seeds)")
     val fs = graft.connect.Hfs.fs(s, path)
-    Seq("vecs", "centroids").foreach(sub => graft.connect.Hfs.deleteIfExists(
-      fs, new org.apache.hadoop.fs.Path(path, sub)))
+    // the marker is deleted FIRST and rewritten LAST: a create torn
+    // anywhere in between leaves "not a semantic-dedup index" (the
+    // loud admit-time error), never a stale marker over missing
+    // centroids (which would surface as a raw path error instead)
+    Seq("_sem_tau_milli", "vecs", "centroids").foreach(sub =>
+      graft.connect.Hfs.deleteIfExists(
+        fs, new org.apache.hadoop.fs.Path(path, sub)))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     graft.connect.Hfs.writeSmall(fs,
       new org.apache.hadoop.fs.Path(path, "_sem_tau_milli"),
