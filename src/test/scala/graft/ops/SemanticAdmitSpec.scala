@@ -138,6 +138,51 @@ class SemanticAdmitSpec extends SparkSpec {
     assert(gens == Set("batch=0"), s"unexpected generations: $gens")
   }
 
+  test("cross-batch index scan prunes to the touched centroid partitions (records-read proof)") {
+    // the scale claim on admitSemanticDedup, measured instead of
+    // narrated: a batch confined to ONE coarse cluster must read only
+    // that cluster's partition of the accumulated index, not the whole
+    // history. 16-d Gaussians are pairwise non-dup at τ = 0.95, so a
+    // 2-means index admits all of them split across two clusters; a
+    // second batch made of near-copies of ONE cluster's members (new
+    // ids) assigns entirely to that cluster — its admission should
+    // scan roughly half the index's records, never all of them.
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 2000L).map(id =>
+      (id, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val path = tmpDir("graft-semadmit-prune").toString + "/semidx"
+    Similarity.createSemanticDedupIndex(spark, path,
+      corpus.toDF("vec_id", "embedding"), tauMilli = 950L, k = 2, iters = 2)
+    graft.CacheScope.drain()
+    assert(Similarity.admitSemanticDedup(
+      corpus.toDF("vec_id", "embedding"), path, 0L).count() == 2000L)
+    graft.CacheScope.drain()
+    // pick the MINORITY cluster and 10 of its members — the bound is
+    // then decisive (seeded 2-means on Gaussians splits unevenly;
+    // this run's is ~1450/550)
+    val byCentroid = spark.read.option("basePath", s"$path/vecs")
+      .parquet(s"$path/vecs").select($"vec_id", $"centroid".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val c0 = byCentroid.values.groupBy(identity).minBy(_._2.size)._1
+    val clusterSize = byCentroid.values.count(_ == c0)
+    assert(clusterSize <= 1000, s"minority cluster is not a minority: $clusterSize of 2000")
+    val memberIds = byCentroid.collect { case (id, c) if c == c0 => id }
+      .toList.sorted.take(10)
+    val emb = corpus.toMap
+    val batch = memberIds.zipWithIndex.map { case (id, i) =>
+      (9000L + i, emb(id).map(x => x + 0.001f)) }
+    val (admitted, m) = graft.exec.SparkMetrics.measure(spark) {
+      Similarity.admitSemanticDedup(batch.toDF("vec_id", "embedding"), path, 1L).count()
+    }
+    graft.CacheScope.drain()
+    assert(admitted == 0L, s"near-copies must all reject, admitted $admitted")
+    // records read = the touched cluster's rows + the 2-row codebook
+    // (+ partition-discovery slack) — decisively under the full index
+    assert(m.inputRecords <= clusterSize + 100,
+      s"index scan read ${m.inputRecords} records — pruning to the " +
+        s"touched centroid ($clusterSize rows) did not happen")
+  }
+
   test("loud failure modes: missing index, negative batch id, seedless codebook") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.admitSemanticDedup(df(b0), tmpDir("graft-semadmit-noidx").toString, 0L)
