@@ -1166,6 +1166,16 @@ object TextAnalysis {
     * through 100×); the fusion is a full-outer of two
     * ≤perSide·|targets|-row lists — metadata-sized whatever the
     * corpus.
+    *
+    * Deliberately IN-ROW, not frozen-index, on the lexical side: a
+    * curation transform scores whatever frame the pipeline hands it —
+    * often mid-pipeline, already filtered — and a frozen index is only
+    * correct when its frozen corpus IS that frame, a discipline the
+    * transform cannot verify and silently violating it would mis-rank
+    * every query (stale df/N). Pipelines serving a STABLE corpus
+    * repeatedly should use [[bm25Serve]]/[[hybridServeRow]]'s shape
+    * against a maintained index instead — the `q_text_hybrid_serve`
+    * row measures that path 1.9× faster at 100×.
     */
   def hybridTopKOn(corpus: DataFrame, targets: DataFrame, k: Int,
       queryTokens: Int = 8, perSide: Int = 20): DataFrame = {
