@@ -48,9 +48,20 @@ object Similarity {
 
   /** cosine = (dot/1e8) / (√(na/1e8)·√(nb/1e8)) — all from exact longs,
     * expression shape mirrored exactly in the oracle SQL.
+    *
+    * Zero-norm vectors (a dead encoder's all-zero embedding) define
+    * cos = 0: similar to nothing, never a dup, never decontaminated
+    * away. Without the guard the raw division is an ANSI
+    * DIVIDE_BY_ZERO — one degenerate row would kill an entire 100 TB
+    * admission/dedup/probe job (found by probing, not in production:
+    * every fixture row has nonzero norm, which is also why the
+    * oracles' unguarded division still hash-matches on every gate
+    * row). The guard is two long comparisons before the fused dot —
+    * nothing against the O(dims) loop it gates.
     */
   def cosineFromDots(dot: Column, normA: Column, normB: Column): Column =
-    (dot / lit(1e8)) / (sqrt(normA / lit(1e8)) * sqrt(normB / lit(1e8)))
+    when(normA === 0L || normB === 0L, lit(0.0))
+      .otherwise((dot / lit(1e8)) / (sqrt(normA / lit(1e8)) * sqrt(normB / lit(1e8))))
 
   /** Brute-force cosine top-5 neighbors for the query subset
     * (vec_id % 50 == 0). Queries are broadcast; candidates stream —

@@ -183,6 +183,39 @@ class SemanticAdmitSpec extends SparkSpec {
         s"touched centroid ($clusterSize rows) did not happen")
   }
 
+  test("zero-norm embeddings define cos = 0: admitted, never dups, never decontaminated, no ANSI crash") {
+    // a dead encoder's all-zero vector used to be an ANSI
+    // DIVIDE_BY_ZERO inside cosineFromDots — one degenerate row killed
+    // the whole admission job. The convention: cos(0, x) = 0, so zero
+    // vectors are similar to NOTHING — they admit (content dedup is
+    // the exact family's job), they never anchor a rejection, and a
+    // decontamination pass never drops them (or anything else) on
+    // their account.
+    val corpus = Seq(
+      0L -> v(10, 0, 0, 0), 1L -> v(0, 0, 0, 0), 2L -> v(0, 0, 0, 0),
+      3L -> v(10, 0.1, 0, 0))
+    val path = tmpDir("graft-semadmit-zero").toString + "/semidx"
+    Similarity.createSemanticDedupIndex(spark, path, df(corpus),
+      tauMilli = 950L, k = 1, iters = 1)
+    graft.CacheScope.drain()
+    // 3 rejects (near-dup of 0); both zero vectors admit — even though
+    // they are mutually identical, their similarity is undefined and
+    // the semantic family scores representations, not content
+    assert(admitIds(corpus, path, 0L) == Set(0L, 1L, 2L))
+    // cross-batch: a zero vector arriving later still admits; a real
+    // near-dup still rejects (the guard changed nothing for live rows)
+    assert(admitIds(Seq(10L -> v(0, 0, 0, 0), 11L -> v(10, 0.2, 0, 0)),
+      path, 1L) == Set(10L))
+    // decontamination: zero corpus rows survive a live bench, and a
+    // zero BENCH vector flags nothing
+    val cleaned = Similarity.semanticDecontaminate(spark,
+      df(Seq(20L -> v(0, 0, 0, 0), 21L -> v(5, 0, 0, 0))),
+      df(Seq(90L -> v(0, 0, 0, 0), 91L -> v(0, 7, 0, 0))), tauMilli = 950L)
+      .select($"vec_id").as[Long].collect().toSet
+    graft.CacheScope.drain()
+    assert(cleaned == Set(20L, 21L))
+  }
+
   test("loud failure modes: missing index, negative batch id, seedless codebook") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.admitSemanticDedup(df(b0), tmpDir("graft-semadmit-noidx").toString, 0L)
