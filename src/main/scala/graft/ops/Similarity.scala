@@ -38,8 +38,26 @@ object Similarity {
     * — round(x·y·1e8) — costs N²·dim BigDecimal roundings, which
     * dominated the whole scan.)
     */
-  def quantize1e4(emb: Column): Column =
-    transform(emb, x => round(x.cast("double") * lit(1e4)).cast("long"))
+  /** A vector with ANY non-finite or grid-overflowing component is
+    * DEGENERATE AS A WHOLE and quantizes to all-zeros — zero norm, so
+    * [[cosineFromDots]] scores it 0 against everything: inert, never a
+    * dup anchor, never decontaminated away. Without the guard a single
+    * NaN/Inf float (a corrupted encoder output) is an ANSI
+    * CAST_OVERFLOW at `round(...).cast("long")` and kills the job —
+    * the same failure class as the zero-norm division, one layer
+    * earlier. Zeroing per-component instead would FABRICATE a valid-
+    * looking vector from the finite remainder (which could then dup-
+    * match real rows); whole-vector inertness is the conservative
+    * choice. |x| ≤ 9e14 keeps x·1e4 inside Long. Fixture embeddings
+    * are all finite, so the oracles' raw round-and-cast still
+    * hash-matches every gate row.
+    */
+  def quantize1e4(emb: Column): Column = {
+    val bad = exists(emb,
+      x => isnan(x.cast("double")) || abs(x.cast("double")) > lit(9e14))
+    when(bad, transform(emb, _ => lit(0L)))
+      .otherwise(transform(emb, x => round(x.cast("double") * lit(1e4)).cast("long")))
+  }
 
   /** Integer dot of two pre-quantized vectors (custom codegen
     * expression [[graft.functions.Dot64]]).

@@ -214,6 +214,16 @@ class SemanticAdmitSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     graft.CacheScope.drain()
     assert(cleaned == Set(20L, 21L))
+    // one layer earlier: a NaN/Inf COMPONENT used to be an ANSI
+    // CAST_OVERFLOW inside quantize1e4 — a corrupted vector quantizes
+    // to all-zeros as a WHOLE (zeroing only the bad component would
+    // fabricate a valid-looking vector from the finite remainder), so
+    // it admits and anchors nothing, exactly like the zero vector
+    val corrupt = Seq(
+      30L -> Array(Float.NaN, 1f, 0f, 0f),
+      31L -> Array(Float.PositiveInfinity, 0f, 1f, 0f),
+      32L -> v(10, 0.3, 0, 0)) // live near-dup of 0: still rejects
+    assert(admitIds(corrupt, path, 2L) == Set(30L, 31L))
   }
 
   test("loud failure modes: missing index, negative batch id, seedless codebook") {
