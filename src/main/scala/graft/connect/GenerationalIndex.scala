@@ -1,0 +1,153 @@
+package graft.connect
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The shared generational-layout core behind every incremental index
+  * artifact in the engine — the exact dedup admission index
+  * ([[graft.ops.Dedup.admitExactDedup]]), the semantic dedup admission
+  * index ([[graft.ops.Similarity.admitSemanticDedup]]), and the BM25
+  * inverted index ([[graft.ops.TextAnalysis.maintainBm25Index]]).
+  * Before round 17 each family hand-rolled this machinery — four
+  * near-copies of subtle crash-window reasoning; this object is the
+  * single place the reasoning lives, and the per-family code keeps
+  * only what is genuinely family-specific (what a generation CONTAINS
+  * and how its rows consolidate).
+  *
+  * The lifecycle every family shares:
+  *
+  *  - appends land in `path/<sub>/batch=<id>` generation directories,
+  *    one per (streaming) batch id — the REPLAY unit: a batch replayed
+  *    after a partial failure first deletes its own generation
+  *    ([[clearGeneration]]) and recomputes, so its prior rows can
+  *    neither flag the replay (self-rejection = silent data loss) nor
+  *    survive as duplicates (double-count);
+  *  - non-negative ids are live appends, negative ids are compacted
+  *    generations ([[requireLiveBatchId]]) — so a compaction output
+  *    can never collide with a replayed batch id;
+  *  - compaction folds every generation EXCEPT the newest live one
+  *    into `gen = min(fold) − 1` ([[foldPlan]]). The newest
+  *    non-negative batch stays untouched because it is the only one a
+  *    restarted stream can replay, and replay safety is "delete your
+  *    own generation, recompute" — which only works while ALL of that
+  *    batch's rows still live in its own directory. Compactions run
+  *    between drains (or from the scheduler), never concurrently with
+  *    an active append;
+  *  - the consolidated generation is staged in a dot-prefixed
+  *    `.compact-tmp` directory ([[staging]]) that parquet readers
+  *    never see, then committed.
+  *
+  * The COMMIT PROTOCOL is the one legitimate axis of divergence across
+  * families, kept here as two explicit modes rather than divergent
+  * copies:
+  *
+  *  - [[commitRenameFirst]] (admission mode): rename the staged
+  *    generation into place, THEN delete the folded sources. A crash
+  *    between the rename and the deletes leaves duplicate rows across
+  *    generations — candidate-volume rent folded away by the next
+  *    compaction. This mode is correct ONLY when a duplicate row flags
+  *    exactly what the single row flags (admission candidates,
+  *    admitted-vector rosters).
+  *  - Intent mode ([[writeIntent]] → [[applyIntent]], recovery via
+  *    [[recoverIntent]]): for ADDITIVE statistics (BM25 tf/df/N),
+  *    where a duplicate row double-counts and corrupts every score —
+  *    leftover-duplicates-until-next-compaction is NOT an acceptable
+  *    window. The staged temps plus one small-file write-ahead intent
+  *    make the delete-sources + rename sequence replayable: every
+  *    family entry point calls [[recoverIntent]] first, so readers can
+  *    never observe the double-counted middle of a compaction. A crash
+  *    BEFORE the intent leaves the old state (stale temps are
+  *    invisible garbage, cleared by [[staging]] next time); a crash
+  *    after it replays deterministically to the new state.
+  */
+object GenerationalIndex {
+
+  /** Generation ids present under `path/sub` (dirs named `batch=<id>`;
+    * for small-file stats subs the entries are files — both list). */
+  def generations(fs: FileSystem, path: String, sub: String): Seq[Long] =
+    Hfs.listDirs(fs, new Path(path, sub))
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+
+  /** A compaction's shape: `fold` into `gen`, leave `live` untouched. */
+  final case class FoldPlan(fold: Seq[Long], gen: Long, live: Option[Long])
+
+  /** The fold plan over a family's generation ids, or None when fewer
+    * than two directories would fold (nothing worth doing). */
+  def foldPlan(all: Seq[Long]): Option[FoldPlan] = {
+    val live = all.filter(_ >= 0).sorted.lastOption
+    val fold = all.filterNot(live.contains).sorted
+    if (fold.size < 2) None
+    else Some(FoldPlan(fold, math.min(fold.min, 0L) - 1L, live))
+  }
+
+  /** Loud guard on append ids: negative generations belong to the
+    * named compactor, never to a live batch. */
+  def requireLiveBatchId(batchId: Long, compactor: String): Unit =
+    require(batchId >= 0,
+      s"batchId must be non-negative (got $batchId) — negative ids are " +
+        s"reserved for $compactor generations")
+
+  /** Idempotent-replay step, run BEFORE anything reads the index:
+    * delete this batch's own generation under each sub, so a replay
+    * recomputes the same result instead of seeing its own orphans. */
+  def clearGeneration(fs: FileSystem, path: String, subs: Seq[String],
+      batchId: Long): Unit =
+    subs.foreach(sub => Hfs.deleteIfExists(fs,
+      new Path(path, s"$sub/batch=$batchId")))
+
+  /** `sub`'s staging location, cleared of any stale prior attempt —
+    * dot-prefixed, so readers never see a half-written consolidation. */
+  def staging(fs: FileSystem, path: String, sub: String): Path = {
+    val tmp = new Path(path, s"$sub/.compact-tmp")
+    Hfs.deleteIfExists(fs, tmp)
+    tmp
+  }
+
+  /** Admission-mode commit for one sub: rename the staged generation
+    * into place, then delete the folded sources (see the class doc for
+    * when the crash window is acceptable). */
+  def commitRenameFirst(fs: FileSystem, path: String, sub: String,
+      gen: Long, srcIds: Seq[Long], what: String): Unit = {
+    Hfs.renameChecked(fs, new Path(path, s"$sub/.compact-tmp"),
+      new Path(path, s"$sub/batch=$gen"), what)
+    srcIds.foreach(b => Hfs.deleteIfExists(fs,
+      new Path(path, s"$sub/batch=$b")))
+  }
+
+  /** Intent-mode commit point: ONE small-file write recording
+    * (generation, folded ids); everything after it is replayable. The
+    * caller must have finished staging every sub's `.compact-tmp`. */
+  def writeIntent(fs: FileSystem, path: String, marker: String,
+      gen: Long, fold: Seq[Long]): Unit =
+    Hfs.writeSmall(fs, new Path(path, marker),
+      s"$gen ${fold.mkString(",")}", overwrite = true)
+
+  /** The post-intent half — idempotent, so a crashed run replays to
+    * the identical end state: folded sources deleted, staged temps
+    * renamed to `batch=<gen>` (each skipped if a prior attempt already
+    * moved it), intent dropped last. */
+  def applyIntent(fs: FileSystem, path: String, subs: Seq[String],
+      marker: String, gen: Long, fold: Seq[Long], what: String): Unit = {
+    fold.foreach(b => clearGeneration(fs, path, subs, b))
+    subs.foreach { sub =>
+      val tmp = new Path(path, s"$sub/.compact-tmp")
+      if (fs.exists(tmp))
+        Hfs.renameChecked(fs, tmp, new Path(path, s"$sub/batch=$gen"),
+          s"$what for $path/$sub")
+    }
+    Hfs.deleteIfExists(fs, new Path(path, marker))
+  }
+
+  /** Replay a crashed intent-mode compaction to completion if its
+    * marker exists (no-op otherwise — one existence check). Every
+    * intent-mode entry point calls this first. */
+  def recoverIntent(fs: FileSystem, path: String, subs: Seq[String],
+      marker: String, what: String): Unit = {
+    val m = new Path(path, marker)
+    if (!fs.exists(m)) return
+    val parts = Hfs.readSmall(fs, m).trim.split(" ")
+    val fold = if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
+      else parts(1).split(",").map(_.toLong).toSeq
+    applyIntent(fs, path, subs, marker, parts(0).toLong, fold, what)
+  }
+}

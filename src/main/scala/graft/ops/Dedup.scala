@@ -687,7 +687,7 @@ object Dedup {
        |    AND a.vec_id < b.vec_id
        |  GROUP BY 1, 2)
        |SELECT v1, v2,
-       |  (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |  CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
        |FROM pairs JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id
        |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
   }
@@ -1982,9 +1982,8 @@ object Dedup {
       batchId: Long): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
-    require(batchId >= 0,
-      s"batchId must be non-negative (got $batchId) — negative ids are " +
-        "reserved for compactExactDedupIndex generations")
+    graft.connect.GenerationalIndex.requireLiveBatchId(batchId,
+      "compactExactDedupIndex")
     val fs = graft.connect.Hfs.fs(s, path)
     val marker = new org.apache.hadoop.fs.Path(path, "_tau_milli")
     require(fs.exists(marker),
@@ -2000,10 +1999,8 @@ object Dedup {
     // written index rows the downstream sink never saw — they must not
     // flag the replay (self-rejection = silent data loss), so the
     // batch's own subdirectories are dropped before anything reads
-    graft.connect.Hfs.deleteIfExists(fs,
-      new org.apache.hadoop.fs.Path(path, s"docs/batch=$batchId"))
-    graft.connect.Hfs.deleteIfExists(fs,
-      new org.apache.hadoop.fs.Path(path, s"prefix/batch=$batchId"))
+    graft.connect.GenerationalIndex.clearGeneration(fs, path,
+      Seq("docs", "prefix"), batchId)
     val order = s.read.parquet(s"$path/order")
     val inBatch = exactDedupFilterOn(batch, tau)
     val rows = dedupIndexRows(inBatch, order, tau).persistScoped()
@@ -2083,61 +2080,38 @@ object Dedup {
   }
 
   /** Compact a [[createExactDedupIndex]] layout: fold every batch
-    * directory EXCEPT the newest live one into a single consolidated
-    * generation (negative batch id), deduplicating rows on the way
-    * (crash-window leftovers — see below — are the only duplicate
-    * source now that admission itself is replay-idempotent). This is
-    * the admission index's `compact_layout`: per-tick appends
-    * accumulate one small directory per batch forever, and folding
-    * them bounds both the file count and the partition-listing rent.
-    *
-    * The newest non-negative batch stays untouched because it is the
-    * only batch a restarted stream can replay, and replay safety is
-    * "delete your own batch=<id> subdir, recompute" — which only works
-    * while ALL of that batch's rows still live in its own subdir. Run
-    * this between stream runs (or from the scheduler), never
-    * concurrently with an active admission drain — the same contract
-    * as every compaction here.
-    *
-    * Crash windows: the consolidated generation is written to a
-    * dot-prefixed temp dir (invisible to readers), renamed into place,
-    * and only then are the folded sources deleted. A crash between
-    * rename and deletes leaves duplicate rows across generations —
-    * candidate-volume rent, never a correctness issue (a dup index row
-    * flags exactly what the single row flags) — and the next
-    * compaction folds them away. Returns the number of batch
-    * directories folded (0 = nothing to do).
+    * directory except the newest live one into a single consolidated
+    * generation, deduplicating rows on the way (crash-window leftovers
+    * are the only duplicate source now that admission itself is
+    * replay-idempotent). Lifecycle + crash-window contract:
+    * [[graft.connect.GenerationalIndex]], ADMISSION (rename-first)
+    * mode — a leftover duplicate index row flags exactly what the
+    * single row flags, so the rename→delete window is rent, never
+    * corruption. Returns the number of batch directories folded
+    * (0 = nothing to do).
     */
   def compactExactDedupIndex(s: SparkSession, path: String): Int = {
+    import graft.connect.{GenerationalIndex => GI}
     val fs = graft.connect.Hfs.fs(s, path)
-    def ids(sub: String): Seq[Long] =
-      graft.connect.Hfs.listDirs(fs, new org.apache.hadoop.fs.Path(path, sub))
-        .map(_.getName).filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong)
-    val all = ids("docs")
-    val live = all.filter(_ >= 0).sorted.lastOption
-    val fold = all.filterNot(live.contains).sorted
-    if (fold.size < 2) return 0
-    val gen = math.min(fold.min, 0L) - 1L
+    val plan = GI.foldPlan(GI.generations(fs, path, "docs"))
+      .getOrElse(return 0)
     def consolidate(sub: String, part: String, keys: Seq[String]): Unit = {
-      val present = ids(sub).filterNot(live.contains).toSet
-      val src = fold.filter(present.contains).map(b => s"$path/$sub/batch=$b")
-      if (src.isEmpty) return
-      val tmp = new org.apache.hadoop.fs.Path(path, s"$sub/.compact-tmp")
-      graft.connect.Hfs.deleteIfExists(fs, tmp)
-      s.read.option("basePath", s"$path/$sub").parquet(src: _*)
+      val present = GI.generations(fs, path, sub)
+        .filterNot(plan.live.contains).toSet
+      val srcIds = plan.fold.filter(present.contains)
+      if (srcIds.isEmpty) return
+      val tmp = GI.staging(fs, path, sub)
+      s.read.option("basePath", s"$path/$sub")
+        .parquet(srcIds.map(b => s"$path/$sub/batch=$b"): _*)
         .drop("batch").dropDuplicates(keys)
         .repartition(col(part)).write.mode("overwrite").partitionBy(part)
         .parquet(tmp.toString)
-      val dst = new org.apache.hadoop.fs.Path(path, s"$sub/batch=$gen")
-      graft.connect.Hfs.renameChecked(fs, tmp, dst,
+      GI.commitRenameFirst(fs, path, sub, plan.gen, srcIds,
         s"dedup-index compaction for $path/$sub")
-      src.foreach(d => graft.connect.Hfs.deleteIfExists(fs,
-        new org.apache.hadoop.fs.Path(d)))
     }
     consolidate("docs", "dbucket", Seq("doc_id"))
     consolidate("prefix", "bucket", Seq("doc_id", "s"))
-    fold.size
+    plan.fold.size
   }
 
   /** Default ceiling for [[exactDecontaminateServe]]'s broadcast: total

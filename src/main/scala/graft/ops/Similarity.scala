@@ -48,13 +48,29 @@ object Similarity {
     * earlier. Zeroing per-component instead would FABRICATE a valid-
     * looking vector from the finite remainder (which could then dup-
     * match real rows); whole-vector inertness is the conservative
-    * choice. |x| ≤ 9e14 keeps x·1e4 inside Long. Fixture embeddings
-    * are all finite, so the oracles' raw round-and-cast still
-    * hash-matches every gate row.
+    * choice.
+    *
+    * The magnitude bound is NORM-SAFE, not merely cast-safe: every
+    * component must satisfy |x·1e4| ≤ √(Long.Max/dims), so the
+    * squared-norm fold Σ(x·1e4)² cannot wrap a Long — and by
+    * Cauchy-Schwarz every pair dot Σa·b (and each of its partial
+    * sums, since Σ|aᵢbᵢ| ≤ ‖a‖·‖b‖) is then bounded too, so the
+    * dot64 accumulation cannot wrap either. The r16 guard bounded
+    * only the cast (|x| ≤ 9e14); a finite component above
+    * ~√(Long.Max/dims)/1e4 (~3.8e4 at 64 dims) passed it and then
+    * silently wrapped inside dot64/n2, producing wrong cosines with
+    * no error (r16 advice). For unit-scale embeddings the bound still
+    * leaves ~4 orders of magnitude of headroom; fixture embeddings
+    * are all finite and unit-scale, so the oracles' raw
+    * round-and-cast still hash-matches every gate row.
     */
   def quantize1e4(emb: Column): Column = {
+    // per-component bound so Σ round(x·1e4)² fits a Long; the -1
+    // absorbs the ≤0.5 rounding step of round(x·1e4)
+    val maxAbs =
+      (sqrt(lit(Long.MaxValue.toDouble) / size(emb).cast("double")) - lit(1.0)) / lit(1e4)
     val bad = exists(emb,
-      x => isnan(x.cast("double")) || abs(x.cast("double")) > lit(9e14))
+      x => isnan(x.cast("double")) || abs(x.cast("double")) > maxAbs)
     when(bad, transform(emb, _ => lit(0L)))
       .otherwise(transform(emb, x => round(x.cast("double") * lit(1e4)).cast("long")))
   }
@@ -114,7 +130,7 @@ object Similarity {
       |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
       |  GROUP BY 1, 2),
       |scored AS (
-      |  SELECT qid, cid, (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+      |  SELECT qid, cid, CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
       |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
       |ranked AS (
       |  SELECT qid, cid, cos,
@@ -194,7 +210,7 @@ object Similarity {
        |       AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2),
        |pscored AS (
-       |  SELECT qid, cid, (dot / 1e8) / (sqrt(pa.pn2 / 1e8) * sqrt(pb.pn2 / 1e8)) AS pcos
+       |  SELECT qid, cid, CASE WHEN pa.pn2 = 0 OR pb.pn2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(pa.pn2 / 1e8) * sqrt(pb.pn2 / 1e8)) END AS pcos
        |  FROM pdots JOIN pnorms pa ON qid = pa.vec_id JOIN pnorms pb ON cid = pb.vec_id),
        |cand AS (
        |  SELECT qid, cid FROM (
@@ -207,7 +223,7 @@ object Similarity {
        |       JOIN q b ON b.vec_id = c.cid AND a.i = b.i
        |  GROUP BY 1, 2),
        |scored AS (
-       |  SELECT qid, cid, (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |  SELECT qid, cid, CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
        |  FROM fdots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
        |ranked AS (
        |  SELECT qid, cid, cos,
@@ -414,7 +430,7 @@ object Similarity {
        |    AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
        |  GROUP BY 1, 2, 3),
        |scored AS (
-       |  SELECT qid, cid, bucket, (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |  SELECT qid, cid, bucket, CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
        |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
        |ranked AS (
        |  SELECT qid, cid, bucket, cos,
@@ -614,7 +630,7 @@ object Similarity {
        |  GROUP BY 1, 2, 3),
        |scored AS (
        |  SELECT qid, cid, centroid,
-       |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
        |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
        |ranked AS (
        |  SELECT qid, cid, centroid, cos,
@@ -1482,7 +1498,7 @@ object Similarity {
        |  GROUP BY 1, 2),
        |scored_adc AS (
        |  SELECT a.qid, a.vec_id,
-       |    (((na.n2 + nb.n2 - a.adc) / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8))) / 2 AS cos_adc
+       |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (((na.n2 + nb.n2 - a.adc) / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8))) / 2 END AS cos_adc
        |  FROM adc a JOIN norms na ON a.qid = na.vec_id JOIN norms nb ON a.vec_id = nb.vec_id),
        |sl AS (
        |  SELECT qid, vec_id FROM (
@@ -1497,7 +1513,7 @@ object Similarity {
        |  GROUP BY 1, 2),
        |rescored AS (
        |  SELECT qid, cid,
-       |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
        |  FROM dots JOIN norms na ON qid = na.vec_id JOIN norms nb ON cid = nb.vec_id),
        |ranked AS (
        |  SELECT qid, cid, cos,
@@ -1664,7 +1680,7 @@ object Similarity {
        |  GROUP BY 1, 2),
        |sim AS (
        |  SELECT v1, v2,
-       |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
        |  FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id),
        |dups AS (
        |  SELECT v2 AS vec_id, MIN(v1) AS dup_of
@@ -1855,7 +1871,7 @@ object Similarity {
        |sim AS MATERIALIZED (
        |  SELECT centroid, v1, v2 FROM (
        |    SELECT d.centroid, d.v1, d.v2,
-       |      (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |      CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
        |    FROM dots d JOIN norms na ON d.v1 = na.vec_id
        |                JOIN norms nb ON d.v2 = nb.vec_id) t
        |  WHERE cos >= $semanticTau),
@@ -1959,9 +1975,8 @@ object Similarity {
     val s = batch.sparkSession
     import s.implicits._
     import graft.CacheScope._
-    require(batchId >= 0,
-      s"batchId must be non-negative (got $batchId) — negative ids are " +
-        "reserved for compactSemanticDedupIndex generations")
+    graft.connect.GenerationalIndex.requireLiveBatchId(batchId,
+      "compactSemanticDedupIndex")
     val fs = graft.connect.Hfs.fs(s, path)
     val marker = new org.apache.hadoop.fs.Path(path, "_sem_tau_milli")
     require(fs.exists(marker),
@@ -1969,8 +1984,8 @@ object Similarity {
         "create one with createSemanticDedupIndex")
     val tauD = graft.connect.Hfs.readSmall(fs, marker).trim.toLong.toDouble / 1000.0
     // idempotence: drop this batch's own generation before anything reads
-    graft.connect.Hfs.deleteIfExists(fs,
-      new org.apache.hadoop.fs.Path(path, s"vecs/batch=$batchId"))
+    graft.connect.GenerationalIndex.clearGeneration(fs, path,
+      Seq("vecs"), batchId)
     val cents = s.read.parquet(s"$path/centroids")
     val base = embBase(s, batch)
     val rows = base.join(coarseAssign(base, cents), Seq("vec_id"))
@@ -2020,40 +2035,29 @@ object Similarity {
   }
 
   /** Compact a [[createSemanticDedupIndex]] layout: fold every batch
-    * generation EXCEPT the newest live one into a consolidated
-    * negative generation ([[graft.ops.Dedup.compactExactDedupIndex]]'s
-    * contract verbatim — the newest batch stays untouched because it
-    * is the only one a restarted stream can replay, and replay safety
-    * is "delete your own generation, recompute"). Crash windows leave
-    * duplicate vectors across generations — candidate-volume rent,
-    * folded away by the next compaction, never a correctness issue.
-    * Run between drains (or from the scheduler via
-    * `compact_semantic_dedup_index`), never concurrently with an
-    * active admission. Returns the number of generations folded.
+    * generation except the newest live one into a consolidated
+    * negative generation, deduplicating vectors on the way. Lifecycle
+    * + crash-window contract: [[graft.connect.GenerationalIndex]],
+    * ADMISSION (rename-first) mode — a leftover duplicate vector flags
+    * exactly what the single row flags. Run between drains (or from
+    * the scheduler via `compact_semantic_dedup_index`), never
+    * concurrently with an active admission. Returns the number of
+    * generations folded.
     */
   def compactSemanticDedupIndex(s: SparkSession, path: String): Int = {
+    import graft.connect.{GenerationalIndex => GI}
     val fs = graft.connect.Hfs.fs(s, path)
-    val all = graft.connect.Hfs.listDirs(fs,
-        new org.apache.hadoop.fs.Path(path, "vecs"))
-      .map(_.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong)
-    val live = all.filter(_ >= 0).sorted.lastOption
-    val fold = all.filterNot(live.contains).sorted
-    if (fold.size < 2) return 0
-    val gen = math.min(fold.min, 0L) - 1L
-    val src = fold.map(b => s"$path/vecs/batch=$b")
-    val tmp = new org.apache.hadoop.fs.Path(path, "vecs/.compact-tmp")
-    graft.connect.Hfs.deleteIfExists(fs, tmp)
-    s.read.option("basePath", s"$path/vecs").parquet(src: _*)
+    val plan = GI.foldPlan(GI.generations(fs, path, "vecs"))
+      .getOrElse(return 0)
+    val tmp = GI.staging(fs, path, "vecs")
+    s.read.option("basePath", s"$path/vecs")
+      .parquet(plan.fold.map(b => s"$path/vecs/batch=$b"): _*)
       .drop("batch").dropDuplicates("vec_id")
       .repartition(col("centroid")).write.mode("overwrite")
       .partitionBy("centroid").parquet(tmp.toString)
-    graft.connect.Hfs.renameChecked(fs, tmp,
-      new org.apache.hadoop.fs.Path(path, s"vecs/batch=$gen"),
+    GI.commitRenameFirst(fs, path, "vecs", plan.gen, plan.fold,
       s"semantic-dedup-index compaction for $path/vecs")
-    src.foreach(d => graft.connect.Hfs.deleteIfExists(fs,
-      new org.apache.hadoop.fs.Path(d)))
-    fold.size
+    plan.fold.size
   }
 
   /** Fixed temp index dirs for [[semanticAdmitRow]], keyed by
@@ -2161,7 +2165,7 @@ object Similarity {
        |sim AS MATERIALIZED (
        |  SELECT v1, v2 FROM dots
        |  JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id
-       |  WHERE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) >= $semanticTau),
+       |  WHERE CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END >= $semanticTau),
        |b0 AS (SELECT vec_id FROM a$fin WHERE vec_id % 3 = 0),
        |b1 AS (SELECT vec_id FROM a$fin WHERE vec_id % 3 = 1),
        |b2 AS (SELECT vec_id FROM a$fin WHERE vec_id % 3 = 2),
@@ -2289,7 +2293,7 @@ object Similarity {
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT d.qid, lq.label AS q_label, d.cid, lc.label AS neg_label,
-       |    (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) AS cos
+       |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(na.n2 / 1e8) * sqrt(nb.n2 / 1e8)) END AS cos
        |  FROM dots d
        |  JOIN norms na ON d.qid = na.vec_id JOIN norms nb ON d.cid = nb.vec_id
        |  JOIN lab lq ON d.qid = lq.vec_id JOIN lab lc ON d.cid = lc.vec_id
@@ -2785,7 +2789,7 @@ object Similarity {
       |flagged AS (
       |  SELECT DISTINCT cid FROM dots
       |  JOIN norms nb ON bid = nb.vec_id JOIN norms nc ON cid = nc.vec_id
-      |  WHERE (dot / 1e8) / (sqrt(nb.n2 / 1e8) * sqrt(nc.n2 / 1e8)) >= 0.95)
+      |  WHERE CASE WHEN nb.n2 = 0 OR nc.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(nb.n2 / 1e8) * sqrt(nc.n2 / 1e8)) END >= 0.95)
       |SELECT vec_id FROM embeddings
       |WHERE vec_id NOT IN (SELECT cid FROM flagged)
       |ORDER BY vec_id""".stripMargin

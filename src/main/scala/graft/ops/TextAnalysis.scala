@@ -395,6 +395,32 @@ object TextAnalysis {
         "— Dedup.exactDecontaminateFrozen scales to any bench size), or " +
         "split the batch and serve the slices.")
 
+  /** Loud guard on the s6 fixed-point headroom (r16 verdict ask #6):
+    * the docstring argument "safe until N·1e6 nears 2⁶³" is enforced
+    * here with the EXACT worst case, not narrated. Per matched term,
+    * idf ≤ (2N+1)/3 (df ≥ 1) and the tf-saturation factor is < 2.2
+    * (denom > tf), so a query's s6 sum is bounded by
+    * termsPerQuery · 2.2 · (2N+1)/3 · 1e6. We require 4× headroom
+    * under Long.Max (rounding slack + future formula drift); past it,
+    * the fix is rescaling the fixed point (1e6 → 1e3 loses nothing at
+    * that corpus scale — scores are O(N)) — which must be a deliberate
+    * artifact-version change, not a silent wrap, because frozen-index
+    * scores must stay comparable across appends.
+    */
+  private[graft] def requireBm25Headroom(nDocs: Long, maxTermsPerQuery: Long,
+      what: String): Unit = {
+    val worstS6 = maxTermsPerQuery.toDouble * 2.2 *
+      (2.0 * nDocs.toDouble + 1.0) / 3.0 * 1e6
+    require(worstS6 < Long.MaxValue.toDouble / 4.0,
+      s"$what: corpus N=$nDocs docs with up to $maxTermsPerQuery " +
+        "query terms can push the s6 fixed-point sum past the Long " +
+        "headroom (worst-case idf (2N+1)/3 at df=1, tf-saturation " +
+        "< 2.2, 1e6 scale, 4x safety margin). Rescale the fixed point " +
+        "(rebuild the index with a coarser score scale) or shorten " +
+        "the queries - do NOT ignore this: the sum would wrap " +
+        "silently and corrupt every rank it touches.")
+  }
+
   /** BM25 score-and-rank over ARBITRARY frames — the engine behind
     * [[bm25TopKOn]] and the `bm25_select` / `bm25_decontaminate` /
     * `hybrid_select` curation transforms. `corpus` and `queryDocs`
@@ -411,17 +437,31 @@ object TextAnalysis {
     *
     * RANKING CAVEAT (cross-engine exactness vs standard Okapi): the
     * idf here is the log-free exact-integer odds ratio
-    * (2N−2df+1)/(2df+1), which is rank-equivalent to ln-idf for
-    * SINGLE-term queries but NOT for multi-term sums — a sum of odds
-    * ratios weights rare terms more steeply than a sum of logs, so
-    * top-k sets can diverge from an external ln-based BM25 retriever.
-    * The trade is deliberate: ln() is libm-dependent and would break
-    * the bit-exact hash gate ([[bm25]]'s scaladoc). Overflow headroom:
+    * (2N−2df+1)/(2df+1), NOT rank-equivalent to an external ln-based
+    * retriever for multi-term sums — a sum of odds ratios weights
+    * rare terms more steeply than a sum of logs. MEASURED
+    * (`tools/bm25_rank_agreement_r17.json`, graft.tools
+    * .Bm25RankAgreement — probe recomputation asserted bit-equal to
+    * this path before comparing): vs Lucene's always-positive
+    * ln(1+odds), single-term queries agree EXACTLY (overlap 1.0 — both
+    * idfs are positive per-query constants, so per-term doc order is
+    * the saturation order in both), and multi-term top-k overlap on a
+    * skewed 50k-doc corpus is mean 0.96/0.84/0.69 at k=5 for
+    * 2/4/8-term queries (k=100: 1.00/0.98/0.92; worst query 0.05@k20).
+    * Vs RAW Robertson–Walker ln((N−df+½)/(df+½)) there is an extra,
+    * textbook degeneracy the probe also measured: for df > N/2 that
+    * idf is NEGATIVE and inverts even single-term ranking (overlap
+    * 0.0 on the small-vocabulary fixture) — deployed ln systems clamp
+    * it away, which is why Lucene's form is the comparator that
+    * matters. The trade is deliberate: ln() is libm-dependent and
+    * would break the bit-exact hash gate ([[bm25]]'s scaladoc). Overflow headroom:
     * per-term weights scale linearly with N (idf ≈ 2N/df for rare
     * terms), so s6 ≈ Σ round(w·1e6) stays far from Long range until
     * N·1e6 approaches 2⁶³ — i.e. corpora beyond ~10¹² docs with
     * singleton dfs; at that scale rescale the fixed point before the
-    * sum.
+    * sum. On the frozen-index serve path, where N is exact and
+    * driver-side, this is ENFORCED, not narrated —
+    * [[requireBm25Headroom]] fails loudly before a sum could wrap.
     */
   private[graft] def bm25RanksOn(corpus: DataFrame, queryDocs: DataFrame,
       queryTokens: Int = 8,
@@ -612,9 +652,8 @@ object TextAnalysis {
   def maintainBm25Index(batch: DataFrame, path: String, batchId: Long,
       buckets: Option[Int] = None): Unit = {
     val s = batch.sparkSession
-    require(batchId >= 0,
-      s"batchId must be non-negative (got $batchId) — negative ids are " +
-        "reserved for compactBm25Index generations")
+    graft.connect.GenerationalIndex.requireLiveBatchId(batchId,
+      "compactBm25Index")
     val fs = graft.connect.Hfs.fs(s, path)
     recoverBm25Compaction(s, path)
     val marker = new org.apache.hadoop.fs.Path(path, bm25BucketsMarker)
@@ -638,11 +677,8 @@ object TextAnalysis {
         b
       }
     // idempotence: drop any prior attempt of THIS batch before writing
-    Seq(s"postings/batch=$batchId", s"dfreq/batch=$batchId",
-      s"stats/batch=$batchId").foreach { sub =>
-      graft.connect.Hfs.deleteIfExists(fs,
-        new org.apache.hadoop.fs.Path(path, sub))
-    }
+    graft.connect.GenerationalIndex.clearGeneration(fs, path,
+      bm25Subs, batchId)
     writeBm25Batch(batch, path, batchId, nb)
   }
 
@@ -662,34 +698,29 @@ object TextAnalysis {
     * duplicate row flags exactly what the single row flags — duplicate
     * BM25 rows would DOUBLE-COUNT tf/df and corrupt every score, so
     * leftover-duplicates-until-next-compaction is not an acceptable
-    * window here. Compaction therefore commits through a write-ahead
-    * intent: the consolidated generation is staged in dot-prefixed
-    * temp dirs (invisible to readers), a `_bm25_compact_intent` marker
-    * records (generation, folded ids) in one small-file write, and
-    * only then are sources deleted and temps renamed into place. Every
-    * entry point ([[bm25Serve]], [[maintainBm25Index]], this) first
-    * REPLAYS a pending intent to completion ([[recoverBm25Compaction]]),
-    * so a crash at any point leaves either the old state (no intent:
-    * stale temps are garbage-collected) or a state that deterministically
+    * window here. Compaction therefore commits through
+    * [[graft.connect.GenerationalIndex]]'s INTENT mode: the
+    * consolidated generation is staged in dot-prefixed temp dirs
+    * (invisible to readers), a `_bm25_compact_intent` marker records
+    * (generation, folded ids) in one small-file write, and only then
+    * are sources deleted and temps renamed into place. Every entry
+    * point ([[bm25Serve]], [[maintainBm25Index]], this) first REPLAYS
+    * a pending intent to completion ([[recoverBm25Compaction]]), so a
+    * crash at any point leaves either the old state (no intent: stale
+    * temps are garbage-collected) or a state that deterministically
     * finishes into the new one — never a double-counted index. Returns
     * the number of batch directories folded (0 = nothing to do).
     */
   def compactBm25Index(s: SparkSession, path: String): Int = {
+    import graft.connect.{GenerationalIndex => GI}
     val fs = graft.connect.Hfs.fs(s, path)
     recoverBm25Compaction(s, path)
-    def ids(sub: String): Seq[Long] =
-      graft.connect.Hfs.listDirs(fs, new org.apache.hadoop.fs.Path(path, sub))
-        .map(_.getName).filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong)
-    val all = ids("postings")
-    val live = all.filter(_ >= 0).sorted.lastOption
-    val fold = all.filterNot(live.contains).sorted
-    if (fold.size < 2) return 0
-    val gen = math.min(fold.min, 0L) - 1L
-    // stale temps from a pre-intent crash are invisible garbage: clear
-    Seq("postings/.compact-tmp", "dfreq/.compact-tmp", "stats/.compact-tmp")
-      .foreach(t => graft.connect.Hfs.deleteIfExists(fs,
-        new org.apache.hadoop.fs.Path(path, t)))
+    val plan = GI.foldPlan(GI.generations(fs, path, "postings"))
+      .getOrElse(return 0)
+    val (gen, fold) = (plan.gen, plan.fold)
+    // stale temps from a pre-intent crash are invisible garbage:
+    // GI.staging clears each before the stage writes
+    GI.staging(fs, path, "postings")
     s.read.option("basePath", s"$path/postings")
       .parquet(fold.map(b => s"$path/postings/batch=$b"): _*)
       .drop("batch")
@@ -700,6 +731,7 @@ object TextAnalysis {
       .parquet(s"$path/postings/.compact-tmp")
     val dfSrc = fold.filter(b => graft.connect.Hfs.isDir(fs,
       new org.apache.hadoop.fs.Path(path, s"dfreq/batch=$b")))
+    GI.staging(fs, path, "dfreq")
     s.read.option("basePath", s"$path/dfreq")
       .parquet(dfSrc.map(b => s"$path/dfreq/batch=$b"): _*)
       .groupBy(col("term"), col("bucket")).agg(sum(col("df")).as("df"))
@@ -713,52 +745,28 @@ object TextAnalysis {
         Some(graft.connect.Hfs.readSmall(fs, p).trim.split(" ").map(_.toLong))
       else None
     }
+    GI.staging(fs, path, "stats")
     graft.connect.Hfs.writeSmall(fs,
       new org.apache.hadoop.fs.Path(path, "stats/.compact-tmp"),
       s"${summed.map(_(0)).sum} ${summed.map(_(1)).sum}", overwrite = true)
     // commit point: one small-file write; everything after is replayable
-    graft.connect.Hfs.writeSmall(fs,
-      new org.apache.hadoop.fs.Path(path, bm25IntentMarker),
-      s"$gen ${fold.mkString(",")}", overwrite = true)
-    applyBm25Compaction(fs, path, gen, fold)
+    GI.writeIntent(fs, path, bm25IntentMarker, gen, fold)
+    GI.applyIntent(fs, path, bm25Subs, bm25IntentMarker, gen, fold,
+      "bm25-index compaction")
     fold.size
   }
 
-  /** The post-intent half of [[compactBm25Index]] — idempotent, so a
-    * crashed run replays to the identical end state: folded sources
-    * deleted, staged temps renamed to `batch=<gen>` (each skipped if a
-    * prior attempt already moved it), intent dropped last. */
-  private def applyBm25Compaction(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, gen: Long, fold: Seq[Long]): Unit = {
-    fold.foreach { b =>
-      Seq(s"postings/batch=$b", s"dfreq/batch=$b", s"stats/batch=$b")
-        .foreach(sub => graft.connect.Hfs.deleteIfExists(fs,
-          new org.apache.hadoop.fs.Path(path, sub)))
-    }
-    Seq("postings", "dfreq", "stats").foreach { sub =>
-      val tmp = new org.apache.hadoop.fs.Path(path, s"$sub/.compact-tmp")
-      if (fs.exists(tmp))
-        graft.connect.Hfs.renameChecked(fs, tmp,
-          new org.apache.hadoop.fs.Path(path, s"$sub/batch=$gen"),
-          s"bm25-index compaction for $path/$sub")
-    }
-    graft.connect.Hfs.deleteIfExists(fs,
-      new org.apache.hadoop.fs.Path(path, bm25IntentMarker))
-  }
+  /** The three generational subs of a BM25 layout — postings + per-
+    * batch dfreq + per-batch stats, compacted and replayed as a unit. */
+  private val bm25Subs = Seq("postings", "dfreq", "stats")
 
   /** Replay a crashed [[compactBm25Index]] to completion if its intent
     * marker exists (no-op otherwise — one existence check). Called by
     * every lifecycle entry point, so readers can never observe the
     * double-counted middle of a compaction. */
-  def recoverBm25Compaction(s: SparkSession, path: String): Unit = {
-    val fs = graft.connect.Hfs.fs(s, path)
-    val m = new org.apache.hadoop.fs.Path(path, bm25IntentMarker)
-    if (!fs.exists(m)) return
-    val parts = graft.connect.Hfs.readSmall(fs, m).trim.split(" ")
-    val fold = if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
-      else parts(1).split(",").map(_.toLong).toSeq
-    applyBm25Compaction(fs, path, parts(0).toLong, fold)
-  }
+  def recoverBm25Compaction(s: SparkSession, path: String): Unit =
+    graft.connect.GenerationalIndex.recoverIntent(graft.connect.Hfs.fs(s, path),
+      path, bm25Subs, bm25IntentMarker, "bm25-index compaction")
 
   /** BM25 top-5 served from a [[saveBm25Index]] /
     * [[maintainBm25Index]] layout — identical output to the in-row
@@ -824,6 +832,13 @@ object TextAnalysis {
     // metadata-sized — and buys scan-level pruning no join could
     val terms = q.select($"term").distinct().as[String].collect().toSeq
     requireServingBatch(terms.size.toLong, maxQueryTerms, "bm25Serve")
+    // N is exact and driver-side here, so the fixed-point headroom
+    // docstring is ENFORCED on the serve path, per query (the in-row
+    // path keeps N distributed; its corpora are pipeline-local).
+    // q is persisted + candidate-sized, so this 1-row agg is free.
+    val maxTermsPerQuery = q.groupBy($"query_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max($"c"), lit(0L))).as[Long].head()
+    requireBm25Headroom(n, maxTermsPerQuery, "bm25Serve")
     val bucketIds = q
       .select(pmod(hash($"term"), lit(buckets)).as("b"))
       .distinct().as[Int].collect().toSeq
@@ -1121,7 +1136,7 @@ object TextAnalysis {
       |  GROUP BY 1, 2),
       |cosd AS (
       |  SELECT query_id, doc_id,
-      |    (dot / 1e8) / (sqrt(nd.n2 / 1e8) * sqrt(nq.n2 / 1e8)) AS cos
+      |    CASE WHEN nd.n2 = 0 OR nq.n2 = 0 THEN 0 ELSE (dot / 1e8) / (sqrt(nd.n2 / 1e8) * sqrt(nq.n2 / 1e8)) END AS cos
       |  FROM dots JOIN norms nd ON doc_id = nd.vec_id
       |    JOIN norms nq ON query_id = nq.vec_id),
       |dense AS (SELECT query_id, doc_id, vec_rank FROM (

@@ -226,6 +226,27 @@ class SemanticAdmitSpec extends SparkSpec {
     assert(admitIds(corrupt, path, 2L) == Set(30L, 31L))
   }
 
+  test("quantize bound is norm-safe: a finite component that would wrap dot64 zero-quantizes") {
+    // r16 advice: the old |x| ≤ 9e14 guard only prevented the cast
+    // overflow — a finite 1e6 component at 4 dims quantizes to 1e10,
+    // whose square (1e20) wraps a Long inside dot64/n2, silently
+    // corrupting every cosine it touches. The norm-safe bound
+    // √(Long.Max/dims)/1e4 (≈1.518e5 at 4 dims) zeroes the whole
+    // vector instead, making it inert like any other degenerate input.
+    def quantized(vec: Array[Float]): Seq[Long] =
+      Seq(0L -> vec).toDF("vec_id", "embedding")
+        .select(Similarity.quantize1e4($"embedding").as("q"))
+        .as[Seq[Long]].head()
+    // over the norm-safe bound (would have passed the old 9e14 guard)
+    assert(quantized(v(1e6, 0, 0, 0)) == Seq(0L, 0L, 0L, 0L))
+    // just under the bound: stays live, and its norm provably fits —
+    // 4 · (1.5e9)² = 9.0e18 < Long.Max
+    assert(quantized(v(1.5e5, 1.5e5, 1.5e5, 1.5e5)) ==
+      Seq(1500000000L, 1500000000L, 1500000000L, 1500000000L))
+    // unit-scale rows are untouched (the gate-row regression guard)
+    assert(quantized(v(0.5, -0.25, 0, 1)) == Seq(5000L, -2500L, 0L, 10000L))
+  }
+
   test("loud failure modes: missing index, negative batch id, seedless codebook") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.admitSemanticDedup(df(b0), tmpDir("graft-semadmit-noidx").toString, 0L)

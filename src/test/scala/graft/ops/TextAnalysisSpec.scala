@@ -660,6 +660,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(err2.getMessage.contains("serving-batch broadcast ceiling"))
   }
 
+  test("bm25 s6 fixed-point headroom is enforced, not narrated (r16 ask #6)") {
+    // the exact worst case: termsPerQuery * 2.2 * (2N+1)/3 * 1e6 must
+    // keep 4x headroom under Long.Max. At 8 terms/query the ceiling
+    // sits near N ~ 2e11 docs; a 10^12-doc corpus (the docstring's
+    // singleton-df bound) must fail loudly with the rescale guidance.
+    TextAnalysis.requireBm25Headroom(1_000_000_000L, 8L, "spec") // ~10^9: fine
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.requireBm25Headroom(1_000_000_000_000L, 8L, "spec")
+    }
+    assert(err.getMessage.contains("fixed-point sum past the Long headroom"))
+    assert(err.getMessage.contains("Rescale the fixed point"))
+    // longer queries tighten the corpus bound proportionally
+    intercept[IllegalArgumentException] {
+      TextAnalysis.requireBm25Headroom(1_000_000_000L, 10000L, "spec")
+    }
+    // the serve path wires the guard with per-query term counts: a
+    // normal fixture serve passes through it untouched (regression)
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val idx = tmpDir("bm25-headroom-idx").toString
+    TextAnalysis.saveBm25Index(docs, idx)
+    val q = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id AS query_id",
+        "explode(slice(split(text, ' '), 1, 8)) AS term")
+      .distinct().limit(50)
+    assert(TextAnalysis.bm25Serve(spark, q, idx).collect().nonEmpty)
+  }
+
   test("hybrid RRF: fused score is exactly the rank formula; lexical ranks agree with bm25") {
     val dir = "/root/testdata/sf0.001"
     val out = TextAnalysis.hybridRrf(spark, dir)
