@@ -235,6 +235,12 @@ object StreamingLoad {
               }
               graft.ops.Similarity.appendPrefixIndex(idx, full)
           }
+          // The load owns the tick's terminal action, so it drains the
+          // scoped-cache registry here (CacheScope contract). Without
+          // this a long-running scheduled stream accumulates strong
+          // Dataset refs + MEMORY_AND_DISK blocks across ticks —
+          // correctness-safe but unbounded resource growth.
+          graft.CacheScope.drain()
           ()
         }.outputMode("append")
       case "append" if merged.contains("bm25Index") =>
@@ -250,7 +256,9 @@ object StreamingLoad {
           s"load '${step.name}': bm25Index layout requires parquet, got '${conn.format}'")
         val buckets = merged.get("bm25Buckets").map(_.toInt)
         df.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
-          graft.ops.TextAnalysis.maintainBm25Index(b, full, bid, buckets); ()
+          graft.ops.TextAnalysis.maintainBm25Index(b, full, bid, buckets)
+          graft.CacheScope.drain() // per-tick: the load owns the terminal action
+          ()
         }.outputMode("append")
       case "append" if merged.contains("shardBy") || merged.contains("shards") =>
         // streaming curation endpoint: each drained micro-batch extends
@@ -297,6 +305,20 @@ object StreamingLoad {
         val bm25Bench = merged.get("bm25DecontaminateIndex").map(resolve(base, _))
         val bm25K = merged.get("bm25DecontaminateK").map(_.toInt).getOrElse(20)
         val bm25Toks = merged.get("bm25DecontaminateTokens").map(_.toInt).getOrElse(8)
+        // optional "semanticDecontaminateIndex"/"semanticDedupIndex":
+        // the EMBEDDING-space twins of the lexical/exact options above,
+        // for shard loads whose rows carry (vec_id, embedding) next to
+        // (doc_id, text) — a curation endpoint can then compose ALL the
+        // routes in one drained tick. Order per tick is decontaminate →
+        // admit → append, decontamination lenses first (exact n-gram,
+        // lexical BM25, semantic cosine — each catches leaks the others
+        // provably miss), THEN admission (exact, then semantic): a
+        // leaked doc must never become the admitted representative that
+        // rejects clean arrivals (StreamingPipelineSpec pins the
+        // composed lifecycle against an offline composition).
+        val semBench2 = merged.get("semanticDecontaminateIndex").map(resolve(base, _))
+        val semTau2 = merged.get("semanticDecontaminateTau").map(_.toLong).getOrElse(950L)
+        val semDedupIdx2 = merged.get("semanticDedupIndex").map(resolve(base, _))
         df.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
           val lexCleaned = bm25Bench match {
             case Some(p) =>
@@ -309,19 +331,30 @@ object StreamingLoad {
               b.join(hits, Seq("doc_id"), "left_anti")
             case None => b
           }
-          val cleaned = deconIdx match {
+          val exCleaned = deconIdx match {
             case Some(p) => graft.ops.Dedup.exactDecontaminateFrozen(lexCleaned, p, deconTau)
             case None => lexCleaned
+          }
+          val cleaned = semBench2 match {
+            case Some(p) => graft.ops.Similarity.semanticDecontaminate(
+              b.sparkSession, exCleaned, b.sparkSession.read.parquet(p), semTau2)
+            case None => exCleaned
           }
           // the batch id makes the index append idempotent per batch:
           // a replay after a partial failure recomputes the same
           // admitted set instead of self-rejecting against its own
           // orphaned index rows (which would silently drop those docs)
-          val admitted = dedupIdx match {
+          val exAdmitted = dedupIdx match {
             case Some(p) => graft.ops.Dedup.admitExactDedup(cleaned, p, bid)
             case None => cleaned
           }
-          graft.ops.Sharding.appendToShards(admitted, key, full, n); ()
+          val admitted = semDedupIdx2 match {
+            case Some(p) => graft.ops.Similarity.admitSemanticDedup(exAdmitted, p, bid)
+            case None => exAdmitted
+          }
+          graft.ops.Sharding.appendToShards(admitted, key, full, n)
+          graft.CacheScope.drain() // per-tick: the load owns the terminal action
+          ()
         }.outputMode("append")
       case "append" =>
         df.writeStream.format(conn.format).option("path", full).outputMode("append")
