@@ -75,9 +75,26 @@ object Bench {
     // suppress); interleaving separates a query's samples by a full
     // catalog pass (~tens of seconds), so a burst must span the entire
     // bench to poison a query's minimum.
+    //
+    // SENTINEL TRACK (r16 verdict #1): pre/post sentinels bracketing a
+    // ~17-minute run cannot localize WHEN the environment loaded up —
+    // r16's official record needed prose adjudication because 152/203
+    // rows drifted and nothing in the JSON said which minutes were
+    // loaded. Now the cpu/shuffle pair runs every `sentinelEvery` timed
+    // rows (single-shot — the track wants temporal resolution, not
+    // per-sample minima) and each query's min records WHICH track
+    // segment produced it, so a drift window is machine-visible: a row
+    // is trustworthy iff its segment's bracketing sentinels are quiet,
+    // and a cross-round ratio can drop rows from loaded segments
+    // mechanically instead of narratively.
+    val sentinelEvery = 25
+    val track = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    track += ((sentCpuPre, sentShufPre))
     val iters = 3
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val bestSeg = scala.collection.mutable.Map.empty[String, Int]
+    var timed = 0
     for (_ <- 1 to iters; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -87,17 +104,43 @@ object Bench {
       // so 100 accumulated caches don't evict/slow later queries
       CacheScope.drain()
       spark.sharedState.cacheManager.clearCache()
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      if (t < best.getOrElse(name, Double.MaxValue)) {
+        best(name) = t
+        bestSeg(name) = track.size - 1 // segment AFTER track sample i
+      }
+      timed += 1
+      if (timed % sentinelEvery == 0) track += ((sentinelCpu(), sentinelShuffle()))
     }
-    val sentCpuPost = math.min(sentinelCpu(), sentinelCpu())
-    val sentShufPost = math.min(sentinelShuffle(), sentinelShuffle())
+    track += ((math.min(sentinelCpu(), sentinelCpu()),
+      math.min(sentinelShuffle(), sentinelShuffle())))
+    val sentCpuPost = track.last._1
+    val sentShufPost = track.last._2
     val results = names.map(n => n -> best(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val segs = names.map(n => s"\"" + n + "\":" + bestSeg(n))
+      .mkString("{", ",", "}")
+    val trackJson = track.zipWithIndex
+      .map { case ((c, sh), i) => f"""{"i":$i,"cpu":$c%.3f,"shuffle":$sh%.3f}""" }
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sent = f"""{"cpu_pre":$sentCpuPre%.3f,"cpu_post":$sentCpuPost%.3f,""" +
       f""""shuffle_pre":$sentShufPre%.3f,"shuffle_post":$sentShufPost%.3f}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters_min_of":$iters,"sentinels":$sent,"queries":$qs,"sf":"$sfDir"}""")
+    // provenance (r16 verdict #8): which HEAD and which fixtures made
+    // this board — r16's three boards differ only by environment and
+    // two commits, and nothing in the JSON could tell them apart.
+    val gitHead = scala.util.Try {
+      val p = java.lang.Runtime.getRuntime.exec(Array("git", "rev-parse", "HEAD"))
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    }.getOrElse("unknown")
+    val fixtureFp = scala.util.Try(
+      graft.connect.Hfs.listingFingerprint(spark, sfDir)).getOrElse("unknown")
+    val catalogMd = java.security.MessageDigest.getInstance("MD5")
+    names.sorted.foreach(n => catalogMd.update(n.getBytes("UTF-8")))
+    val catalogHash = catalogMd.digest().map("%02x".format(_)).mkString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters_min_of":$iters,"sentinels":$sent,"sentinel_every":$sentinelEvery,"sentinel_track":$trackJson,"query_seg":$segs,"git_head":"$gitHead","fixture_fingerprint":"$fixtureFp","catalog_hash":"$catalogHash","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
