@@ -81,6 +81,7 @@ object SemAdmitSweep {
     graft.ops.Similarity.createSemanticDedupIndex(
       spark, idx, batchDf(0), tauMilli = 950L, k = k)
     val out = new StringBuilder
+    var indexed = 0L
     (0 until ticks).foreach { t =>
       val b = batchDf(t)
       val t0 = System.nanoTime()
@@ -88,7 +89,13 @@ object SemAdmitSweep {
       val dt = (System.nanoTime() - t0) / 1e9
       graft.CacheScope.drain()
       spark.sharedState.cacheManager.clearCache()
-      val line = f"""{"tick":$t,"sec":$dt%.3f,"admitted":$admitted,"batch":$batchVecs,"k":$k}"""
+      // the cost-model column: expected within-cluster cosines this
+      // tick ≈ batch × indexed/k (uniform assignment). When `sec`
+      // tracks this number, occupancy dominates (the regime ask r16#3
+      // wants measured); when it doesn't, layout/plan rent dominates.
+      val cosines = batchVecs.toLong * indexed / math.max(k, 1)
+      indexed += admitted
+      val line = f"""{"tick":$t,"sec":$dt%.3f,"admitted":$admitted,"indexed_before":${indexed - admitted},"est_cosines":$cosines,"batch":$batchVecs,"k":$k}"""
       println(line)
       out.append(line).append('\n')
       if (compactEvery > 0 && t % compactEvery == compactEvery - 1) {
