@@ -69,8 +69,16 @@ object Similarity {
     // absorbs the ≤0.5 rounding step of round(x·1e4)
     val maxAbs =
       (sqrt(lit(Long.MaxValue.toDouble) / size(emb).cast("double")) - lit(1.0)) / lit(1e4)
-    val bad = exists(emb,
-      x => isnan(x.cast("double")) || abs(x.cast("double")) > maxAbs)
+    // ONE fold computes the peak |x| (Spark's ordering ranks NaN above
+    // every value, so greatest() propagates a NaN component to the
+    // peak — as does ±Inf, trivially), then the sqrt/size threshold
+    // evaluates ONCE per vector. The first r17 cut evaluated the
+    // threshold expression inside a per-element exists() lambda —
+    // ~6 scalar ops per element against the fold's 2 (abs+greatest),
+    // a measurable rent on quantize-bound rows.
+    val peak = aggregate(emb, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val bad = isnan(peak) || peak > maxAbs
     when(bad, transform(emb, _ => lit(0L)))
       .otherwise(transform(emb, x => round(x.cast("double") * lit(1e4)).cast("long")))
   }
