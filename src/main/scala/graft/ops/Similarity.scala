@@ -1977,6 +1977,21 @@ object Similarity {
     * deployment knob), and only batch-sized frames ever shuffle. The
     * centroid list is driver-collected but bounded by the codebook
     * size, not the corpus.
+    *
+    * The k knob is MEASURED at high cluster occupancy, not asserted
+    * (`tools/semadmit_occupancy_r17.json`, SemAdmitSweep at 40 ticks ×
+    * 4k vectors): once the cosine term dominates, late per-tick wall
+    * scales exactly 1/k (k=4 → k=16 cut it 4.43× against a 4× cosine
+    * ratio), and at k=64 a 40×-grown index runs at the fixed per-tick
+    * layout floor (~5 s on the rig) — cosines sub-dominant again. Two
+    * deployment consequences: (1) size k for the TARGET corpus at
+    * create time — the codebook is frozen, per-tick cost at fixed k
+    * grows linearly in admitted N, and k ≈ √N keeps the cosine term
+    * at the floor; (2) small k ALSO caps the within-cluster join's
+    * parallelism at k partitions, so an undersized codebook hurts
+    * twice. No PQ-shortlist pre-stage is warranted: the exact
+    * within-cluster test already sits at the layout floor under a
+    * properly sized codebook.
     */
   def admitSemanticDedup(batch: DataFrame, path: String,
       batchId: Long): DataFrame = {
