@@ -56,6 +56,13 @@ object GraftExtensions {
         Dot64(children.head, children(1))
       }),
     (
+      new FunctionIdentifier("quantize1e4"),
+      new ExpressionInfo(classOf[Quantize1e4].getCanonicalName, "quantize1e4"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "quantize1e4(ARRAY<FLOAT>)")
+        Quantize1e4(children.head)
+      }),
+    (
       new FunctionIdentifier("sqdist64"),
       new ExpressionInfo(classOf[SqDist64].getCanonicalName, "sqdist64"),
       (children: Seq[Expression]) => {

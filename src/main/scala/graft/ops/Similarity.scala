@@ -64,18 +64,41 @@ object Similarity {
     * are all finite and unit-scale, so the oracles' raw
     * round-and-cast still hash-matches every gate row.
     */
-  def quantize1e4(emb: Column): Column = {
+  def quantize1e4(emb: Column): Column =
+    // the native codegen expression [[graft.functions.Quantize1e4]]:
+    // one fused pass (guard + round) inside whole-stage codegen. The
+    // HOF chain it replaced — kept below as the differential reference
+    // — evaluated interpreted (higher-order functions are
+    // CodegenFallback) and broke codegen at the FIRST operator of
+    // every similarity/PCA/semantic-dedup scan. Built directly (no
+    // session registration dependency — several PCA/outlier call
+    // sites quantize without ever touching dot64's register path).
+    org.apache.spark.sql.graftaccess.ColumnBridge.column(
+      graft.functions.Quantize1e4(
+        org.apache.spark.sql.graftaccess.ColumnBridge.expression(emb)))
+
+  /** The declarative formulation of [[quantize1e4]]'s semantics, in
+    * Spark built-ins — the reference the native expression is
+    * differentially pinned against (Quantize1e4Spec: element-wise
+    * equality across finite/degenerate/null/empty regimes). Reads as
+    * the specification: ONE fold computes the peak |x| (greatest()
+    * ranks NaN above every value and skips nulls), the norm-safe
+    * threshold evaluates once per vector, the bad branch zeroes the
+    * whole vector, the good branch is Spark Round's decimal HALF_UP.
+    */
+  private[graft] def quantize1e4Reference(emb: Column): Column = {
     // per-component bound so Σ round(x·1e4)² fits a Long; the -1
-    // absorbs the ≤0.5 rounding step of round(x·1e4)
+    // absorbs the ≤0.5 rounding step of round(x·1e4). The greatest(n,1)
+    // keeps the EMPTY array out of the division: ANSI mode throws
+    // DIVIDE_BY_ZERO even for doubles, so the un-guarded form crashed
+    // on a zero-length embedding — found by this reference's own
+    // differential spec on its FIRST run against the native
+    // expression (which loops zero times and returns empty); the
+    // clamped bound is irrelevant to the empty case (peak over no
+    // elements is 0, the good branch maps nothing).
     val maxAbs =
-      (sqrt(lit(Long.MaxValue.toDouble) / size(emb).cast("double")) - lit(1.0)) / lit(1e4)
-    // ONE fold computes the peak |x| (Spark's ordering ranks NaN above
-    // every value, so greatest() propagates a NaN component to the
-    // peak — as does ±Inf, trivially), then the sqrt/size threshold
-    // evaluates ONCE per vector. The first r17 cut evaluated the
-    // threshold expression inside a per-element exists() lambda —
-    // ~6 scalar ops per element against the fold's 2 (abs+greatest),
-    // a measurable rent on quantize-bound rows.
+      (sqrt(lit(Long.MaxValue.toDouble) /
+        greatest(size(emb).cast("double"), lit(1.0))) - lit(1.0)) / lit(1e4)
     val peak = aggregate(emb, lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
     val bad = isnan(peak) || peak > maxAbs
