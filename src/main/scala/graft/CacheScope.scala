@@ -22,8 +22,11 @@ import org.apache.spark.sql.Dataset
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val local = new ThreadLocal[java.util.ArrayDeque[Dataset[_]]]()
 
-  /** Unpersist every tracked dataset; returns how many were dropped. */
+  /** Unpersist every GLOBALLY tracked dataset; returns how many were
+    * dropped. Registrations made inside a [[scoped]] block are not in
+    * this registry — they drain when their block exits. */
   def drain(): Int = {
     var n = 0
     var d = live.poll()
@@ -31,8 +34,37 @@ object CacheScope {
     n
   }
 
+  /** Run `f` with a PER-THREAD registration scope: datasets persisted
+    * by this thread inside `f` are unpersisted when `f` completes
+    * (even on failure), and registrations from OTHER threads are
+    * untouched. This is the per-tick form for streaming sinks: the
+    * registry itself is JVM-global, so a bare [[drain]] inside
+    * `foreachBatch` would unpersist the scoped intermediates of ANY
+    * concurrently ticking pipeline in the same session — correctness-
+    * safe (Spark recomputes) but recompute thrash when two scheduled
+    * streams tick at once. The body must also run its terminal action
+    * inside the block: a lazy frame returned out of the scope loses
+    * its caches (and recomputes) on later evaluation. Scopes nest;
+    * the inner block's registrations drain at the inner exit. */
+  def scoped[A](f: => A): A = {
+    val prev = local.get()
+    val mine = new java.util.ArrayDeque[Dataset[_]]()
+    local.set(mine)
+    try f finally {
+      local.set(prev)
+      mine.forEach(_.unpersist(blocking = false))
+    }
+  }
+
   implicit final class Scoped[T](private val ds: Dataset[T]) extends AnyVal {
-    /** `persist()` + register for the next [[drain]]. */
-    def persistScoped(): Dataset[T] = { val p = ds.persist(); live.add(p); p }
+    /** `persist()` + register: with the calling thread inside a
+      * [[scoped]] block, for that block's exit; otherwise for the next
+      * global [[drain]]. */
+    def persistScoped(): Dataset[T] = {
+      val p = ds.persist()
+      val l = local.get()
+      if (l != null) l.add(p) else live.add(p)
+      p
+    }
   }
 }

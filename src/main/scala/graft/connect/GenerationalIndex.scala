@@ -61,12 +61,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object GenerationalIndex {
 
-  /** Generation ids present under `path/sub` (dirs named `batch=<id>`;
-    * for small-file stats subs the entries are files — both list). */
-  def generations(fs: FileSystem, path: String, sub: String): Seq[Long] =
-    Hfs.listDirs(fs, new Path(path, sub))
-      .map(_.getName).filter(_.startsWith("batch="))
+  /** Generation ids present under `path/sub` — entries named
+    * `batch=<id>`, whether directories (parquet generations) or files
+    * (small-file stats subs): both list, so a family whose sub is
+    * file-per-generation compacts the same way the directory families
+    * do instead of silently seeing zero generations. */
+  def generations(fs: FileSystem, path: String, sub: String): Seq[Long] = {
+    val p = new Path(path, sub)
+    val entries = if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty
+    entries.map(_.getPath.getName).filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
+  }
 
   /** A compaction's shape: `fold` into `gen`, leave `live` untouched. */
   final case class FoldPlan(fold: Seq[Long], gen: Long, live: Option[Long])
@@ -116,11 +121,30 @@ object GenerationalIndex {
 
   /** Intent-mode commit point: ONE small-file write recording
     * (generation, folded ids); everything after it is replayable. The
-    * caller must have finished staging every sub's `.compact-tmp`. */
+    * caller must have finished staging every sub's `.compact-tmp`.
+    *
+    * The marker is written to a dot-prefixed temp and RENAMED into
+    * place: `fs.create` + write + close is not atomic, and a crash
+    * mid-write would leave an empty/truncated marker that every later
+    * entry point's [[recoverIntent]] trips over — or worse, a
+    * truncated-but-parseable fold list that replays a PARTIAL fold
+    * (sources deleted for only some of the staged generations =
+    * exactly the double-count the intent exists to prevent). Rename is
+    * the same atomic namespace primitive the rest of the protocol
+    * already relies on, so the marker either exists complete or not
+    * at all. */
   def writeIntent(fs: FileSystem, path: String, marker: String,
-      gen: Long, fold: Seq[Long]): Unit =
-    Hfs.writeSmall(fs, new Path(path, marker),
-      s"$gen ${fold.mkString(",")}", overwrite = true)
+      gen: Long, fold: Seq[Long]): Unit = {
+    val tmp = new Path(path, s".$marker.tmp")
+    Hfs.deleteIfExists(fs, tmp)
+    Hfs.writeSmall(fs, tmp, s"$gen ${fold.mkString(",")}", overwrite = true)
+    // entry points recover (and delete) any pending marker before
+    // compacting, so the target is absent here in every legal sequence;
+    // a leftover can only be an illegal concurrent compaction — let
+    // renameChecked's existing-destination require name it loudly
+    Hfs.renameChecked(fs, tmp, new Path(path, marker),
+      s"intent-marker commit for $path")
+  }
 
   /** The post-intent half — idempotent, so a crashed run replays to
     * the identical end state: folded sources deleted, staged temps
@@ -145,9 +169,23 @@ object GenerationalIndex {
       marker: String, what: String): Unit = {
     val m = new Path(path, marker)
     if (!fs.exists(m)) return
-    val parts = Hfs.readSmall(fs, m).trim.split(" ")
-    val fold = if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
-      else parts(1).split(",").map(_.toLong).toSeq
-    applyIntent(fs, path, subs, marker, parts(0).toLong, fold, what)
+    val content = Hfs.readSmall(fs, m).trim
+    val parsed = scala.util.Try {
+      val parts = content.split(" ")
+      val fold = if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
+        else parts(1).split(",").map(_.toLong).toSeq
+      (parts(0).toLong, fold)
+    }
+    // unreachable via writeIntent (the marker commits by rename, so it
+    // is complete or absent) — a corrupt marker means out-of-band
+    // damage, and the failure must name the file and the safe remedy
+    // instead of wedging every entry point on a bare NumberFormatException
+    val (gen, fold) = parsed.getOrElse(throw new IllegalStateException(
+      s"$what: corrupt compaction intent marker $m (content: " +
+        s"'$content'). Expected '<gen> <id,id,...>'. The marker commits " +
+        "atomically by rename, so this file was damaged out of band; " +
+        "inspect the staged .compact-tmp dirs under each sub before " +
+        "deleting the marker to fall back to the pre-compaction state."))
+    applyIntent(fs, path, subs, marker, gen, fold, what)
   }
 }

@@ -199,6 +199,7 @@ object StreamingLoad {
         // admit, then append.
         val semDedupIdx = merged.get("semanticDedupIndex").map(resolve(base, _))
         df.writeStream.foreachBatch { (b0: DataFrame, bid: Long) =>
+          graft.CacheScope.scoped {
           val bs = b0.sparkSession
           val cleaned = semBench match {
             case Some(p) => graft.ops.Similarity.semanticDecontaminate(
@@ -235,12 +236,15 @@ object StreamingLoad {
               }
               graft.ops.Similarity.appendPrefixIndex(idx, full)
           }
-          // The load owns the tick's terminal action, so it drains the
-          // scoped-cache registry here (CacheScope contract). Without
-          // this a long-running scheduled stream accumulates strong
-          // Dataset refs + MEMORY_AND_DISK blocks across ticks —
-          // correctness-safe but unbounded resource growth.
-          graft.CacheScope.drain()
+          // The load owns the tick's terminal action; the scoped block
+          // around this tick drains ITS OWN persisted intermediates on
+          // exit (CacheScope contract — without it a long-running
+          // scheduled stream accumulates strong Dataset refs +
+          // MEMORY_AND_DISK blocks across ticks). Per-tick scoping,
+          // not a global drain: drain() would also unpersist the live
+          // intermediates of any OTHER pipeline ticking concurrently
+          // in this JVM — correctness-safe but recompute thrash.
+          }
           ()
         }.outputMode("append")
       case "append" if merged.contains("bm25Index") =>
@@ -256,8 +260,10 @@ object StreamingLoad {
           s"load '${step.name}': bm25Index layout requires parquet, got '${conn.format}'")
         val buckets = merged.get("bm25Buckets").map(_.toInt)
         df.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
-          graft.ops.TextAnalysis.maintainBm25Index(b, full, bid, buckets)
-          graft.CacheScope.drain() // per-tick: the load owns the terminal action
+          // per-tick scope, not a global drain (see the annIndex case)
+          graft.CacheScope.scoped {
+            graft.ops.TextAnalysis.maintainBm25Index(b, full, bid, buckets)
+          }
           ()
         }.outputMode("append")
       case "append" if merged.contains("shardBy") || merged.contains("shards") =>
@@ -320,6 +326,7 @@ object StreamingLoad {
         val semTau2 = merged.get("semanticDecontaminateTau").map(_.toLong).getOrElse(950L)
         val semDedupIdx2 = merged.get("semanticDedupIndex").map(resolve(base, _))
         df.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
+          graft.CacheScope.scoped {
           val lexCleaned = bm25Bench match {
             case Some(p) =>
               // bench read against the micro-batch's session
@@ -353,7 +360,8 @@ object StreamingLoad {
             case None => exAdmitted
           }
           graft.ops.Sharding.appendToShards(admitted, key, full, n)
-          graft.CacheScope.drain() // per-tick: the load owns the terminal action
+          // per-tick scope, not a global drain (see the annIndex case)
+          }
           ()
         }.outputMode("append")
       case "append" =>
