@@ -343,18 +343,48 @@ object TextAnalysis {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The idf modes a serve-time caller can pick ([[bm25Serve]]'s
+    * `idfMode`): `exact` is the shipped log-free odds ratio (the
+    * bit-exact gate arithmetic); `lucene` is ln(1 + (N−df+½)/(df+½)) —
+    * Lucene's always-positive form, for users comparing ranks against
+    * external ln-idf retrievers. Both are computed from the SAME
+    * additive index stats (df, N, tf, len, toks) at scoring time, so
+    * the frozen index, its append ≡ rebuild invariant, and the s6
+    * fixed-point discipline are untouched — the mode changes one
+    * per-term constant, nothing stored.
+    */
+  private[graft] val bm25IdfModes = Set("exact", "lucene")
+
   /** BM25 score-and-rank core: every (query, matched doc) with its
     * fixed-point score `s6`, matched-term count, and dense rank-1..N
     * position (score desc, doc_id tiebreak). [[bm25Tail]] cuts it to
     * the top-5 gate shape; [[hybridRrf]] consumes the positions as one
     * of its fused rank lists.
+    *
+    * Rank agreement vs Lucene measured per mode
+    * (`tools/bm25_rank_agreement_r17.json` + the r18 lucene leg,
+    * graft.tools.Bm25RankAgreement): `exact` agrees 1.0 on single-term
+    * queries and mean 0.96/0.84/0.69 top-5 for 2/4/8-term queries on a
+    * skewed 50k corpus; `lucene` is EXACTLY Lucene's formula, so
+    * overlap is 1.0 at every query length by construction (the probe's
+    * external comparator and this mode compute the same weight; the
+    * spec pins ranks against an independent recomputation).
     */
   private def bm25Ranks(postings: DataFrame, dfreq: DataFrame,
-      queries: DataFrame, n: Column, toks: Column): DataFrame = {
+      queries: DataFrame, n: Column, toks: Column,
+      idfMode: String = "exact"): DataFrame = {
     val s = postings.sparkSession
     import s.implicits._
-    val idf = (lit(2L) * n - lit(2L) * $"df" + lit(1L)).cast("double") /
-      (lit(2L) * $"df" + lit(1L)).cast("double")
+    require(bm25IdfModes.contains(idfMode),
+      s"bm25Ranks: unknown idfMode '$idfMode' — pick one of " +
+        bm25IdfModes.mkString(", "))
+    val idf =
+      if (idfMode == "lucene")
+        log(lit(1.0) + (n.cast("double") - $"df".cast("double") + lit(0.5)) /
+          ($"df".cast("double") + lit(0.5)))
+      else
+        (lit(2L) * n - lit(2L) * $"df" + lit(1L)).cast("double") /
+          (lit(2L) * $"df" + lit(1L)).cast("double")
     val denom = $"tf".cast("double") + lit(1.2) *
       (lit(0.25) + lit(0.75) *
         ($"len".cast("double") * n.cast("double") / toks.cast("double")))
@@ -465,7 +495,8 @@ object TextAnalysis {
     */
   private[graft] def bm25RanksOn(corpus: DataFrame, queryDocs: DataFrame,
       queryTokens: Int = 8,
-      maxQueryTerms: Long = maxBm25QueryTerms): DataFrame = {
+      maxQueryTerms: Long = maxBm25QueryTerms,
+      idfMode: String = "exact"): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     require(queryTokens >= 1, s"bm25RanksOn: queryTokens must be >= 1, got $queryTokens")
@@ -488,7 +519,7 @@ object TextAnalysis {
       .persistScoped()
     val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
     bm25Ranks(postings.crossJoin(broadcast(stats)), dfreq, queries,
-      $"n", $"toks")
+      $"n", $"toks", idfMode)
   }
 
   /** BM25 top-k over ARBITRARY frames — the library form behind the
@@ -791,10 +822,19 @@ object TextAnalysis {
     * stats for ~16×. Serving sessions should set that conf — it is a
     * session conf, so this library function deliberately does not
     * mutate it.
+    *
+    * `idfMode` picks the per-term idf at SCORING time ([[bm25IdfModes]]):
+    * the default `exact` keeps the shipped bit-exact odds-ratio
+    * arithmetic; `lucene` scores with ln(1 + (N−df+½)/(df+½)) for
+    * rank-compatibility with external ln-idf retrievers (overlap 1.0
+    * by construction — it IS the same formula). Both read the same
+    * frozen index: nothing stored changes, append ≡ rebuild holds in
+    * either mode, and the s6 fixed point is preserved.
     */
   def bm25Serve(s: SparkSession, queries: DataFrame, indexPath: String,
-      maxQueryTerms: Long = maxBm25QueryTerms): DataFrame =
-    bm25TopCut(bm25ServeRanks(s, queries, indexPath, maxQueryTerms))
+      maxQueryTerms: Long = maxBm25QueryTerms,
+      idfMode: String = "exact"): DataFrame =
+    bm25TopCut(bm25ServeRanks(s, queries, indexPath, maxQueryTerms, idfMode))
 
   /** [[bm25Serve]]'s full-rank core: every (query, matched doc) with
     * its fixed-point score and rank position, straight off the frozen
@@ -806,7 +846,8 @@ object TextAnalysis {
     */
   private[graft] def bm25ServeRanks(s: SparkSession, queries: DataFrame,
       indexPath: String,
-      maxQueryTerms: Long = maxBm25QueryTerms): DataFrame = {
+      maxQueryTerms: Long = maxBm25QueryTerms,
+      idfMode: String = "exact"): DataFrame = {
     import s.implicits._
     val fs = graft.connect.Hfs.fs(s, indexPath)
     val marker = new org.apache.hadoop.fs.Path(indexPath, bm25BucketsMarker)
@@ -851,7 +892,7 @@ object TextAnalysis {
     val dfq = s.read.parquet(s"$indexPath/dfreq")
       .filter($"bucket".isin(bucketIds: _*) && $"term".isin(terms: _*))
       .groupBy($"term").agg(sum($"df").as("df"))
-    bm25Ranks(postings, dfq, q, lit(n), lit(toks))
+    bm25Ranks(postings, dfq, q, lit(n), lit(toks), idfMode)
   }
 
   /** The `q_text_bm25_serve` catalog row: [[bm25]]'s fixed query batch

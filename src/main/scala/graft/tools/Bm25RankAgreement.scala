@@ -51,6 +51,13 @@ import org.apache.spark.sql.functions._
   *    order is the saturation order in both systems) — that row is
   *    the probe's sanity pin; only the multi-term sum can diverge.
   *
+  * A third cell, `lucene_mode_vs_lucene` (r18), scores the SHIPPED
+  * serve-time `idfMode = "lucene"` path against the external Lucene
+  * comparator: measured 1.0 mean AND min at every k and query length
+  * on both corpora (`tools/bm25_rank_agreement_r18.json`) — users who
+  * need rank-compatibility with an external ln-idf retriever get it
+  * exactly by passing the mode, with the frozen index untouched.
+  *
   * Usage: Bm25RankAgreement [fixtureDir=/root/testdata/sf0.01]
   *   (env: SPARK_GRAFT_CPUS)
   */
@@ -93,6 +100,13 @@ object Bm25RankAgreement {
         // engine ranks off the SHIPPED path (full rank list, no cut)
         val engine = graft.ops.TextAnalysis
           .bm25RanksOn(docs, qDocs, queryTokens = qLen)
+          .select($"query_id", $"doc_id", $"s6", $"rank")
+          .as[(Long, Long, Long, Long)].collect()
+        // the r18 serve-time lucene mode, off the SAME shipped path —
+        // its agreement vs the external Lucene comparator must be 1.0
+        // by construction (same formula, s6-rounded)
+        val engineLucene = graft.ops.TextAnalysis
+          .bm25RanksOn(docs, qDocs, queryTokens = qLen, idfMode = "lucene")
           .select($"query_id", $"doc_id", $"s6", $"rank")
           .as[(Long, Long, Long, Long)].collect()
         // term-level rows for the same queries, for the off-path rescore
@@ -139,16 +153,18 @@ object Bm25RankAgreement {
 
         val ks = Seq(5, 20, 100)
         val engineByQ = engine.groupBy(_._1)
-        def overlapReport(scoreOf: Hit => Double): Seq[(Double, Double)] = {
+        val engineLucByQ = engineLucene.groupBy(_._1)
+        def overlapReport(ranksByQ: Map[Long, Array[(Long, Long, Long, Long)]],
+            scoreOf: Hit => Double): Seq[(Double, Double)] = {
           val perQuery = byQuery.toSeq.sortBy(_._1).map { case (q, hs) =>
             val extRank = hs.groupBy(_.docId).toSeq
               .map { case (d, rows) => (d, rows.map(scoreOf).sum) }
               .sortBy { case (d, sc) => (-sc, d) }.map(_._1)
-            val oddsRank = engineByQ(q).sortBy(_._4).map(_._2).toSeq
+            val engRank = ranksByQ(q).sortBy(_._4).map(_._2).toSeq
             ks.map { k =>
-              val kk = math.min(k, oddsRank.size)
+              val kk = math.min(k, engRank.size)
               if (kk == 0) 1.0
-              else oddsRank.take(kk).toSet.intersect(extRank.take(kk).toSet).size.toDouble / kk
+              else engRank.take(kk).toSet.intersect(extRank.take(kk).toSet).size.toDouble / kk
             }
           }
           val nQ = perQuery.size.max(1)
@@ -156,8 +172,11 @@ object Bm25RankAgreement {
             perQuery.map(_(i)).sum / nQ -> perQuery.map(_(i)).minOption.getOrElse(1.0))
         }
         val nQ = byQuery.size
-        val cells = Seq("raw_ln" -> overlapReport(wLn),
-            "lucene" -> overlapReport(wLucene)).map { case (label, agg) =>
+        val cells = Seq(
+            "raw_ln" -> overlapReport(engineByQ, wLn),
+            "lucene" -> overlapReport(engineByQ, wLucene),
+            "lucene_mode_vs_lucene" -> overlapReport(engineLucByQ, wLucene))
+          .map { case (label, agg) =>
           val inner = ks.zip(agg).map { case (k, (mean, min)) =>
             f""""k$k":{"mean":$mean%.4f,"min":$min%.4f}""" }.mkString(",")
           s""""$label":{$inner}"""

@@ -660,6 +660,79 @@ class TextAnalysisSpec extends SparkSpec {
     assert(err2.getMessage.contains("serving-batch broadcast ceiling"))
   }
 
+  test("bm25Serve idfMode=lucene: ranks pin to an independent ln-idf computation off the same frozen index") {
+    // r17 verdict ask #6: serve-time rank-compatibility with external
+    // ln-idf retrievers, computable from the SAME additive stats —
+    // the index artifact and its append ≡ rebuild invariant untouched.
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val queries = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("doc_id % 97 = 3 AND doc_id < 100000")
+      .selectExpr("doc_id AS query_id",
+        "explode(slice(split(text, ' '), 1, 8)) AS term").distinct()
+    val idx = tmpDir("bm25-lucene-idx").toString
+    TextAnalysis.saveBm25Index(docsDf, idx)
+    val exact = TextAnalysis.bm25Serve(spark, queries, idx)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    graft.CacheScope.drain()
+    val lucene = TextAnalysis.bm25Serve(spark, queries, idx, idfMode = "lucene")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    graft.CacheScope.drain()
+    assert(lucene.nonEmpty)
+
+    // INDEPENDENT recomputation: pure-Scala tokenize/tf/df over the
+    // collected corpus, Lucene's ln(1 + (N-df+1/2)/(df+1/2)), the same
+    // saturation factor, rank by score desc / doc_id asc, top 5.
+    // split(text, ' ') with limit -1 mirrors Spark's split semantics.
+    val corpus = docsDf.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = corpus.length.toDouble
+    val toks = corpus.map(_._2.length.toLong).sum.toDouble
+    val dfMap = corpus.flatMap { case (_, ws) => ws.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toDouble }
+    val qrows = queries.as[(Long, String)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val expected = qrows.toSeq.flatMap { case (qid, terms) =>
+      val hits = corpus.flatMap { case (docId, ws) =>
+        val len = ws.length.toDouble
+        val matched = terms.toSeq.filter(t => ws.contains(t))
+        if (matched.isEmpty) None else {
+          val s = matched.map { t =>
+            val df = dfMap(t)
+            val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            val denom = {
+              val tf = ws.count(_ == t).toDouble
+              tf + 1.2 * (0.25 + 0.75 * (len * n / toks))
+            }
+            val tf = ws.count(_ == t).toDouble
+            idf * ((tf * 2.2) / denom)
+          }.sum
+          Some((docId, s, matched.size.toLong))
+        }
+      }
+      hits.sortBy { case (d, s, _) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((d, s, m), i) => (qid, (i + 1).toLong, d, s, m) }
+    }.sortBy(r => (r._1, r._2))
+    val got = lucene.sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2, r._3, r._5)) ==
+      expected.map(r => (r._1, r._2, r._3, r._5)),
+      "lucene-mode ranks diverge from the independent ln-idf computation")
+    // scores agree through the s6 fixed point: the engine rounds each
+    // term weight to the 1e-6 grid before summing, so the gap is at
+    // most terms-per-query x half a grid step
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-5, s"score ${g._4} vs ${e._4} at $g")
+    }
+    // the mode actually switches: ln weights != odds-ratio weights
+    assert(exact.map(_._4).toSet != lucene.map(_._4).toSet,
+      "lucene scores identical to exact-mode scores — mode not applied")
+    // unknown modes are refused loudly
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Serve(spark, queries, idx, idfMode = "robertson").count()
+    }
+    assert(err.getMessage.contains("idfMode"))
+  }
+
   test("bm25 s6 fixed-point headroom is enforced, not narrated (r16 ask #6)") {
     // the exact worst case: termsPerQuery * 2.2 * (2N+1)/3 * 1e6 must
     // keep 4x headroom under Long.Max. At 8 terms/query the ceiling
