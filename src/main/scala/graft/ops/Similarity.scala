@@ -560,6 +560,19 @@ object Similarity {
     */
   private def kmeansTrain(base: DataFrame, k: Int, iters: Int): DataFrame = {
     import base.sparkSession.implicits._
+    kmeansTrainSeeded(base,
+      base.filter($"vec_id" < k).select($"vec_id".as("cid"), $"xq".as("cq")), iters)
+  }
+
+  /** [[kmeansTrain]] with an EXPLICIT seed codebook (cid, cq) — the
+    * rebucket path seeds on the first-k roster vectors BY RANK instead
+    * of `vec_id < k` (an admitted roster's ids are an arbitrary
+    * subset, so the id-based seed rule could yield fewer than k — or
+    * zero — seeds there). Same refinement loop either way.
+    */
+  private[ops] def kmeansTrainSeeded(base: DataFrame, seed: DataFrame,
+      iters: Int): DataFrame = {
+    import base.sparkSession.implicits._
     import graft.CacheScope._
     def update(assigned: DataFrame): DataFrame = {
       val dims = assigned.join(
@@ -570,7 +583,7 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct($"pos", $"cq1"))), p => p("cq1")).as("cq"))
         .select($"centroid".as("cid"), $"cq")
     }
-    var cents = base.filter($"vec_id" < k).select($"vec_id".as("cid"), $"xq".as("cq"))
+    var cents = seed
     for (_ <- 1 to iters) cents = update(coarseAssign(base, cents))
     // persist the trained codebook (tiny): the final list assignment
     // AND the query probes both read it — without the cache each
@@ -2028,6 +2041,10 @@ object Similarity {
     require(fs.exists(marker),
       s"$path is not a semantic-dedup index (no _sem_tau_milli marker) — " +
         "create one with createSemanticDedupIndex")
+    // replay a crashed rebucket before ANY read: its commit sequence
+    // deletes folded generations and swaps the codebook, and admitting
+    // against the half-migrated middle could re-admit a duplicate
+    recoverSemanticRebucket(s, path)
     val tauD = graft.connect.Hfs.readSmall(fs, marker).trim.toLong.toDouble / 1000.0
     // idempotence: drop this batch's own generation before anything reads
     graft.connect.GenerationalIndex.clearGeneration(fs, path,
@@ -2093,6 +2110,7 @@ object Similarity {
   def compactSemanticDedupIndex(s: SparkSession, path: String): Int = {
     import graft.connect.{GenerationalIndex => GI}
     val fs = graft.connect.Hfs.fs(s, path)
+    recoverSemanticRebucket(s, path) // entry point: finish a crashed rebucket first
     val plan = GI.foldPlan(GI.generations(fs, path, "vecs"))
       .getOrElse(return 0)
     val tmp = GI.staging(fs, path, "vecs")
@@ -2104,6 +2122,185 @@ object Similarity {
     GI.commitRenameFirst(fs, path, "vecs", plan.gen, plan.fold,
       s"semantic-dedup-index compaction for $path/vecs")
     plan.fold.size
+  }
+
+  private val semRebucketMarker = "_sem_rebucket_intent"
+
+  /** Replay a crashed [[rebucketSemanticDedupIndex]] to completion if
+    * its write-ahead intent exists (one existence check otherwise).
+    * Every family entry point calls this first — the commit sequence
+    * deletes folded generations and swaps the codebook, so a reader
+    * that skipped recovery could observe a half-migrated layout (old
+    * codebook over missing vectors) and wrongly re-admit a duplicate.
+    */
+  private def recoverSemanticRebucket(s: SparkSession, path: String): Unit = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    val m = new org.apache.hadoop.fs.Path(path, semRebucketMarker)
+    if (!fs.exists(m)) return
+    val content = graft.connect.Hfs.readSmall(fs, m).trim
+    val parsed = scala.util.Try {
+      val parts = content.split(" ", -1)
+      val live = if (parts(1) == "-") None else Some(parts(1).toLong)
+      val fold = if (parts.length < 3 || parts(2).isEmpty) Seq.empty[Long]
+        else parts(2).split(",").map(_.toLong).toSeq
+      (parts(0).toLong, live, fold)
+    }
+    // unreachable via the atomic rename-committed write below — a
+    // corrupt marker is out-of-band damage and must name itself
+    val (gen, live, fold) = parsed.getOrElse(throw new IllegalStateException(
+      s"corrupt semantic-rebucket intent marker $m (content: '$content'). " +
+        "Expected '<gen> <liveId|-> <id,id,...>'. Inspect the staged " +
+        ".compact-tmp / .rebucket-* dirs before deleting the marker to " +
+        "fall back to the pre-rebucket state."))
+    applySemanticRebucket(fs, path, gen, live, fold)
+  }
+
+  /** The post-intent half of a rebucket — idempotent, so a crashed run
+    * replays to the identical end state whatever step it died on:
+    * folded sources deleted, the reassigned roster renamed to
+    * `batch=<gen>`, the reassigned live generation swapped in place
+    * (keeping its batch id — the replay unit survives migration), the
+    * codebook swapped, intent dropped last. Each rename is guarded by
+    * its staged dir's existence, so a replay skips what a prior
+    * attempt already moved.
+    */
+  private def applySemanticRebucket(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long, live: Option[Long], fold: Seq[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.connect.Hfs
+    fold.foreach(b => Hfs.deleteIfExists(fs, new Path(path, s"vecs/batch=$b")))
+    val foldTmp = new Path(path, "vecs/.compact-tmp")
+    if (fs.exists(foldTmp))
+      Hfs.renameChecked(fs, foldTmp, new Path(path, s"vecs/batch=$gen"),
+        s"semantic-rebucket folded-roster commit for $path")
+    live.foreach { lid =>
+      val liveTmp = new Path(path, "vecs/.rebucket-live-tmp")
+      if (fs.exists(liveTmp)) {
+        Hfs.deleteIfExists(fs, new Path(path, s"vecs/batch=$lid"))
+        Hfs.renameChecked(fs, liveTmp, new Path(path, s"vecs/batch=$lid"),
+          s"semantic-rebucket live-generation commit for $path")
+      }
+    }
+    val centsTmp = new Path(path, ".rebucket-centroids")
+    if (fs.exists(centsTmp)) {
+      Hfs.deleteIfExists(fs, new Path(path, "centroids"))
+      Hfs.renameChecked(fs, centsTmp, new Path(path, "centroids"),
+        s"semantic-rebucket codebook commit for $path")
+    }
+    Hfs.deleteIfExists(fs, new Path(path, semRebucketMarker))
+  }
+
+  /** Migrate a [[createSemanticDedupIndex]] layout to a LARGER (or
+    * otherwise re-sized) frozen codebook — the escape hatch for the
+    * one scale cliff the occupancy sweep proved
+    * (`tools/semadmit_occupancy_r17.json`): a codebook undersized for
+    * a corpus that outgrew its create-time estimate degrades per-tick
+    * admission by N/k cosines AND caps pair-stage parallelism at k
+    * partitions, and the codebook is frozen by design (moving it
+    * re-buckets history). Rebucketing is that move made SAFE:
+    *
+    *  - the new codebook trains on the ADMITTED roster (rank-seeded
+    *    [[kmeansTrainSeeded]] — roster ids are an arbitrary subset,
+    *    so the id-based seed rule doesn't apply), every admitted
+    *    vector re-assigns against it, and the layout is rewritten
+    *    under the new partitioning;
+    *  - the admitted SET is history, never re-litigated: no pair rule
+    *    runs, no vector is dropped or added — only `centroid`
+    *    changes (the spec pins roster byte-equality across the
+    *    migration). Near-duplicates that BOTH survived admission
+    *    under the old clustering stay admitted — rebucketing moves
+    *    the comparison geometry forward, it does not rewrite past
+    *    decisions (exactly like a fresh index created at the new k
+    *    and bulk-loaded with the same roster);
+    *  - generation structure: all folded generations consolidate into
+    *    one new negative generation (compaction-crash duplicate rows
+    *    fold away on the way, like [[compactSemanticDedupIndex]]);
+    *    the NEWEST LIVE generation is reassigned IN PLACE under its
+    *    own batch id — a restarted stream replaying that batch still
+    *    deletes its own generation and recomputes, so replay safety
+    *    survives the migration;
+    *  - crash safety: staging is dot-prefixed and invisible; the
+    *    commit point is a write-ahead intent (the
+    *    [[graft.connect.GenerationalIndex]] intent discipline,
+    *    family-shaped here because the codebook swap joins the fold
+    *    in one atomic protocol) committed by temp+rename; every entry
+    *    point replays a pending intent first, so readers can never
+    *    observe the half-migrated middle.
+    *
+    * Run between drains (or from the scheduler), never concurrently
+    * with an active admission. Returns the number of vectors
+    * reassigned.
+    */
+  def rebucketSemanticDedupIndex(s: SparkSession, path: String,
+      newK: Int, iters: Int = ivfIters): Long = {
+    import s.implicits._
+    import graft.CacheScope._
+    import org.apache.hadoop.fs.Path
+    import graft.connect.Hfs
+    require(newK >= 1 && iters >= 1,
+      s"newK and iters must be positive: newK=$newK iters=$iters")
+    val fs = Hfs.fs(s, path)
+    require(fs.exists(new Path(path, "_sem_tau_milli")),
+      s"$path is not a semantic-dedup index (no _sem_tau_milli marker) — " +
+        "create one with createSemanticDedupIndex")
+    recoverSemanticRebucket(s, path)
+    val gens = graft.connect.GenerationalIndex.generations(fs, path, "vecs")
+    require(gens.nonEmpty,
+      s"rebucketSemanticDedupIndex: $path holds no admitted vectors — " +
+        "recreate the index at the right k instead of migrating an empty one")
+    val live = gens.filter(_ >= 0).sorted.lastOption
+    val fold = gens.filterNot(live.contains)
+    val gen = math.min(fold.minOption.getOrElse(0L), 0L) - 1L
+    // clear stale staging from any prior abandoned attempt
+    Seq("vecs/.compact-tmp", "vecs/.rebucket-live-tmp", ".rebucket-centroids")
+      .foreach(sub => Hfs.deleteIfExists(fs, new Path(path, sub)))
+    val roster = s.read.option("basePath", s"$path/vecs")
+      .parquet(s"$path/vecs")
+      .select($"vec_id", $"xq", $"n2", $"batch".cast("long").as("batch"))
+      .persistScoped() // read for training, assignment, and both writes
+    // train on the deduped roster: duplicates are compaction-crash
+    // rent, and double-weighting a vector in the member means would
+    // make the migrated codebook depend on crash history
+    val base = roster.select($"vec_id", $"xq", $"n2").dropDuplicates("vec_id")
+      .persistScoped()
+    val seed = base.orderBy($"vec_id").limit(newK)
+      .withColumn("cid",
+        row_number().over(Window.orderBy($"vec_id")).cast("long") - 1L)
+      .select($"cid", $"xq".as("cq"))
+    val cents = kmeansTrainSeeded(base, seed, iters)
+    require(cents.count() >= 1,
+      "rebucketSemanticDedupIndex: trained codebook is empty")
+    val assigned = base.join(coarseAssign(base, cents), Seq("vec_id"))
+      .localCheckpoint() // pin: the writes below mutate what it reads
+    val liveIds = live.map { lid =>
+      roster.filter($"batch" === lid).select($"vec_id")
+    }
+    val foldPart = liveIds match {
+      case Some(lv) => assigned.join(lv, Seq("vec_id"), "left_anti")
+      case None => assigned
+    }
+    val keep = Seq($"vec_id", $"xq", $"n2", $"centroid")
+    if (fold.nonEmpty && !foldPart.isEmpty) {
+      foldPart.select(keep: _*).repartition(col("centroid"))
+        .write.mode("overwrite").partitionBy("centroid")
+        .parquet(s"$path/vecs/.compact-tmp")
+    }
+    liveIds.foreach { lv =>
+      assigned.join(lv, Seq("vec_id"), "left_semi")
+        .select(keep: _*).repartition(col("centroid"))
+        .write.mode("overwrite").partitionBy("centroid")
+        .parquet(s"$path/vecs/.rebucket-live-tmp")
+    }
+    cents.write.mode("overwrite").parquet(s"$path/.rebucket-centroids")
+    // COMMIT POINT: everything after the intent is replayable
+    val tmp = new Path(path, s".$semRebucketMarker.tmp")
+    Hfs.deleteIfExists(fs, tmp)
+    Hfs.writeSmall(fs, tmp,
+      s"$gen ${live.getOrElse("-")} ${fold.mkString(",")}", overwrite = true)
+    Hfs.renameChecked(fs, tmp, new Path(path, semRebucketMarker),
+      s"semantic-rebucket intent commit for $path")
+    applySemanticRebucket(fs, path, gen, live, fold)
+    assigned.count()
   }
 
   /** Fixed temp index dirs for [[semanticAdmitRow]], keyed by

@@ -28,10 +28,17 @@ import org.apache.spark.sql.functions._
   * copy of the PREVIOUS tick's rows so the reject path runs every
   * tick.
   *
-  * Usage: SemAdmitSweep [ticks=20] [batchVecs=2000] [dims=64] [k=16] [compactEvery=0]
+  * Usage: SemAdmitSweep [ticks=20] [batchVecs=2000] [dims=64] [k=16] [compactEvery=0] [rebucketAfter=0] [rebucketTo=0]
   *   (env: SPARK_GRAFT_CPUS). compactEvery=N runs
   *   compactSemanticDedupIndex after every Nth tick (untimed — a
   *   scheduled maintenance step, not admission cost).
+  *
+  * The REBUCKET leg (r17 verdict ask #3): rebucketAfter=T rebucketTo=K
+  * runs `rebucketSemanticDedupIndex(idx, K)` after tick T — the sweep
+  * then shows the undersized-codebook degradation up to T and the
+  * return to the layout floor after the migration, which is the
+  * deployment story for a corpus that outgrew its create-time k
+  * (`tools/semadmit_rebucket_r18.json`).
   */
 object SemAdmitSweep {
 
@@ -41,6 +48,8 @@ object SemAdmitSweep {
     val dims = if (args.length > 2) args(2).toInt else 64
     val k = if (args.length > 3) args(3).toInt else 16
     val compactEvery = if (args.length > 4) args(4).toInt else 0
+    val rebucketAfter = if (args.length > 5) args(5).toInt else 0
+    val rebucketTo = if (args.length > 6) args(6).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,6 +91,7 @@ object SemAdmitSweep {
       spark, idx, batchDf(0), tauMilli = 950L, k = k)
     val out = new StringBuilder
     var indexed = 0L
+    var curK = k
     (0 until ticks).foreach { t =>
       val b = batchDf(t)
       val t0 = System.nanoTime()
@@ -93,14 +103,24 @@ object SemAdmitSweep {
       // tick ≈ batch × indexed/k (uniform assignment). When `sec`
       // tracks this number, occupancy dominates (the regime ask r16#3
       // wants measured); when it doesn't, layout/plan rent dominates.
-      val cosines = batchVecs.toLong * indexed / math.max(k, 1)
+      val cosines = batchVecs.toLong * indexed / math.max(curK, 1)
       indexed += admitted
-      val line = f"""{"tick":$t,"sec":$dt%.3f,"admitted":$admitted,"indexed_before":${indexed - admitted},"est_cosines":$cosines,"batch":$batchVecs,"k":$k}"""
+      val line = f"""{"tick":$t,"sec":$dt%.3f,"admitted":$admitted,"indexed_before":${indexed - admitted},"est_cosines":$cosines,"batch":$batchVecs,"k":$curK}"""
       println(line)
       out.append(line).append('\n')
       if (compactEvery > 0 && t % compactEvery == compactEvery - 1) {
         val folded = graft.ops.Similarity.compactSemanticDedupIndex(spark, idx)
         println(s"""{"compacted_after_tick":$t,"folded":$folded}""")
+      }
+      if (rebucketAfter > 0 && rebucketTo > 0 && t == rebucketAfter - 1) {
+        val r0 = System.nanoTime()
+        val moved = graft.ops.Similarity.rebucketSemanticDedupIndex(
+          spark, idx, rebucketTo)
+        val rdt = (System.nanoTime() - r0) / 1e9
+        graft.CacheScope.drain()
+        spark.sharedState.cacheManager.clearCache()
+        curK = rebucketTo
+        println(f"""{"rebucketed_after_tick":$t,"new_k":$rebucketTo,"vectors_moved":$moved,"sec":$rdt%.3f}""")
       }
     }
     // slope verdict the PLANS entry can cite: mean of last 5 ticks vs
