@@ -554,6 +554,29 @@ object CurationTransforms {
       frame
     })
 
+  /** Register `rebucket_semantic_dedup_index`: migrate a semantic-dedup
+    * admission index to a larger frozen codebook
+    * ([[graft.ops.Similarity.rebucketSemanticDedupIndex]]) as a
+    * PIPELINE step — the maintenance verb for a corpus that outgrew
+    * its create-time k (the occupancy cliff the r17 sweep measured).
+    * The admitted roster is preserved byte-identically; only the
+    * comparison geometry moves. Batch-only and never concurrent with
+    * an active admission, like every index-maintenance transform.
+    */
+  def registerSemanticDedupIndexRebucket(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      indexPath: String,
+      newK: Int): Unit =
+    registry.register("rebucket_semantic_dedup_index", { frame: DataFrame =>
+      require(!frame.isStreaming,
+        "rebucket_semantic_dedup_index is a batch-pipeline transform: a " +
+          "streaming plan would run the migration once at query setup, " +
+          "not per tick — schedule it via PipelineScheduler instead")
+      graft.ops.Similarity.rebucketSemanticDedupIndex(spark, indexPath, newK)
+      frame
+    })
+
   /** Register `compact_bm25_index`: fold a BM25 inverted index's
     * per-batch generations ([[graft.ops.TextAnalysis.compactBm25Index]])
     * as a PIPELINE step — the retrieval-index sibling of

@@ -209,6 +209,27 @@ class SemanticRebucketSpec extends SparkSpec {
     assert(layout(b).map(_._2).filter(_ >= 0) == Set(2L))
   }
 
+  test("rebucket_semantic_dedup_index transform: schedulable maintenance step, streaming refused") {
+    val path = populatedIndex("graft-rebucket-transform")
+    val registry = new graft.exec.TransformRegistry
+    graft.exec.CurationTransforms.registerSemanticDedupIndexRebucket(
+      registry, spark, path, newK = 2)
+    val before = roster(path)
+    val frame = df(b0) // the in-flight frame passes through untouched
+    assert(registry("rebucket_semantic_dedup_index")(frame) eq frame)
+    graft.CacheScope.drain()
+    assert(roster(path) == before)
+    assert(spark.read.parquet(s"$path/centroids").count() == 2L)
+    // a streaming frame is refused loudly (setup-time-vs-per-tick)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      registry("rebucket_semantic_dedup_index")(mem.toDF())
+    }
+    assert(e.getMessage.contains("batch-pipeline transform"))
+  }
+
   test("loud failure modes: not an index, empty index, bad k") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.rebucketSemanticDedupIndex(spark,
