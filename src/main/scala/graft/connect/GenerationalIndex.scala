@@ -134,14 +134,22 @@ object GenerationalIndex {
     * already relies on, so the marker either exists complete or not
     * at all. */
   def writeIntent(fs: FileSystem, path: String, marker: String,
-      gen: Long, fold: Seq[Long]): Unit = {
+      gen: Long, fold: Seq[Long]): Unit =
+    writeMarkerAtomic(fs, path, marker, s"$gen ${fold.mkString(",")}")
+
+  /** The atomic small-file commit EVERY intent-style marker goes
+    * through (shared by [[writeIntent]] and family-shaped intents like
+    * the semantic-rebucket marker): stage to a dot-prefixed temp,
+    * rename into place. Entry points recover (and delete) any pending
+    * marker before committing a new one, so the target is absent in
+    * every legal sequence; a leftover can only be an illegal
+    * concurrent commit — renameChecked's existing-destination require
+    * names it loudly. */
+  def writeMarkerAtomic(fs: FileSystem, path: String, marker: String,
+      content: String): Unit = {
     val tmp = new Path(path, s".$marker.tmp")
     Hfs.deleteIfExists(fs, tmp)
-    Hfs.writeSmall(fs, tmp, s"$gen ${fold.mkString(",")}", overwrite = true)
-    // entry points recover (and delete) any pending marker before
-    // compacting, so the target is absent here in every legal sequence;
-    // a leftover can only be an illegal concurrent compaction — let
-    // renameChecked's existing-destination require name it loudly
+    Hfs.writeSmall(fs, tmp, content, overwrite = true)
     Hfs.renameChecked(fs, tmp, new Path(path, marker),
       s"intent-marker commit for $path")
   }

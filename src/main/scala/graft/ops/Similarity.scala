@@ -2292,13 +2292,10 @@ object Similarity {
         .parquet(s"$path/vecs/.rebucket-live-tmp")
     }
     cents.write.mode("overwrite").parquet(s"$path/.rebucket-centroids")
-    // COMMIT POINT: everything after the intent is replayable
-    val tmp = new Path(path, s".$semRebucketMarker.tmp")
-    Hfs.deleteIfExists(fs, tmp)
-    Hfs.writeSmall(fs, tmp,
-      s"$gen ${live.getOrElse("-")} ${fold.mkString(",")}", overwrite = true)
-    Hfs.renameChecked(fs, tmp, new Path(path, semRebucketMarker),
-      s"semantic-rebucket intent commit for $path")
+    // COMMIT POINT: everything after the intent is replayable (the
+    // marker commits atomically via the shared core's temp+rename)
+    graft.connect.GenerationalIndex.writeMarkerAtomic(fs, path,
+      semRebucketMarker, s"$gen ${live.getOrElse("-")} ${fold.mkString(",")}")
     applySemanticRebucket(fs, path, gen, live, fold)
     assigned.count()
   }
