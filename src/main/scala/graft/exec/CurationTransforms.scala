@@ -600,6 +600,30 @@ object CurationTransforms {
       frame
     })
 
+  /** Register `rebucket_bm25_index`: migrate a BM25 index to a
+    * different bucket modulus
+    * ([[graft.ops.TextAnalysis.rebucketBm25Index]]) as a PIPELINE
+    * step — the retrieval sibling of `rebucket_semantic_dedup_index`,
+    * for a vocabulary that outgrew its create-time bucket count.
+    * Scores are bit-identical across the migration (bucketing is pure
+    * layout); only serve-time pruning improves. Batch-only and never
+    * concurrent with an active append, like every index-maintenance
+    * transform.
+    */
+  def registerBm25IndexRebucket(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      indexPath: String,
+      newBuckets: Int): Unit =
+    registry.register("rebucket_bm25_index", { frame: DataFrame =>
+      require(!frame.isStreaming,
+        "rebucket_bm25_index is a batch-pipeline transform: a " +
+          "streaming plan would run the migration once at query setup, " +
+          "not per tick — schedule it via PipelineScheduler instead")
+      graft.ops.TextAnalysis.rebucketBm25Index(spark, indexPath, newBuckets)
+      frame
+    })
+
   /** Register `score_quantile_filter`: keep the ties-inclusive top
     * `keepPermille`‰ of the in-flight frame by the shared TTR
     * permille score — the distribution-RELATIVE sibling of

@@ -795,9 +795,184 @@ object TextAnalysis {
     * marker exists (no-op otherwise — one existence check). Called by
     * every lifecycle entry point, so readers can never observe the
     * double-counted middle of a compaction. */
-  def recoverBm25Compaction(s: SparkSession, path: String): Unit =
+  def recoverBm25Compaction(s: SparkSession, path: String): Unit = {
     graft.connect.GenerationalIndex.recoverIntent(graft.connect.Hfs.fs(s, path),
       path, bm25Subs, bm25IntentMarker, "bm25-index compaction")
+    recoverBm25Rebucket(s, path)
+  }
+
+  private val bm25RebucketMarker = "_bm25_rebucket_intent"
+
+  /** Replay a crashed [[rebucketBm25Index]] to completion if its
+    * write-ahead intent exists (one existence check otherwise). The
+    * commit sequence swaps the bucket modulus together with the
+    * re-hashed layout, so a reader that skipped recovery could prune
+    * its scans with the OLD modulus over the NEW layout — missing
+    * terms silently. Folded into [[recoverBm25Compaction]], which
+    * every entry point already calls. */
+  private def recoverBm25Rebucket(s: SparkSession, path: String): Unit = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    val m = new org.apache.hadoop.fs.Path(path, bm25RebucketMarker)
+    if (!fs.exists(m)) return
+    val content = graft.connect.Hfs.readSmall(fs, m).trim
+    val parsed = scala.util.Try {
+      val parts = content.split(" ", -1)
+      val live = if (parts(1) == "-") None else Some(parts(1).toLong)
+      val fold = if (parts(2).isEmpty) Seq.empty[Long]
+        else parts(2).split(",").map(_.toLong).toSeq
+      (parts(0).toLong, live, fold, parts(3).toInt)
+    }
+    // unreachable via the atomic rename-committed write — out-of-band
+    // damage must name itself and the safe remedy
+    val (gen, live, fold, nb) = parsed.getOrElse(throw new IllegalStateException(
+      s"corrupt bm25-rebucket intent marker $m (content: '$content'). " +
+        "Expected '<gen> <liveId|-> <id,id,...> <buckets>'. Inspect the " +
+        "staged .compact-tmp / .rebucket-live-tmp dirs before deleting " +
+        "the marker to fall back to the pre-rebucket state."))
+    applyBm25Rebucket(fs, path, gen, live, fold, nb)
+  }
+
+  /** The post-intent half of a BM25 rebucket — idempotent, so a
+    * crashed run replays to the identical end state: folded sources
+    * deleted, the consolidated re-hashed generation renamed into
+    * place, the live generation swapped in place under its own batch
+    * id (the replay unit survives), the bucket-modulus marker
+    * rewritten LAST-but-one (a plain overwrite — idempotent), intent
+    * dropped last. Each rename is guarded by its staged dir's
+    * existence, so a replay skips what a prior attempt already moved.
+    */
+  private def applyBm25Rebucket(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long, live: Option[Long], fold: Seq[Long],
+      newBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.connect.{Hfs, GenerationalIndex => GI}
+    fold.foreach(b => GI.clearGeneration(fs, path, bm25Subs, b))
+    Seq("postings", "dfreq").foreach { sub =>
+      val foldTmp = new Path(path, s"$sub/.compact-tmp")
+      if (fs.exists(foldTmp))
+        Hfs.renameChecked(fs, foldTmp, new Path(path, s"$sub/batch=$gen"),
+          s"bm25-rebucket folded commit for $path/$sub")
+      live.foreach { lid =>
+        val liveTmp = new Path(path, s"$sub/.rebucket-live-tmp")
+        if (fs.exists(liveTmp)) {
+          Hfs.deleteIfExists(fs, new Path(path, s"$sub/batch=$lid"))
+          Hfs.renameChecked(fs, liveTmp, new Path(path, s"$sub/batch=$lid"),
+            s"bm25-rebucket live commit for $path/$sub")
+        }
+      }
+    }
+    val statsTmp = new Path(path, "stats/.compact-tmp")
+    if (Hfs.isFile(fs, statsTmp))
+      Hfs.renameChecked(fs, statsTmp, new Path(path, s"stats/batch=$gen"),
+        s"bm25-rebucket stats commit for $path")
+    Hfs.writeSmall(fs, new Path(path, bm25BucketsMarker),
+      newBuckets.toString, overwrite = true)
+    Hfs.deleteIfExists(fs, new Path(path, bm25RebucketMarker))
+  }
+
+  /** Migrate a BM25 index to a different bucket modulus — the
+    * retrieval-family sibling of
+    * [[graft.ops.Similarity.rebucketSemanticDedupIndex]]. The bucket
+    * count is frozen at creation (every batch must hash terms with one
+    * function), and it is a SERVING-pruning knob: a serving batch
+    * reads only the partitions its terms hash into, so a vocabulary
+    * that outgrew the create-time modulus leaves each bucket holding
+    * more unrelated postings than a scan should pay for (the measured
+    * 4.8–16× pruning win shrinks as buckets fatten). Re-bucketing
+    * re-hashes the layout without touching a single statistic:
+    * scores are bit-identical before and after (bucketing is pure
+    * layout — the existing bucket-count-invariance spec is the
+    * proof obligation), so unlike the semantic rebucket there is no
+    * geometry to reason about, only the commit protocol.
+    *
+    *  - folded generations consolidate into one re-hashed negative
+    *    generation (per-term dfs summed exactly, like compaction);
+    *  - the newest LIVE generation is re-hashed IN PLACE under its own
+    *    batch id — a restarted stream replaying that batch deletes its
+    *    own generation and recomputes under the new marker, so replay
+    *    safety survives the migration;
+    *  - the commit is a write-ahead intent carrying the new modulus;
+    *    the marker swap happens inside the replayable window, and
+    *    every entry point replays a pending intent first — a reader
+    *    can never prune with the old modulus over the new layout.
+    *
+    * Run between drains (or from the scheduler), never concurrently
+    * with an active append. Returns the number of generations
+    * re-hashed (folded + live).
+    */
+  def rebucketBm25Index(s: SparkSession, path: String, newBuckets: Int): Int = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.connect.{Hfs, GenerationalIndex => GI}
+    require(newBuckets > 0,
+      s"rebucketBm25Index: newBuckets must be positive, got $newBuckets")
+    val fs = Hfs.fs(s, path)
+    require(fs.exists(new Path(path, bm25BucketsMarker)),
+      s"$path is not a BM25 index (no $bm25BucketsMarker marker) — " +
+        "build one with saveBm25Index or maintainBm25Index")
+    recoverBm25Compaction(s, path)
+    val gens = GI.generations(fs, path, "postings")
+    require(gens.nonEmpty,
+      s"rebucketBm25Index: $path holds no corpus batches — set the " +
+        "bucket count at creation instead of migrating an empty index")
+    val live = gens.filter(_ >= 0).sorted.lastOption
+    val fold = gens.filterNot(live.contains)
+    val gen = math.min(fold.minOption.getOrElse(0L), 0L) - 1L
+    // clear stale staging from any prior abandoned attempt
+    Seq("postings/.compact-tmp", "postings/.rebucket-live-tmp",
+      "dfreq/.compact-tmp", "dfreq/.rebucket-live-tmp", "stats/.compact-tmp")
+      .foreach(sub => Hfs.deleteIfExists(fs, new Path(path, sub)))
+    def rehash(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(hash($"term"), lit(newBuckets)))
+    if (fold.nonEmpty) {
+      rehash(s.read.option("basePath", s"$path/postings")
+          .parquet(fold.map(b => s"$path/postings/batch=$b"): _*)
+          .drop("batch"))
+        .repartition($"bucket")
+        .sortWithinPartitions($"bucket", $"term", $"doc_id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/.compact-tmp")
+      val dfSrc = fold.filter(b => Hfs.isDir(fs,
+        new Path(path, s"dfreq/batch=$b")))
+      if (dfSrc.nonEmpty)
+        rehash(s.read.option("basePath", s"$path/dfreq")
+            .parquet(dfSrc.map(b => s"$path/dfreq/batch=$b"): _*)
+            .groupBy($"term").agg(sum($"df").as("df")))
+          .repartition($"bucket")
+          .sortWithinPartitions($"bucket", $"term")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/dfreq/.compact-tmp")
+      val summed = fold.flatMap { b =>
+        val p = new Path(path, s"stats/batch=$b")
+        if (Hfs.isFile(fs, p))
+          Some(Hfs.readSmall(fs, p).trim.split(" ").map(_.toLong))
+        else None
+      }
+      if (summed.nonEmpty)
+        Hfs.writeSmall(fs, new Path(path, "stats/.compact-tmp"),
+          s"${summed.map(_(0)).sum} ${summed.map(_(1)).sum}", overwrite = true)
+    }
+    live.foreach { lid =>
+      rehash(s.read.option("basePath", s"$path/postings")
+          .parquet(s"$path/postings/batch=$lid").drop("batch"))
+        .repartition($"bucket")
+        .sortWithinPartitions($"bucket", $"term", $"doc_id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/.rebucket-live-tmp")
+      if (Hfs.isDir(fs, new Path(path, s"dfreq/batch=$lid")))
+        rehash(s.read.option("basePath", s"$path/dfreq")
+            .parquet(s"$path/dfreq/batch=$lid").drop("batch"))
+          .repartition($"bucket")
+          .sortWithinPartitions($"bucket", $"term")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/dfreq/.rebucket-live-tmp")
+    }
+    // COMMIT POINT: everything after the intent is replayable
+    GI.writeMarkerAtomic(fs, path, bm25RebucketMarker,
+      s"$gen ${live.getOrElse("-")} ${fold.mkString(",")} $newBuckets")
+    applyBm25Rebucket(fs, path, gen, live, fold, newBuckets)
+    fold.size + live.size
+  }
 
   /** BM25 top-5 served from a [[saveBm25Index]] /
     * [[maintainBm25Index]] layout — identical output to the in-row
