@@ -600,6 +600,27 @@ object CurationTransforms {
       frame
     })
 
+  /** Register `rebucket_dedup_index`: migrate an exact-dedup admission
+    * index to a different bucket modulus
+    * ([[graft.ops.Dedup.rebucketExactDedupIndex]]) as a PIPELINE
+    * step — the exact-admission sibling of `rebucket_bm25_index`.
+    * No admission decision moves; only the scan-pruning layout.
+    * Batch-only and never concurrent with an active admission.
+    */
+  def registerDedupIndexRebucket(
+      registry: TransformRegistry,
+      spark: SparkSession,
+      indexPath: String,
+      newBuckets: Int): Unit =
+    registry.register("rebucket_dedup_index", { frame: DataFrame =>
+      require(!frame.isStreaming,
+        "rebucket_dedup_index is a batch-pipeline transform: a " +
+          "streaming plan would run the migration once at query setup, " +
+          "not per tick — schedule it via PipelineScheduler instead")
+      graft.ops.Dedup.rebucketExactDedupIndex(spark, indexPath, newBuckets)
+      frame
+    })
+
   /** Register `rebucket_bm25_index`: migrate a BM25 index to a
     * different bucket modulus
     * ([[graft.ops.TextAnalysis.rebucketBm25Index]]) as a PIPELINE

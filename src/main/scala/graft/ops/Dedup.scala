@@ -1993,6 +1993,9 @@ object Dedup {
     require(fs.exists(bMarker),
       s"$path predates the bucketed admission layout (no _prefix_buckets " +
         "marker) — rebuild it with createExactDedupIndex")
+    // replay a crashed rebucket before ANY read: pruning with a stale
+    // modulus over a migrated layout would miss candidate buckets
+    recoverExactDedupRebucket(s, path)
     val tau = graft.connect.Hfs.readSmall(fs, marker).trim.toLong
     val nb = graft.connect.Hfs.readSmall(fs, bMarker).trim.toLong
     // idempotence: a failed earlier attempt of THIS batch may have
@@ -2093,6 +2096,7 @@ object Dedup {
   def compactExactDedupIndex(s: SparkSession, path: String): Int = {
     import graft.connect.{GenerationalIndex => GI}
     val fs = graft.connect.Hfs.fs(s, path)
+    recoverExactDedupRebucket(s, path) // entry point: finish a crashed rebucket first
     val plan = GI.foldPlan(GI.generations(fs, path, "docs"))
       .getOrElse(return 0)
     def consolidate(sub: String, part: String, keys: Seq[String]): Unit = {
@@ -2112,6 +2116,152 @@ object Dedup {
     consolidate("docs", "dbucket", Seq("doc_id"))
     consolidate("prefix", "bucket", Seq("doc_id", "s"))
     plan.fold.size
+  }
+
+  private val dedupRebucketMarker = "_dedup_rebucket_intent"
+
+  /** Replay a crashed [[rebucketExactDedupIndex]] to completion if its
+    * write-ahead intent exists (one existence check otherwise). The
+    * commit swaps the bucket modulus together with the re-hashed
+    * layout; a reader pruning with the OLD modulus over the NEW layout
+    * would MISS candidate buckets — a false negative, i.e. a duplicate
+    * silently admitted, which is exactly the loss class this family's
+    * no-false-negatives contract forbids. Called first by
+    * [[admitExactDedup]] and [[compactExactDedupIndex]].
+    */
+  private def recoverExactDedupRebucket(s: SparkSession, path: String): Unit = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    val m = new org.apache.hadoop.fs.Path(path, dedupRebucketMarker)
+    if (!fs.exists(m)) return
+    val content = graft.connect.Hfs.readSmall(fs, m).trim
+    val parsed = scala.util.Try {
+      val parts = content.split(" ", -1)
+      val live = if (parts(1) == "-") None else Some(parts(1).toLong)
+      val fold = if (parts(2).isEmpty) Seq.empty[Long]
+        else parts(2).split(",").map(_.toLong).toSeq
+      (parts(0).toLong, live, fold, parts(3).toInt)
+    }
+    val (gen, live, fold, nb) = parsed.getOrElse(throw new IllegalStateException(
+      s"corrupt dedup-rebucket intent marker $m (content: '$content'). " +
+        "Expected '<gen> <liveId|-> <id,id,...> <buckets>'. Inspect the " +
+        "staged .compact-tmp / .rebucket-live-tmp dirs before deleting " +
+        "the marker to fall back to the pre-rebucket state."))
+    applyExactDedupRebucket(fs, path, gen, live, fold, nb)
+  }
+
+  /** The post-intent half of an exact-admission rebucket — idempotent
+    * (every step guarded by its staged dir's existence), so a crashed
+    * run replays to the identical end state from any entry point:
+    * folded sources deleted, consolidated re-hashed generation renamed
+    * into place per sub, live generation swapped in place under its
+    * own batch id (the replay unit survives), modulus marker rewritten
+    * (plain overwrite — idempotent), intent dropped last.
+    */
+  private def applyExactDedupRebucket(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, gen: Long, live: Option[Long], fold: Seq[Long],
+      newBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.connect.{Hfs, GenerationalIndex => GI}
+    fold.foreach(b => GI.clearGeneration(fs, path, Seq("docs", "prefix"), b))
+    Seq("docs", "prefix").foreach { sub =>
+      val foldTmp = new Path(path, s"$sub/.compact-tmp")
+      if (fs.exists(foldTmp))
+        Hfs.renameChecked(fs, foldTmp, new Path(path, s"$sub/batch=$gen"),
+          s"dedup-rebucket folded commit for $path/$sub")
+      live.foreach { lid =>
+        val liveTmp = new Path(path, s"$sub/.rebucket-live-tmp")
+        if (fs.exists(liveTmp)) {
+          Hfs.deleteIfExists(fs, new Path(path, s"$sub/batch=$lid"))
+          Hfs.renameChecked(fs, liveTmp, new Path(path, s"$sub/batch=$lid"),
+            s"dedup-rebucket live commit for $path/$sub")
+        }
+      }
+    }
+    Hfs.writeSmall(fs, new Path(path, "_prefix_buckets"),
+      newBuckets.toString, overwrite = true)
+    Hfs.deleteIfExists(fs, new Path(path, dedupRebucketMarker))
+  }
+
+  /** Migrate a [[createExactDedupIndex]] layout to a different bucket
+    * modulus — the exact-admission sibling of
+    * [[graft.ops.TextAnalysis.rebucketBm25Index]]. The modulus is the
+    * family's frozen structural parameter: a tick prunes its candidate
+    * join and verify fetch to the buckets its own tokens/doc-ids hash
+    * into, so an index that outgrew its create-time bucket count
+    * leaves every bucket holding more unrelated prefix rows than a
+    * tick's scan should pay for. Re-bucketing re-hashes the layout
+    * without touching a single admission decision or stored row value
+    * (bucketing is pure layout — hive partition values change, row
+    * contents don't): folded generations consolidate into one
+    * re-hashed negative generation (crash-window duplicates
+    * deduplicated on the way, like compaction), the newest LIVE
+    * generation is re-hashed IN PLACE under its own batch id (a
+    * restarted stream replaying that batch deletes its own generation
+    * and recomputes under the new marker — replay safety survives),
+    * and the commit is a write-ahead intent carrying the new modulus.
+    * This family normally commits rename-first (duplicates are rent),
+    * but the modulus swap is coupled to the layout: pruning with the
+    * old modulus over the new layout would MISS buckets — a false
+    * negative — so the swap gets the intent protocol, replayed at
+    * every entry point.
+    *
+    * Run between drains (or from the scheduler), never concurrently
+    * with an active admission. Returns the number of generations
+    * re-hashed (folded + live).
+    */
+  def rebucketExactDedupIndex(s: SparkSession, path: String,
+      newBuckets: Int): Int = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    import graft.connect.{Hfs, GenerationalIndex => GI}
+    require(newBuckets > 0,
+      s"rebucketExactDedupIndex: newBuckets must be positive, got $newBuckets")
+    val fs = Hfs.fs(s, path)
+    require(fs.exists(new Path(path, "_prefix_buckets")),
+      s"$path is not a bucketed exact-dedup index (no _prefix_buckets " +
+        "marker) — create one with createExactDedupIndex")
+    recoverExactDedupRebucket(s, path)
+    val gens = GI.generations(fs, path, "docs")
+    require(gens.nonEmpty,
+      s"rebucketExactDedupIndex: $path holds no admitted batches — set " +
+        "the bucket count at creation instead of migrating an empty index")
+    val live = gens.filter(_ >= 0).sorted.lastOption
+    val fold = gens.filterNot(live.contains)
+    val gen = math.min(fold.minOption.getOrElse(0L), 0L) - 1L
+    Seq("docs/.compact-tmp", "docs/.rebucket-live-tmp",
+      "prefix/.compact-tmp", "prefix/.rebucket-live-tmp")
+      .foreach(sub => Hfs.deleteIfExists(fs, new Path(path, sub)))
+    def stage(sub: String, part: String, hashCol: Column, keys: Seq[String],
+        srcIds: Seq[Long], dest: String, dedup: Boolean): Unit = {
+      val present = GI.generations(fs, path, sub).toSet
+      val ids = srcIds.filter(present.contains)
+      if (ids.isEmpty) return
+      val base = s.read.option("basePath", s"$path/$sub")
+        .parquet(ids.map(b => s"$path/$sub/batch=$b"): _*)
+        .drop("batch").drop(part)
+      val deduped = if (dedup) base.dropDuplicates(keys) else base
+      deduped.withColumn(part, pmod(xxhash64(hashCol), lit(newBuckets)))
+        .repartition(col(part)).write.mode("overwrite").partitionBy(part)
+        .parquet(s"$path/$sub/$dest")
+    }
+    if (fold.nonEmpty) {
+      stage("docs", "dbucket", $"doc_id", Seq("doc_id"), fold,
+        ".compact-tmp", dedup = true)
+      stage("prefix", "bucket", $"s", Seq("doc_id", "s"), fold,
+        ".compact-tmp", dedup = true)
+    }
+    live.foreach { lid =>
+      stage("docs", "dbucket", $"doc_id", Seq("doc_id"), Seq(lid),
+        ".rebucket-live-tmp", dedup = false)
+      stage("prefix", "bucket", $"s", Seq("doc_id", "s"), Seq(lid),
+        ".rebucket-live-tmp", dedup = false)
+    }
+    // COMMIT POINT: everything after the intent is replayable (the
+    // marker commits atomically via the shared core's temp+rename)
+    GI.writeMarkerAtomic(fs, path, dedupRebucketMarker,
+      s"$gen ${live.getOrElse("-")} ${fold.mkString(",")} $newBuckets")
+    applyExactDedupRebucket(fs, path, gen, live, fold, newBuckets)
+    fold.size + live.size
   }
 
   /** Default ceiling for [[exactDecontaminateServe]]'s broadcast: total
