@@ -125,11 +125,19 @@ object SemAdmitSweep {
     }
     // slope verdict the PLANS entry can cite: mean of last 5 ticks vs
     // mean of ticks 2-6 (skip tick 0-1 JIT). Expected GROWTH > 1 at
-    // fixed k — the number that matters is how it scales with k.
+    // fixed k — the number that matters is how it scales with k. On a
+    // rebucket run the summary splits at the migration instead: the
+    // last-5-ticks-before vs first-and-last-5-after means ARE the
+    // cliff-and-recovery story, and a blended growth number would
+    // mislabel it.
     val secs = out.toString.linesIterator.toSeq.map { l =>
       """"sec":([0-9.]+)""".r.findFirstMatchIn(l).get.group(1).toDouble
     }
-    if (ticks >= 10) {
+    if (rebucketAfter > 0 && rebucketTo > 0 && ticks > rebucketAfter + 5) {
+      val preLate = secs.slice(rebucketAfter - 5, rebucketAfter).sum / 5
+      val post = secs.takeRight(5).sum / 5
+      println(f"""{"pre_rebucket_late_mean":$preLate%.3f,"post_rebucket_mean":$post%.3f,"recovery":${preLate / post}%.3f,"k_before":$k,"k_after":$rebucketTo}""")
+    } else if (ticks >= 10) {
       val early = secs.slice(2, 7).sum / 5
       val late = secs.takeRight(5).sum / 5
       println(f"""{"early_mean":$early%.3f,"late_mean":$late%.3f,"growth":${late / early}%.3f,"k":$k}""")

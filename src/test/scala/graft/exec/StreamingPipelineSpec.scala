@@ -1137,6 +1137,99 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(annIds == expected, s"ann index diverged: $annIds vs $expected")
   }
 
+  test("scheduled rebucket between drains: admission decisions continue exactly through the migration, replay-safe") {
+    import graft.ops.Similarity
+    val dataDir = tmpDir("graft-rebucket-e2e").toString
+    val repo = new Repository(tmpDir("graft-rebucket-e2e-repo"))
+    repo.saveConnection(ConnectionSpec("local", "local files", "parquet",
+      Map("basePath" -> dataDir)))
+    def v(x: Double*): Array[Float] = x.map(_.toFloat).toArray
+    // tick 0 admits 100+101; tick 1 admits 200 (201 is a dup of 100);
+    // THEN the scheduled rebucket migrates k 1 -> 2 (folds batch 0,
+    // reassigns live batch 1 in place); tick 2 must reject 300 (dup of
+    // 101, now in the FOLDED generation) and 301 (dup of 200, in the
+    // reassigned LIVE generation) and admit 302 — decisions spanning
+    // the migration boundary on both generation kinds
+    val t0 = Seq((100L, v(10, 0, 0, 0)), (101L, v(0, 10, 0, 0)))
+    val t1 = Seq((200L, v(0, 0, 10, 0)), (201L, v(10, 0.1, 0, 0)))
+    val t2 = Seq((300L, v(0, 9.9, 0.1, 0)), (301L, v(0, 0.1, 9.9, 0)),
+      (302L, v(0, 0, 0, 10)))
+    val idx = s"$dataDir/semidx"
+    Similarity.createSemanticDedupIndex(spark, idx,
+      (t0 ++ t1 ++ t2).zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+        .toDF("vec_id", "embedding"),
+      tauMilli = 950L, k = 1, iters = 1)
+    graft.CacheScope.drain()
+    Seq((0L, "seed")).toDF("id", "tag").write.mode("overwrite")
+      .parquet(s"$dataDir/src")
+    val registry = new TransformRegistry
+    CurationTransforms.registerSemanticDedupIndexRebucket(
+      registry, spark, idx, newK = 2)
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"rb-e2e","name":"landing-admitted-annidx","recurrence":"15,45 * * * *","enabled":true,"steps":[
+         |{"stepType":"extract","name":"landing","order":1,"connectionId":"local",
+         | "path":"landing","options":{"streaming":"true"}},
+         |{"stepType":"load","name":"index","order":2,"connectionId":"local",
+         | "path":"annidx","mode":"append",
+         | "options":{"annIndex":"prefix","checkpointLocation":"ck",
+         |            "semanticDedupIndex":"semidx"}}
+         |]}""".stripMargin))
+    repo.savePipeline(PipelineJson.parsePipeline(
+      s"""{"id":"rb-maint","name":"codebook migration","recurrence":"0 9 * * *","enabled":true,"steps":[
+         |{"stepType":"extract","name":"src","order":1,"connectionId":"local","path":"src"},
+         |{"stepType":"transform","name":"rebucket","order":2,"kind":"named","transformName":"rebucket_semantic_dedup_index"},
+         |{"stepType":"load","name":"sink","order":3,"connectionId":"local","path":"maint_out","mode":"replace"}
+         |]}""".stripMargin))
+    var now = Instant.parse("2026-03-09T08:00:10Z")
+    val sched = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched.tick().isEmpty)
+    var streamRuns = 0
+    def fireStream(at: String, tick: Seq[(Long, Array[Float])]): Unit = {
+      tick.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(s"$dataDir/landing")
+      now = Instant.parse(at)
+      assert(sched.tick() == Seq("rb-e2e"))
+      streamRuns += 1; waitRuns(repo, "rb-e2e", 2 * streamRuns)
+    }
+    fireStream("2026-03-09T08:15:05Z", t0) // batch 0: admit 100, 101
+    fireStream("2026-03-09T08:45:05Z", t1) // batch 1: admit 200
+    now = Instant.parse("2026-03-09T09:00:05Z") // the migration fires
+    assert(sched.tick() == Seq("rb-maint"))
+    waitRuns(repo, "rb-maint", 2)
+    val fs = graft.connect.Hfs.fs(spark, idx)
+    def gens() = graft.connect.Hfs.listDirs(fs,
+      new org.apache.hadoop.fs.Path(idx, "vecs")).map(_.getName).sorted
+    assert(gens() == Seq("batch=-1", "batch=1"), s"migration produced ${gens()}")
+    assert(spark.read.parquet(s"$idx/centroids").count() == 2L)
+    fireStream("2026-03-09T09:15:05Z", t2) // batch 2 across the boundary
+    sched.stop()
+    def idxIds() = spark.read.parquet(s"$idx/vecs")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(idxIds().toSet == Set(100L, 101L, 200L, 302L),
+      s"post-migration decisions diverged: ${idxIds().toSet}")
+    // MID-STREAM CRASH after the migration: batch 2's admission landed
+    // but the offsets commit did not — the replay must recompute the
+    // same set against the MIGRATED layout (its own generation cleared,
+    // no self-rejection, no stale-modulus reads)
+    val commits = new java.io.File(s"$dataDir/ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    assert(commits.last.delete())
+    val sched2 = new PipelineScheduler(
+      new PipelineRunner(spark, repo, registry), repo, () => now, 1)
+    assert(sched2.tick().isEmpty)
+    now = Instant.parse("2026-03-09T09:45:05Z")
+    assert(sched2.tick() == Seq("rb-e2e"))
+    waitRuns(repo, "rb-e2e", 2 * streamRuns + 2)
+    sched2.stop()
+    val ids = idxIds()
+    assert(ids.toSet == Set(100L, 101L, 200L, 302L) &&
+      ids.size == ids.distinct.size,
+      s"replay through the migrated layout diverged: $ids")
+  }
+
   test("composed curation tick: lexical decontam + semantic decontam + semantic admission in one drained load, replay-safe == offline composition") {
     // r16 verdict ask #7: every route is proven alone and two
     // admission lifecycles are proven composed, but no single case ran
