@@ -2141,6 +2141,9 @@ object Similarity {
     val parsed = scala.util.Try {
       val parts = content.split(" ", -1)
       val live = if (parts(1) == "-") None else Some(parts(1).toLong)
+      // the fold list is the LAST field, so an empty fold (a
+      // single-live-generation rebucket) leaves only two tokens after
+      // the trim — parts(2) legitimately absent, not corruption
       val fold = if (parts.length < 3 || parts(2).isEmpty) Seq.empty[Long]
         else parts(2).split(",").map(_.toLong).toSeq
       (parts(0).toLong, live, fold)

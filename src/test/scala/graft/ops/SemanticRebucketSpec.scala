@@ -209,6 +209,44 @@ class SemanticRebucketSpec extends SparkSpec {
     assert(layout(b).map(_._2).filter(_ >= 0) == Set(2L))
   }
 
+  test("single-live-generation rebucket: empty fold list, and its crash intent still parses and replays") {
+    // only one generation exists → fold is EMPTY and the intent's
+    // trailing fold field trims away entirely; recovery must read that
+    // as "nothing to fold", not a corrupt marker
+    val path = tmpDir("graft-rebucket-single").toString + "/semidx"
+    Similarity.createSemanticDedupIndex(spark, path, df(b0 ++ b1 ++ b2),
+      tauMilli = 950L, k = 1, iters = 1)
+    Similarity.admitSemanticDedup(df(b0), path, 0L).count()
+    graft.CacheScope.drain()
+    assert(Similarity.rebucketSemanticDedupIndex(spark, path, newK = 2) == 2L)
+    graft.CacheScope.drain()
+    val l = layout(path)
+    assert(l.map(r => (r._1, r._2)) == Set((0L, 0L), (1L, 0L)),
+      s"live generation must survive under its own id: $l")
+    // crash form: stage a live tmp + codebook + the two-token intent
+    // (what a crash right after the commit point leaves), then any
+    // entry replays it
+    val path2 = tmpDir("graft-rebucket-single2").toString + "/semidx"
+    Similarity.createSemanticDedupIndex(spark, path2, df(b0 ++ b1 ++ b2),
+      tauMilli = 950L, k = 1, iters = 1)
+    Similarity.admitSemanticDedup(df(b0), path2, 0L).count()
+    graft.CacheScope.drain()
+    spark.read.option("basePath", s"$path/vecs").parquet(s"$path/vecs/batch=0")
+      .drop("batch").repartition(col("centroid"))
+      .write.mode("overwrite").partitionBy("centroid")
+      .parquet(s"$path2/vecs/.rebucket-live-tmp")
+    spark.read.parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$path2/.rebucket-centroids")
+    val fs2 = graft.connect.Hfs.fs(spark, path2)
+    graft.connect.Hfs.writeSmall(fs2,
+      new org.apache.hadoop.fs.Path(path2, "_sem_rebucket_intent"),
+      "-1 0", overwrite = true) // the trimmed two-token form
+    assert(admitIds(Seq(50L -> v(10, 0.05, 0, 0)), path2, 1L).isEmpty) // dup of 0
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(path2, "_sem_rebucket_intent")))
+    assert(spark.read.parquet(s"$path2/centroids").count() == 2L)
+    graft.CacheScope.drain()
+  }
+
   test("rebucket_semantic_dedup_index transform: schedulable maintenance step, streaming refused") {
     val path = populatedIndex("graft-rebucket-transform")
     val registry = new graft.exec.TransformRegistry
