@@ -11,12 +11,15 @@ object Bench {
     * rows on a shared host, so each track segment records them
     * (best-effort: zeros off-Linux). */
   private def hostSample(): (Double, Long, Long) = {
+    def readAll(p: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p)).asScala.toSeq
+    }
     val load1 = scala.util.Try(
-      scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-        .split(" ")(0).toDouble).getOrElse(0.0)
+      readAll("/proc/loadavg").head.split(" ")(0).toDouble).getOrElse(0.0)
     val (steal, total) = scala.util.Try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      val cpu = readAll("/proc/stat").find(_.startsWith("cpu ")).get
+        .trim.split("\\s+").drop(1).map(_.toLong)
       (if (cpu.length > 7) cpu(7) else 0L, cpu.sum)
     }.getOrElse((0L, 0L))
     (load1, steal, total)
@@ -93,11 +96,18 @@ object Bench {
       "q_sim_lsh_bucketed")
     def sentinelBoard(): Seq[Double] = boardSentinels.map { q =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(q)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      val ok = try { SparkEntry.queries(q)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] board sentinel $q failed: ${e.getMessage}")
+          false
+        }
       CacheScope.drain()
       spark.sharedState.cacheManager.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      // a failing sentinel records -1, never its milliseconds-to-fail:
+      // a near-zero "time" would read as an extra-quiet segment and
+      // mask exactly the drift the track exists to catch — negative
+      // values mark the segment untrustworthy for board_compare
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     // one full track sample: probes + board-shaped sentinels + host load
     final case class Seg(cpu: Double, shuffle: Double, board: Seq[Double],
@@ -146,7 +156,13 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
       case Some(f) =>
         val pats = f.split(",").map(_.trim).filter(_.nonEmpty)
-        SparkEntry.queries.keys.toSeq.filter(n => pats.exists(n.startsWith))
+        val sel = SparkEntry.queries.keys.toSeq.filter(n => pats.exists(n.startsWith))
+        // a filter that matches nothing must fail loudly, not emit a
+        // structurally valid zero-row board a consumer might trust
+        require(sel.nonEmpty,
+          s"SPARK_GRAFT_QUERIES='$f' matches no catalog query — " +
+            "check the prefixes against SparkEntry.queries")
+        sel
       case None => SparkEntry.queries.keys.toSeq
     }
     val best = scala.collection.mutable.Map.empty[String, Double]
@@ -208,16 +224,28 @@ object Bench {
     // SMALL parseable summary line that names the file, so the
     // driver's tail is valid JSON carrying total + row count + path +
     // provenance instead of a truncated map.
+    // a run nonce ties the summary to ITS record: the default path is
+    // keyed by git HEAD, so a failed write would otherwise leave the
+    // summary pointing at a parseable-but-STALE record from a previous
+    // run at the same HEAD — the artifact-integrity failure this file
+    // split exists to fix
+    val ts = System.currentTimeMillis()
+    val fullStamped = full.patch(1, s""""ts_ms":$ts,""", 0)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"tools/bench_full_${gitHead.take(12)}.json")
-    scala.util.Try {
+    val wrote = scala.util.Try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
-        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }.failed.foreach(e =>
+        (fullStamped + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    wrote.failed.foreach(e =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}"))
-    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"iters_min_of":$iters,"git_head":"$gitHead","fixture_fingerprint":"$fixtureFp","catalog_hash":"$catalogHash","sf":"$sfDir","full_record":"$outPath"}""")
+    // on write failure the summary carries an empty path, never a
+    // pointer to a file this run did not produce; ts_ms lets any
+    // consumer verify the record matches this summary
+    val recordField = if (wrote.isSuccess) outPath else ""
+    println(f"""{"metric":"total","value":$total,"unit":"sec","ts_ms":$ts,"n_queries":${names.size},"iters_min_of":$iters,"git_head":"$gitHead","fixture_fingerprint":"$fixtureFp","catalog_hash":"$catalogHash","sf":"$sfDir","full_record":"$recordField"}""")
     spark.stop()
   }
 }

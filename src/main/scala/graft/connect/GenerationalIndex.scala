@@ -170,6 +170,98 @@ object GenerationalIndex {
     Hfs.deleteIfExists(fs, new Path(path, marker))
   }
 
+  /** A whole-layout MIGRATION's shape (the r18 rebucket verbs): fold
+    * every generation except the newest live one into `gen`, and
+    * re-stage the live generation IN PLACE under its own id — unlike
+    * a compaction, a migration re-hashes/re-assigns every row, so the
+    * live generation cannot stay untouched; keeping its batch id is
+    * what preserves it as the stream's replay unit. */
+  final case class MigratePlan(gen: Long, live: Option[Long], fold: Seq[Long])
+
+  def migratePlan(all: Seq[Long]): MigratePlan = {
+    val live = all.filter(_ >= 0).sorted.lastOption
+    val fold = all.filterNot(live.contains)
+    MigratePlan(math.min(fold.minOption.getOrElse(0L), 0L) - 1L, live, fold)
+  }
+
+  /** Migration-intent commit point: marker content
+    * `<gen> <liveId|-> <foldCsv|-> <param|->` (dash placeholders keep
+    * every field positional — no trailing-empty ambiguity), committed
+    * atomically via [[writeMarkerAtomic]]. `param` carries the
+    * family's migration parameter (a bucket modulus, a codebook
+    * width) so the recovery can finish the family-specific swap. */
+  def writeMigrateIntent(fs: FileSystem, path: String, marker: String,
+      plan: MigratePlan, param: Option[String]): Unit =
+    writeMarkerAtomic(fs, path, marker,
+      s"${plan.gen} ${plan.live.getOrElse("-")} " +
+        s"${if (plan.fold.isEmpty) "-" else plan.fold.mkString(",")} " +
+        s"${param.getOrElse("-")}")
+
+  /** The idempotent post-intent half EVERY migration shares: folded
+    * sources deleted, each sub's consolidated `.compact-tmp` renamed
+    * to `batch=<gen>`, each sub's `.rebucket-live-tmp` swapped in
+    * place of the live generation, then the family's `finish` step
+    * (codebook/stats/modulus-marker swaps — themselves idempotent by
+    * contract), intent dropped last. Each rename is guarded by its
+    * staged dir's existence, so a replay skips what a prior attempt
+    * already moved. */
+  def applyMigrate(fs: FileSystem, path: String, subs: Seq[String],
+      marker: String, plan: MigratePlan, what: String)(finish: => Unit): Unit = {
+    plan.fold.foreach(b => clearGeneration(fs, path, subs, b))
+    subs.foreach { sub =>
+      val foldTmp = new Path(path, s"$sub/.compact-tmp")
+      if (fs.exists(foldTmp))
+        Hfs.renameChecked(fs, foldTmp,
+          new Path(path, s"$sub/batch=${plan.gen}"),
+          s"$what folded commit for $path/$sub")
+      plan.live.foreach { lid =>
+        val liveTmp = new Path(path, s"$sub/.rebucket-live-tmp")
+        if (fs.exists(liveTmp)) {
+          Hfs.deleteIfExists(fs, new Path(path, s"$sub/batch=$lid"))
+          Hfs.renameChecked(fs, liveTmp, new Path(path, s"$sub/batch=$lid"),
+            s"$what live commit for $path/$sub")
+        }
+      }
+    }
+    finish
+    Hfs.deleteIfExists(fs, new Path(path, marker))
+  }
+
+  /** Replay a crashed migration to completion if its intent exists
+    * (one existence check otherwise). The family's `finish` receives
+    * the parsed plan + param to rerun its swap steps idempotently.
+    * Every family entry point calls this first: a migration's commit
+    * deletes generations and swaps layout parameters, and a reader
+    * that skipped recovery could prune with a stale parameter over the
+    * migrated layout. */
+  def recoverMigrate(fs: FileSystem, path: String, subs: Seq[String],
+      marker: String, what: String)(
+      finish: (MigratePlan, Option[String]) => Unit): Unit = {
+    val m = new Path(path, marker)
+    if (!fs.exists(m)) return
+    val content = Hfs.readSmall(fs, m).trim
+    val parsed = scala.util.Try {
+      val parts = content.split(" ", -1)
+      val live = if (parts(1) == "-") None else Some(parts(1).toLong)
+      // length-guarded: writeMigrateIntent always emits 4 dash-padded
+      // fields, but early-format markers may carry 2-3
+      val fold = if (parts.length < 3 || parts(2) == "-" || parts(2).isEmpty)
+        Seq.empty[Long]
+        else parts(2).split(",").map(_.toLong).toSeq
+      val param = if (parts.length < 4 || parts(3) == "-") None
+        else Some(parts(3))
+      (MigratePlan(parts(0).toLong, live, fold), param)
+    }
+    // unreachable via writeMigrateIntent (atomic rename) — a corrupt
+    // marker is out-of-band damage and must name itself and the remedy
+    val (plan, param) = parsed.getOrElse(throw new IllegalStateException(
+      s"$what: corrupt migration intent marker $m (content: '$content'). " +
+        "Expected '<gen> <liveId|-> <id,id,...|-> <param|->'. Inspect " +
+        "the staged .compact-tmp / .rebucket-* dirs before deleting the " +
+        "marker to fall back to the pre-migration state."))
+    applyMigrate(fs, path, subs, marker, plan, what)(finish(plan, param))
+  }
+
   /** Replay a crashed intent-mode compaction to completion if its
     * marker exists (no-op otherwise — one existence check). Every
     * intent-mode entry point calls this first. */

@@ -2131,56 +2131,21 @@ object Dedup {
     */
   private def recoverExactDedupRebucket(s: SparkSession, path: String): Unit = {
     val fs = graft.connect.Hfs.fs(s, path)
-    val m = new org.apache.hadoop.fs.Path(path, dedupRebucketMarker)
-    if (!fs.exists(m)) return
-    val content = graft.connect.Hfs.readSmall(fs, m).trim
-    val parsed = scala.util.Try {
-      val parts = content.split(" ", -1)
-      val live = if (parts(1) == "-") None else Some(parts(1).toLong)
-      val fold = if (parts(2).isEmpty) Seq.empty[Long]
-        else parts(2).split(",").map(_.toLong).toSeq
-      (parts(0).toLong, live, fold, parts(3).toInt)
+    graft.connect.GenerationalIndex.recoverMigrate(fs, path,
+      Seq("docs", "prefix"), dedupRebucketMarker, "dedup-rebucket") {
+      (_, param) => exactDedupRebucketFinish(fs, path, param)
     }
-    val (gen, live, fold, nb) = parsed.getOrElse(throw new IllegalStateException(
-      s"corrupt dedup-rebucket intent marker $m (content: '$content'). " +
-        "Expected '<gen> <liveId|-> <id,id,...> <buckets>'. Inspect the " +
-        "staged .compact-tmp / .rebucket-live-tmp dirs before deleting " +
-        "the marker to fall back to the pre-rebucket state."))
-    applyExactDedupRebucket(fs, path, gen, live, fold, nb)
   }
 
-  /** The post-intent half of an exact-admission rebucket — idempotent
-    * (every step guarded by its staged dir's existence), so a crashed
-    * run replays to the identical end state from any entry point:
-    * folded sources deleted, consolidated re-hashed generation renamed
-    * into place per sub, live generation swapped in place under its
-    * own batch id (the replay unit survives), modulus marker rewritten
-    * (plain overwrite — idempotent), intent dropped last.
-    */
-  private def applyExactDedupRebucket(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, gen: Long, live: Option[Long], fold: Seq[Long],
-      newBuckets: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    import graft.connect.{Hfs, GenerationalIndex => GI}
-    fold.foreach(b => GI.clearGeneration(fs, path, Seq("docs", "prefix"), b))
-    Seq("docs", "prefix").foreach { sub =>
-      val foldTmp = new Path(path, s"$sub/.compact-tmp")
-      if (fs.exists(foldTmp))
-        Hfs.renameChecked(fs, foldTmp, new Path(path, s"$sub/batch=$gen"),
-          s"dedup-rebucket folded commit for $path/$sub")
-      live.foreach { lid =>
-        val liveTmp = new Path(path, s"$sub/.rebucket-live-tmp")
-        if (fs.exists(liveTmp)) {
-          Hfs.deleteIfExists(fs, new Path(path, s"$sub/batch=$lid"))
-          Hfs.renameChecked(fs, liveTmp, new Path(path, s"$sub/batch=$lid"),
-            s"dedup-rebucket live commit for $path/$sub")
-        }
-      }
-    }
-    Hfs.writeSmall(fs, new Path(path, "_prefix_buckets"),
-      newBuckets.toString, overwrite = true)
-    Hfs.deleteIfExists(fs, new Path(path, dedupRebucketMarker))
-  }
+  /** The family-specific tail of an exact-admission rebucket's commit,
+    * run by [[graft.connect.GenerationalIndex.applyMigrate]] after the
+    * shared generation work: only the modulus-marker rewrite (plain
+    * overwrite — idempotent on replay). */
+  private def exactDedupRebucketFinish(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, param: Option[String]): Unit =
+    param.foreach(nb => graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, "_prefix_buckets"),
+      nb, overwrite = true))
 
   /** Migrate a [[createExactDedupIndex]] layout to a different bucket
     * modulus — the exact-admission sibling of
@@ -2221,13 +2186,16 @@ object Dedup {
       s"$path is not a bucketed exact-dedup index (no _prefix_buckets " +
         "marker) — create one with createExactDedupIndex")
     recoverExactDedupRebucket(s, path)
+    // already at the target modulus: a scheduled rebucket pipeline must
+    // be a cheap no-op after the migration, not a full rewrite per run
+    if (Hfs.readSmall(fs, new Path(path, "_prefix_buckets")).trim.toInt
+        == newBuckets) return 0
     val gens = GI.generations(fs, path, "docs")
     require(gens.nonEmpty,
       s"rebucketExactDedupIndex: $path holds no admitted batches — set " +
         "the bucket count at creation instead of migrating an empty index")
-    val live = gens.filter(_ >= 0).sorted.lastOption
-    val fold = gens.filterNot(live.contains)
-    val gen = math.min(fold.minOption.getOrElse(0L), 0L) - 1L
+    val plan = GI.migratePlan(gens)
+    val (live, fold) = (plan.live, plan.fold)
     Seq("docs/.compact-tmp", "docs/.rebucket-live-tmp",
       "prefix/.compact-tmp", "prefix/.rebucket-live-tmp")
       .foreach(sub => Hfs.deleteIfExists(fs, new Path(path, sub)))
@@ -2258,9 +2226,12 @@ object Dedup {
     }
     // COMMIT POINT: everything after the intent is replayable (the
     // marker commits atomically via the shared core's temp+rename)
-    GI.writeMarkerAtomic(fs, path, dedupRebucketMarker,
-      s"$gen ${live.getOrElse("-")} ${fold.mkString(",")} $newBuckets")
-    applyExactDedupRebucket(fs, path, gen, live, fold, newBuckets)
+    GI.writeMigrateIntent(fs, path, dedupRebucketMarker, plan,
+      Some(newBuckets.toString))
+    GI.applyMigrate(fs, path, Seq("docs", "prefix"), dedupRebucketMarker,
+      plan, "dedup-rebucket") {
+      exactDedupRebucketFinish(fs, path, Some(newBuckets.toString))
+    }
     fold.size + live.size
   }
 

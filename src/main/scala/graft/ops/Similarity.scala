@@ -1973,10 +1973,16 @@ object Similarity {
     // anywhere in between leaves "not a semantic-dedup index" (the
     // loud admit-time error), never a stale marker over missing
     // centroids (which would surface as a raw path error instead)
-    Seq("_sem_tau_milli", "vecs", "centroids").foreach(sub =>
+    Seq("_sem_tau_milli", "_sem_k", "vecs", "centroids").foreach(sub =>
       graft.connect.Hfs.deleteIfExists(
         fs, new org.apache.hadoop.fs.Path(path, sub)))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // the TARGET width, recorded for the rebucket no-op check (the
+    // trained codebook can hold fewer than k centroids, so its row
+    // count cannot stand in for the create-time k)
+    graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, "_sem_k"),
+      k.toString, overwrite = true)
     graft.connect.Hfs.writeSmall(fs,
       new org.apache.hadoop.fs.Path(path, "_sem_tau_milli"),
       tauMilli.toString, overwrite = true)
@@ -2126,71 +2132,42 @@ object Similarity {
 
   private val semRebucketMarker = "_sem_rebucket_intent"
 
-  /** Replay a crashed [[rebucketSemanticDedupIndex]] to completion if
-    * its write-ahead intent exists (one existence check otherwise).
-    * Every family entry point calls this first — the commit sequence
-    * deletes folded generations and swaps the codebook, so a reader
-    * that skipped recovery could observe a half-migrated layout (old
-    * codebook over missing vectors) and wrongly re-admit a duplicate.
+  /** The family-specific tail of a semantic rebucket's commit, run by
+    * [[graft.connect.GenerationalIndex.applyMigrate]] after the shared
+    * generation renames: the codebook swap (guarded by the staged
+    * dir's existence — idempotent on replay) and the target-k marker
+    * rewrite (plain overwrite — idempotent; param absent on
+    * early-format markers, in which case the k record just stays
+    * stale until the next successful rebucket).
     */
-  private def recoverSemanticRebucket(s: SparkSession, path: String): Unit = {
-    val fs = graft.connect.Hfs.fs(s, path)
-    val m = new org.apache.hadoop.fs.Path(path, semRebucketMarker)
-    if (!fs.exists(m)) return
-    val content = graft.connect.Hfs.readSmall(fs, m).trim
-    val parsed = scala.util.Try {
-      val parts = content.split(" ", -1)
-      val live = if (parts(1) == "-") None else Some(parts(1).toLong)
-      // the fold list is the LAST field, so an empty fold (a
-      // single-live-generation rebucket) leaves only two tokens after
-      // the trim — parts(2) legitimately absent, not corruption
-      val fold = if (parts.length < 3 || parts(2).isEmpty) Seq.empty[Long]
-        else parts(2).split(",").map(_.toLong).toSeq
-      (parts(0).toLong, live, fold)
-    }
-    // unreachable via the atomic rename-committed write below — a
-    // corrupt marker is out-of-band damage and must name itself
-    val (gen, live, fold) = parsed.getOrElse(throw new IllegalStateException(
-      s"corrupt semantic-rebucket intent marker $m (content: '$content'). " +
-        "Expected '<gen> <liveId|-> <id,id,...>'. Inspect the staged " +
-        ".compact-tmp / .rebucket-* dirs before deleting the marker to " +
-        "fall back to the pre-rebucket state."))
-    applySemanticRebucket(fs, path, gen, live, fold)
-  }
-
-  /** The post-intent half of a rebucket — idempotent, so a crashed run
-    * replays to the identical end state whatever step it died on:
-    * folded sources deleted, the reassigned roster renamed to
-    * `batch=<gen>`, the reassigned live generation swapped in place
-    * (keeping its batch id — the replay unit survives migration), the
-    * codebook swapped, intent dropped last. Each rename is guarded by
-    * its staged dir's existence, so a replay skips what a prior
-    * attempt already moved.
-    */
-  private def applySemanticRebucket(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, gen: Long, live: Option[Long], fold: Seq[Long]): Unit = {
+  private def semanticRebucketFinish(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, param: Option[String]): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.connect.Hfs
-    fold.foreach(b => Hfs.deleteIfExists(fs, new Path(path, s"vecs/batch=$b")))
-    val foldTmp = new Path(path, "vecs/.compact-tmp")
-    if (fs.exists(foldTmp))
-      Hfs.renameChecked(fs, foldTmp, new Path(path, s"vecs/batch=$gen"),
-        s"semantic-rebucket folded-roster commit for $path")
-    live.foreach { lid =>
-      val liveTmp = new Path(path, "vecs/.rebucket-live-tmp")
-      if (fs.exists(liveTmp)) {
-        Hfs.deleteIfExists(fs, new Path(path, s"vecs/batch=$lid"))
-        Hfs.renameChecked(fs, liveTmp, new Path(path, s"vecs/batch=$lid"),
-          s"semantic-rebucket live-generation commit for $path")
-      }
-    }
     val centsTmp = new Path(path, ".rebucket-centroids")
     if (fs.exists(centsTmp)) {
       Hfs.deleteIfExists(fs, new Path(path, "centroids"))
       Hfs.renameChecked(fs, centsTmp, new Path(path, "centroids"),
         s"semantic-rebucket codebook commit for $path")
     }
-    Hfs.deleteIfExists(fs, new Path(path, semRebucketMarker))
+    param.foreach(k => Hfs.writeSmall(fs, new Path(path, "_sem_k"), k,
+      overwrite = true))
+  }
+
+  /** Replay a crashed [[rebucketSemanticDedupIndex]] to completion if
+    * its write-ahead intent exists (one existence check otherwise).
+    * Every family entry point calls this first — the commit sequence
+    * deletes folded generations and swaps the codebook, so a reader
+    * that skipped recovery could observe a half-migrated layout (old
+    * codebook over missing vectors) and wrongly re-admit a duplicate.
+    * Protocol: [[graft.connect.GenerationalIndex.recoverMigrate]].
+    */
+  private def recoverSemanticRebucket(s: SparkSession, path: String): Unit = {
+    val fs = graft.connect.Hfs.fs(s, path)
+    graft.connect.GenerationalIndex.recoverMigrate(fs, path, Seq("vecs"),
+      semRebucketMarker, "semantic-rebucket") { (_, param) =>
+      semanticRebucketFinish(fs, path, param)
+    }
   }
 
   /** Migrate a [[createSemanticDedupIndex]] layout to a LARGER (or
@@ -2247,13 +2224,27 @@ object Similarity {
       s"$path is not a semantic-dedup index (no _sem_tau_milli marker) — " +
         "create one with createSemanticDedupIndex")
     recoverSemanticRebucket(s, path)
+    // already at the target width: a SCHEDULED rebucket pipeline must
+    // be a cheap no-op after the migration, not a full re-train +
+    // re-assign per run. The target k is recorded in the `_sem_k`
+    // marker (k-means can legitimately train FEWER than k centroids,
+    // so the codebook's row count cannot stand in for the target);
+    // indexes predating the marker fall back to the count check. (A
+    // deliberate same-k geometry refresh is a different operation —
+    // re-training at the same k would still move comparison geometry
+    // every run, which a scheduled step must never do silently.)
+    val kMarker = new Path(path, "_sem_k")
+    val atTarget =
+      if (fs.exists(kMarker))
+        Hfs.readSmall(fs, kMarker).trim.toInt == newK
+      else s.read.parquet(s"$path/centroids").count() == newK.toLong
+    if (atTarget) return 0L
     val gens = graft.connect.GenerationalIndex.generations(fs, path, "vecs")
     require(gens.nonEmpty,
       s"rebucketSemanticDedupIndex: $path holds no admitted vectors — " +
         "recreate the index at the right k instead of migrating an empty one")
-    val live = gens.filter(_ >= 0).sorted.lastOption
-    val fold = gens.filterNot(live.contains)
-    val gen = math.min(fold.minOption.getOrElse(0L), 0L) - 1L
+    val plan = graft.connect.GenerationalIndex.migratePlan(gens)
+    val (live, fold) = (plan.live, plan.fold)
     // clear stale staging from any prior abandoned attempt
     Seq("vecs/.compact-tmp", "vecs/.rebucket-live-tmp", ".rebucket-centroids")
       .foreach(sub => Hfs.deleteIfExists(fs, new Path(path, sub)))
@@ -2295,11 +2286,15 @@ object Similarity {
         .parquet(s"$path/vecs/.rebucket-live-tmp")
     }
     cents.write.mode("overwrite").parquet(s"$path/.rebucket-centroids")
-    // COMMIT POINT: everything after the intent is replayable (the
-    // marker commits atomically via the shared core's temp+rename)
-    graft.connect.GenerationalIndex.writeMarkerAtomic(fs, path,
-      semRebucketMarker, s"$gen ${live.getOrElse("-")} ${fold.mkString(",")}")
-    applySemanticRebucket(fs, path, gen, live, fold)
+    // COMMIT POINT: everything after the intent is replayable
+    // (GenerationalIndex migration protocol — shared renames + the
+    // family's codebook/k-marker finish)
+    graft.connect.GenerationalIndex.writeMigrateIntent(fs, path,
+      semRebucketMarker, plan, Some(newK.toString))
+    graft.connect.GenerationalIndex.applyMigrate(fs, path, Seq("vecs"),
+      semRebucketMarker, plan, "semantic-rebucket") {
+      semanticRebucketFinish(fs, path, Some(newK.toString))
+    }
     assigned.count()
   }
 

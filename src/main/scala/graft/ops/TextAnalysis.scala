@@ -803,71 +803,37 @@ object TextAnalysis {
 
   private val bm25RebucketMarker = "_bm25_rebucket_intent"
 
+  /** The family-specific tail of a BM25 rebucket's commit, run by
+    * [[graft.connect.GenerationalIndex.applyMigrate]] after the shared
+    * generation work: only the bucket-modulus marker rewrite (plain
+    * overwrite — idempotent). The stats sub rides the SHARED protocol:
+    * it is in the migration's sub list, so its folded batch files are
+    * deleted with the other subs' (leaving them would double-count the
+    * corpus constants against the consolidated file) and its staged
+    * `.compact-tmp` — a small file, not a directory, but rename is the
+    * same primitive — lands as `stats/batch=<gen>` in the rename loop.
+    */
+  private def bm25RebucketFinish(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, param: Option[String]): Unit =
+    param.foreach(nb => graft.connect.Hfs.writeSmall(fs,
+      new org.apache.hadoop.fs.Path(path, bm25BucketsMarker),
+      nb, overwrite = true))
+
   /** Replay a crashed [[rebucketBm25Index]] to completion if its
     * write-ahead intent exists (one existence check otherwise). The
     * commit sequence swaps the bucket modulus together with the
     * re-hashed layout, so a reader that skipped recovery could prune
     * its scans with the OLD modulus over the NEW layout — missing
     * terms silently. Folded into [[recoverBm25Compaction]], which
-    * every entry point already calls. */
+    * every entry point already calls. Protocol:
+    * [[graft.connect.GenerationalIndex.recoverMigrate]].
+    */
   private def recoverBm25Rebucket(s: SparkSession, path: String): Unit = {
     val fs = graft.connect.Hfs.fs(s, path)
-    val m = new org.apache.hadoop.fs.Path(path, bm25RebucketMarker)
-    if (!fs.exists(m)) return
-    val content = graft.connect.Hfs.readSmall(fs, m).trim
-    val parsed = scala.util.Try {
-      val parts = content.split(" ", -1)
-      val live = if (parts(1) == "-") None else Some(parts(1).toLong)
-      val fold = if (parts(2).isEmpty) Seq.empty[Long]
-        else parts(2).split(",").map(_.toLong).toSeq
-      (parts(0).toLong, live, fold, parts(3).toInt)
+    graft.connect.GenerationalIndex.recoverMigrate(fs, path,
+      bm25Subs, bm25RebucketMarker, "bm25-rebucket") {
+      (_, param) => bm25RebucketFinish(fs, path, param)
     }
-    // unreachable via the atomic rename-committed write — out-of-band
-    // damage must name itself and the safe remedy
-    val (gen, live, fold, nb) = parsed.getOrElse(throw new IllegalStateException(
-      s"corrupt bm25-rebucket intent marker $m (content: '$content'). " +
-        "Expected '<gen> <liveId|-> <id,id,...> <buckets>'. Inspect the " +
-        "staged .compact-tmp / .rebucket-live-tmp dirs before deleting " +
-        "the marker to fall back to the pre-rebucket state."))
-    applyBm25Rebucket(fs, path, gen, live, fold, nb)
-  }
-
-  /** The post-intent half of a BM25 rebucket — idempotent, so a
-    * crashed run replays to the identical end state: folded sources
-    * deleted, the consolidated re-hashed generation renamed into
-    * place, the live generation swapped in place under its own batch
-    * id (the replay unit survives), the bucket-modulus marker
-    * rewritten LAST-but-one (a plain overwrite — idempotent), intent
-    * dropped last. Each rename is guarded by its staged dir's
-    * existence, so a replay skips what a prior attempt already moved.
-    */
-  private def applyBm25Rebucket(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, gen: Long, live: Option[Long], fold: Seq[Long],
-      newBuckets: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    import graft.connect.{Hfs, GenerationalIndex => GI}
-    fold.foreach(b => GI.clearGeneration(fs, path, bm25Subs, b))
-    Seq("postings", "dfreq").foreach { sub =>
-      val foldTmp = new Path(path, s"$sub/.compact-tmp")
-      if (fs.exists(foldTmp))
-        Hfs.renameChecked(fs, foldTmp, new Path(path, s"$sub/batch=$gen"),
-          s"bm25-rebucket folded commit for $path/$sub")
-      live.foreach { lid =>
-        val liveTmp = new Path(path, s"$sub/.rebucket-live-tmp")
-        if (fs.exists(liveTmp)) {
-          Hfs.deleteIfExists(fs, new Path(path, s"$sub/batch=$lid"))
-          Hfs.renameChecked(fs, liveTmp, new Path(path, s"$sub/batch=$lid"),
-            s"bm25-rebucket live commit for $path/$sub")
-        }
-      }
-    }
-    val statsTmp = new Path(path, "stats/.compact-tmp")
-    if (Hfs.isFile(fs, statsTmp))
-      Hfs.renameChecked(fs, statsTmp, new Path(path, s"stats/batch=$gen"),
-        s"bm25-rebucket stats commit for $path")
-    Hfs.writeSmall(fs, new Path(path, bm25BucketsMarker),
-      newBuckets.toString, overwrite = true)
-    Hfs.deleteIfExists(fs, new Path(path, bm25RebucketMarker))
   }
 
   /** Migrate a BM25 index to a different bucket modulus — the
@@ -911,13 +877,17 @@ object TextAnalysis {
       s"$path is not a BM25 index (no $bm25BucketsMarker marker) — " +
         "build one with saveBm25Index or maintainBm25Index")
     recoverBm25Compaction(s, path)
+    // already at the target modulus: a scheduled rebucket pipeline must
+    // be a cheap no-op after the migration (the compact_* foldPlan-None
+    // convention), not an unbounded full-index rewrite every run
+    if (Hfs.readSmall(fs, new Path(path, bm25BucketsMarker)).trim.toInt
+        == newBuckets) return 0
     val gens = GI.generations(fs, path, "postings")
     require(gens.nonEmpty,
       s"rebucketBm25Index: $path holds no corpus batches — set the " +
         "bucket count at creation instead of migrating an empty index")
-    val live = gens.filter(_ >= 0).sorted.lastOption
-    val fold = gens.filterNot(live.contains)
-    val gen = math.min(fold.minOption.getOrElse(0L), 0L) - 1L
+    val plan = GI.migratePlan(gens)
+    val (live, fold) = (plan.live, plan.fold)
     // clear stale staging from any prior abandoned attempt
     Seq("postings/.compact-tmp", "postings/.rebucket-live-tmp",
       "dfreq/.compact-tmp", "dfreq/.rebucket-live-tmp", "stats/.compact-tmp")
@@ -968,9 +938,12 @@ object TextAnalysis {
           .parquet(s"$path/dfreq/.rebucket-live-tmp")
     }
     // COMMIT POINT: everything after the intent is replayable
-    GI.writeMarkerAtomic(fs, path, bm25RebucketMarker,
-      s"$gen ${live.getOrElse("-")} ${fold.mkString(",")} $newBuckets")
-    applyBm25Rebucket(fs, path, gen, live, fold, newBuckets)
+    GI.writeMigrateIntent(fs, path, bm25RebucketMarker, plan,
+      Some(newBuckets.toString))
+    GI.applyMigrate(fs, path, bm25Subs, bm25RebucketMarker, plan,
+      "bm25-rebucket") {
+      bm25RebucketFinish(fs, path, Some(newBuckets.toString))
+    }
     fold.size + live.size
   }
 

@@ -134,8 +134,12 @@ object SemAdmitSweep {
       """"sec":([0-9.]+)""".r.findFirstMatchIn(l).get.group(1).toDouble
     }
     if (rebucketAfter > 0 && rebucketTo > 0 && ticks > rebucketAfter + 5) {
-      val preLate = secs.slice(rebucketAfter - 5, rebucketAfter).sum / 5
-      val post = secs.takeRight(5).sum / 5
+      // divide by the ACTUAL window sizes — a short pre-rebucket run
+      // clips the slice and a hard-coded 5 would understate the mean
+      val preW = secs.slice(math.max(rebucketAfter - 5, 0), rebucketAfter)
+      val postW = secs.takeRight(5)
+      val preLate = preW.sum / preW.size
+      val post = postW.sum / postW.size
       println(f"""{"pre_rebucket_late_mean":$preLate%.3f,"post_rebucket_mean":$post%.3f,"recovery":${preLate / post}%.3f,"k_before":$k,"k_after":$rebucketTo}""")
     } else if (ticks >= 10) {
       val early = secs.slice(2, 7).sum / 5

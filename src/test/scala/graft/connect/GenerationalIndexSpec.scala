@@ -66,6 +66,40 @@ class GenerationalIndexSpec extends SparkSpec {
     assert(!fs.exists(new Path(base, "_intent2")))
   }
 
+  test("migration intent round-trip: dash-padded fields, live swap in place, finish runs, replay idempotent") {
+    val base = tmpDir("graft-gi-migrate").toString
+    val fs = Hfs.fs(spark, base)
+    // layout: folded gens 0,1 + live gen 2, one sub; staged fold tmp
+    // and live tmp both present (the post-intent crash state)
+    Seq("a/batch=0", "a/batch=1", "a/batch=2", "a/.compact-tmp",
+      "a/.rebucket-live-tmp").foreach(d => fs.mkdirs(new Path(base, d)))
+    val plan = migratePlan(Seq(0L, 1L, 2L))
+    assert(plan == MigratePlan(-1L, Some(2L), Seq(0L, 1L)))
+    writeMigrateIntent(fs, base, "_mig", plan, Some("16"))
+    var finished = Vector.empty[Option[String]]
+    recoverMigrate(fs, base, Seq("a"), "_mig", "spec") { (p, param) =>
+      assert(p == plan); finished :+= param
+    }
+    assert(finished == Vector(Some("16")))
+    val entries = fs.listStatus(new Path(base, "a")).map(_.getPath.getName).sorted
+    assert(entries.toSeq == Seq("batch=-1", "batch=2"),
+      s"migration left $entries")
+    assert(!fs.exists(new Path(base, "_mig")))
+    // replay of the completed migration is a no-op (marker gone)
+    recoverMigrate(fs, base, Seq("a"), "_mig", "spec") { (_, _) =>
+      finished :+= None
+    }
+    assert(finished.size == 1)
+    // empty fold + no live + no param: every field dash-pads and
+    // round-trips (the single-generation and all-negative edges)
+    writeMigrateIntent(fs, base, "_mig2", MigratePlan(-2L, None, Seq.empty), None)
+    var got: Option[(MigratePlan, Option[String])] = None
+    recoverMigrate(fs, base, Seq("a"), "_mig2", "spec") { (p, param) =>
+      got = Some((p, param))
+    }
+    assert(got.contains((MigratePlan(-2L, None, Seq.empty), None)))
+  }
+
   test("a corrupt intent marker fails with the marker path and remedy, not a bare NumberFormatException") {
     val base = tmpDir("graft-gi-corrupt").toString
     val fs = Hfs.fs(spark, base)

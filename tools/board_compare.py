@@ -85,7 +85,10 @@ def main():
 
     def seg_loaded(t):
         over = any(med[m] > 0 and t[m] > med[m] * tau for m in metrics)
-        return over or t.get("steal_pct", 0.0) > 0.05
+        # a negative sentinel marks a FAILED probe (Bench convention):
+        # the segment is untrustworthy, never extra-quiet
+        broken = any(t[m] < 0 for m in metrics)
+        return over or broken or t.get("steal_pct", 0.0) > 0.05
 
     def loaded(i):
         pts = [track[max(min(i, len(track) - 1), 0)], track[min(i + 1, len(track) - 1)]]
