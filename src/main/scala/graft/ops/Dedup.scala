@@ -39,17 +39,20 @@ object Dedup {
 
   private val nSeeds = 6 // 3 bands × 2 rows per band
 
-  /** Distinct 3-gram shingles from a words-array column, built with
-    * zip_with over the array and its 1- and 2-shifted slices. Shape
-    * matters: higher-order lambdas evaluate interpreted
-    * (CodegenFallback) and re-run CAPTURED outer expressions once per
-    * element — a sequence+element_at(ws, i) formulation re-tokenizes
-    * the document per shingle once the optimizer inlines `ws` (which
-    * CollapseProject does for any alias referenced once, e.g. under
-    * explode). zip_with lambdas only touch bound element arguments, so
-    * the array inputs are evaluated once per ROW no matter how the
-    * plan is rewritten. Trailing entries where the shifted slices run
-    * out concat to null and are filtered.
+  /** HOF reference formulation of the distinct 3-gram shingles,
+    * superseded in the query path by the native codegen `Shingles3`
+    * expression — kept (private to the repo) as the independently
+    * derived formulation the differential spec pins the native one
+    * against. Built with zip_with over the array and its 1- and
+    * 2-shifted slices. Shape matters: higher-order lambdas evaluate
+    * interpreted (CodegenFallback) and re-run CAPTURED outer
+    * expressions once per element — a sequence+element_at(ws, i)
+    * formulation re-tokenizes the document per shingle once the
+    * optimizer inlines `ws` (which CollapseProject does for any alias
+    * referenced once, e.g. under explode). zip_with lambdas only touch
+    * bound element arguments, so the array inputs are evaluated once
+    * per ROW no matter how the plan is rewritten. Trailing entries
+    * where the shifted slices run out concat to null and are filtered.
     */
   private[graft] def shinglesFromWords(ws: Column): Column = {
     val b = slice(ws, lit(2), greatest(size(ws) - 1, lit(0)))
@@ -59,13 +62,30 @@ object Dedup {
     array_distinct(filter(t2, x => x.isNotNull))
   }
 
-  /** Appends a distinct-3-gram-shingles column (two-projection shape:
-    * tokenize once, then shingle from the bound array). Expects `text`.
+  /** Distinct 3-gram shingles via the native codegen
+    * [[graft.functions.Shingles3]] expression: one fused loop per row
+    * instead of the two interpreted zip_with passes + filter +
+    * array_distinct of [[shinglesFromWords]] (HOFs are CodegenFallback
+    * and broke whole-stage codegen at the first operator of every
+    * shingle scan). Built directly via the ColumnBridge — no session
+    * registration dependency (the quantize1e4 convention). Element
+    * order and null/short-input semantics match the HOF shape exactly
+    * (MinHashNativeSpec pins the parity).
+    */
+  private[graft] def shingles3(ws: Column): Column =
+    org.apache.spark.sql.graftaccess.ColumnBridge.column(
+      graft.functions.Shingles3(
+        org.apache.spark.sql.graftaccess.ColumnBridge.expression(ws)))
+
+  /** Appends a distinct-3-gram-shingles column (native fused
+    * tokenize+shingle+distinct — [[shingles3]]). Expects `text`.
     */
   private[graft] def withShingles(df: DataFrame, out: String): DataFrame =
-    df.withColumn("__ws", split(col("text"), " "))
-      .withColumn(out, shinglesFromWords(col("__ws")))
-      .drop("__ws")
+    if (sys.env.contains("SPARK_GRAFT_BANDS_REF")) // same-window A/B only
+      df.withColumn("__ws", split(col("text"), " "))
+        .withColumn(out, shinglesFromWords(col("__ws")))
+        .drop("__ws")
+    else df.withColumn(out, shingles3(split(col("text"), " ")))
 
   /** Number of seeded md5 digests the 6 minhash values are carved from:
     * each 32-hex digest yields four 8-hex (32-bit) chunks (the standard
@@ -97,9 +117,48 @@ object Dedup {
     */
   def bandsForDocs(docs: DataFrame): DataFrame = {
     // any column besides text rides along (doc_id, plus e.g. a length
-    // column for the length-routed dispatcher) — all still map-side
+    // column for the length-routed dispatcher) — all still map-side.
+    // The signature minima come from the native fused
+    // [[graft.functions.MinHash6]] expression (one loop over the raw
+    // word bytes per row — no shingle array, no hex strings, no
+    // interpreted HOF passes); __mh(i) ≡ the old
+    // array_min(transform(__m_d, substr(off, 8))) column h_i, so the
+    // band keys below are byte-identical (MinHashNativeSpec pins the
+    // parity against the retained HOF reference
+    // [[bandsForDocsReference]], and every band-based gate row
+    // cross-checks end to end against the DuckDB oracle).
+    // A/B escape hatch for same-window measurement only (QueryBench
+    // with SPARK_GRAFT_BANDS_REF=1 times the HOF reference shape);
+    // unset in every driver/bench run, so the shipped path is native
+    if (sys.env.contains("SPARK_GRAFT_BANDS_REF")) return bandsForDocsReference(docs)
     val keep = docs.columns.filterNot(_ == "text").toSeq.map(col)
-    var withM = withShingles(docs, "shingles")
+    val withMh = docs.withColumn("__mh",
+      org.apache.spark.sql.graftaccess.ColumnBridge.column(
+        graft.functions.MinHash6(
+          org.apache.spark.sql.graftaccess.ColumnBridge.expression(
+            split(col("text"), " ")))))
+    val bandStructs = (1 to nSeeds / 2).map { b =>
+      struct(lit(b).as("band"),
+        concat(element_at(col("__mh"), 2 * b - 1),
+          element_at(col("__mh"), 2 * b)).as("key"))
+    }
+    withMh
+      .select(keep :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(keep ++ Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
+  }
+
+  /** HOF reference formulation of [[bandsForDocs]] — the shape shipped
+    * through r17 (shingle array + per-digest md5 transform + six
+    * array_min(substr) folds), kept private as the independently
+    * derived twin MinHashNativeSpec pins the native expression against.
+    */
+  private[graft] def bandsForDocsReference(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.filterNot(_ == "text").toSeq.map(col)
+    // HOF shingles (shinglesFromWords), NOT the native path — the
+    // reference must stay fully independent of the code it checks
+    var withM = docs.withColumn("__ws", split(col("text"), " "))
+      .withColumn("shingles", shinglesFromWords(col("__ws")))
+      .drop("__ws")
     (1 to nDigests).foreach { i =>
       withM = withM.withColumn(s"__m$i",
         transform(col("shingles"), w => md5(concat(lit(s"$i:"), w))))
