@@ -554,6 +554,25 @@ object Similarity {
       .agg(min_by($"cid", struct($"d", $"cid")).as("centroid"))
   }
 
+  /** [[coarseAssign]] that KEEPS the vector payload: (vec_id, xq, n2,
+    * centroid) in one aggregation, for consumers that would otherwise
+    * join the assignment straight back to `base` on vec_id (the
+    * semantic-dedup/admission pair stages). The payload rides the
+    * scored rows into the same map-side partial min — `first(xq)` over
+    * rows that all carry the SAME xq/n2 per vec_id is value-
+    * deterministic — so the join-back exchange (and at scale, a full
+    * batch-sized shuffle per admission tick) disappears from the plan.
+    */
+  private def coarseAssignWith(base: DataFrame, cents: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    base.select($"vec_id", $"xq", $"n2").crossJoin(broadcast(cents))
+      .select($"vec_id", $"xq", $"n2", $"cid", sqd($"xq", $"cq").as("d"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cid", struct($"d", $"cid")).as("centroid"),
+        first($"xq").as("xq"), first($"n2").as("n2"))
+      .select($"vec_id", $"xq", $"n2", $"centroid")
+  }
+
   /** Deterministic k-means codebook: seed = first k vectors, `iters`
     * (assign, per-dimension member mean re-quantized to the grid)
     * rounds. Returns the persisted ≤k-row codebook (cid, cq).
@@ -1661,9 +1680,13 @@ object Similarity {
 
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (base, _, assigned0) = coarseFrontEnd(s, dir, ivfK, ivfIters)
-    val assigned = assigned0.persistScoped() // read 3×: two pair sides + final roster
-    val withVec = assigned.join(base, Seq("vec_id"))
+    val base = embBase(s, Tables.t(s, dir, "embeddings"))
+    val cents = kmeansTrain(base, ivfK, ivfIters)
+    // one aggregation carries the vector payload with the assignment —
+    // no join-back of assignment to base (coarseAssignWith)
+    val withVec0 = coarseAssignWith(base, cents)
+    val withVec = withVec0.persistScoped() // read 3×: two pair sides + final roster
+    val assigned = withVec.select($"vec_id", $"centroid")
     val pairs = withVec.as("a").join(withVec.as("b"),
         col("a.centroid") === col("b.centroid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
@@ -2057,7 +2080,7 @@ object Similarity {
       Seq("vecs"), batchId)
     val cents = s.read.parquet(s"$path/centroids")
     val base = embBase(s, batch)
-    val rows = base.join(coarseAssign(base, cents), Seq("vec_id"))
+    val rows = coarseAssignWith(base, cents)
       .persistScoped() // both pair sides + the survivor roster
     // in-batch phase: semanticDedup's pair rule, frozen codebook
     val inDrop = rows.as("a").join(rows.as("b"),
@@ -2264,7 +2287,7 @@ object Similarity {
     val cents = kmeansTrainSeeded(base, seed, iters)
     require(cents.count() >= 1,
       "rebucketSemanticDedupIndex: trained codebook is empty")
-    val assigned = base.join(coarseAssign(base, cents), Seq("vec_id"))
+    val assigned = coarseAssignWith(base, cents)
       .localCheckpoint() // pin: the writes below mutate what it reads
     val liveIds = live.map { lid =>
       roster.filter($"batch" === lid).select($"vec_id")
@@ -2343,8 +2366,12 @@ object Similarity {
       java.nio.file.Files.createTempDirectory("graft-sem-admit").toString)
     createSemanticDedupIndex(s, path, emb, (semanticTau * 1000).toLong)
     (0 to 2).foreach { r =>
+      // the admission is applied EAGERLY inside admitSemanticDedup (the
+      // survivor roster is localCheckpoint-ed and written before it
+      // returns); the returned batch-filtered frame is presentation for
+      // streaming callers, and counting it here only re-ran the
+      // batch ⋈ roster semi-join — one wasted job per admit (3/row)
       admitSemanticDedup(emb.filter($"vec_id" % 3 === r), path, r.toLong)
-        .count() // materialize the admission (the return frame is lazy)
     }
     s.read.option("basePath", s"$path/vecs").parquet(s"$path/vecs")
       .select($"vec_id", $"batch".cast("long").as("batch"),
