@@ -2661,7 +2661,30 @@ object TextAnalysis {
     * neighborhood, downstream chunks keep their signatures) is
     * unit-testable, not just asserted in prose.
     */
-  private[ops] def cdcChunkSigs(docs: DataFrame): DataFrame = {
+  private[graft] def cdcChunkSigs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // the chunker is per-document with zero cross-row dependencies, so
+    // it runs as ONE fused codegen expression + explode
+    // ([[graft.functions.CdcChunks]]) — the window/aggregation shape it
+    // replaces paid a doc_id exchange + sort of every token plus a
+    // second (doc_id, chunk_id) exchange for the interpreted
+    // collect_list projection; the reference formulation is retained
+    // below and CdcChunksSpec pins row-set equality
+    docs
+      .select($"doc_id", explode(
+        org.apache.spark.sql.graftaccess.ColumnBridge.column(
+          graft.functions.CdcChunks(
+            org.apache.spark.sql.graftaccess.ColumnBridge.expression(
+              split($"text", " "))))).as("ch"))
+      .select($"doc_id", $"ch.chunk_id".as("chunk_id"),
+        $"ch.sig".as("sig"), $"ch.n_tokens".as("n_tokens"))
+  }
+
+  /** Window/aggregation reference formulation of [[cdcChunkSigs]] (the
+    * shape shipped through r17) — retained for the differential spec.
+    */
+  private[graft] def cdcChunkSigsReference(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
