@@ -1680,13 +1680,16 @@ object Similarity {
 
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = embBase(s, Tables.t(s, dir, "embeddings"))
-    val cents = kmeansTrain(base, ivfK, ivfIters)
-    // one aggregation carries the vector payload with the assignment —
-    // no join-back of assignment to base (coarseAssignWith)
-    val withVec0 = coarseAssignWith(base, cents)
-    val withVec = withVec0.persistScoped() // read 3×: two pair sides + final roster
-    val assigned = withVec.select($"vec_id", $"centroid")
+    // join-back formulation, deliberately: the narrow assignment
+    // broadcasts and the payload attaches MAP-SIDE from the cached
+    // base, so xq never crosses an exchange — carrying the payload
+    // through the assignment aggregation (coarseAssignWith) pushed it
+    // through the agg shuffle instead and measured ~9% slower
+    // same-window (OPTIMIZATION_r18.md §2). The admission path keeps
+    // coarseAssignWith because its composite A/B measured faster.
+    val (base, _, assigned0) = coarseFrontEnd(s, dir, ivfK, ivfIters)
+    val assigned = assigned0.persistScoped() // read 3×: two pair sides + final roster
+    val withVec = assigned.join(base, Seq("vec_id"))
     val pairs = withVec.as("a").join(withVec.as("b"),
         col("a.centroid") === col("b.centroid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
