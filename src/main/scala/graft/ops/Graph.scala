@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.CatalogEntry
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.CacheScope.Scoped
 
@@ -147,7 +147,7 @@ object Graph {
       .groupBy($"id").agg(count(lit(1)).as("degree"))
   }
 
-  private def cappedTrianglesWithDeg(
+  private[ops] def cappedTrianglesWithDeg(
       e: DataFrame, deg: DataFrame, maxDegree: Long): DataFrame = {
     import e.sparkSession.implicits._
     val hubs = deg.filter($"degree" > maxDegree).select($"id").persistScoped()
@@ -159,6 +159,84 @@ object Graph {
       .withColumn("excluded_hub", lit(false))
       .unionByName(hubs.select($"id".as("doc_id"),
         lit(-1L).as("n_triangles"), lit(true).as("excluded_hub")))
+  }
+
+  /** ONE-pass multi-cap core behind the two capped gate rows (r18
+    * optimization): the per-cap composition above runs a full wedge
+    * enumeration PER CAP over the same persisted edge table, but the
+    * cap hierarchy makes that redundant — hubs(c2) ⊆ hubs(c1) for
+    * c1 < c2, so capped(c1) ⊆ capped(c2), and a triangle survives cap
+    * c exactly when all three nodes keep degree ≤ c in the ORIGINAL
+    * graph. So: tag each edge with the smallest cap it survives
+    * (`ecap` = max over both endpoints of the node's smallest
+    * surviving cap), wedge-close ONCE over the largest cap's edge set
+    * carrying `greatest` of the member edges' ecaps, and read every
+    * cap's triangle counts (and capped degrees) out of ONE aggregation
+    * with per-cap conditional sums. Per-cap semantics are unchanged —
+    * [[GraphSpec]] pins this path against the per-cap reference
+    * composition on synthetic graphs, and the gate rows stay
+    * oracle-exact. Only nodes with degree > caps.min enter the
+    * broadcast (everything else defaults to the smallest cap), the
+    * same size class the per-cap composition already broadcast as its
+    * cap-1 hub list.
+    *
+    * Returns (triCounts, degCounts): per doc_id, `nt_<c>` = triangles
+    * the doc is a member of at cap c, `dg_<c>` = the doc's degree in
+    * the cap-c edge set. Docs appear iff they touch ≥1 edge (degCounts)
+    * / ≥1 triangle (triCounts) at SOME cap ≤ caps.max — per-cap
+    * consumers filter `nt_<c> >= 1` / `dg_<c> >= 2` to recover exactly
+    * the per-cap row sets.
+    */
+  private[ops] def multiCapTriangleTables(
+      e: DataFrame, deg: DataFrame, caps: Seq[Long]): (DataFrame, DataFrame) = {
+    import e.sparkSession.implicits._
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,
+      s"multiCapTriangleTables: caps must be ascending and distinct, got $caps")
+    val cmin = caps.head
+    val cmax = caps.last
+    // smallest cap this node survives; caps.max+1 = survives none
+    val ncap = caps.foldRight(lit(cmax + 1L): Column) {
+      (c, rest) => when($"degree" <= c, lit(c)).otherwise(rest)
+    }
+    val constrained = deg.filter($"degree" > cmin)
+      .select($"id", ncap.as("ncap")).persistScoped()
+    val em = e
+      .join(broadcast(constrained.select($"id".as("src"), $"ncap".as("scap"))),
+        Seq("src"), "left")
+      .join(broadcast(constrained.select($"id".as("dst"), $"ncap".as("dcap"))),
+        Seq("dst"), "left")
+      .select($"src", $"dst",
+        greatest(coalesce($"scap", lit(cmin)), coalesce($"dcap", lit(cmin)))
+          .as("ecap"))
+      .filter($"ecap" <= cmax)
+      .persistScoped()
+    // the one wedge-close enumeration, tagging each triangle with the
+    // smallest cap ALL THREE of its edges survive
+    val tri = em.as("e1")
+      .join(em.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"),
+        greatest(col("e1.ecap"), col("e2.ecap")).as("wcap"))
+      .join(em.as("e3"), col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .select($"a", $"b", $"c", greatest($"wcap", col("e3.ecap")).as("tcap"))
+    def perCapSums(rows: DataFrame, capCol: String, prefix: String): DataFrame = {
+      val sums = caps.map(c =>
+        sum(when(col(capCol) <= c, 1L).otherwise(0L)).as(s"${prefix}_$c"))
+      rows.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+    }
+    // NOT persisted: the gate rows consume each table once per cap
+    // branch of one union, and those branches' agg subtrees are
+    // canonically identical — Spark's ReuseExchange collapses them to
+    // ONE wedge/agg execution inside the single action, without the
+    // materialization barrier a persist would add (A/B'd both ways;
+    // the plan pin below asserts the reuse, not hope)
+    val triCounts = perCapSums(
+      tri.select(explode(array($"a", $"b", $"c")).as("doc_id"), $"tcap"),
+      "tcap", "nt")
+    val degCounts = perCapSums(
+      em.select(explode(array($"src", $"dst")).as("doc_id"), $"ecap"),
+      "ecap", "dg")
+    (triCounts, degCounts)
   }
 
   /** Gate shape: at sf0.01 the LSH graph's max degree is 2 (one
@@ -174,12 +252,31 @@ object Graph {
     // the candidate graph AND its degree table are cap-independent —
     // build (and persist) both ONCE and run both caps against them, or
     // the band/shingle pipeline would execute twice (measured ~2× the
-    // row's cost at sf0.1)
+    // row's cost at sf0.1); the wedge enumeration itself runs once for
+    // BOTH caps ([[multiCapTriangleTables]])
     val (_, pairs) = Dedup.lshPairGraph(s, dir)
     val e = pairs.persistScoped()
     val deg = degreesOf(e).persistScoped()
-    Seq(1L, 2L)
-      .map(cap => cappedTrianglesWithDeg(e, deg, cap).withColumn("max_degree", lit(cap)))
+    val caps = Seq(1L, 2L)
+    // A/B escape hatch for same-window measurement only (QueryBench
+    // with SPARK_GRAFT_MULTICAP_REF=1 times the per-cap reference
+    // composition); unset in every driver/bench run
+    if (sys.env.contains("SPARK_GRAFT_MULTICAP_REF"))
+      return caps
+        .map(cap => cappedTrianglesWithDeg(e, deg, cap).withColumn("max_degree", lit(cap)))
+        .reduce(_ unionByName _)
+        .select($"max_degree", $"doc_id", $"n_triangles", $"excluded_hub")
+        .orderBy($"max_degree", $"doc_id")
+    val (triCounts, _) = multiCapTriangleTables(e, deg, caps)
+    caps
+      .map { cap =>
+        triCounts.filter(col(s"nt_$cap") >= 1L)
+          .select($"doc_id", col(s"nt_$cap").as("n_triangles"),
+            lit(false).as("excluded_hub"))
+          .unionByName(deg.filter($"degree" > cap).select($"id".as("doc_id"),
+            lit(-1L).as("n_triangles"), lit(true).as("excluded_hub")))
+          .withColumn("max_degree", lit(cap))
+      }
       .reduce(_ unionByName _)
       .select($"max_degree", $"doc_id", $"n_triangles", $"excluded_hub")
       .orderBy($"max_degree", $"doc_id")
@@ -472,8 +569,31 @@ object Graph {
     val (_, pairs) = Dedup.lshPairGraph(s, dir)
     val e = pairs.persistScoped()
     val deg = degreesOf(e).persistScoped()
-    Seq(1L, 2L)
-      .map(cap => cappedClusteringWithDeg(e, deg, cap).withColumn("max_degree", lit(cap)))
+    val caps = Seq(1L, 2L)
+    if (sys.env.contains("SPARK_GRAFT_MULTICAP_REF")) // same-window A/B only
+      return caps
+        .map(cap => cappedClusteringWithDeg(e, deg, cap).withColumn("max_degree", lit(cap)))
+        .reduce(_ unionByName _)
+        .select($"max_degree", $"doc_id", $"degree", $"n_triangles",
+          $"clustering_permille", $"excluded_hub")
+        .orderBy($"max_degree", $"doc_id")
+    val (triCounts, degCounts) = multiCapTriangleTables(e, deg, caps)
+    caps
+      .map { cap =>
+        degCounts.filter(col(s"dg_$cap") >= 2L)
+          .select($"doc_id", col(s"dg_$cap").as("degree"))
+          .join(triCounts.select($"doc_id", col(s"nt_$cap").as("n_triangles")),
+            Seq("doc_id"), "left")
+          .select($"doc_id", $"degree",
+            coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+            expr("2000 * coalesce(n_triangles, 0) div (degree * (degree - 1))")
+              .as("clustering_permille"),
+            lit(false).as("excluded_hub"))
+          .unionByName(deg.filter($"degree" > cap).select($"id".as("doc_id"),
+            lit(-1L).as("degree"), lit(-1L).as("n_triangles"),
+            lit(-1L).as("clustering_permille"), lit(true).as("excluded_hub")))
+          .withColumn("max_degree", lit(cap))
+      }
       .reduce(_ unionByName _)
       .select($"max_degree", $"doc_id", $"degree", $"n_triangles",
         $"clustering_permille", $"excluded_hub")

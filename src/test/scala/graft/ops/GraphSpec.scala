@@ -239,6 +239,93 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  // --- one-pass multi-cap core (r18 optimization) vs the per-cap
+  // reference composition: same counts, same degrees, same row sets ---
+
+  private def degreesFor(e: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    e.select($"src".as("id")).union(e.select($"dst".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("degree"))
+  }
+
+  /** Per-cap triangle membership and capped degrees via the REFERENCE
+    * per-cap composition (the shapes the gate rows used pre-r18). */
+  private def referencePerCap(e: org.apache.spark.sql.DataFrame, cap: Long) = {
+    val deg = degreesFor(e)
+    val tri = Graph.cappedTrianglesWithDeg(e, deg, cap).collect()
+      .filterNot(_.getBoolean(2)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clu = Graph.cappedClusteringWithDeg(e, deg, cap).collect()
+      .filterNot(_.getBoolean(4))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (tri, clu)
+  }
+
+  /** The same two views read out of the one-pass multi-cap tables. */
+  private def multiCapPerCap(e: org.apache.spark.sql.DataFrame, caps: Seq[Long]) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val deg = degreesFor(e)
+    val (triCounts, degCounts) = Graph.multiCapTriangleTables(e, deg, caps)
+    val triRows = triCounts.collect()
+    val degRows = degCounts.collect()
+    caps.zipWithIndex.map { case (c, i) =>
+      val tri = triRows.filter(_.getLong(1 + i) >= 1L)
+        .map(r => r.getLong(0) -> r.getLong(1 + i)).toMap
+      val triAll = triRows.map(r => r.getLong(0) -> r.getLong(1 + i)).toMap
+      val clu = degRows.filter(_.getLong(1 + i) >= 2L).map { r =>
+        val d = r.getLong(1 + i)
+        val nt = triAll.getOrElse(r.getLong(0), 0L)
+        r.getLong(0) -> ((d, nt, 2000L * nt / (d * (d - 1L))))
+      }.toMap
+      c -> ((tri, clu))
+    }.toMap
+  }
+
+  private def assertCapsAgree(e: org.apache.spark.sql.DataFrame,
+      caps: Seq[Long], what: String): Unit = {
+    val multi = multiCapPerCap(e, caps)
+    caps.foreach { c =>
+      val (refTri, refClu) = referencePerCap(e, c)
+      val (mTri, mClu) = multi(c)
+      assert(mTri == refTri, s"$what cap=$c triangle counts diverge: " +
+        s"multi=$mTri ref=$refTri")
+      assert(mClu == refClu, s"$what cap=$c clustering rows diverge: " +
+        s"multi=$mClu ref=$refClu")
+    }
+  }
+
+  test("multi-cap one-pass tables match the per-cap reference on the clique+star") {
+    assertCapsAgree(fixture, Seq(1L, 2L), "clique+star")
+    // a cap where the clique survives and one where everything does
+    assertCapsAgree(fixture, Seq(3L, 100L), "clique+star high caps")
+  }
+
+  test("multi-cap: wedge-through-hub edges drop exactly as the reference drops them") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val leaves = (11L to 15L).map(l => (2L, l))
+    assertCapsAgree((tri ++ leaves).toDF("src", "dst"), Seq(2L, 5L), "hub wedge")
+  }
+
+  test("multi-cap matches the reference across random graphs and cap pairs") {
+    val rnd = new scala.util.Random(181L)
+    (1 to 4).foreach { trial =>
+      val n = 12 + rnd.nextInt(8)
+      val edges = (for {
+        a <- 1L to n.toLong; b <- 1L to n.toLong
+        if a < b && rnd.nextDouble() < 0.25
+      } yield (a, b)).toDF("src", "dst")
+      assertCapsAgree(edges, Seq(1L, 2L), s"random trial $trial caps 1,2")
+      assertCapsAgree(edges, Seq(2L, 4L, 7L), s"random trial $trial caps 2,4,7")
+    }
+  }
+
+  test("multi-cap edge tagging broadcasts the constrained nodes — no extra edge shuffle") {
+    val deg = degreesFor(fixture)
+    val (triCounts, _) = Graph.multiCapTriangleTables(fixture, deg, Seq(1L, 2L))
+    val plan = triCounts.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for the per-node cap tags:\n$plan")
+  }
+
   test("kcore: pendant chain cascades off round by round, core survives") {
     // triangle {1,2,3} with a 3-deep pendant chain 3-10-11-12: node 12
     // peels in round 1 (deg 1), which drops 11 to deg 1 (round 2), then
