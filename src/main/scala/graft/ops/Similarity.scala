@@ -539,6 +539,32 @@ object Similarity {
   // custom codegen expression: fused integer loop (see SqDist64)
   private def sqd(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
 
+  /** The pqM×pqSub subvector slices of a quantized vector via the
+    * native codegen [[graft.functions.SubvecSlicesExpr]] — one fused
+    * loop instead of the interpreted `transform(sequence, slice)` HOF
+    * chain (CodegenFallback broke whole-stage codegen at the head of
+    * every PQ encode scan — the Quantize1e4/MinHash6 failure mode).
+    * SubvecSlicesSpec pins parity with the HOF reference; call sites
+    * keep the reference reachable under the SPARK_GRAFT_SUBV_REF
+    * same-window A/B hatch.
+    */
+  private def subvSlices(xq: Column): Column =
+    org.apache.spark.sql.graftaccess.ColumnBridge.column(
+      graft.functions.SubvecSlicesExpr(
+        org.apache.spark.sql.graftaccess.ColumnBridge.expression(xq), pqM, pqSub))
+
+  /** Residual (xq − ccq) subvector slices in ONE fused loop — the
+    * intermediate difference array of the zip_with+transform reference
+    * is never materialized. Same parity/hatch contract as
+    * [[subvSlices]].
+    */
+  private def residualSubvSlices(xq: Column, ccq: Column): Column =
+    org.apache.spark.sql.graftaccess.ColumnBridge.column(
+      graft.functions.ResidualSubvecSlicesExpr(
+        org.apache.spark.sql.graftaccess.ColumnBridge.expression(xq),
+        org.apache.spark.sql.graftaccess.ColumnBridge.expression(ccq),
+        pqM, pqSub))
+
   /** Nearest centroid per vector (exact integer L2, ties by cid):
     * min_by over the (d, cid) pair ≡ a row_number window's ORDER BY
     * d, cid LIMIT 1, but as a HASH aggregate with map-side partial
@@ -751,10 +777,13 @@ object Similarity {
       .select($"vec_id", signBucket($"embedding", bits).as("bucket"),
         quantize1e4($"embedding").as("xq"))
       .persistScoped()
-    // subvector slices, map-side: (vec_id, sub, sxq[pqSub])
-    val subv = e.select($"vec_id", posexplode(expr(
-      s"transform(sequence(0, ${pqM - 1}), s -> slice(xq, s * $pqSub + 1, $pqSub))"))
-      .as(Seq("sub", "sxq")))
+    // subvector slices, map-side: (vec_id, sub, sxq[pqSub]) — native
+    // fused slicing; HOF reference under the A/B hatch
+    val slicesCol =
+      if (sys.env.contains("SPARK_GRAFT_SUBV_REF")) expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> slice(xq, s * $pqSub + 1, $pqSub))")
+      else subvSlices($"xq")
+    val subv = e.select($"vec_id", posexplode(slicesCol).as(Seq("sub", "sxq")))
       .persistScoped()
     // seed codebook: first pqK vectors' subvectors
     val c0 = subv.filter($"vec_id" < pqK)
@@ -1017,12 +1046,16 @@ object Similarity {
       assigned: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val centCols = cents.select($"cid".as("centroid"), $"cq".as("ccq"))
-    assigned.join(e.select($"vec_id", $"xq"), Seq("vec_id"))
+    val joined = assigned.join(e.select($"vec_id", $"xq"), Seq("vec_id"))
       .join(broadcast(centCols), Seq("centroid"))
-      .select($"vec_id", zip_with($"xq", $"ccq", (x, c) => x - c).as("rq"))
-      .select($"vec_id", posexplode(expr(
-        s"transform(sequence(0, ${pqM - 1}), s -> slice(rq, s * $pqSub + 1, $pqSub))"))
-        .as(Seq("sub", "sxq")))
+    if (sys.env.contains("SPARK_GRAFT_SUBV_REF")) // same-window A/B only
+      joined
+        .select($"vec_id", zip_with($"xq", $"ccq", (x, c) => x - c).as("rq"))
+        .select($"vec_id", posexplode(expr(
+          s"transform(sequence(0, ${pqM - 1}), s -> slice(rq, s * $pqSub + 1, $pqSub))"))
+          .as(Seq("sub", "sxq")))
+    else joined.select($"vec_id",
+      posexplode(residualSubvSlices($"xq", $"ccq")).as(Seq("sub", "sxq")))
   }
 
   /** PQ encoding: per-(vector, subspace) argmin code against a
@@ -1087,10 +1120,16 @@ object Similarity {
     val qres = broadcast(probes)
       .join(queries.select($"qid", $"xq"), Seq("qid"))
       .join(broadcast(centCols), Seq("centroid"))
-      .select($"qid", $"centroid", zip_with($"xq", $"ccq", (x, c) => x - c).as("rq"))
-    val qsub = qres.select($"qid", $"centroid", posexplode(expr(
-        s"transform(sequence(0, ${pqM - 1}), s -> slice(rq, s * $pqSub + 1, $pqSub))"))
-        .as(Seq("sub", "sq")))
+    val qsub =
+      if (sys.env.contains("SPARK_GRAFT_SUBV_REF")) // same-window A/B only
+        qres
+          .select($"qid", $"centroid",
+            zip_with($"xq", $"ccq", (x, c) => x - c).as("rq"))
+          .select($"qid", $"centroid", posexplode(expr(
+            s"transform(sequence(0, ${pqM - 1}), s -> slice(rq, s * $pqSub + 1, $pqSub))"))
+            .as(Seq("sub", "sq")))
+      else qres.select($"qid", $"centroid",
+        posexplode(residualSubvSlices($"xq", $"ccq")).as(Seq("sub", "sq")))
     val qd = qsub.join(broadcast(c1), Seq("sub"))
       .select($"qid", $"centroid", $"sub", $"cid".as("code"), sqd($"sq", $"cq").as("d"))
     // IVF candidates carry their list id so ADC joins the MATCHING

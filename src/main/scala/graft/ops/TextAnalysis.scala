@@ -14,6 +14,40 @@ import graft.CacheScope.Scoped
   */
 object TextAnalysis {
 
+  /** HOF reference formulation of the sliding word bigrams, superseded
+    * in the query paths by the native codegen
+    * [[graft.functions.WordNgramsExpr]] — kept as the independently
+    * derived twin WordNgramsSpec pins the native expression against
+    * (the [[graft.ops.Dedup.shinglesFromWords]] convention). zip_with
+    * pads the shorter slice with null, concat-null yields null, filter
+    * drops it — so windows containing a null word vanish.
+    */
+  private[graft] def wordBigramsRef(ws: Column): Column =
+    filter(zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y)), x => x.isNotNull)
+
+  /** Sliding word n-grams via the native codegen expression — one
+    * fused loop per row instead of the interpreted zip_with/transform
+    * chains (HOFs are CodegenFallback and broke whole-stage codegen at
+    * the head of every gram-exploding corpus scan — the
+    * [[graft.functions.MinHashShingles]] failure mode). Built directly
+    * via the ColumnBridge, no session registration dependency.
+    */
+  private[graft] def wordNgrams(ws: Column, n: Int): Column =
+    org.apache.spark.sql.graftaccess.ColumnBridge.column(
+      graft.functions.WordNgramsExpr(
+        org.apache.spark.sql.graftaccess.ColumnBridge.expression(ws), n))
+
+  /** The bigram front end every bigram row shares ([[bigramStats]],
+    * [[repetition]], [[lmRarity]], the DSIR token stream, the BPE
+    * merge loop): native by default, the HOF reference under the
+    * same-window A/B escape hatch (QueryBench with
+    * SPARK_GRAFT_NGRAMS_REF=1; unset in every driver/bench run).
+    */
+  private[graft] def wordBigrams(ws: Column): Column =
+    if (sys.env.contains("SPARK_GRAFT_NGRAMS_REF")) wordBigramsRef(ws)
+    else wordNgrams(ws, 2)
+
   /** Per-document statistics: lengths, word counts, type-token ratio,
     * average word length (exact int arithmetic → deterministic double).
     */
@@ -173,17 +207,19 @@ object TextAnalysis {
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // normalized text and its words materialized once (multi-referenced
-    // aliases survive CollapseProject); shingles via the capture-safe
-    // zip_with construction (Dedup.shinglesFromWords doc) — min over
-    // the DISTINCT shingle set equals min over all shingles, with
-    // fewer md5 calls
+    // aliases survive CollapseProject); shingles via the native fused
+    // Shingles3 (order/null parity with the zip_with reference pinned
+    // by MinHashNativeSpec) — min over the DISTINCT shingle set equals
+    // min over all shingles, with fewer md5 calls. The per-shingle md5
+    // + array_min stay declarative: this row needs the full 32-hex
+    // minimum (winnowing sketch), not the MinHash6 chunk layout.
     Tables.t(s, dir, "documents")
       .withColumn("__norm", lower(trim($"text")))
       .withColumn("__ws", split($"__norm", " "))
       .select(
         $"doc_id",
         md5($"__norm").as("fp"),
-        array_min(transform(Dedup.shinglesFromWords($"__ws"), sh => md5(sh)))
+        array_min(transform(Dedup.shingles3($"__ws"), sh => md5(sh)))
           .as("min_shingle"),
         (size($"__ws") - 2).cast("long").as("n_shingles"))
       .withColumn("n_same_fp",
@@ -1540,11 +1576,8 @@ object TextAnalysis {
     */
   def bigramStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ws = split($"text", " ")
-    val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-      (x, y) => concat(x, lit(" "), y))
     val bg = Tables.t(s, dir, "documents")
-      .select(explode(filter(bigrams, x => x.isNotNull)).as("bg"))
+      .select(explode(wordBigrams(split($"text", " "))).as("bg"))
       .select(element_at(split($"bg", " "), 1).as("w1"),
         element_at(split($"bg", " "), 2).as("w2"))
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt")).persistScoped()
@@ -1579,11 +1612,8 @@ object TextAnalysis {
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ws = split($"text", " ")
-    val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-      (x, y) => concat(x, lit(" "), y))
     val perBg = Tables.t(s, dir, "documents")
-      .select($"doc_id", explode(filter(bigrams, x => x.isNotNull)).as("bg"))
+      .select($"doc_id", explode(wordBigrams(split($"text", " "))).as("bg"))
       .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
     perBg.groupBy($"doc_id")
       .agg(sum($"c").as("n_bigrams"), max($"c").as("top_c"),
@@ -1661,11 +1691,8 @@ object TextAnalysis {
     */
   def lmRarity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ws = split($"text", " ")
-    val bigrams = zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-      (x, y) => concat(x, lit(" "), y))
     val perDoc = Tables.t(s, dir, "documents")
-      .select($"doc_id", explode(filter(bigrams, x => x.isNotNull)).as("bg"))
+      .select($"doc_id", explode(wordBigrams(split($"text", " "))).as("bg"))
       .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
       .persistScoped()
     val corpus = perDoc.groupBy($"bg").agg(sum($"c").as("corpus_c"))
@@ -1926,16 +1953,23 @@ object TextAnalysis {
     */
   def dupNgramFrac(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // native fused 5-grams (wordNgrams); the HOF reference — with its
+    // sequence(1,0)-is-descending guard, the transform/array_join
+    // chain this site shipped through r17 — stays reachable under the
+    // same-window A/B hatch. Reference semantics differ from the
+    // native's only for null WORDS inside a window (array_join skips
+    // them, the native drops the window) — unobservable here because
+    // split() never yields null elements; WordNgramsSpec pins the
+    // null-free equivalence on random docs.
+    val grams5 =
+      if (sys.env.contains("SPARK_GRAFT_NGRAMS_REF"))
+        expr("""CASE WHEN size(ws) >= 5
+          |  THEN transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))
+          |  ELSE array() END""".stripMargin)
+      else wordNgrams($"ws", 5)
     val grams = Tables.t(s, dir, "documents")
       .withColumn("ws", split($"text", " "))
-      // guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark (step
-      // defaults to -1 when start > stop), and the i=0 slice throws —
-      // short docs must produce an empty gram list, not a crash
-      .select($"doc_id", explode(expr(
-        """CASE WHEN size(ws) >= 5
-          |  THEN transform(sequence(1, size(ws) - 4), i -> array_join(slice(ws, i, 5), ' '))
-          |  ELSE array() END""".stripMargin))
-        .as("g"))
+      .select($"doc_id", explode(grams5).as("g"))
       .distinct()
     val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
     grams.join(df, Seq("g"))
@@ -2367,14 +2401,9 @@ object TextAnalysis {
 
   private def dsirWeighted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bigrams = (ws: org.apache.spark.sql.Column) =>
-      filter(
-        zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b)),
-        x => x.isNotNull)
     val docs = Tables.t(s, dir, "documents")
       .select($"doc_id", $"source", split($"text", " ").as("ws"))
-      .withColumn("toks", concat($"ws", bigrams($"ws")))
+      .withColumn("toks", concat($"ws", wordBigrams($"ws")))
     // the bucketed token stream feeds both model fits AND the weight
     // rollup — materialize it once
     val tok = docs
@@ -2853,10 +2882,8 @@ object TextAnalysis {
     while (done < rounds && !exhausted) {
       val want = math.min(batch, rounds - done)
       val syms = split(expr("substring(sym, 2, length(sym) - 2)"), "><")
-      val pairs = zip_with(syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y))
       val top = vocab
-        .select($"wc", explode(filter(pairs, x => x.isNotNull)).as("pg"))
+        .select($"wc", explode(wordBigrams(syms)).as("pg"))
         .select($"wc", element_at(split($"pg", " "), 1).as("l"),
           element_at(split($"pg", " "), 2).as("r"))
         .groupBy($"l", $"r").agg(sum($"wc").as("cnt"))
@@ -3259,13 +3286,22 @@ object TextAnalysis {
     val labeled = docsIn.select($"doc_id", $"source",
       when($"source".isin(posSources: _*), 1L).otherwise(-1L).as("y"),
       split($"text", " ").as("ws"))
-    val f = labeled
+    // hash-repartitioned by doc_id BEFORE the persist (one exchange of
+    // the COMPACT feature table, paid once): every round's margin
+    // rollup groups by (doc_id, y) and the misclassified semi-join
+    // keys on doc_id — HashPartitioning(doc_id) satisfies both (subset
+    // rule), so rounds 2..R and the final margin pass run with ZERO
+    // doc-keyed exchanges instead of two per round. The union had
+    // discarded the featurize aggregation's partitioning anyway.
+    // A/B hatch: SPARK_GRAFT_PERC_REF=1 times the unpartitioned shape.
+    val fRaw = labeled
       .select($"doc_id", $"y", explode($"ws").as("w"))
       .withColumn("b", substring(md5($"w"), 1, 2))
       .groupBy($"doc_id", $"y", $"b").agg(count(lit(1)).as("c"))
       .unionAll(labeled.select($"doc_id", $"y", lit("__bias").as("b"),
         lit(1L).as("c")))
-      .persistScoped()
+    val f = (if (sys.env.contains("SPARK_GRAFT_PERC_REF")) fRaw
+      else fRaw.repartition($"doc_id")).persistScoped()
     def marginsUnder(wts: Map[String, Long]): DataFrame = {
       val wDf = broadcast(wts.toSeq.toDF("b", "w"))
       f.join(wDf, Seq("b"))
