@@ -2522,7 +2522,16 @@ object Similarity {
     * corpus); the label table rides the same join as two narrow
     * broadcastable projections.
     */
-  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesImpl(s, dir,
+      fourJoinRef = sys.env.contains("SPARK_GRAFT_HN_REF"))
+
+  /** [[hardNegatives]] with the attach formulation explicit, so
+    * HardNegativesJoinSpec can pin the merged two-join attach against
+    * the four-join reference in one JVM (the env hatch reads process
+    * state, which a spec can't toggle). */
+  private[ops] def hardNegativesImpl(s: SparkSession, dir: String,
+      fourJoinRef: Boolean): DataFrame = {
     import s.implicits._
     def sqDist(xq: Column, cq: Column): Column = call_function("sqdist64", xq, cq)
     val (base, cents, assigned) = coarseFrontEnd(s, dir, ivfK, ivfIters)
@@ -2534,12 +2543,31 @@ object Similarity {
     val wp = Window.partitionBy($"qid").orderBy($"d".asc, $"cid".asc)
     val probes = qScored.withColumn("rn", row_number().over(wp)).filter($"rn" <= ivfNprobe)
       .select($"qid", $"cid".as("centroid"))
-    val scored = broadcast(probes).join(assigned, Seq("centroid"))
+    // vector payload + label attach: ONE (vec_id, xq, n2, label) side
+    // table joined once per endpoint instead of four separate joins
+    // over the candidate stream (base and labels are key-unique on
+    // vec_id, so merging the 1:1 attaches is row-identical; the merge
+    // halves the broadcast builds and per-candidate hash probes).
+    // Four-join reference kept under SPARK_GRAFT_HN_REF for
+    // same-window A/B.
+    val candidates = broadcast(probes).join(assigned, Seq("centroid"))
       .filter($"vec_id" =!= $"qid")
-      .join(base.select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2")), Seq("qid"))
-      .join(base.select($"vec_id", $"xq", $"n2"), Seq("vec_id"))
-      .join(labels.select($"vec_id".as("qid"), $"label".as("q_label")), Seq("qid"))
-      .join(labels.select($"vec_id", $"label".as("neg_label")), Seq("vec_id"))
+    val scored0 =
+      if (fourJoinRef) // same-window A/B hatch + differential spec
+        candidates
+          .join(base.select($"vec_id".as("qid"), $"xq".as("qxq"), $"n2".as("qn2")), Seq("qid"))
+          .join(base.select($"vec_id", $"xq", $"n2"), Seq("vec_id"))
+          .join(labels.select($"vec_id".as("qid"), $"label".as("q_label")), Seq("qid"))
+          .join(labels.select($"vec_id", $"label".as("neg_label")), Seq("vec_id"))
+      else {
+        val withLab = base.join(broadcast(labels), Seq("vec_id"))
+        candidates
+          .join(broadcast(withLab.select($"vec_id".as("qid"), $"xq".as("qxq"),
+            $"n2".as("qn2"), $"label".as("q_label"))), Seq("qid"))
+          .join(broadcast(withLab.select($"vec_id", $"xq", $"n2",
+            $"label".as("neg_label"))), Seq("vec_id"))
+      }
+    val scored = scored0
       .filter($"neg_label" =!= $"q_label")
       .select($"qid", $"q_label", $"vec_id".as("cid"), $"neg_label",
         cosineFromDots(dot64($"qxq", $"xq"), $"qn2", $"n2").as("cos"))
